@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory. Local settings sized for local[N] smoke/bench runs;
+  * on a real cluster the same conf keys scale out (AQE handles skew and
+  * runtime partition coalescing, shuffle partitions follow cores).
+  */
+object GraftSession {
+
+  def builder(cores: Int): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  /** Shared test session (one JVM-wide session for all suites). */
+  lazy val test: SparkSession = {
+    val s = builder(4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

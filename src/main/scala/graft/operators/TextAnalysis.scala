@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: language ID,
+  * quality scoring, token counting, fingerprinting. All pure
+  * per-row projections (narrow, no shuffle, fully codegen'd inside
+  * WholeStageCodegen) — at 100 TB these run at scan speed and the
+  * only shuffle is whatever aggregation the caller adds on top.
+  */
+object TextAnalysis {
+
+  // ─── text_langid: n-gram/marker-heuristic language ID ───
+  // Scores = marker-substring occurrence counts per language profile;
+  // argmax with a fixed precedence for ties. Deterministic and
+  // SQL-expressible so the oracle can replay it exactly.
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " la ", " de "),
+    "de" -> Seq(" der ", " und ", " ein "),
+    "fr" -> Seq(" le ", " et ", " la "),
+    "zh" -> Seq(" shi ", " de ", " le "))
+
+  private def countOcc(padded: Column, m: String): Column =
+    (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), "")))
+      ./(lit(m.length)).cast("long")
+
+  private def countOccSql(m: String): String =
+    s"CAST((length(padded) - length(replace(padded, '$m', ''))) / ${m.length} AS BIGINT)"
+
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val scored = Tables(spark, dir).documents
+      .withColumn("padded", padded)
+      .select(col("doc_id") +: col("lang").as("actual_lang") +:
+        profiles.map { case (l, ms) =>
+          ms.map(countOcc(col("padded"), _)).reduce(_ + _).as(s"score_$l")
+        }: _*)
+    val mx = greatest(profiles.map(p => col(s"score_${p._1}")): _*)
+    // CASE chain: first profile wins ties (same precedence in the SQL)
+    val predFirst = profiles.foldLeft(Option.empty[Column]) {
+      case (None, (l, _)) => Some(when(col(s"score_$l") === mx && mx > 0, lit(l)))
+      case (Some(c), (l, _)) => Some(c.when(col(s"score_$l") === mx && mx > 0, lit(l)))
+    }.get.otherwise(lit("und"))
+    scored.select(
+      col("doc_id") +: col("actual_lang") +: predFirst.as("pred_lang") +:
+        profiles.map(p => col(s"score_${p._1}")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val textLangidSql: String = {
+    val scoreCols = profiles.map { case (l, ms) =>
+      ms.map(countOccSql).mkString(" + ") + s" AS score_$l"
+    }.mkString(",\n  ")
+    val mx = s"greatest(${profiles.map(p => s"score_${p._1}").mkString(", ")})"
+    val pred = "CASE " + profiles.map { case (l, _) =>
+      s"WHEN score_$l = $mx AND $mx > 0 THEN '$l'"
+    }.mkString(" ") + " ELSE 'und' END"
+    s"""SELECT doc_id, actual_lang, $pred AS pred_lang,
+       |  ${profiles.map(p => s"score_${p._1}").mkString(", ")}
+       |FROM (
+       |  SELECT doc_id, lang AS actual_lang, $scoreCols
+       |  FROM (SELECT doc_id, lang, ' ' || text || ' ' AS padded FROM documents)
+       |) ORDER BY doc_id""".stripMargin
+  }
+
+  // ─── text_quality: length / punctuation / stopword / diversity ───
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nWords = size(filter(words, _ =!= ""))
+    val nDistinct = size(array_distinct(filter(words, _ =!= "")))
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(words, w => array_contains(stopArr, w)))
+    val nPunct = length(col("text")) -
+      length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+    def ratioBp(a: Column, b: Column): Column =
+      floor(a.cast("double") * 10000.0 / b + lit(0.5)).cast("long")
+    Tables(spark, dir).documents
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len_chars"),
+        nWords.cast("long").as("n_words"),
+        ratioBp(nDistinct, nWords).as("distinct_bp"),
+        ratioBp(nStop, nWords).as("stop_bp"),
+        nPunct.cast("long").as("n_punct"))
+      .withColumn("quality_bp",
+        col("distinct_bp") - floor(col("stop_bp") / 2).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textQualitySql: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id, len_chars, n_words, distinct_bp, stop_bp, n_punct,
+       |  distinct_bp - CAST(floor(stop_bp / 2) AS BIGINT) AS quality_bp
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS len_chars,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+       |    CAST(floor(len(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) * 10000.0
+       |      / len(list_filter(string_split(text, ' '), w -> w <> '')) + 0.5) AS BIGINT) AS distinct_bp,
+       |    CAST(floor(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) * 10000.0
+       |      / len(list_filter(string_split(text, ' '), w -> w <> '')) + 0.5) AS BIGINT) AS stop_bp,
+       |    CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
+       |  FROM documents
+       |) ORDER BY doc_id""".stripMargin
+  }
+
+  // ─── text_tokens: whitespace + BPE-ish regex token counting ───
+  private val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(expr(s"regexp_extract_all(lower(text), '$bpePattern', 0)"))
+          .cast("long").as("re_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        col("n_chars").as("n_chars_meta"))
+      .orderBy(col("doc_id"))
+
+  val textTokensSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '$bpePattern')) AS BIGINT) AS re_tokens,
+       |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+       |  n_chars AS n_chars_meta
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ─── text_fingerprint: polynomial rolling hash over characters ───
+  // h = fold(chars, h*31 + code mod 1e9+7). A codegen'd fold over the
+  // char array; the oracle replays it with list_reduce.
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        expr("aggregate(filter(split(text, ''), c -> c <> ''), 0L, " +
+          "(h, c) -> (h * 31 + ascii(c)) % 1000000007)").as("fp"))
+      .withColumn("fp_bucket", pmod(col("fp"), lit(1024)))
+      .orderBy(col("doc_id"))
+
+  val textFingerprintSql: String =
+    """SELECT doc_id, fp, fp % 1024 AS fp_bucket FROM (
+      |  SELECT doc_id, list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (h, c) -> (h * 31 + c) % 1000000007) AS fp
+      |  FROM documents
+      |) ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid" -> textLangid,
+    "text_quality" -> textQuality,
+    "text_tokens" -> textTokens,
+    "text_fingerprint" -> textFingerprint)
+
+  val oracle: Map[String, String] = Map(
+    "text_langid" -> textLangidSql,
+    "text_quality" -> textQualitySql,
+    "text_tokens" -> textTokensSql,
+    "text_fingerprint" -> textFingerprintSql)
+}

@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Dev-only harness mimicking the driver's correctness gate:
+runs graft.Verify at a given SF, then replays oracle_sql.json in
+DuckDB over the same parquet tables and compares (schema-insensitive
+to column order: columns sorted by name; rows sorted)."""
+import json, subprocess, sys, math
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+SKIP_RUN = "--no-run" in sys.argv
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+if not SKIP_RUN:
+    r = subprocess.run(
+        ["sbt", f'runMain graft.Verify {SF_DIR} {OUT}'],
+        cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+    if r.returncode != 0:
+        print(r.stdout[-4000:]); print(r.stderr[-4000:]); sys.exit(1)
+    for line in r.stdout.splitlines():
+        if "[verify]" in line: print(line)
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
+        exp = con.sql(sql)
+        gcols = sorted(got.columns); ecols = sorted(exp.columns)
+        if [c.lower() for c in gcols] != [c.lower() for c in ecols]:
+            print(f"FAIL {name}: columns {gcols} vs {ecols}"); fails += 1; continue
+        g = got.df()[gcols].sort_values(gcols).values.tolist()
+        e = exp.df()[sorted(exp.columns)].sort_values(sorted(exp.columns)).values.tolist()
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); fails += 1; continue
+        bad = None
+        for i, (rg, re_) in enumerate(zip(g, e)):
+            for a, b in zip(rg, re_):
+                same = (a == b) or (isinstance(a, float) and isinstance(b, float)
+                                    and (math.isnan(a) and math.isnan(b) or a == b))
+                try:
+                    import pandas as pd
+                    if pd.isna(a) and pd.isna(b): same = True
+                except Exception: pass
+                if not same:
+                    bad = (i, rg, re_); break
+            if bad: break
+        if bad:
+            print(f"FAIL {name}: first diff row {bad[0]}\n  got {bad[1]}\n  exp {bad[2]}"); fails += 1
+        else:
+            print(f"OK   {name}: {len(g)} rows")
+    except Exception as ex:
+        print(f"FAIL {name}: {str(ex)[:300]}"); fails += 1
+print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")
+sys.exit(1 if fails else 0)
