@@ -16,10 +16,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Events.queries ++ TextAnalysis.queries
+    Relational.queries ++ Events.queries ++ TextAnalysis.queries ++
+      Trike.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Events.oracle ++ TextAnalysis.oracle
+    Relational.oracle ++ Events.oracle ++ TextAnalysis.oracle ++
+      Trike.oracle
 }
