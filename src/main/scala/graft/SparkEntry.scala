@@ -17,11 +17,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ TextAnalysis.queries ++
-      Trike.queries
+      Trike.queries ++ Dedup.queries ++ Similarity.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Events.oracle ++ TextAnalysis.oracle ++
-      Trike.oracle
+      Trike.oracle ++ Dedup.oracle ++ Similarity.oracle ++
+      Multimodal.oracle
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Media blob row as it would arrive from a multimodal lakehouse table:
+  * an opaque binary payload plus typed metadata columns. */
+final case class MediaBlob(doc_id: Long, source: String, payload: Array[Byte])
+
+/** Typed output of the (stubbed) decoder. */
+final case class MediaMeta(doc_id: Long, byte_len: Long, magic_hex: String,
+  crc: Long, width: Int, height: Int, channels: Int)
+
+/** Multimodal-column plumbing: image/audio/video payloads modeled as
+  * opaque `binary` columns with typed metadata, decoded in batches.
+  *
+  * The actual codec is STUBBED (no image/audio libraries in this
+  * container): `decodeStub` derives deterministic fake dimensions from
+  * a CRC of the bytes. Everything around the stub is the real
+  * large-scale shape: a typed `Dataset[MediaBlob]`, per-partition
+  * batched iteration (the JVM twin of `mapInPandas` batch semantics —
+  * swap `decodeStub` for a JNI/ONNX call and the plumbing holds), and
+  * pure-column chunk sampling that never materializes the whole blob
+  * set on any single node.
+  *
+  * The binary payloads are derived from `documents.text` (UTF-8 bytes)
+  * so runs are deterministic against the shared testdata.
+  */
+object Multimodal {
+
+  private val decodeBatchSize = 32
+
+  /** Stub decoder: one batch of blobs → metadata. Deterministic: crc32
+    * of the payload seeds the fake width/height. A real deployment
+    * replaces the body (and only the body) with the codec call. */
+  private def decodeStub(batch: Seq[MediaBlob]): Seq[MediaMeta] =
+    batch.map { b =>
+      val crc = new java.util.zip.CRC32
+      crc.update(b.payload)
+      val c = crc.getValue
+      val magic = b.payload.take(4).map(x => f"$x%02x").mkString
+      MediaMeta(b.doc_id, b.payload.length.toLong, magic, c,
+        width = (c % 1920).toInt + 1, height = ((c >> 11) % 1080).toInt + 1,
+        channels = 3)
+    }
+
+  private def blobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaBlob]
+  }
+
+  // ─── mm_decode_meta: batched stub decode over typed partitions ───
+  def mmDecodeMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    blobs(spark, dir)
+      .mapPartitions(_.grouped(decodeBatchSize).flatMap(decodeStub))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  // ─── mm_frame_sample: every-4th fixed-size chunk, pure columns ───
+  // Deterministic frame/chunk sampling: 64-byte chunks, stride 4.
+  // Stays inside whole-stage codegen (sequence + substring on binary),
+  // so at 100 TB it samples at scan speed with no decode round-trip.
+  private val chunkBytes = 64
+  private val stride = 4
+
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
+    blobs(spark, dir).toDF()
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(
+             |  sequence(0, int(ceil(octet_length(payload) / $chunkBytes.0)) - 1, $stride),
+             |  i -> substring(payload, i * $chunkBytes + 1, $chunkBytes))"""
+            .stripMargin))
+          .as(Seq("sample_idx", "chunk")))
+      .select(col("doc_id"), col("sample_idx").cast("long").as("sample_idx"),
+        octet_length(col("chunk")).cast("long").as("chunk_len"),
+        crc32(col("chunk")).as("chunk_crc"))
+      .orderBy(col("doc_id"), col("sample_idx"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_meta" -> mmDecodeMeta,
+    "mm_frame_sample" -> mmFrameSample)
+
+  /** Both rows-only: binary plumbing with a stubbed decoder has no
+    * DuckDB-expressible twin worth asserting beyond row shape. */
+  val oracle: Map[String, String] = Map.empty
+}

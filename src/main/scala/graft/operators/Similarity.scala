@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Three tiers: brute-force cosine top-k (the correctness baseline and
+  * oracle), random-hyperplane LSH (multi-table bucket equijoin — the
+  * scale path: candidates per query track bucket occupancy, not corpus
+  * size), and IVF (coarse centroid cells, nprobe=2 — distance evals
+  * limited to probed cells). All vector math is codegen'd array
+  * expressions (zip_with/aggregate); hyperplanes and the probe logic
+  * are seed-deterministic so results are stable across runs.
+  *
+  * Scale posture: queries×corpus work only appears in the brute-force
+  * baseline (explicitly bounded to a small query set). LSH and IVF are
+  * equijoins on (table, bucket)/(cell); the centroid and hyperplane
+  * "models" ride along as broadcast literals or tiny broadcast frames,
+  * never driver-side collect loops.
+  */
+object Similarity {
+
+  private val topK = 3
+  /** Query set: the first 20 vectors. */
+  private val nQueries = 20
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+
+  // ─── ann_bruteforce: exact cosine top-k (oracle baseline) ───
+  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val q = vecs(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val c = vecs(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("norm").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        floor(col("cos") * 10000 + 0.5).cast("long").as("cos_bp"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annBruteforceSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), (s, x) -> s + x)) AS norm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip(q.v, c.v), z -> CAST(z[1] AS DOUBLE) * z[2])),
+       |      (s, x) -> s + x) / (q.norm * c.norm) AS cos
+       |  FROM n q JOIN n c ON q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id,
+       |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp
+       |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
+  // ─── ann_lsh: random-hyperplane LSH, 4 tables × 6 bits ───
+  // Sign-of-projection signatures against seed-42 Gaussian hyperplanes
+  // (compile-time literals — zero per-row model cost at scale).
+  // Candidates share a 6-bit bucket in ≥1 of 4 tables; exact cosine
+  // re-ranks candidates only. Driver oracle: rows-only; the spec
+  // measures recall against ann_bruteforce.
+  private val nTables = 4
+  private val bitsPerTable = 6
+
+  private lazy val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(nTables * bitsPerTable)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** (vec_id, table, bucket) for every vector: bucket = the 6 sign bits
+    * of this table's hyperplane projections packed into an int. */
+  private def bucketed(spark: SparkSession, dir: String): DataFrame = {
+    val planesLit = typedLit(planes)
+    vecs(spark, dir)
+      .withColumn("bits", transform(planesLit,
+        p => when(dot(col("v"), p) > 0, 1).otherwise(0)))
+      .select(col("vec_id"), col("v"), col("norm"),
+        posexplode(transform(sequence(lit(0), lit(nTables - 1)), t =>
+          (0 until bitsPerTable)
+            .map(k => element_at(col("bits"), t * bitsPerTable + k + 1) * lit(1 << (bitsPerTable - 1 - k)))
+            .reduce(_ + _)))
+          .as(Seq("table", "bucket")))
+  }
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val b = bucketed(spark, dir)
+    val q = b.filter(col("vec_id") < nQueries)
+      .select(col("table"), col("bucket"),
+        col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val c = b.select(col("table"), col("bucket"),
+      col("vec_id").as("neighbor_id"), col("v").as("cv"), col("norm").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(c, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"),
+        col("cv"), col("cn"))
+      .distinct() // a pair may collide in several tables
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        floor(col("cos") * 10000 + 0.5).cast("long").as("cos_bp"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ─── ann_ivf: coarse-quantizer cells, nprobe=2 ───
+  // Cells seeded from every 50th vector (deterministic coarse
+  // quantizer); every vector is assigned to its nearest centroid via a
+  // broadcast join + per-vector min — the inverted file. A query
+  // probes its 2 nearest cells and ranks only those cells' vectors.
+  private val nprobe = 2
+  private val centroidStride = 50
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val cents = v.filter(col("vec_id") % centroidStride === 0)
+      .select((col("vec_id") / centroidStride).cast("long").as("cell"),
+        col("v").as("centv"))
+    def nearestCells(df: DataFrame, keep: Int, idCol: String): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("d2"), col("cell"))
+      df.join(broadcast(cents))
+        .withColumn("d2", aggregate(
+          zip_with(col("v"), col("centv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (s, x) => s + x))
+        .withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") <= keep)
+        .drop("centv", "d2", "cell_rank")
+    }
+    val assigned = nearestCells(v, 1, "vec_id")
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("v").as("cv"), col("norm").as("cn"))
+    val probes = nearestCells(v.filter(col("vec_id") < nQueries), nprobe, "vec_id")
+      .select(col("cell"), col("vec_id").as("query_id"),
+        col("v").as("qv"), col("norm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cell"),
+        floor(col("cos") * 10000 + 0.5).cast("long").as("cos_bp"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce" -> annBruteforce,
+    "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf)
+
+  /** lsh/ivf are rows-only: approximate results, no SQL twin. */
+  val oracle: Map[String, String] = Map(
+    "ann_bruteforce" -> annBruteforceSql)
+}
