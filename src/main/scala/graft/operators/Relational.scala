@@ -243,7 +243,7 @@ object Relational {
     val t = Tables(spark, dir)
     val avgPrice = t.part.agg(avg(col("p_retailprice")).as("gavg"))
     t.part.join(broadcast(avgPrice))
-      .filter(col("p_retailprice") > col("gavg") + 25)
+      .filter(col("p_retailprice") > col("gavg") + 5)
       .select(col("p_partkey"), cents(col("p_retailprice")).as("price_cents"))
       .orderBy(col("p_partkey"))
   }
@@ -251,7 +251,7 @@ object Relational {
   val q11Sql: String =
     s"""SELECT p_partkey, ${Tables.centsSql("p_retailprice")} AS price_cents
        |FROM part
-       |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part) + 25
+       |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part) + 5
        |ORDER BY p_partkey""".stripMargin
 
   // ─── q12_case_agg: conditional aggregation (TPC-H Q12 shape) ───

@@ -73,21 +73,21 @@ object Similarity {
        |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp
        |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
-  // ─── ann_lsh: random-hyperplane LSH, 4 tables × 6 bits ───
+  // ─── ann_lsh: random-hyperplane LSH, 12 tables × 4 bits ───
   // Sign-of-projection signatures against seed-42 Gaussian hyperplanes
   // (compile-time literals — zero per-row model cost at scale).
-  // Candidates share a 6-bit bucket in ≥1 of 4 tables; exact cosine
+  // Candidates share a 4-bit bucket in ≥1 of 12 tables; exact cosine
   // re-ranks candidates only. Driver oracle: rows-only; the spec
   // measures recall against ann_bruteforce.
-  private val nTables = 4
-  private val bitsPerTable = 6
+  private val nTables = 12
+  private val bitsPerTable = 4
 
   private lazy val planes: Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(nTables * bitsPerTable)(Seq.fill(64)(rnd.nextGaussian()))
   }
 
-  /** (vec_id, table, bucket) for every vector: bucket = the 6 sign bits
+  /** (vec_id, table, bucket) for every vector: bucket = the sign bits
     * of this table's hyperplane projections packed into an int. */
   private def bucketed(spark: SparkSession, dir: String): DataFrame = {
     val planesLit = typedLit(planes)

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.functions.CloudEventId
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A raw TCP packet as the trike proxy receives it: connection id,
+  * peer ip, receive time, and the byte payload (possibly containing
+  * several EOT-delimited OCS messages plus a partial tail). */
+final case class RawPacket(connId: String, sourceIp: String,
+  receiveTs: java.sql.Timestamp, payload: String)
+
+/** The trike proxy pipeline on Structured Streaming: packets →
+  * EOT framing → heartbeat filter → CloudEvent projection → keyed
+  * sink. The transform is a pure function of the DataFrame, so the
+  * exact same plan runs on a static frame (unit-testable) and a
+  * `readStream` source (production) — the Structured Streaming
+  * contract.
+  *
+  * Reference: framing lib/trike/proxy.ex:212-217 (split on 0x04, last
+  * split element is the unframed rest), heartbeat drop proxy.ex:242-244,
+  * CloudEvent build lib/trike/cloud_event.ex:31-44, one clock read per
+  * packet proxy.ex:150, partition-keyed ordered put proxy.ex:171-204.
+  *
+  * Like the reference's per-packet `extract/1`, framing here is
+  * within-packet: the partial tail after the last EOT is dropped
+  * rather than carried into the next packet's buffer (the reference
+  * carries it in connection state; the streaming twin of that carry is
+  * flatMapGroupsWithState keyed by connection — a planned r2 depth
+  * item; the fixture generators always emit whole frames per packet,
+  * so batch results are unaffected).
+  *
+  * Scale posture: framing/filter/projection are stateless and narrow —
+  * they run at source parallelism with no shuffle; the only shuffle is
+  * whatever keyed sink or windowed agg is attached downstream.
+  */
+object OcsPipeline {
+
+  val EOT = "\u0004"
+  private val isoFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+
+  /** packets(connId, sourceIp, receiveTs, payload) → one row per
+    * complete frame, partial tail dropped. */
+  def frames(packets: DataFrame): DataFrame =
+    packets
+      .withColumn("f", split(col("payload"), EOT))
+      .withColumn("f", expr("slice(f, 1, size(f) - 1)"))
+      .select(col("connId"), col("sourceIp"), col("receiveTs"),
+        posexplode(col("f")).as(Seq("pos", "message")))
+
+  /** Full pipeline: frames → drop heartbeats → CloudEvent columns.
+    * Uses the faithful sha1 id (CloudEventId.sha1Base64). */
+  def cloudEvents(packets: DataFrame): DataFrame = {
+    val timeIso = date_format(col("receiveTs"), isoFmt)
+    frames(packets)
+      .filter(col("message") =!= "HEARTBEAT")
+      .select(
+        CloudEventId.sha1Base64(timeIso, col("message")).as("id"),
+        col("connId").as("partitionkey"),
+        col("sourceIp").as("sourceip"),
+        timeIso.as("time"),
+        lit("com.mbta.ocs.raw_message").as("type"),
+        lit("1.0").as("specversion"),
+        lit("graft/trike").as("source"),
+        col("message").as("raw"),
+        col("receiveTs"), col("pos"))
+  }
+
+  /** Canonical JSON encoding (alphabetical keys, Jason parity). */
+  def eventJson: Column =
+    to_json(struct(
+      struct(col("raw")).as("data"), col("id"), col("partitionkey"),
+      col("source"), col("sourceip"), col("specversion"), col("time")))
+}

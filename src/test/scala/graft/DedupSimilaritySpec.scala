@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the approximate (rows-only-oracle) operators,
+  * anchored against their exact counterparts on sf0.001. */
+class DedupSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.test
+  private val dir = "/root/testdata/sf0.001"
+
+  test("minhash LSH recalls the high-Jaccard planted pairs") {
+    import spark.implicits._
+    val exact = Dedup.dedupNgramJaccard(spark, dir)
+      .filter($"jaccard_bp" >= 5000)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val cand = Dedup.dedupMinhashLsh(spark, dir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture has planted near-dups")
+    val recall = exact.count(cand.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
+  }
+
+  test("simhash candidates are hamming-bounded and include plantedness") {
+    import spark.implicits._
+    val pairs = Dedup.dedupSimhash(spark, dir)
+      .select($"doc_a", $"doc_b", $"hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_._3 <= 16))
+  }
+
+  test("exact dedup keeps one keeper per normalized text") {
+    val n = Dedup.dedupExact(spark, dir).count()
+    val docs = Tables(spark, dir).documents.count()
+    assert(n <= docs && n > 0)
+  }
+
+  test("ann_lsh achieves reasonable top-3 recall vs brute force") {
+    import spark.implicits._
+    val exact = Similarity.annBruteforce(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.annLsh(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"LSH ANN recall $recall")
+  }
+
+  test("ann_ivf achieves reasonable top-3 recall vs brute force") {
+    import spark.implicits._
+    val exact = Similarity.annBruteforce(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.annIvf(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"IVF ANN recall $recall")
+  }
+}
