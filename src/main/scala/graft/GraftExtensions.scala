@@ -1,0 +1,24 @@
+package graft
+
+import graft.functions.DotProduct
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extensions: registers graft's native expressions so every
+  * surface (DataFrame code via call_function, spark.sql, spark-shell
+  * with spark.sql.extensions=graft.GraftExtensions) sees them. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.register(ext)
+}
+
+object GraftExtensions {
+  def register(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(children(0), children(1))))
+  }
+}

@@ -13,6 +13,7 @@ object GraftSession {
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
+      .withExtensions(GraftExtensions.register)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -32,9 +32,23 @@ object Dedup {
           element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Tokens are materialized in their own projection before the
+    * shingle lambda: higher-order functions re-evaluate every
+    * non-lambda subexpression of their body once PER ELEMENT, so
+    * tokenizing inline would re-split the text ~3×n_shingles times
+    * per document. Referencing the attribute keeps the lambda O(1)
+    * per element. */
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
-      .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+      // Hash-repartition on the downstream groupBy key straight off
+      // the scan: small testdata arrives as one parquet split, which
+      // would serialize all tokenize/shingle work onto one core (and
+      // AQE would coalesce a size-based repartition right back to one
+      // partition — hence the explicit, AQE-pinned count). The later
+      // groupBy(doc_id) reuses this partitioning: no second exchange.
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), shingles(col("t")).as("sh"))
       .withColumn("n_sh", size(col("sh")))
 
   /** DuckDB twin of docShingles (list comprehension over 1-based w). */
@@ -70,16 +84,25 @@ object Dedup {
   private val minShared = 3
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // explode_outer, not explode: InferFiltersFromGenerate would clone
+    // the whole (interpreted, HOF-heavy) shingle expression into a
+    // pushed-down scan filter for a plain explode — a ~10× slowdown.
+    // Outer generates skip that rule; the null row of a shingle-less
+    // doc is filtered on the cheap attribute instead.
     val ex = docShingles(spark, dir)
-      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("n_sh"), explode_outer(col("sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
     val keep = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
     val f = ex.join(keep.select("shingle"), Seq("shingle"))
-    val a = f.select(col("shingle"), col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
-    val b = f.select(col("shingle"), col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
-    a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+    // Alias self-join (not two renamed projections): both sides
+    // canonicalize to the same subplan, so ReuseExchange computes the
+    // shuffle over `f` once.
+    f.as("a").join(f.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .withColumn("jaccard_bp",
@@ -110,31 +133,42 @@ object Dedup {
   // sharing ≥1 band bucket (equijoin on (band, hash) — never a cross
   // join). est_bp is the signature-agreement estimate of Jaccard.
   // Driver oracle: rows-only (xxhash64 has no DuckDB twin).
+  //
+  // Shape: shingles are EXPLODED to rows once (the Generate operator
+  // evaluates the shingle expression exactly once per doc — building
+  // the signature with nested array lambdas instead lets projection
+  // collapse inline the whole signature into every downstream
+  // reference, a 64× recompute), and the 64 minhashes are 64 plain
+  // min() aggregate columns — hash-aggregate with map-side partial
+  // combine, no per-row array allocation. This is also the shape that
+  // scales: one shuffle on doc_id, then one on (band, bh).
+  private val nPerms = 64
+  private val nBands = 16
+
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = docShingles(spark, dir)
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", transform(sequence(lit(0), lit(63)),
-        j => array_min(transform(col("sh"), s => xxhash64(s, j)))))
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(15)), b =>
-        xxhash64(
-          element_at(col("sig"), b * 4 + 1), element_at(col("sig"), b * 4 + 2),
-          element_at(col("sig"), b * 4 + 3), element_at(col("sig"), b * 4 + 4))))
+    val shingleRows = docShingles(spark, dir)
+      .select(col("doc_id"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull) // outer: see dedupNgramJaccard note
+    val sigs = shingleRows
+      .groupBy(col("doc_id"))
+      .agg(min(xxhash64(col("s"), lit(0))).as("m0"),
+        (1 until nPerms).map(j => min(xxhash64(col("s"), lit(j))).as(s"m$j")): _*)
+    val banded = sigs.select(col("doc_id"),
+      array((0 until nPerms).map(j => col(s"m$j")): _*).as("sig"),
+      posexplode(array((0 until nBands).map(b =>
+        xxhash64((0 until 4).map(k => col(s"m${b * 4 + k}")): _*)): _*))
         .as(Seq("band", "bh")))
-    val l = banded.select(col("band"), col("bh"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bh"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"),
-        first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
+        first(col("a.sig")).as("sig_a"), first(col("b.sig")).as("sig_b"))
       .withColumn("est_bp",
         floor(aggregate(
           zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1L).otherwise(0L)),
-          lit(0L), (s, x) => s + x) * 10000.0 / 64 + 0.5).cast("long"))
+          lit(0L), (s, x) => s + x) * 10000.0 / nPerms + 0.5).cast("long"))
       .select(col("doc_a"), col("doc_b"), col("n_bands"), col("est_bp"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -147,30 +181,29 @@ object Dedup {
   private val hammingMax = 16
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val fps = docShingles(spark, dir)
-      .filter(size(col("sh")) > 0)
-      .withColumn("votes", expr(
-        """aggregate(transform(sh, s -> xxhash64(s)),
-          |  array_repeat(0L, 64),
-          |  (acc, h) -> zip_with(acc, sequence(0, 63),
-          |    (a, i) -> a + CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END))"""
-          .stripMargin))
-      .withColumn("fp", expr(
-        """aggregate(zip_with(votes, sequence(0, 63),
-          |  (c, i) -> CASE WHEN c > 0 THEN shiftleft(1L, i) ELSE 0L END),
-          |  0L, (acc, x) -> acc + x)""".stripMargin))
+    // Per-bit ±1 votes as 64 sum() aggregate columns over exploded
+    // shingle-hash rows (same rationale/shape as dedupMinhashLsh:
+    // map-side combine, no array allocation, no lambda inlining).
+    val hashRows = docShingles(spark, dir)
+      .select(col("doc_id"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull) // outer: see dedupNgramJaccard note
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val votes = hashRows
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("((h >> 0) & 1) * 2 - 1")).as("b0"),
+        (1 until 64).map(i => sum(expr(s"((h >> $i) & 1) * 2 - 1")).as(s"b$i")): _*)
+    val fps = votes.select(col("doc_id"),
+      (0 until 64).map(i =>
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _).as("fp"))
     val chunked = fps.select(col("doc_id"), col("fp"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> (fp >> (c * 16)) & 65535)"))
         .as(Seq("chunk", "cv")))
-    val l = chunked.select(col("chunk"), col("cv"),
-      col("doc_id").as("doc_a"), col("fp").as("fp_a"))
-    val r = chunked.select(col("chunk"), col("cv"),
-      col("doc_id").as("doc_b"), col("fp").as("fp_b"))
-    l.join(r, Seq("chunk", "cv"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.fp ^ b.fp)").cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= hammingMax)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -183,11 +216,15 @@ object Dedup {
   // hyperplane blocking) — this query IS the verify stage semantics.
   private val cosThreshold = 0.4
 
+  /** Codegen'd dot product (graft.functions.DotProduct, registered by
+    * GraftExtensions) — ascending-index summation, bit-exact with the
+    * DuckDB oracle's left fold. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    call_function("graft_dot", a, b)
 
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).embeddings
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id")) // parallelize the single-split scan
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 

@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Documents scan, hash-repartitioned off the (single-split at test
+    * scale) scan so per-row text work parallelizes; final orderBys
+    * re-shuffle anyway, so this adds no extra exchange of substance. */
+  private def docs(spark: SparkSession, dir: String) =
+    Tables(spark, dir).documents.repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+
   // ─── text_langid: n-gram/marker-heuristic language ID ───
   // Scores = marker-substring occurrence counts per language profile;
   // argmax with a fixed precedence for ties. Deterministic and
@@ -32,7 +38,7 @@ object TextAnalysis {
 
   def textLangid(spark: SparkSession, dir: String): DataFrame = {
     val padded = concat(lit(" "), col("text"), lit(" "))
-    val scored = Tables(spark, dir).documents
+    val scored = docs(spark, dir)
       .withColumn("padded", padded)
       .select(col("doc_id") +: col("lang").as("actual_lang") +:
         profiles.map { case (l, ms) =>
@@ -79,7 +85,7 @@ object TextAnalysis {
       length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
     def ratioBp(a: Column, b: Column): Column =
       floor(a.cast("double") * 10000.0 / b + lit(0.5)).cast("long")
-    Tables(spark, dir).documents
+    docs(spark, dir)
       .select(
         col("doc_id"),
         length(col("text")).cast("long").as("len_chars"),
@@ -113,7 +119,7 @@ object TextAnalysis {
   private val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
   def textTokens(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
+    docs(spark, dir)
       .select(
         col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("ws_tokens"),
@@ -135,7 +141,7 @@ object TextAnalysis {
   // h = fold(chars, h*31 + code mod 1e9+7). A codegen'd fold over the
   // char array; the oracle replays it with list_reduce.
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
+    docs(spark, dir)
       .select(col("doc_id"),
         expr("aggregate(filter(split(text, ''), c -> c <> ''), 0L, " +
           "(h, c) -> (h * 31 + ascii(c)) % 1000000007)").as("fp"))
