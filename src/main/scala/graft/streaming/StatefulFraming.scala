@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-connection framing state: the unframed tail after the last EOT
+  * (the reference carries this in the proxy's connection state and
+  * prepends it to the next packet — lib/trike/proxy.ex:154
+  * `extract(buffer <> data)`), plus the last-activity time driving the
+  * stale timeout (proxy.ex:125-131, 232-240). */
+final case class ConnState(buffer: String, lastSeenMs: Long)
+
+/** One output row of the stateful pipeline: a completed frame, or a
+  * stale-connection marker (kind = "stale") when a connection sees no
+  * bytes within the timeout — the streaming twin of the reference
+  * closing idle sockets. */
+final case class FrameEvent(connId: String, sourceIp: String,
+  receiveMs: Long, message: String, kind: String)
+
+/** The stateful depth of the OCS pipeline that the stateless
+  * `OcsPipeline.frames` can't express: EOT framing with the partial
+  * tail carried ACROSS packets per connection, and event-time
+  * stale-session detection, both via flatMapGroupsWithState keyed by
+  * connection.
+  *
+  * Scale posture: state per key is one small string + a long; the
+  * stream shuffles once on connId (the same key the sink partitions
+  * by); timeouts ride the engine's watermark, no driver timers.
+  */
+object StatefulFraming {
+
+  val EOT = "\u0004"
+
+  /** packets (already `.withWatermark("receiveTs", …)`) → frames with
+    * cross-packet buffer carry + stale markers after `staleTimeoutMs`
+    * of event-time inactivity. */
+  def frames(packets: Dataset[RawPacket], staleTimeoutMs: Long): Dataset[FrameEvent] = {
+    import packets.sparkSession.implicits._
+    packets
+      .groupByKey(_.connId)
+      .flatMapGroupsWithState[ConnState, FrameEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (connId: String, it: Iterator[RawPacket], state: GroupState[ConnState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(
+              FrameEvent(connId, "", st.lastSeenMs, "", "stale"))
+          } else {
+            // One extract() per packet in receive order, buffer carried
+            // between packets exactly like proxy.ex:154.
+            val sorted = it.toVector.sortBy(p => (p.receiveTs.getTime, p.payload))
+            var buf = state.getOption.map(_.buffer).getOrElse("")
+            val out = Vector.newBuilder[FrameEvent]
+            var lastMs = state.getOption.map(_.lastSeenMs).getOrElse(0L)
+            for (p <- sorted) {
+              val statements = (buf + p.payload).split(EOT, -1)
+              statements.dropRight(1).foreach { m =>
+                out += FrameEvent(connId, p.sourceIp, p.receiveTs.getTime, m, "frame")
+              }
+              buf = statements.last
+              lastMs = math.max(lastMs, p.receiveTs.getTime)
+            }
+            state.update(ConnState(buf, lastMs))
+            state.setTimeoutTimestamp(lastMs + staleTimeoutMs)
+            out.result().iterator
+          }
+      }
+  }
+}
