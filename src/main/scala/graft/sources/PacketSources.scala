@@ -1,0 +1,82 @@
+package graft.sources
+
+import graft.streaming.RawPacket
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming packet sources for the OCS pipeline — the graft twins of
+  * the reference's ingestion surface:
+  *
+  *  - `socket`: live TCP text ingestion (the reference's Ranch
+  *    listener, lib/trike/proxy.ex:64-83) via Structured Streaming's
+  *    socket source. Each line is one packet payload from the one
+  *    connection the socket represents.
+  *  - `fake`: deterministic synthetic packet generator (the
+  *    reference's mix task lib/mix/tasks/fake_source.ex — canned
+  *    messages, optional heartbeats every 30th message, EOT-joined)
+  *    built on the rate source, so it scales its event rate with the
+  *    trigger and needs no external process.
+  *
+  * Both produce the RawPacket shape `OcsPipeline.cloudEvents` and
+  * `StatefulFraming.frames` consume, so source choice is one line.
+  */
+object PacketSources {
+
+  private val EOT = "\u0004"
+
+  /** TCP text source: one RawPacket per line, keyed as a single
+    * connection `host:port`. Spark's socket source is documented as
+    * test-only — a production deployment swaps in a durable bus source
+    * with the same output schema. */
+  def socket(spark: SparkSession, host: String, port: Int): Dataset[RawPacket] = {
+    import spark.implicits._
+    spark.readStream
+      .format("socket")
+      .option("host", host).option("port", port)
+      .option("includeTimestamp", true)
+      .load() // (value: String, timestamp: Timestamp)
+      .select(
+        lit(s"$host:$port").as("connId"),
+        lit(host).as("sourceIp"),
+        col("timestamp").as("receiveTs"),
+        concat(col("value"), lit(EOT)).as("payload"))
+      .as[RawPacket]
+  }
+
+  /** Synthetic OCS traffic: `rowsPerSecond` packets/s spread over
+    * `nConns` connections; every 30th message per the heartbeat cadence
+    * of fake_source.ex, deterministic payloads otherwise. */
+  def fake(spark: SparkSession, rowsPerSecond: Int = 100,
+    nConns: Int = 8, heartbeats: Boolean = true): Dataset[RawPacket] = {
+    import spark.implicits._
+    val msg =
+      if (heartbeats)
+        when(col("value") % 30 === 0, lit("HEARTBEAT"))
+          .otherwise(concat(lit("4,050,TMOV,msg-"), col("value")))
+      else concat(lit("4,050,TMOV,msg-"), col("value"))
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load() // (timestamp: Timestamp, value: Long)
+      .select(
+        concat(lit("conn-"), pmod(col("value"), lit(nConns))).as("connId"),
+        concat(lit("10.0.0."), pmod(col("value"), lit(nConns))).as("sourceIp"),
+        col("timestamp").as("receiveTs"),
+        concat(msg, lit(EOT)).as("payload"))
+      .as[RawPacket]
+  }
+
+  /** Batch replay of the testdata-derived packet fixture (the same
+    * construction the Trike batch operators use) as a static frame for
+    * pipeline testing at any SF. */
+  def replay(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables(spark, dir).events
+      .select(
+        concat(lit("conn-"), col("user_id")).as("connId"),
+        concat(lit("10.0.0."), pmod(col("user_id"), lit(250))).as("sourceIp"),
+        col("ts").as("receiveTs"),
+        concat(
+          when(col("event_id") % 7 === 0, lit("HEARTBEAT"))
+            .otherwise(concat(col("event_type"), lit(","), col("event_id"))),
+          lit(EOT)).as("payload"))
+}
