@@ -18,7 +18,10 @@ object GraftExtensions {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(children(0), children(1))))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"graft_dot expects exactly 2 arguments (array<double>, array<double>), got ${children.length}")
+        DotProduct(children(0), children(1))
+      }))
   }
 }

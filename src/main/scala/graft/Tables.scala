@@ -10,15 +10,13 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw nanos and floor-convert to the
-    * native microsecond TimestampType (integer DIV, no double
-    * round-off). */
-  def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** events.ts is parquet TIMESTAMP(NANOS), read as raw nanos
+    * (spark.sql.legacy.parquet.nanosAsLong — set by GraftSession at
+    * construction) and floor-converted to the native microsecond
+    * TimestampType (integer DIV, no double round-off). */
+  def events: DataFrame =
     t("events").withColumn("ts",
       org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-  }
 
   def region: DataFrame = t("region")
   def nation: DataFrame = t("nation")

@@ -216,30 +216,7 @@ object Dedup {
   // hyperplane blocking) — this query IS the verify stage semantics.
   private val cosThreshold = 0.4
 
-  /** Codegen'd dot product (graft.functions.DotProduct, registered by
-    * GraftExtensions) — ascending-index summation, bit-exact with the
-    * DuckDB oracle's left fold. */
-  private def dot(a: Column, b: Column): Column =
-    call_function("graft_dot", a, b)
-
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).embeddings
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id")) // parallelize the single-split scan
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-
-  /** DuckDB twin: double-cast elements, left-fold in index order so the
-    * summation order matches Spark's aggregate() exactly. */
-  private def vecsSql(idCol: String): String =
-    s"""SELECT $idCol, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-       |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), (s, x) -> s + x)) AS norm
-       |FROM embeddings""".stripMargin
-
-  private val dotSql: String =
-    """list_reduce(list_prepend(CAST(0 AS DOUBLE),
-      |    list_transform(list_zip(a.v, b.v), z -> CAST(z[1] AS DOUBLE) * z[2])),
-      |    (s, x) -> s + x)""".stripMargin
+  import graft.functions.VectorOps.{dot, vecs, vecsSql, dotSql}
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val a = vecs(spark, dir)

@@ -72,11 +72,13 @@ object Multimodal {
   def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
     blobs(spark, dir).toDF()
       .select(col("doc_id"),
+        // Guard empty payloads: sequence(0, -1, 4) is an illegal Spark
+        // sequence; empty blobs sample zero chunks instead of crashing.
         posexplode(expr(
-          s"""transform(
+          s"""CASE WHEN octet_length(payload) > 0 THEN transform(
              |  sequence(0, int(ceil(octet_length(payload) / $chunkBytes.0)) - 1, $stride),
-             |  i -> substring(payload, i * $chunkBytes + 1, $chunkBytes))"""
-            .stripMargin))
+             |  i -> substring(payload, i * $chunkBytes + 1, $chunkBytes))
+             |ELSE array() END""".stripMargin))
           .as(Seq("sample_idx", "chunk")))
       .select(col("doc_id"), col("sample_idx").cast("long").as("sample_idx"),
         octet_length(col("chunk")).cast("long").as("chunk_len"),

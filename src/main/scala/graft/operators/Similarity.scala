@@ -27,17 +27,7 @@ object Similarity {
   /** Query set: the first 20 vectors. */
   private val nQueries = 20
 
-  /** Codegen'd dot product (graft.functions.DotProduct, registered by
-    * GraftExtensions) — ascending-index summation, bit-exact with the
-    * DuckDB oracle's left fold. */
-  private def dot(a: Column, b: Column): Column =
-    call_function("graft_dot", a, b)
-
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).embeddings
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id")) // parallelize the single-split scan
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+  import graft.functions.VectorOps.{dot, vecs}
 
   // ─── ann_bruteforce: exact cosine top-k (oracle baseline) ───
   def annBruteforce(spark: SparkSession, dir: String): DataFrame = {

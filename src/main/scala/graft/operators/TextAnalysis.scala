@@ -81,10 +81,11 @@ object TextAnalysis {
     val nDistinct = size(array_distinct(filter(words, _ =!= "")))
     val stopArr = array(stopwords.map(lit): _*)
     val nStop = size(filter(words, w => array_contains(stopArr, w)))
-    val nPunct = length(col("text")) -
-      length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+    val nPunct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+    // greatest(…, 1): zero-word docs get 0-valued ratios instead of a
+    // null/inf divergence between engines.
     def ratioBp(a: Column, b: Column): Column =
-      floor(a.cast("double") * 10000.0 / b + lit(0.5)).cast("long")
+      floor(a.cast("double") * 10000.0 / greatest(b, lit(1)) + lit(0.5)).cast("long")
     docs(spark, dir)
       .select(
         col("doc_id"),
@@ -107,10 +108,10 @@ object TextAnalysis {
        |    CAST(length(text) AS BIGINT) AS len_chars,
        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
        |    CAST(floor(len(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) * 10000.0
-       |      / len(list_filter(string_split(text, ' '), w -> w <> '')) + 0.5) AS BIGINT) AS distinct_bp,
+       |      / greatest(len(list_filter(string_split(text, ' '), w -> w <> '')), 1) + 0.5) AS BIGINT) AS distinct_bp,
        |    CAST(floor(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) * 10000.0
-       |      / len(list_filter(string_split(text, ' '), w -> w <> '')) + 0.5) AS BIGINT) AS stop_bp,
-       |    CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
+       |      / greatest(len(list_filter(string_split(text, ' '), w -> w <> '')), 1) + 0.5) AS BIGINT) AS stop_bp,
+       |    CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
        |  FROM documents
        |) ORDER BY doc_id""".stripMargin
   }

@@ -40,7 +40,7 @@ import org.apache.spark.sql.functions._
 object Trike {
   import Relational.epochS
 
-  private val EOT = "\u0004"
+  private val EOT = graft.streaming.OcsPipeline.EOT
   /** Spark SQL split() takes a regex; \u0004 needs no escaping. */
   private val EOT_RE = EOT
 

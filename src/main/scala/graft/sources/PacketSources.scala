@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object PacketSources {
 
-  private val EOT = "\u0004"
+  private val EOT = graft.streaming.OcsPipeline.EOT
 
   /** TCP text source: one RawPacket per line, keyed as a single
     * connection `host:port`. Spark's socket source is documented as
@@ -49,9 +49,12 @@ object PacketSources {
   def fake(spark: SparkSession, rowsPerSecond: Int = 100,
     nConns: Int = 8, heartbeats: Boolean = true): Dataset[RawPacket] = {
     import spark.implicits._
+    // Cadence per CONNECTION (value DIV nConns is the per-conn message
+    // index): a global value % 30 would starve the connections whose
+    // id never lands on a multiple of 30 mod nConns.
     val msg =
       if (heartbeats)
-        when(col("value") % 30 === 0, lit("HEARTBEAT"))
+        when((col("value") / nConns).cast("long") % 30 === 0, lit("HEARTBEAT"))
           .otherwise(concat(lit("4,050,TMOV,msg-"), col("value")))
       else concat(lit("4,050,TMOV,msg-"), col("value"))
     spark.readStream

@@ -29,7 +29,7 @@ final case class FrameEvent(connId: String, sourceIp: String,
   */
 object StatefulFraming {
 
-  val EOT = "\u0004"
+  val EOT: String = OcsPipeline.EOT
 
   /** packets (already `.withWatermark("receiveTs", …)`) → frames with
     * cross-packet buffer carry + stale markers after `staleTimeoutMs`
@@ -62,7 +62,11 @@ object StatefulFraming {
               lastMs = math.max(lastMs, p.receiveTs.getTime)
             }
             state.update(ConnState(buf, lastMs))
-            state.setTimeoutTimestamp(lastMs + staleTimeoutMs)
+            // A late packet can put lastMs+timeout behind the current
+            // watermark, which setTimeoutTimestamp rejects (query
+            // crash) — clamp so the key times out on the next advance.
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(lastMs + staleTimeoutMs, wm + 1))
             out.result().iterator
           }
       }
