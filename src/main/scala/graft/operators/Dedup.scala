@@ -127,77 +127,139 @@ object Dedup {
        |FROM p ORDER BY doc_a, doc_b""".stripMargin
 
   // ─── dedup_minhash_lsh: 64-perm MinHash, 16 bands × 4 rows ───
-  // Permutation j's hash of shingle s is xxhash64(s, j); the signature
-  // is the per-permutation min over the doc's shingles. Band hashes
-  // bucket the signature 4 rows at a time; candidates are pairs
-  // sharing ≥1 band bucket (equijoin on (band, hash) — never a cross
-  // join). est_bp is the signature-agreement estimate of Jaccard.
-  // Driver oracle: rows-only (xxhash64 has no DuckDB twin).
+  // Shingle s hashes to a 60-bit int via md5 (the one cryptographic
+  // hash both engines share, so the oracle replays EXACTLY — full SQL
+  // hash-match, not a rows-only check); permutation j is the classic
+  // universal hash (a_j·h + b_j) mod p over p = 2³¹−1, coefficients
+  // seed-deterministic and emitted into both the Spark plan and the
+  // generated DuckDB SQL from the same Scala values. The signature is
+  // the per-permutation min; band hashes bucket 4 rows at a time;
+  // candidates are pairs sharing ≥1 band bucket (equijoin on
+  // (band, hash) — never a cross join). est_bp is the
+  // signature-agreement estimate of Jaccard.
   //
-  // Shape: shingles are EXPLODED to rows once (the Generate operator
-  // evaluates the shingle expression exactly once per doc — building
-  // the signature with nested array lambdas instead lets projection
-  // collapse inline the whole signature into every downstream
-  // reference, a 64× recompute), and the 64 minhashes are 64 plain
-  // min() aggregate columns — hash-aggregate with map-side partial
-  // combine, no per-row array allocation. This is also the shape that
-  // scales: one shuffle on doc_id, then one on (band, bh).
+  // Shape: shingles are EXPLODED to rows once, then the 64 minhashes
+  // are 64 plain min() aggregate columns — hash-aggregate with
+  // map-side partial combine, no nested-array lambdas (projection
+  // collapse would inline those into every downstream reference).
+  // One shuffle on doc_id, one on (band, bh); est re-joins the small
+  // signature frame instead of dragging arrays through the pair join.
   private val nPerms = 64
   private val nBands = 16
+  private val P31 = 2147483647L // 2^31 − 1, prime
+
+  /** (a_j, b_j) universal-hash coefficients, seed-deterministic. */
+  private lazy val permCoef: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(2042)
+    Seq.fill(nPerms)((1L + rnd.nextInt((P31 - 1).toInt), rnd.nextInt(P31.toInt).toLong))
+  }
+
+  /** md5-based 60-bit shingle hash reduced mod p — identical in both
+    * engines (verified: conv/Spark vs hex-cast/DuckDB agree). */
+  private def h31(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long") % P31
+  private def h31Sql(s: String): String =
+    s"(CAST(('0x' || substr(md5($s), 1, 15)) AS BIGINT) % $P31)"
+
+  private def bandHash(m: Int => Column): Column =
+    (0 until 4).map(m).reduce((acc, x) => acc * 31 + x)
 
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val shingleRows = docShingles(spark, dir)
+    val hashRows = docShingles(spark, dir)
       .select(col("doc_id"), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull) // outer: see dedupNgramJaccard note
-    val sigs = shingleRows
+      .select(col("doc_id"), h31(col("s")).as("h"))
+    val sigs = hashRows
       .groupBy(col("doc_id"))
-      .agg(min(xxhash64(col("s"), lit(0))).as("m0"),
-        (1 until nPerms).map(j => min(xxhash64(col("s"), lit(j))).as(s"m$j")): _*)
+      .agg(
+        min((col("h") * permCoef(0)._1 + permCoef(0)._2) % P31).as("m0"),
+        (1 until nPerms).map { j =>
+          min((col("h") * permCoef(j)._1 + permCoef(j)._2) % P31).as(s"m$j")
+        }: _*)
     val banded = sigs.select(col("doc_id"),
-      array((0 until nPerms).map(j => col(s"m$j")): _*).as("sig"),
       posexplode(array((0 until nBands).map(b =>
-        xxhash64((0 until 4).map(k => col(s"m${b * 4 + k}")): _*)): _*))
-        .as(Seq("band", "bh")))
-    banded.as("a").join(banded.as("b"),
+        bandHash(k => col(s"m${b * 4 + k}"))): _*)).as(Seq("band", "bh")))
+    val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_bands"),
-        first(col("a.sig")).as("sig_a"), first(col("b.sig")).as("sig_b"))
+      .agg(count(lit(1)).as("n_bands"))
+    val sx = sigs.select(col("doc_id").as("xid") +:
+      (0 until nPerms).map(j => col(s"m$j").as(s"x$j")): _*)
+    val sy = sigs.select(col("doc_id").as("yid") +:
+      (0 until nPerms).map(j => col(s"m$j").as(s"y$j")): _*)
+    cand
+      .join(sx, col("doc_a") === col("xid"))
+      .join(sy, col("doc_b") === col("yid"))
       .withColumn("est_bp",
-        floor(aggregate(
-          zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1L).otherwise(0L)),
-          lit(0L), (s, x) => s + x) * 10000.0 / nPerms + 0.5).cast("long"))
+        floor((0 until nPerms)
+          .map(j => when(col(s"x$j") === col(s"y$j"), 1).otherwise(0))
+          .reduce(_ + _) * 10000.0 / nPerms + 0.5).cast("long"))
       .select(col("doc_a"), col("doc_b"), col("n_bands"), col("est_bp"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  // ─── dedup_simhash: 64-bit SimHash + 4×16-bit chunk blocking ───
-  // Per-bit vote over shingle hashes → 64-bit fingerprint; candidates
-  // share an exact 16-bit chunk (pigeonhole: catches all pairs with
-  // hamming ≤ 3 and most below the cutoff); verified by bit_count of
-  // the XOR. Driver oracle: rows-only.
+  val dedupMinhashLshSql: String = {
+    val minCols = (0 until nPerms).map { j =>
+      s"min((h * ${permCoef(j)._1} + ${permCoef(j)._2}) % $P31) AS m$j"
+    }.mkString(",\n    ")
+    val bandBranches = (0 until nBands).map { b =>
+      val bh = (0 until 4).map(k => s"m${b * 4 + k}")
+        .reduce((acc, x) => s"($acc * 31 + $x)")
+      s"SELECT doc_id, $b AS band, $bh AS bh FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    val eqSum = (0 until nPerms)
+      .map(j => s"CASE WHEN x.m$j = y.m$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $docShinglesSql,
+       |srows AS (SELECT doc_id, unnest(sh) AS s FROM shdocs),
+       |hs AS (SELECT doc_id, ${h31Sql("s")} AS h FROM srows),
+       |sigs AS (SELECT doc_id,
+       |    $minCols
+       |  FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  $bandBranches),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b, c.n_bands,
+       |  CAST(floor(($eqSum) * 10000.0 / $nPerms + 0.5) AS BIGINT) AS est_bp
+       |FROM cand c
+       |  JOIN sigs x ON c.doc_a = x.doc_id
+       |  JOIN sigs y ON c.doc_b = y.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ─── dedup_simhash: 60-bit SimHash + 4×15-bit chunk blocking ───
+  // Per-bit vote over md5-derived 60-bit shingle hashes → fingerprint;
+  // candidates share an exact 15-bit chunk (pigeonhole: catches all
+  // pairs with hamming ≤ 3 and most below the cutoff); verified by
+  // bit_count of the XOR. md5 gives both engines the same bits, so
+  // this carries a full SQL oracle. Votes are 60 sum() aggregate
+  // columns over exploded shingle-hash rows (map-side combine, no
+  // array lambdas — same rationale as dedupMinhashLsh).
+  private val nBits = 60
+  private val chunkBits = 15
   private val hammingMax = 16
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    // Per-bit ±1 votes as 64 sum() aggregate columns over exploded
-    // shingle-hash rows (same rationale/shape as dedupMinhashLsh:
-    // map-side combine, no array allocation, no lambda inlining).
     val hashRows = docShingles(spark, dir)
       .select(col("doc_id"), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull) // outer: see dedupNgramJaccard note
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
     val votes = hashRows
       .groupBy(col("doc_id"))
       .agg(sum(expr("((h >> 0) & 1) * 2 - 1")).as("b0"),
-        (1 until 64).map(i => sum(expr(s"((h >> $i) & 1) * 2 - 1")).as(s"b$i")): _*)
+        (1 until nBits).map(i => sum(expr(s"((h >> $i) & 1) * 2 - 1")).as(s"b$i")): _*)
     val fps = votes.select(col("doc_id"),
-      (0 until 64).map(i =>
+      (0 until nBits).map(i =>
         when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _).as("fp"))
     val chunked = fps.select(col("doc_id"), col("fp"),
       posexplode(expr(
-        "transform(sequence(0, 3), c -> (fp >> (c * 16)) & 65535)"))
+        s"transform(sequence(0, 3), c -> (fp >> (c * $chunkBits)) & ${(1 << chunkBits) - 1})"))
         .as(Seq("chunk", "cv")))
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
@@ -207,6 +269,32 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= hammingMax)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupSimhashSql: String = {
+    val voteCols = (0 until nBits)
+      .map(i => s"sum(((h >> $i) & 1) * 2 - 1) AS b$i").mkString(",\n    ")
+    val fpSum = (0 until nBits)
+      .map(i => s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    val chunkBranches = (0 until 4).map { c =>
+      s"SELECT doc_id, fp, $c AS chunk, (fp >> ${c * chunkBits}) & ${(1 << chunkBits) - 1} AS cv FROM fps"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $docShinglesSql,
+       |srows AS (SELECT doc_id, unnest(sh) AS s FROM shdocs),
+       |hs AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM srows),
+       |votes AS (SELECT doc_id,
+       |    $voteCols
+       |  FROM hs GROUP BY doc_id),
+       |fps AS (SELECT doc_id, $fpSum AS fp FROM votes),
+       |chunked AS (
+       |  $chunkBranches)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       |FROM chunked a JOIN chunked b
+       |  ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= $hammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   // ─── dedup_embedding: cosine near-dup pairs (threshold 0.4) ───
@@ -246,9 +334,10 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding)
 
-  /** minhash/simhash are rows-only (xxhash64 has no DuckDB twin). */
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql)
 }
