@@ -31,10 +31,20 @@ object VectorOps {
        |    list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), (s, x) -> s + x)) AS norm
        |FROM embeddings""".stripMargin
 
-  /** DuckDB twin of dot(a.v, b.v) for a two-sided self-join aliased
-    * `a`/`b`. */
-  val dotSql: String =
-    """list_reduce(list_prepend(CAST(0 AS DOUBLE),
-      |    list_transform(list_zip(a.v, b.v), z -> CAST(z[1] AS DOUBLE) * z[2])),
-      |    (s, x) -> s + x)""".stripMargin
+  /** DuckDB twin of dot(x, y) over two list expressions — left fold in
+    * index order, matching the codegen loop exactly. */
+  def dotSqlOf(x: String, y: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(list_zip($x, $y), z -> CAST(z[1] AS DOUBLE) * z[2])),
+       |    (s, x) -> s + x)""".stripMargin
+
+  /** Squared-distance twin: Σ (x_i − y_i)², same fold order. */
+  def dist2SqlOf(x: String, y: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(list_zip($x, $y),
+       |      z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))),
+       |    (s, x) -> s + x)""".stripMargin
+
+  /** Back-compat alias for a self-join aliased `a`/`b`. */
+  val dotSql: String = dotSqlOf("a.v", "b.v")
 }

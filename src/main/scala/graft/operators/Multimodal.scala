@@ -10,14 +10,14 @@ final case class MediaBlob(doc_id: Long, source: String, payload: Array[Byte])
 
 /** Typed output of the (stubbed) decoder. */
 final case class MediaMeta(doc_id: Long, byte_len: Long, magic_hex: String,
-  crc: Long, width: Int, height: Int, channels: Int)
+  fp60: Long, width: Int, height: Int, channels: Int)
 
 /** Multimodal-column plumbing: image/audio/video payloads modeled as
   * opaque `binary` columns with typed metadata, decoded in batches.
   *
   * The actual codec is STUBBED (no image/audio libraries in this
   * container): `decodeStub` derives deterministic fake dimensions from
-  * a CRC of the bytes. Everything around the stub is the real
+  * an md5 fingerprint of the bytes. Everything around the stub is the real
   * large-scale shape: a typed `Dataset[MediaBlob]`, per-partition
   * batched iteration (the JVM twin of `mapInPandas` batch semantics —
   * swap `decodeStub` for a JNI/ONNX call and the plumbing holds), and
@@ -31,17 +31,19 @@ object Multimodal {
 
   private val decodeBatchSize = 32
 
-  /** Stub decoder: one batch of blobs → metadata. Deterministic: crc32
-    * of the payload seeds the fake width/height. A real deployment
-    * replaces the body (and only the body) with the codec call. */
+  /** Stub decoder: one batch of blobs → metadata. Deterministic: a
+    * 60-bit md5 fingerprint of the payload seeds the fake
+    * width/height (md5 so the DuckDB oracle replays it byte-exactly).
+    * A real deployment replaces the body (and only the body) with the
+    * codec call. */
   private def decodeStub(batch: Seq[MediaBlob]): Seq[MediaMeta] =
     batch.map { b =>
-      val crc = new java.util.zip.CRC32
-      crc.update(b.payload)
-      val c = crc.getValue
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(b.payload).map(x => f"$x%02x").mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
       val magic = b.payload.take(4).map(x => f"$x%02x").mkString
-      MediaMeta(b.doc_id, b.payload.length.toLong, magic, c,
-        width = (c % 1920).toInt + 1, height = ((c >> 11) % 1080).toInt + 1,
+      MediaMeta(b.doc_id, b.payload.length.toLong, magic, h,
+        width = (h % 1920).toInt + 1, height = ((h >> 11) % 1080).toInt + 1,
         channels = 3)
     }
 
@@ -82,14 +84,39 @@ object Multimodal {
           .as(Seq("sample_idx", "chunk")))
       .select(col("doc_id"), col("sample_idx").cast("long").as("sample_idx"),
         octet_length(col("chunk")).cast("long").as("chunk_len"),
-        crc32(col("chunk")).as("chunk_crc"))
+        md5(col("chunk")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("sample_idx"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> mmDecodeMeta,
     "mm_frame_sample" -> mmFrameSample)
 
-  /** Both rows-only: binary plumbing with a stubbed decoder has no
-    * DuckDB-expressible twin worth asserting beyond row shape. */
-  val oracle: Map[String, String] = Map.empty
+  /** Oracles operate on the varchar twin of the binary payload — the
+    * fixture is pure ASCII (verified), so character ops equal byte ops
+    * and both queries hash-match despite DuckDB 1.0 lacking BLOB
+    * md5/substring. */
+  val mmDecodeMetaSql: String =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+      |  lower(hex(substring(text, 1, 4))) AS magic_hex, h AS fp60,
+      |  CAST((h % 1920) + 1 AS INTEGER) AS width,
+      |  CAST(((h >> 11) % 1080) + 1 AS INTEGER) AS height,
+      |  3 AS channels
+      |FROM (SELECT doc_id, text,
+      |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  val mmFrameSampleSql: String =
+    s"""WITH idx AS (
+       |  SELECT doc_id, text AS p,
+       |    unnest(range(0, CAST(ceil(length(text) / $chunkBytes.0) AS BIGINT), $stride)) AS i
+       |  FROM documents)
+       |SELECT doc_id, (i // $stride) AS sample_idx,
+       |  CAST(length(substring(p, CAST(i * $chunkBytes + 1 AS INTEGER), $chunkBytes)) AS BIGINT) AS chunk_len,
+       |  md5(substring(p, CAST(i * $chunkBytes + 1 AS INTEGER), $chunkBytes)) AS chunk_md5
+       |FROM idx ORDER BY doc_id, sample_idx""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "mm_decode_meta" -> mmDecodeMetaSql,
+    "mm_frame_sample" -> mmFrameSampleSql)
 }

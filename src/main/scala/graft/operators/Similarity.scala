@@ -71,8 +71,10 @@ object Similarity {
   // Sign-of-projection signatures against seed-42 Gaussian hyperplanes
   // (compile-time literals — zero per-row model cost at scale).
   // Candidates share a 4-bit bucket in ≥1 of 12 tables; exact cosine
-  // re-ranks candidates only. Driver oracle: rows-only; the spec
-  // measures recall against ann_bruteforce.
+  // re-ranks candidates only. The hyperplanes are emitted into the
+  // generated DuckDB SQL as double literals (Double.toString
+  // round-trips), so even this approximate op hash-matches the oracle;
+  // the spec additionally measures recall against ann_bruteforce.
   private val nTables = 12
   private val bitsPerTable = 4
 
@@ -159,12 +161,85 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  import graft.functions.VectorOps.{dotSqlOf, dist2SqlOf, vecsSql}
+
+  val annLshSql: String = {
+    val planeRows = planes.zipWithIndex.map { case (p, pid) =>
+      s"($pid, [${p.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH n AS (${vecsSql("vec_id")}),
+       |planes(pid, p) AS (VALUES
+       |    $planeRows),
+       |bits AS (
+       |  SELECT n.vec_id, pl.pid,
+       |    CASE WHEN (${dotSqlOf("n.v", "pl.p")}) > 0 THEN 1 ELSE 0 END AS bit
+       |  FROM n, planes pl),
+       |buckets AS (
+       |  SELECT vec_id, (pid // $bitsPerTable) AS tbl,
+       |    sum(bit << (${bitsPerTable - 1} - (pid % $bitsPerTable))) AS bucket
+       |  FROM bits GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM buckets q JOIN buckets c
+       |    ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |    AND q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    (${dotSqlOf("x.v", "y.v")}) / (x.norm * y.norm) AS cos
+       |  FROM cand
+       |    JOIN n x ON cand.query_id = x.vec_id
+       |    JOIN n y ON cand.neighbor_id = y.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id,
+       |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp
+       |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
+  val annIvfSql: String =
+    s"""WITH n AS (${vecsSql("vec_id")}),
+       |cents AS (
+       |  SELECT (vec_id // $centroidStride) AS cell, v AS centv
+       |  FROM n WHERE vec_id % $centroidStride = 0),
+       |ad AS (
+       |  SELECT n.vec_id, n.v, n.norm, c.cell,
+       |    (${dist2SqlOf("n.v", "c.centv")}) AS d2
+       |  FROM n, cents c),
+       |assigned AS (
+       |  SELECT cell, vec_id AS neighbor_id, v AS cv, norm AS cn FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, cell) AS r FROM ad)
+       |  WHERE r <= 1),
+       |probes AS (
+       |  SELECT cell, vec_id AS query_id, v AS qv, norm AS qn FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, cell) AS r
+       |    FROM ad WHERE vec_id < $nQueries)
+       |  WHERE r <= $nprobe),
+       |scored AS (
+       |  SELECT p.query_id, a.neighbor_id, p.cell,
+       |    (${dotSqlOf("p.qv", "a.cv")}) / (p.qn * a.cn) AS cos
+       |  FROM probes p JOIN assigned a
+       |    ON p.cell = a.cell AND p.query_id <> a.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cell, cos,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cell,
+       |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp
+       |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf)
 
-  /** lsh/ivf are rows-only: approximate results, no SQL twin. */
   val oracle: Map[String, String] = Map(
-    "ann_bruteforce" -> annBruteforceSql)
+    "ann_bruteforce" -> annBruteforceSql,
+    "ann_lsh" -> annLshSql,
+    "ann_ivf" -> annIvfSql)
 }
