@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` table: exact hash
@@ -63,14 +62,16 @@ object Dedup {
   // ─── dedup_exact: normalized-text hash groupBy, keep min doc_id ───
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
+      // explicit class, not \s: Java \s includes \x0B where RE2's (the
+      // oracle's regex engine) does not
       .withColumn("text_md5",
-        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+        md5(trim(regexp_replace(lower(col("text")), "[ \t\n\f\r]+", " "))))
       .groupBy(col("text_md5"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_doc_id"))
 
   val dedupExactSql: String =
-    """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_md5,
+    """SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'))) AS text_md5,
       |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin
 

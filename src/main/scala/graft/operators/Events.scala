@@ -95,7 +95,7 @@ object Events {
       |  sum(k_val) AS k_sum, max(k_val) AS k_max,
       |  count(CASE WHEN k_val > 50 THEN 1 END) AS n_high
       |FROM (SELECT event_type,
-      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+      |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
       |  FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 

@@ -59,6 +59,9 @@ object Multimodal {
   def mmDecodeMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     blobs(spark, dir)
+      // decode is per-partition work: spread the single-split scan
+      // across cores (same rationale as Dedup.docShingles)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .mapPartitions(_.grouped(decodeBatchSize).flatMap(decodeStub))
       .toDF()
       .orderBy(col("doc_id"))

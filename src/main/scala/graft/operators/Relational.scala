@@ -239,11 +239,15 @@ object Relational {
        |ORDER BY n_orders DESC, o_custkey""".stripMargin
 
   // ─── q11_scalar_subquery: compare to a global aggregate ───
+  // The avg is quantized to integer cents BEFORE the comparison: a raw
+  // double threshold makes row MEMBERSHIP depend on the engines'
+  // float-summation order (a last-ulp difference flips boundary rows),
+  // which the cents convention exists to prevent.
   def q11ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val avgPrice = t.part.agg(avg(col("p_retailprice")).as("gavg"))
+    val avgPrice = t.part.agg(cents(avg(col("p_retailprice"))).as("gavg_cents"))
     t.part.join(broadcast(avgPrice))
-      .filter(col("p_retailprice") > col("gavg") + 5)
+      .filter(cents(col("p_retailprice")) > col("gavg_cents") + 500)
       .select(col("p_partkey"), cents(col("p_retailprice")).as("price_cents"))
       .orderBy(col("p_partkey"))
   }
@@ -251,7 +255,8 @@ object Relational {
   val q11Sql: String =
     s"""SELECT p_partkey, ${Tables.centsSql("p_retailprice")} AS price_cents
        |FROM part
-       |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part) + 5
+       |WHERE ${Tables.centsSql("p_retailprice")} >
+       |  (SELECT ${Tables.centsSql("avg(p_retailprice)")} FROM part) + 500
        |ORDER BY p_partkey""".stripMargin
 
   // ─── q12_case_agg: conditional aggregation (TPC-H Q12 shape) ───

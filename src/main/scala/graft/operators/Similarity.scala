@@ -99,19 +99,27 @@ object Similarity {
   }
 
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val b = bucketed(spark, dir)
+    val b = bucketed(spark, dir).select(col("vec_id"), col("table"), col("bucket"))
     val q = b.filter(col("vec_id") < nQueries)
-      .select(col("table"), col("bucket"),
-        col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
-    val c = b.select(col("table"), col("bucket"),
-      col("vec_id").as("neighbor_id"), col("v").as("cv"), col("norm").as("cn"))
+      .select(col("table"), col("bucket"), col("vec_id").as("query_id"))
+    val c = b.select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"))
+    // Dedup candidate PAIRS (ids only — a pair may collide in several
+    // tables), then re-join the vectors: keeps the 64-double arrays
+    // out of the bucket-join and distinct shuffles (~100× less shuffle
+    // payload), mirroring the oracle's own shape.
+    val cand = q.join(c, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val vx = vecs(spark, dir)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val vy = vecs(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("norm").as("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    q.join(c, Seq("table", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"),
-        col("cv"), col("cn"))
-      .distinct() // a pair may collide in several tables
+    cand
+      .join(broadcast(vx), Seq("query_id"))
+      .join(vy, Seq("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
