@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guards for the physical-plan properties the 100 TB
+  * posture depends on (SURVEY §5). These assert the plan SHAPE — a
+  * change that silently drops a pushed filter, broadcasts a fact
+  * table, or adds a shuffle fails here before it costs anything at
+  * scale. */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.test
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def count(plan: String, token: String): Int =
+    token.r.findAllIn(plan).length
+
+  test("q1 pushes the shipdate filter into the parquet scan") {
+    val p = plan(Relational.q1Agg(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "filter must reach the scan")
+  }
+
+  test("q1 prunes to only the columns it reads") {
+    val p = plan(Relational.q1Agg(spark, dir))
+    assert(!p.contains("l_orderkey"), "unused columns must be pruned from the scan")
+  }
+
+  test("q4 star join broadcasts its dimensions") {
+    val p = plan(Relational.q4BroadcastJoin(spark, dir))
+    assert(count(p, "BroadcastExchange") >= 3,
+      "nation/region/dims must broadcast")
+  }
+
+  test("windows and sessionization shuffle exactly once") {
+    for ((name, df) <- Seq(
+      "q8" -> Relational.q8WindowRunning(spark, dir),
+      "q16_asof" -> Relational.q16AsofJoin(spark, dir),
+      "ev_sessionize" -> Events.evSessionize(spark, dir))) {
+      val n = count(plan(df), "Exchange hashpartitioning")
+      assert(n == 1, s"$name: expected exactly 1 hash exchange, got $n")
+    }
+  }
+
+  test("dedup candidate generation is equijoin, never cartesian") {
+    for ((name, df) <- Seq(
+      "minhash" -> Dedup.dedupMinhashLsh(spark, dir),
+      "simhash" -> Dedup.dedupSimhash(spark, dir),
+      "ngram" -> Dedup.dedupNgramJaccard(spark, dir),
+      "ann_lsh" -> Similarity.annLsh(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"),
+        s"$name must not build a cartesian product")
+    }
+  }
+
+  test("text ops stay narrow: no required hash exchange before the final sort") {
+    val p = plan(TextAnalysis.textTokens(spark, dir))
+    // The explicit REPARTITION_BY_NUM (scan parallelism) and the range
+    // partition for orderBy are expected; an ENSURE_REQUIREMENTS hash
+    // exchange would mean an aggregation/join shuffle crept in.
+    val required = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("ENSURE_REQUIREMENTS"))
+    assert(required == 0, "per-row text analysis must not aggregate-shuffle")
+  }
+}
