@@ -71,4 +71,29 @@ object OcsPipeline {
     to_json(struct(
       struct(col("raw")).as("data"), col("id"), col("partitionkey"),
       col("source"), col("sourceip"), col("specversion"), col("time")))
+
+  /** The full stateful pipeline in one call: cross-packet buffer carry
+    * + stale markers (StatefulFraming), heartbeat filter, CloudEvent
+    * projection. `packets` must already carry a watermark on
+    * receiveTs. Stale markers pass through with kind="stale" so a
+    * monitoring sink can split them off. */
+  def statefulCloudEvents(packets: org.apache.spark.sql.Dataset[RawPacket],
+    staleTimeoutMs: Long): DataFrame = {
+    val timeIso = date_format(col("receiveTs"), isoFmt)
+    StatefulFraming.frames(packets, staleTimeoutMs).toDF()
+      .withColumn("receiveTs", expr("timestamp_millis(receiveMs)"))
+      .filter(col("kind") === "stale" || col("message") =!= "HEARTBEAT")
+      .select(
+        when(col("kind") === "frame",
+          graft.functions.CloudEventId.sha1Base64(timeIso, col("message")))
+          .as("id"),
+        col("connId").as("partitionkey"),
+        col("sourceIp").as("sourceip"),
+        timeIso.as("time"),
+        lit("com.mbta.ocs.raw_message").as("type"),
+        lit("1.0").as("specversion"),
+        lit("graft/trike").as("source"),
+        col("message").as("raw"),
+        col("kind"), col("receiveTs"))
+  }
 }
