@@ -170,6 +170,11 @@ object Dedup {
       .select(col("doc_id"), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull) // outer: see dedupNgramJaccard note
       .select(col("doc_id"), h31(col("s")).as("h"))
+    // Signatures are referenced 4× downstream (banded self-join ×2,
+    // sx, sy); without a persist Spark re-runs the whole shingle→hash→
+    // 64-min aggregate per reference. At 100 TB signatures are a
+    // materialization point by design — a few hundred bytes/doc versus
+    // re-tokenizing the corpus.
     val sigs = hashRows
       .groupBy(col("doc_id"))
       .agg(
@@ -177,6 +182,7 @@ object Dedup {
         (1 until nPerms).map { j =>
           min((col("h") * permCoef(j)._1 + permCoef(j)._2) % P31).as(s"m$j")
         }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("doc_id"),
       posexplode(array((0 until nBands).map(b =>
         bandHash(k => col(s"m${b * 4 + k}"))): _*)).as(Seq("band", "bh")))
@@ -299,15 +305,53 @@ object Dedup {
   }
 
   // ─── dedup_embedding: cosine near-dup pairs (threshold 0.4) ───
-  // The exact-pairs correctness baseline: broadcast nested-loop over
-  // the small side with a doc_a < doc_b guard. At 100 TB the same
-  // verification runs only on LSH-bucketed candidates (ann_lsh's
-  // hyperplane blocking) — this query IS the verify stage semantics.
+  // Production shape: hyperplane-LSH bucketed candidates (the SAME
+  // seed-42 blocking index as ann_lsh, so the DuckDB twin replays it
+  // bit-exactly) verified by exact cosine. Candidate volume tracks
+  // bucket occupancy, not the O(n²) pair count, and the vector arrays
+  // join in by vec_id AFTER the pair dedup — never a broadcast
+  // nested-loop over the corpus. DedupSimilaritySpec measures recall
+  // against the all-pairs baseline kept below.
   private val cosThreshold = 0.4
 
-  import graft.functions.VectorOps.{dot, vecs, vecsSql, dotSql}
+  import graft.functions.VectorOps.{dot, vecs, vecsSql, dotSqlOf}
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val b = Similarity.bucketIds(spark, dir)
+    val cand = b.as("a").join(b.as("b"),
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val va = vecs(spark, dir)
+      .select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+    val vb = vecs(spark, dir)
+      .select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
+    cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= cosThreshold)
+      .select(col("vec_a"), col("vec_b"),
+        floor(col("cos") * 10000 + 0.5).cast("long").as("cos_bp"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val dedupEmbeddingSql: String =
+    s"""WITH n AS (${vecsSql("vec_id")}),
+       |${Similarity.lshBucketCtes},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT c.vec_a, c.vec_b,
+       |  CAST(floor((${dotSqlOf("x.v", "y.v")}) / (x.norm * y.norm) * 10000 + 0.5) AS BIGINT) AS cos_bp
+       |FROM cand c JOIN n x ON c.vec_a = x.vec_id JOIN n y ON c.vec_b = y.vec_id
+       |WHERE (${dotSqlOf("x.v", "y.v")}) / (x.norm * y.norm) >= $cosThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** All-pairs exact baseline — spec-only recall oracle for the
+    * bucketed dedupEmbedding above; O(n²), never shipped in queries. */
+  private[graft] def dedupEmbeddingExact(spark: SparkSession, dir: String): DataFrame = {
     val a = vecs(spark, dir)
       .select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
     val b = vecs(spark, dir)
@@ -319,14 +363,6 @@ object Dedup {
         floor(col("cos") * 10000 + 0.5).cast("long").as("cos_bp"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
-
-  val dedupEmbeddingSql: String =
-    s"""WITH n AS (${vecsSql("vec_id")})
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  CAST(floor(($dotSql) / (a.norm * b.norm) * 10000 + 0.5) AS BIGINT) AS cos_bp
-       |FROM n a JOIN n b ON a.vec_id < b.vec_id
-       |WHERE ($dotSql) / (a.norm * b.norm) >= $cosThreshold
-       |ORDER BY vec_a, vec_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,

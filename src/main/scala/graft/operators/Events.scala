@@ -68,9 +68,9 @@ object Events {
        |      OR epoch - lag(epoch) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
        |), sess AS (
-       |  SELECT *, sum(is_new) OVER (
+       |  SELECT *, CAST(sum(is_new) OVER (
        |    PARTITION BY user_id ORDER BY ts, event_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
        |  FROM flagged
        |)
        |SELECT user_id, session_id, min(epoch) AS session_start_epoch,
@@ -92,7 +92,7 @@ object Events {
 
   val evJsonPropsSql: String =
     """SELECT event_type,
-      |  sum(k_val) AS k_sum, max(k_val) AS k_max,
+      |  CAST(sum(k_val) AS BIGINT) AS k_sum, max(k_val) AS k_max,
       |  count(CASE WHEN k_val > 50 THEN 1 END) AS n_high
       |FROM (SELECT event_type,
       |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val

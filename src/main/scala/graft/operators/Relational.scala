@@ -170,7 +170,9 @@ object Relational {
     val w = Window.partitionBy(col("p_brand"))
       .orderBy(col("p_retailprice").desc, col("p_partkey"))
     Tables(spark, dir).part
-      .withColumn("rn", row_number().over(w))
+      // long, not int: DuckDB row_number() is BIGINT and the oracle
+      // compare is type-sensitive
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("p_brand"), col("rn"), col("p_partkey"),
         cents(col("p_retailprice")).as("price_cents"))
@@ -189,7 +191,7 @@ object Relational {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     Tables(spark, dir).orders
       .withColumn("price_cents", cents(col("o_totalprice")))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long")) // BIGINT parity
       .withColumn("run_cents",
         sum(col("price_cents")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .filter(col("o_custkey") < 200)
@@ -197,14 +199,16 @@ object Relational {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  // CAST wraps the window sum: DuckDB promotes integer sum() to HUGEINT,
+  // Spark stays LONG, and the driver's hash is type-sensitive.
   val q8Sql: String =
     s"""SELECT o_custkey, rn, o_orderkey, run_cents FROM (
        |  SELECT o_custkey, o_orderkey,
        |    row_number() OVER (
        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
-       |    sum(${Tables.centsSql("o_totalprice")}) OVER (
+       |    CAST(sum(${Tables.centsSql("o_totalprice")}) OVER (
        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
        |  FROM orders
        |) WHERE o_custkey < 200 ORDER BY o_custkey, rn""".stripMargin
 
@@ -271,9 +275,9 @@ object Relational {
 
   val q12Sql: String =
     """SELECT o_orderpriority,
-      |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-      |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-      |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // ─── q13_union: branch merge + distinct ───

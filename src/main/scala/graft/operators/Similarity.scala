@@ -85,7 +85,7 @@ object Similarity {
 
   /** (vec_id, table, bucket) for every vector: bucket = the sign bits
     * of this table's hyperplane projections packed into an int. */
-  private def bucketed(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def bucketed(spark: SparkSession, dir: String): DataFrame = {
     val planesLit = typedLit(planes)
     vecs(spark, dir)
       .withColumn("bits", transform(planesLit,
@@ -98,8 +98,13 @@ object Similarity {
           .as(Seq("table", "bucket")))
   }
 
+  /** Just the (vec_id, table, bucket) triples — the blocking index
+    * shared by annLsh and Dedup.dedupEmbedding. */
+  private[operators] def bucketIds(spark: SparkSession, dir: String): DataFrame =
+    bucketed(spark, dir).select(col("vec_id"), col("table"), col("bucket"))
+
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val b = bucketed(spark, dir).select(col("vec_id"), col("table"), col("bucket"))
+    val b = bucketIds(spark, dir)
     val q = b.filter(col("vec_id") < nQueries)
       .select(col("table"), col("bucket"), col("vec_id").as("query_id"))
     val c = b.select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"))
@@ -111,7 +116,10 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
-    val vx = vecs(spark, dir)
+    // Broadcast ONLY the bounded query side: query_id < nQueries by
+    // construction, so the hint must sit above that filter — a
+    // broadcast of the unfiltered corpus OOMs the driver at 100 TB.
+    val vx = vecs(spark, dir).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     val vy = vecs(spark, dir)
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("norm").as("cn"))
@@ -171,12 +179,14 @@ object Similarity {
 
   import graft.functions.VectorOps.{dotSqlOf, dist2SqlOf, vecsSql}
 
-  val annLshSql: String = {
+  /** DuckDB twin of bucketIds — planes/bits/buckets CTEs; expects a
+    * preceding `n` CTE in vecsSql shape. Shared with
+    * Dedup.dedupEmbeddingSql so both engines block identically. */
+  private[operators] lazy val lshBucketCtes: String = {
     val planeRows = planes.zipWithIndex.map { case (p, pid) =>
       s"($pid, [${p.mkString(", ")}]::DOUBLE[])"
     }.mkString(",\n    ")
-    s"""WITH n AS (${vecsSql("vec_id")}),
-       |planes(pid, p) AS (VALUES
+    s"""planes(pid, p) AS (VALUES
        |    $planeRows),
        |bits AS (
        |  SELECT n.vec_id, pl.pid,
@@ -185,7 +195,12 @@ object Similarity {
        |buckets AS (
        |  SELECT vec_id, (pid // $bitsPerTable) AS tbl,
        |    sum(bit << (${bitsPerTable - 1} - (pid % $bitsPerTable))) AS bucket
-       |  FROM bits GROUP BY 1, 2),
+       |  FROM bits GROUP BY 1, 2)""".stripMargin
+  }
+
+  val annLshSql: String = {
+    s"""WITH n AS (${vecsSql("vec_id")}),
+       |$lshBucketCtes,
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM buckets q JOIN buckets c

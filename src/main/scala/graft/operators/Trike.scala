@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.streaming.OcsPipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -150,7 +151,8 @@ object Trike {
     cloudEvents(spark, dir)
       .select(col("id"), col("conn_id").as("partitionkey"), col("sourceip"),
         col("time_iso"), lit("com.mbta.ocs.raw_message").as("type"),
-        lit("1.0").as("specversion"), lit("graft/trike").as("source"),
+        lit("1.0").as("specversion"),
+        lit(OcsPipeline.eventSource).as("source"),
         col("message").as("raw"), col("bucket"), col("pos"))
       .orderBy(col("partitionkey"), col("bucket"), col("pos"))
 
@@ -158,7 +160,7 @@ object Trike {
     s"""WITH $cloudEventsSql
        |SELECT id, conn_id AS partitionkey, sourceip, time_iso,
        |  'com.mbta.ocs.raw_message' AS type, '1.0' AS specversion,
-       |  'graft/trike' AS source, message AS raw, bucket, pos
+       |  '${OcsPipeline.eventSource}' AS source, message AS raw, bucket, pos
        |FROM cloud_events ORDER BY partitionkey, bucket, pos""".stripMargin
 
   // ─── cloud_event_json: canonical JSON (alphabetical keys) ───
@@ -169,15 +171,19 @@ object Trike {
       struct(col("message").as("raw")).as("data"),
       col("id"),
       col("conn_id").as("partitionkey"),
-      lit("graft/trike").as("source"),
+      lit(OcsPipeline.eventSource).as("source"),
       col("sourceip"),
       lit("1.0").as("specversion"),
-      col("time_iso").as("time")))
+      col("time_iso").as("time"),
+      lit("com.mbta.ocs.raw_message").as("type")))
 
+  // CAST to VARCHAR: DuckDB to_json yields the JSON logical type while
+  // Spark's to_json is a plain string; the compare is type-sensitive.
   private val eventJsonSql: String =
-    """to_json({'data': {'raw': message}, 'id': id, 'partitionkey': conn_id,
-      |    'source': 'graft/trike', 'sourceip': sourceip,
-      |    'specversion': '1.0', 'time': time_iso})""".stripMargin
+    s"""CAST(to_json({'data': {'raw': message}, 'id': id, 'partitionkey': conn_id,
+       |    'source': '${OcsPipeline.eventSource}', 'sourceip': sourceip,
+       |    'specversion': '1.0', 'time': time_iso,
+       |    'type': 'com.mbta.ocs.raw_message'}) AS VARCHAR)""".stripMargin
 
   def cloudEventJson(spark: SparkSession, dir: String): DataFrame =
     cloudEvents(spark, dir)
@@ -283,9 +289,9 @@ object Trike {
   val healthRollupSql: String =
     s"""WITH $framesSql
        |SELECT conn_id, count(*) AS n_msgs,
-       |  sum(CASE WHEN message = 'HEARTBEAT' THEN 1 ELSE 0 END) AS n_heartbeats,
-       |  sum(CASE WHEN message <> 'HEARTBEAT' THEN 1 ELSE 0 END) AS n_data,
-       |  sum(CAST(length(message) AS BIGINT)) AS msg_bytes,
+       |  CAST(sum(CASE WHEN message = 'HEARTBEAT' THEN 1 ELSE 0 END) AS BIGINT) AS n_heartbeats,
+       |  CAST(sum(CASE WHEN message <> 'HEARTBEAT' THEN 1 ELSE 0 END) AS BIGINT) AS n_data,
+       |  CAST(sum(CAST(length(message) AS BIGINT)) AS BIGINT) AS msg_bytes,
        |  min(CAST(floor(epoch(receive_ts)) AS BIGINT)) AS first_epoch,
        |  max(CAST(floor(epoch(receive_ts)) AS BIGINT)) AS last_epoch
        |FROM frames GROUP BY conn_id ORDER BY conn_id""".stripMargin

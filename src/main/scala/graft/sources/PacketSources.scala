@@ -35,12 +35,18 @@ object PacketSources {
       .option("host", host).option("port", port)
       .option("includeTimestamp", true)
       .load() // (value: String, timestamp: Timestamp)
-      .select(
-        lit(s"$host:$port").as("connId"),
-        lit(host).as("sourceIp"),
-        col("timestamp").as("receiveTs"),
-        concat(col("value"), lit(EOT)).as("payload"))
-      .as[RawPacket]
+      .as[(String, java.sql.Timestamp)]
+      // Arrival-order seq via a per-partition counter: the socket
+      // source is single-partition, so partition order IS line-arrival
+      // order, and the framing sort only needs a within-batch tiebreak.
+      // (monotonically_increasing_id() is rejected in streaming plans.)
+      .mapPartitions { it =>
+        var i = 0L
+        it.map { case (line, ts) =>
+          i += 1
+          RawPacket(s"$host:$port", host, ts, line + EOT, i)
+        }
+      }
   }
 
   /** Synthetic OCS traffic: `rowsPerSecond` packets/s spread over
@@ -65,7 +71,8 @@ object PacketSources {
         concat(lit("conn-"), pmod(col("value"), lit(nConns))).as("connId"),
         concat(lit("10.0.0."), pmod(col("value"), lit(nConns))).as("sourceIp"),
         col("timestamp").as("receiveTs"),
-        concat(msg, lit(EOT)).as("payload"))
+        concat(msg, lit(EOT)).as("payload"),
+        col("value").as("seq")) // rate-source value: globally monotonic
       .as[RawPacket]
   }
 
@@ -81,5 +88,6 @@ object PacketSources {
         concat(
           when(col("event_id") % 7 === 0, lit("HEARTBEAT"))
             .otherwise(concat(col("event_type"), lit(","), col("event_id"))),
-          lit(EOT)).as("payload"))
+          lit(EOT)).as("payload"),
+        col("event_id").as("seq"))
 }

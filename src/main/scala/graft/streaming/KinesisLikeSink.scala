@@ -15,7 +15,7 @@ import scala.collection.mutable
   * the same `put` contract against the real service from inside
   * `foreachBatch`/`ForeachWriter` partitions.
   */
-final class KinesisLikeSink {
+final class KinesisLikeSink extends KeyedOrderedSink.PutClient {
   final case class PutRecord(partitionKey: String, seq: Long, data: String)
 
   private val records = mutable.ArrayBuffer.empty[PutRecord]

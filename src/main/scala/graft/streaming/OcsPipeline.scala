@@ -5,10 +5,14 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** A raw TCP packet as the trike proxy receives it: connection id,
-  * peer ip, receive time, and the byte payload (possibly containing
-  * several EOT-delimited OCS messages plus a partial tail). */
+  * peer ip, receive time, the byte payload (possibly containing
+  * several EOT-delimited OCS messages plus a partial tail), and a
+  * monotonic per-source arrival sequence. `seq` is the within-batch
+  * tiebreak for equal-timestamp packets — the reference applies
+  * packets in strict arrival order (proxy.ex:154), which a
+  * millisecond clock alone can't reconstruct. */
 final case class RawPacket(connId: String, sourceIp: String,
-  receiveTs: java.sql.Timestamp, payload: String)
+  receiveTs: java.sql.Timestamp, payload: String, seq: Long = 0L)
 
 /** The trike proxy pipeline on Structured Streaming: packets →
   * EOT framing → heartbeat filter → CloudEvent projection → keyed
@@ -39,6 +43,14 @@ object OcsPipeline {
   val EOT = "\u0004"
   private val isoFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
 
+  /** CloudEvent `source`: "<hostname>.mbta.com/trike", mirroring the
+    * reference's :inet.gethostname interpolation (cloud_event.ex:24).
+    * Computed once on the driver; the oracle SQL is generated from the
+    * same value, so both engines agree. */
+  val eventSource: String =
+    scala.util.Try(java.net.InetAddress.getLocalHost.getHostName)
+      .toOption.filter(_.nonEmpty).getOrElse("graft") + ".mbta.com/trike"
+
   /** packets(connId, sourceIp, receiveTs, payload) → one row per
     * complete frame, partial tail dropped. */
   def frames(packets: DataFrame): DataFrame =
@@ -61,16 +73,19 @@ object OcsPipeline {
         timeIso.as("time"),
         lit("com.mbta.ocs.raw_message").as("type"),
         lit("1.0").as("specversion"),
-        lit("graft/trike").as("source"),
+        lit(eventSource).as("source"),
         col("message").as("raw"),
         col("receiveTs"), col("pos"))
   }
 
-  /** Canonical JSON encoding (alphabetical keys, Jason parity). */
+  /** Canonical JSON encoding (alphabetical keys, Jason parity over the
+    * FULL struct of cloud_event.ex:19-26 — including `type`, which
+    * downstream consumers key on). */
   def eventJson: Column =
     to_json(struct(
       struct(col("raw")).as("data"), col("id"), col("partitionkey"),
-      col("source"), col("sourceip"), col("specversion"), col("time")))
+      col("source"), col("sourceip"), col("specversion"), col("time"),
+      col("type")))
 
   /** The full stateful pipeline in one call: cross-packet buffer carry
     * + stale markers (StatefulFraming), heartbeat filter, CloudEvent
@@ -80,8 +95,11 @@ object OcsPipeline {
   def statefulCloudEvents(packets: org.apache.spark.sql.Dataset[RawPacket],
     staleTimeoutMs: Long): DataFrame = {
     val timeIso = date_format(col("receiveTs"), isoFmt)
+    // timestamp_micros, not _millis: the id is content-addressed over
+    // the formatted time, so truncating here would give the stateful
+    // and stateless variants different ids for the same packet.
     StatefulFraming.frames(packets, staleTimeoutMs).toDF()
-      .withColumn("receiveTs", expr("timestamp_millis(receiveMs)"))
+      .withColumn("receiveTs", expr("timestamp_micros(receiveMicros)"))
       .filter(col("kind") === "stale" || col("message") =!= "HEARTBEAT")
       .select(
         when(col("kind") === "frame",
@@ -92,7 +110,7 @@ object OcsPipeline {
         timeIso.as("time"),
         lit("com.mbta.ocs.raw_message").as("type"),
         lit("1.0").as("specversion"),
-        lit("graft/trike").as("source"),
+        lit(eventSource).as("source"),
         col("message").as("raw"),
         col("kind"), col("receiveTs"))
   }

@@ -13,9 +13,11 @@ final case class ConnState(buffer: String, lastSeenMs: Long)
 /** One output row of the stateful pipeline: a completed frame, or a
   * stale-connection marker (kind = "stale") when a connection sees no
   * bytes within the timeout — the streaming twin of the reference
-  * closing idle sockets. */
+  * closing idle sockets. Carries MICROseconds since epoch so the
+  * CloudEvent id/time derived downstream is bit-identical to the
+  * stateless path's full-precision timestamp. */
 final case class FrameEvent(connId: String, sourceIp: String,
-  receiveMs: Long, message: String, kind: String)
+  receiveMicros: Long, message: String, kind: String)
 
 /** The stateful depth of the OCS pipeline that the stateless
   * `OcsPipeline.frames` can't express: EOT framing with the partial
@@ -45,18 +47,23 @@ object StatefulFraming {
             val st = state.get
             state.remove()
             Iterator.single(
-              FrameEvent(connId, "", st.lastSeenMs, "", "stale"))
+              FrameEvent(connId, "", st.lastSeenMs * 1000L, "", "stale"))
           } else {
-            // One extract() per packet in receive order, buffer carried
-            // between packets exactly like proxy.ex:154.
-            val sorted = it.toVector.sortBy(p => (p.receiveTs.getTime, p.payload))
+            // One extract() per packet in ARRIVAL order, buffer carried
+            // between packets exactly like proxy.ex:154. The seq
+            // tiebreak matters: two packets in the same millisecond
+            // must apply in arrival order, not payload order, or the
+            // carried buffer splices frames from the wrong packet.
+            val sorted = it.toVector.sortBy(p => (p.receiveTs.getTime, p.seq))
             var buf = state.getOption.map(_.buffer).getOrElse("")
             val out = Vector.newBuilder[FrameEvent]
             var lastMs = state.getOption.map(_.lastSeenMs).getOrElse(0L)
             for (p <- sorted) {
+              val micros =
+                p.receiveTs.getTime / 1000L * 1000000L + p.receiveTs.getNanos / 1000L
               val statements = (buf + p.payload).split(EOT, -1)
               statements.dropRight(1).foreach { m =>
-                out += FrameEvent(connId, p.sourceIp, p.receiveTs.getTime, m, "frame")
+                out += FrameEvent(connId, p.sourceIp, micros, m, "frame")
               }
               buf = statements.last
               lastMs = math.max(lastMs, p.receiveTs.getTime)

@@ -35,6 +35,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(n <= docs && n > 0)
   }
 
+  test("bucketed dedup_embedding recalls the exact near-dup pairs") {
+    import spark.implicits._
+    val exact = Dedup.dedupEmbeddingExact(spark, dir)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    val bucketed = Dedup.dedupEmbedding(spark, dir)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture has cosine near-dups")
+    assert(bucketed.subsetOf(exact), "bucketed pairs pass the same exact-cosine verify")
+    val recall = exact.count(bucketed.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"embedding-LSH recall $recall over ${exact.size} true pairs")
+  }
+
   test("ann_lsh achieves reasonable top-3 recall vs brute force") {
     import spark.implicits._
     val exact = Similarity.annBruteforce(spark, dir)

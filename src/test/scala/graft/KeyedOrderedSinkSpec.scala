@@ -1,0 +1,111 @@
+package graft
+
+import graft.streaming.{KeyedOrderedSink, KinesisLikeSink, OcsPipeline, RawPacket}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The production-shaped keyed sink (KeyedOrderedSink.orderedPuts)
+  * enforcing the reference's put_record chain (proxy.ex:171-204) from
+  * inside a running query — repartition on key, sort within partition,
+  * thread the returned sequence per key, resume from the cross-batch
+  * carry. */
+class KeyedOrderedSinkSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.test
+  private val EOT = OcsPipeline.EOT
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("orderedPuts chains sequences per key across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val input = MemoryStream[RawPacket]
+    val sink = new KinesisLikeSink
+    KeyedOrderedSinkSpec.sharedSink = sink
+
+    val query = OcsPipeline.cloudEvents(input.toDF())
+      .writeStream
+      .outputMode("append")
+      .foreachBatch(KeyedOrderedSink.orderedPuts(
+        () => KeyedOrderedSinkSpec.sharedSink,
+        keyCol = "partitionkey", dataCol = "raw",
+        orderCols = Seq("receiveTs", "pos")))
+      .start()
+
+    try {
+      input.addData(
+        RawPacket("conn-a", "10.0.0.1", ts("2026-01-01 10:00:00"),
+          s"m1${EOT}HEARTBEAT${EOT}m2${EOT}PARTIAL", seq = 1),
+        RawPacket("conn-b", "10.0.0.2", ts("2026-01-01 10:00:01"),
+          s"b1${EOT}", seq = 2))
+      query.processAllAvailable()
+      // batch 2 must resume conn-a's chain from batch 1's last sequence
+      input.addData(
+        RawPacket("conn-a", "10.0.0.1", ts("2026-01-01 10:00:05"),
+          s"m3${EOT}", seq = 3))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    assert(sink.byKey("conn-a").map(_.data) == Seq("m1", "m2", "m3"),
+      "frames in order, heartbeat and partial tail dropped")
+    assert(sink.byKey("conn-b").map(_.data) == Seq("b1"))
+    val seqA = sink.byKey("conn-a").map(_.seq)
+    assert(seqA == seqA.sorted && seqA.distinct == seqA,
+      "per-key sequence strictly increasing")
+  }
+
+  test("a writer that ignores the chain carry is rejected by the sink") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val input = MemoryStream[RawPacket]
+    val sink = new KinesisLikeSink
+    KeyedOrderedSinkSpec.sharedSink = sink
+
+    // The naive writer: starts every batch from None instead of
+    // resuming from lastSequence — exactly the bug orderedPuts exists
+    // to prevent. Batch 1 succeeds (chain empty); batch 2 presents a
+    // stale seqForOrdering and the service-side require must fire.
+    val query = OcsPipeline.cloudEvents(input.toDF())
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.orderBy(col("partitionkey"), col("receiveTs"), col("pos"))
+          .select(col("partitionkey"), col("raw")).collect()
+          .foldLeft(Map.empty[String, Long]) { (chain, r: Row) =>
+            val key = r.getString(0)
+            chain + (key -> KeyedOrderedSinkSpec.sharedSink.put(
+              key, r.getString(1), chain.get(key)))
+          }
+        ()
+      }
+      .start()
+
+    val thrown = intercept[StreamingQueryException] {
+      try {
+        input.addData(RawPacket("conn-a", "10.0.0.1",
+          ts("2026-01-01 10:00:00"), s"m1${EOT}", seq = 1))
+        query.processAllAvailable()
+        input.addData(RawPacket("conn-a", "10.0.0.1",
+          ts("2026-01-01 10:00:05"), s"m2${EOT}", seq = 2))
+        query.processAllAvailable()
+      } finally query.stop()
+    }
+    val cause = Iterator.iterate(thrown: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(cause.contains("out-of-order put"),
+      s"stale seqForOrdering must be rejected; got: $cause")
+    assert(sink.byKey("conn-a").map(_.data) == Seq("m1"),
+      "nothing after the rejected put lands")
+  }
+}
+
+object KeyedOrderedSinkSpec {
+  /** foreachBatch/foreachPartition closures are serialized; route the
+    * assertion sink through a static so executor code (same JVM in
+    * local mode) and the driver-side spec see one instance. */
+  @volatile var sharedSink: KinesisLikeSink = _
+}

@@ -51,10 +51,33 @@ class PlanShapeSpec extends AnyFunSuite {
       "minhash" -> Dedup.dedupMinhashLsh(spark, dir),
       "simhash" -> Dedup.dedupSimhash(spark, dir),
       "ngram" -> Dedup.dedupNgramJaccard(spark, dir),
+      "embedding" -> Dedup.dedupEmbedding(spark, dir),
       "ann_lsh" -> Similarity.annLsh(spark, dir))) {
       val p = plan(df)
       assert(!p.contains("CartesianProduct"),
         s"$name must not build a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name must not nested-loop over the corpus")
+    }
+  }
+
+  test("ann_lsh and dedup_embedding broadcast only bounded frames") {
+    // Every EXPLICIT broadcast hint must sit above a Filter — hinting
+    // an unfiltered corpus scan is the 100 TB driver-OOM shape. (AQE
+    // may still broadcast small shuffle sides at test SF; that's a
+    // size-based runtime call, not a plan bug, so we check the
+    // analyzed plan's hints, not the executed plan.)
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, ResolvedHint}
+    for ((name, df) <- Seq(
+      "ann_lsh" -> Similarity.annLsh(spark, dir),
+      "dedup_embedding" -> Dedup.dedupEmbedding(spark, dir))) {
+      val hinted = df.queryExecution.analyzed.collect {
+        case h: ResolvedHint => h.child
+      }
+      hinted.foreach { c =>
+        assert(c.collectFirst { case f: Filter => f }.isDefined,
+          s"$name: broadcast hint over an unfiltered subtree")
+      }
     }
   }
 

@@ -52,4 +52,43 @@ class StatefulPipelineSpec extends AnyFunSuite {
     assert(out.filter(col("partitionkey") === "conn-b" && col("kind") === "stale")
       .count() == 1, "idle conn-b surfaces as a stale marker")
   }
+
+  test("stateful and stateless pipelines derive identical CloudEvent ids") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    // Microsecond-precision timestamps: the id is content-addressed
+    // over the formatted time, so any truncation in the stateful path
+    // would fork the ids between the two variants.
+    val packets = Seq(
+      RawPacket("conn-a", "10.0.0.1",
+        ts("2026-01-01 10:00:00.123456"), s"m1${EOT}", seq = 1),
+      RawPacket("conn-a", "10.0.0.1",
+        ts("2026-01-01 10:00:00.987654"), s"m2${EOT}HEARTBEAT${EOT}", seq = 2),
+      RawPacket("conn-b", "10.0.0.2",
+        ts("2026-01-01 10:00:01.000001"), s"b1${EOT}", seq = 3))
+
+    val statelessIds = OcsPipeline.cloudEvents(packets.toDF())
+      .select("id").as[String].collect().toSet
+
+    val input = MemoryStream[RawPacket]
+    val query = OcsPipeline.statefulCloudEvents(
+      input.toDS().withWatermark("receiveTs", "10 minutes"),
+      staleTimeoutMs = 3600 * 1000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("id_parity_ce")
+      .start()
+    try {
+      input.addData(packets: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val statefulIds = spark.table("id_parity_ce")
+      .filter(col("kind") === "frame")
+      .select("id").as[String].collect().toSet
+
+    assert(statelessIds.nonEmpty && statefulIds == statelessIds,
+      s"same packets must yield the same content-addressed ids; " +
+        s"stateless $statelessIds vs stateful $statefulIds")
+  }
 }

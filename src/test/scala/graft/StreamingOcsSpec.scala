@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{KinesisLikeSink, OcsPipeline, RawPacket}
+import graft.streaming.{KeyedOrderedSink, KinesisLikeSink, OcsPipeline, RawPacket}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -25,18 +25,12 @@ class StreamingOcsSpec extends AnyFunSuite {
     val query = OcsPipeline.cloudEvents(input.toDF())
       .writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // Test sink: smallest faithful implementation of the put
-        // contract — order within the batch, chain sequence numbers
-        // per key exactly as proxy.ex:176-196 does.
-        val s = StreamingOcsSpec.sharedSink
-        batch.orderBy(col("partitionkey"), col("receiveTs"), col("pos"))
-          .select(col("partitionkey"), col("raw")).collect()
-          .foreach { r =>
-            val key = r.getString(0)
-            s.put(key, r.getString(1), s.lastSequence(key))
-          }
-      }
+      // The production writer: distributed per-key chain enforcement
+      // (KeyedOrderedSinkSpec covers its contract in isolation).
+      .foreachBatch(KeyedOrderedSink.orderedPuts(
+        () => StreamingOcsSpec.sharedSink,
+        keyCol = "partitionkey", dataCol = "raw",
+        orderCols = Seq("receiveTs", "pos")))
       .start()
 
     try {

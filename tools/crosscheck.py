@@ -34,6 +34,16 @@ for name, sql in sorted(oracle.items()):
         gcols = sorted(got.columns); ecols = sorted(exp.columns)
         if [c.lower() for c in gcols] != [c.lower() for c in ecols]:
             print(f"FAIL {name}: columns {gcols} vs {ecols}"); fails += 1; continue
+        # Type check: the driver hashes typed values, so DuckDB promoting
+        # integer sum() to HUGEINT while Spark stays BIGINT is a real FAIL
+        # even when the numeric values compare equal through pandas.
+        gtypes = {c: str(t) for c, t in zip(got.columns, got.types)}
+        etypes = {c: str(t) for c, t in zip(exp.columns, exp.types)}
+        tmis = [(gc, gtypes[gc], etypes[ec]) for gc, ec in zip(gcols, ecols)
+                if gtypes[gc] != etypes[ec]]
+        if tmis:
+            print(f"FAIL {name}: type mismatch (col, spark, duckdb) {tmis}")
+            fails += 1; continue
         g = got.df()[gcols].sort_values(gcols).values.tolist()
         e = exp.df()[sorted(exp.columns)].sort_values(sorted(exp.columns)).values.tolist()
         if len(g) != len(e):
