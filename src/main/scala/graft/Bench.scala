@@ -10,8 +10,13 @@ package graft
   * Steady-state timing: every query runs once untimed first (Janino
   * codegen compilation of the wide-aggregate queries costs seconds on
   * first execution — a per-process constant that a long-running
-  * deployment amortizes to zero), then once timed. Set
-  * SPARK_GRAFT_BENCH_COLD=1 to time first executions instead; the
+  * deployment amortizes to zero), then SPARK_GRAFT_BENCH_ITERS (3)
+  * timed iterations per query, reporting the per-query MEDIAN — a
+  * single local[32] execution swings with GC/scheduling luck, and a
+  * gate on one sample gates on that luck. The cache is cleared before
+  * every timed iteration so queries that persist intermediates (the
+  * MinHash signatures) pay their materialization honestly each time.
+  * Set SPARK_GRAFT_BENCH_COLD=1 to time first executions instead; the
   * JSON carries which mode ran.
   */
 object Bench {
@@ -28,22 +33,33 @@ object Bench {
       catch { case _: Throwable => () } // failures re-surface in the timed pass
     }
 
+    val iters =
+      if (cold) 1 else sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val samples = (1 to iters).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          if (!failed.contains(name)) failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> median(samples)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val mode = if (cold) "cold" else "warm"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"mode":"$mode","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"mode":"$mode","iters":$iters,"sf":"$sfDir"}""")
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

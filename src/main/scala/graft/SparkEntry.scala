@@ -18,12 +18,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ TextAnalysis.queries ++
       Trike.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries
+      Multimodal.queries ++
+      Map("shard_journal" ->
+        ((s: SparkSession, d: String) => graft.sources.ShardedJournal.shardJournal(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Events.oracle ++ TextAnalysis.oracle ++
       Trike.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      Multimodal.oracle
+      Multimodal.oracle ++
+      Map("shard_journal" -> graft.sources.ShardedJournal.shardJournalSql())
 }
