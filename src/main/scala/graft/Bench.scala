@@ -42,22 +42,31 @@ object Bench {
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val samples = (1 to iters).map { _ =>
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          if (!failed.contains(name)) failed += name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      // A failed iteration's elapsed time is time-to-failure, not a
+      // query timing — keep it out of the median, and stop iterating
+      // on that query (it will fail identically again).
+      val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var broken = false
+      (1 to iters).foreach { _ =>
+        if (!broken) {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            samples += (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            broken = true
+            if (!failed.contains(name)) failed += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> median(samples)
+      name -> (if (samples.isEmpty) None else Some(median(samples.toSeq)))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).sum
     val mode = if (cold) "cold" else "warm"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"mode":"$mode","iters":$iters,"sf":"$sfDir"}""")
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }

@@ -165,6 +165,13 @@ object Dedup {
   private def bandHash(m: Int => Column): Column =
     (0 until 4).map(m).reduce((acc, x) => acc * 31 + x)
 
+  /** The signature frame persisted by the most recent dedupMinhashLsh
+    * call. Each call unpersists its predecessor, so a long-lived
+    * session (Verify runs all 40+ queries in one SparkSession) holds at
+    * most one cached signature block set at a time instead of
+    * accumulating one per invocation. */
+  private var lastSigs: Option[DataFrame] = None
+
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val hashRows = docShingles(spark, dir)
       .select(col("doc_id"), explode_outer(col("sh")).as("s"))
@@ -183,6 +190,10 @@ object Dedup {
           min((col("h") * permCoef(j)._1 + permCoef(j)._2) % P31).as(s"m$j")
         }: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    synchronized {
+      lastSigs.foreach(_.unpersist(blocking = false))
+      lastSigs = Some(sigs)
+    }
     val banded = sigs.select(col("doc_id"),
       posexplode(array((0 until nBands).map(b =>
         bandHash(k => col(s"m${b * 4 + k}"))): _*)).as(Seq("band", "bh")))

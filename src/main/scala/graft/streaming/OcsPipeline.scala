@@ -43,11 +43,20 @@ object OcsPipeline {
   val EOT = "\u0004"
   private val isoFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
 
-  /** CloudEvent `source`: "<hostname>.mbta.com/trike", mirroring the
-    * reference's :inet.gethostname interpolation (cloud_event.ex:24).
-    * Computed once on the driver; the oracle SQL is generated from the
-    * same value, so both engines agree. */
+  /** CloudEvent `source`. The reference interpolates the live hostname
+    * (":inet.gethostname" — cloud_event.ex:24); embedding that into
+    * deterministic batch output would make results and the generated
+    * oracle SQL host-dependent, so the batch/oracle value comes from
+    * SPARK_GRAFT_EVENT_SOURCE with a fixed default. A production
+    * streaming deployment that wants hostname fidelity sets the env
+    * var to `hostEventSource`. */
   val eventSource: String =
+    sys.env.getOrElse("SPARK_GRAFT_EVENT_SOURCE", "graft.mbta.com/trike")
+
+  /** The reference-faithful hostname-interpolated source string, for
+    * streaming deployments (cloud_event.ex:24). Not used in batch
+    * queries — see `eventSource`. */
+  def hostEventSource: String =
     scala.util.Try(java.net.InetAddress.getLocalHost.getHostName)
       .toOption.filter(_.nonEmpty).getOrElse("graft") + ".mbta.com/trike"
 

@@ -31,7 +31,11 @@ for name, sql in sorted(oracle.items()):
     try:
         got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
         exp = con.sql(sql)
-        gcols = sorted(got.columns); ecols = sorted(exp.columns)
+        # Sort case-insensitively so the pairing below matches the
+        # lowercased name gate — a casing difference between engines
+        # must not zip types of different columns.
+        gcols = sorted(got.columns, key=str.lower)
+        ecols = sorted(exp.columns, key=str.lower)
         if [c.lower() for c in gcols] != [c.lower() for c in ecols]:
             print(f"FAIL {name}: columns {gcols} vs {ecols}"); fails += 1; continue
         # Type check: the driver hashes typed values, so DuckDB promoting
@@ -45,7 +49,7 @@ for name, sql in sorted(oracle.items()):
             print(f"FAIL {name}: type mismatch (col, spark, duckdb) {tmis}")
             fails += 1; continue
         g = got.df()[gcols].sort_values(gcols).values.tolist()
-        e = exp.df()[sorted(exp.columns)].sort_values(sorted(exp.columns)).values.tolist()
+        e = exp.df()[ecols].sort_values(ecols).values.tolist()
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); fails += 1; continue
         bad = None
