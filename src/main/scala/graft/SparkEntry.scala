@@ -16,7 +16,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Events.queries ++ TextAnalysis.queries ++
+    Relational.queries ++ RelationalExt.queries ++ Events.queries ++
+      TextAnalysis.queries ++ Pipeline.queries ++
       Trike.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++
       Map("shard_journal" ->
@@ -25,7 +26,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Events.oracle ++ TextAnalysis.oracle ++
+    Relational.oracle ++ RelationalExt.oracle ++ Events.oracle ++
+      TextAnalysis.oracle ++ Pipeline.oracle ++
       Trike.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       Multimodal.oracle ++
       Map("shard_journal" -> graft.sources.ShardedJournal.shardJournalSql())

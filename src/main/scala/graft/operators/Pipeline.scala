@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the `documents` table:
+  * deterministic train/val/test splitting, stratified sampling,
+  * sequence packing, and a composed clean→dedup→stats pipeline.
+  *
+  * All assignment decisions are content/key-hashed (md5-derived),
+  * never RNG-sampled: the split a document lands in must be a pure
+  * function of the document so that (a) re-runs and late-arriving
+  * shards agree, (b) both engines can replay the decision exactly,
+  * and (c) no driver-side coordination or seed plumbing is needed —
+  * the hash IS the coordination. Everything is a narrow projection
+  * or a single keyed shuffle; nothing collects to the driver.
+  */
+object Pipeline {
+
+  /** Deterministic bucket in [0, 100): top 60 bits of md5(salt:key)
+    * mod 100. Same construction as Dedup.h31 — verified identical
+    * across Spark `conv` and DuckDB hex-cast. */
+  private def bucket100(salt: String, key: Column): Column =
+    conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 100
+
+  private def bucket100Sql(salt: String, key: String): String =
+    s"(CAST(('0x' || substr(md5('$salt:' || CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) % 100)"
+
+  // ─── split_hash: deterministic 80/10/10 train/val/test split ───
+  // Hash-assignment, not `randomSplit`: randomSplit re-samples per
+  // run (and per partition layout), so a doc could migrate between
+  // train and test across pipeline runs — silent leakage. The hash
+  // split is stable under re-partitioning, backfills, and incremental
+  // arrival.
+  def splitHash(spark: SparkSession, dir: String): DataFrame = {
+    val b = bucket100("split", col("doc_id"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), b.as("bucket"),
+        when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val splitHashSql: String = {
+    val b = bucket100Sql("split", "doc_id")
+    s"""SELECT doc_id, lang, $b AS bucket,
+       |  CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val'
+       |    ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ─── sample_stratified: deterministic ~15% sample per language ───
+  // Stratification here = the rate applies within each language
+  // independently (the hash is uniform within any stratum), so small
+  // languages are not crowded out the way a global top-N would.
+  // Distinct salt from split_hash: the sample must not be a biased
+  // slice of one split.
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .filter(bucket100("sample", col("doc_id")) < 15)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val sampleStratifiedSql: String =
+    s"""SELECT doc_id, lang, n_chars FROM documents
+       |WHERE ${bucket100Sql("sample", "doc_id")} < 15
+       |ORDER BY doc_id""".stripMargin
+
+  // ─── pack_chunks: concat-then-chunk sequence packing ───
+  // Documents are concatenated per language in doc_id order and cut
+  // into context windows of `chunkTokens`: chunk = floor(cumulative
+  // tokens before this doc / chunkTokens). One window shuffle on the
+  // language key; at 100 TB the order/partition key would be
+  // (lang, shard) so each shard packs independently — the chunk
+  // function itself is already shard-local.
+  private val chunkTokens = 2048L
+
+  def packChunks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_id", floor(col("cum_before") / chunkTokens))
+      .groupBy(col("lang"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("chunk_tokens"))
+      .orderBy(col("lang"), col("chunk_id"))
+  }
+
+  val packChunksSql: String =
+    s"""SELECT lang, chunk_id, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+       |FROM (
+       |  SELECT lang,
+       |    CAST(floor(coalesce(CAST(sum(n_tokens) OVER (
+       |      PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      / $chunkTokens) AS BIGINT) AS chunk_id,
+       |    n_tokens
+       |  FROM (SELECT doc_id, lang,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |    FROM documents)
+       |) GROUP BY lang, chunk_id ORDER BY lang, chunk_id""".stripMargin
+
+  // ─── doc_pipeline: clean → exact-dedup → per-language stats ───
+  // The composed shape of a corpus build: length filter, exact dedup
+  // on content hash keeping the smallest doc_id (window min — one
+  // shuffle, no self-join), then per-language rollup. Demonstrates
+  // that the individual operators compose into one Catalyst plan —
+  // the filter pushes below the dedup window, and the rollup reuses
+  // nothing from the driver.
+  def docPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("text_hash"))
+    Tables(spark, dir).documents
+      .filter(length(col("text")) >= 200)
+      .withColumn("text_hash", md5(col("text")))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keep_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("sum_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val docPipelineSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM (
+      |  SELECT lang, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+      |  FROM documents WHERE length(text) >= 200
+      |) WHERE doc_id = keep_id GROUP BY lang ORDER BY lang""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_hash" -> splitHash,
+    "sample_stratified" -> sampleStratified,
+    "pack_chunks" -> packChunks,
+    "doc_pipeline" -> docPipeline)
+
+  val oracle: Map[String, String] = Map(
+    "split_hash" -> splitHashSql,
+    "sample_stratified" -> sampleStratifiedSql,
+    "pack_chunks" -> packChunksSql,
+    "doc_pipeline" -> docPipelineSql)
+}
