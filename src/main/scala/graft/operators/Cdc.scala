@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Changelog compaction and incremental upsert-merge, treating the
+  * `events` table as a CDC stream keyed by user_id. The pattern a
+  * 100 TB pipeline runs nightly: compact a changelog to
+  * latest-state-per-key, and apply a delta partition to a base
+  * snapshot without reprocessing history (merged state must equal the
+  * full recompute — CdcSpec asserts exactly that identity).
+  */
+object Cdc {
+  import Relational.{cents, epochS}
+
+  /** Latest row per key: ONE shuffle on the key, then a per-partition
+    * linear scan (row_number, no self-join). Tie-break on event_id
+    * (unique) makes the winner deterministic under equal timestamps —
+    * the same arrival-order discipline StatefulFraming applies. */
+  private def latestPerUser(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_type"),
+        epochS(col("ts")).as("last_epoch"),
+        cents(col("value")).as("last_value_cents"))
+  }
+
+  private def latestSql(src: String): String =
+    s"""SELECT user_id, event_type AS last_type,
+       |  CAST(floor(epoch(ts)) AS BIGINT) AS last_epoch,
+       |  ${Tables.centsSql("value")} AS last_value_cents
+       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY ts DESC, event_id DESC) AS rn FROM $src)
+       |WHERE rn = 1""".stripMargin
+
+  // ─── cdc_latest: full changelog → current-state compaction ───
+  def cdcLatest(spark: SparkSession, dir: String): DataFrame =
+    latestPerUser(Tables(spark, dir).events).orderBy(col("user_id"))
+
+  val cdcLatestSql: String = latestSql("events") + "\nORDER BY user_id"
+
+  // ─── cdc_merge: base snapshot + delta partition → new snapshot ───
+  // Base = state compacted from history before the cutoff; delta =
+  // only the new partition's changelog. The merge never touches
+  // history: compact the (small) delta, full-outer join against the
+  // base on the key, delta wins. At scale both sides are bucketed by
+  // user_id so the outer join is co-partitioned and shuffle-free.
+  private val cutoff = "2024-01-15 00:00:00"
+
+  def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val base = latestPerUser(ev.filter(col("ts") < lit(cutoff)))
+      .withColumnRenamed("last_type", "b_type")
+      .withColumnRenamed("last_epoch", "b_epoch")
+      .withColumnRenamed("last_value_cents", "b_cents")
+    val delta = latestPerUser(ev.filter(col("ts") >= lit(cutoff)))
+    base.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("last_type"), col("b_type")).as("last_type"),
+        coalesce(col("last_epoch"), col("b_epoch")).as("last_epoch"),
+        coalesce(col("last_value_cents"), col("b_cents")).as("last_value_cents"),
+        when(col("last_type").isNotNull, "delta").otherwise("base").as("src"))
+      .orderBy(col("user_id"))
+  }
+
+  val cdcMergeSql: String =
+    s"""WITH base AS (
+       |${latestSql(s"(SELECT * FROM events WHERE ts < TIMESTAMP '$cutoff')")}
+       |), delta AS (
+       |${latestSql(s"(SELECT * FROM events WHERE ts >= TIMESTAMP '$cutoff')")}
+       |)
+       |SELECT coalesce(d.user_id, b.user_id) AS user_id,
+       |  coalesce(d.last_type, b.last_type) AS last_type,
+       |  coalesce(d.last_epoch, b.last_epoch) AS last_epoch,
+       |  coalesce(d.last_value_cents, b.last_value_cents) AS last_value_cents,
+       |  CASE WHEN d.user_id IS NOT NULL THEN 'delta' ELSE 'base' END AS src
+       |FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
+       |ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_latest" -> cdcLatest,
+    "cdc_merge" -> cdcMerge)
+
+  val oracle: Map[String, String] = Map(
+    "cdc_latest" -> cdcLatestSql,
+    "cdc_merge" -> cdcMergeSql)
+}

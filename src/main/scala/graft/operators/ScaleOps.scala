@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Operators whose whole point is the 100 TB execution shape:
+  * a point-in-interval (range) join that never degenerates into a
+  * nested loop, an explicitly skew-salted fact join, and sketch-based
+  * approximate statistics. Each pairs a scale-safe Spark plan with a
+  * semantically equivalent (but not scale-safe) oracle formulation.
+  */
+object ScaleOps {
+  import Relational.{cents, epochS}
+
+  // ─── q24_range_join: point-in-interval join via time bucketing ───
+  // "How many purchases landed inside the 10-minute window after each
+  // error event?" — an interval join with NO equality key. Naively
+  // `points.join(intervals, p_ts between ...)` gives Spark a
+  // BroadcastNestedLoopJoin: O(|points|·|intervals|) compares and a
+  // full broadcast of one side — fatal at scale. The scale-safe shape
+  // buckets time at the window width W: a point belongs to exactly one
+  // bucket, a W-wide interval overlaps at most two, so exploding each
+  // interval to its two candidate buckets turns the range join into an
+  // EQUIJOIN on bucket + a residual range filter. Candidate count is
+  // bounded by temporal locality (points per bucket), never n².
+  // PlanShapeSpec asserts the nested loop is gone.
+  private val windowSec = 600L
+
+  def q24RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("ts").as("p_ts"),
+        expr(s"unix_timestamp(ts) DIV $windowSec").as("bucket"))
+    // Each (interval, point) pair meets in exactly one bucket (the
+    // point's), so the explode cannot duplicate matches.
+    val candidates = errors
+      .withColumn("b0", expr(s"unix_timestamp(w_start) DIV $windowSec"))
+      .withColumn("bucket", explode(array(col("b0"), col("b0") + 1)))
+      .join(purchases, Seq("bucket"))
+      .filter(col("p_ts") >= col("w_start") && col("p_ts") < col("w_end"))
+    val counts = candidates.groupBy(col("err_id"))
+      .agg(count(lit(1)).as("n_purchases"))
+    errors.join(counts, Seq("err_id"), "left")
+      .select(col("err_id"), epochS(col("w_start")).as("err_epoch"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy(col("err_id"))
+  }
+
+  /** Oracle: the literal inequality join (DuckDB's IEJoin copes at
+    * test SF), proving the bucketed equijoin equivalent. */
+  val q24Sql: String =
+    """SELECT e.event_id AS err_id,
+      |  CAST(floor(epoch(e.ts)) AS BIGINT) AS err_epoch,
+      |  count(p.ts) AS n_purchases
+      |FROM events e LEFT JOIN events p
+      |  ON p.event_type = 'purchase'
+      | AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 10 MINUTE
+      |WHERE e.event_type = 'error'
+      |GROUP BY 1, 2 ORDER BY err_id""".stripMargin
+
+  // ─── q25_skew_salt: explicitly salted fact-to-dim join ───
+  // Technique demo on uniform test keys; the shape is what matters.
+  // A hot join key (one orderkey owning a large share of lineitem)
+  // funnels into a single reducer in a plain shuffle join. Salting
+  // splits it R ways: the fact side gets salt = f(row) ∈ [0,R) from a
+  // NON-key column (deterministic — no rand(), so re-runs and
+  // speculative retries agree), the dim side is exploded ×R so every
+  // (key, salt) pair finds its dim row. Each hot key now lands on R
+  // reducers. AQE's skewJoin covers sort-merge joins at runtime, but
+  // salting is the portable fix — it also works for window functions
+  // and stateful aggregations where AQE cannot split a partition.
+  private val saltR = 8
+
+  def q25SkewSalt(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val fact = t.lineitem
+      .withColumn("salt", pmod(col("l_linenumber").cast("long"), lit(saltR)))
+    val dim = t.orders.select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(array((0 until saltR).map(i => lit(i.toLong)): _*)))
+    fact.join(dim,
+        fact("l_orderkey") === dim("o_orderkey") && fact("salt") === dim("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Oracle: the unsalted join — same rows by construction. */
+  val q25Sql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_items,
+       |  ${Tables.centsSql("sum(l_extendedprice*(1-l_discount))")} AS revenue_cents
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ─── sketch_stats: HLL + quantile-sketch approximate statistics ───
+  // The sub-2×-memory path for "distinct users / p50 / p95 per group"
+  // at 100 TB: approx_count_distinct is HyperLogLog++ (fixed ~kB of
+  // state per group, mergeable map-side), approx_percentile is a
+  // quantile sketch — vs an exact distinct-count (full shuffle of the
+  // distinct pairs) and exact percentile (full sort per group). Sketch
+  // internals differ across engines, so there is no DuckDB hash oracle
+  // — the driver records rows-only; SketchSpec bounds the error vs the
+  // exact answers instead (HLL++ rsd 5% → assert within 15%;
+  // percentile within the group's observed [min, max]).
+  def sketchStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
+        cents(percentile_approx(col("value"), lit(0.5), lit(1000)))
+          .as("p50_cents"),
+        cents(percentile_approx(col("value"), lit(0.95), lit(1000)))
+          .as("p95_cents"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_range_join" -> q24RangeJoin,
+    "q25_skew_salt" -> q25SkewSalt,
+    "sketch_stats" -> sketchStats)
+
+  /** sketch_stats is deliberately absent: approximate sketches are not
+    * cross-engine reproducible (driver does the rows-only check). */
+  val oracle: Map[String, String] = Map(
+    "q24_range_join" -> q24Sql,
+    "q25_skew_salt" -> q25Sql)
+}
