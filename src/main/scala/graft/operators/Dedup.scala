@@ -172,7 +172,11 @@ object Dedup {
     * accumulating one per invocation. */
   private var lastSigs: Option[DataFrame] = None
 
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** Signatures + banded candidate pairs — shared by dedupMinhashLsh
+    * (which adds the estimated-similarity verify columns) and
+    * dedupCluster (which only needs the pair graph). */
+  private def minhashSigsAndCand(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val hashRows = docShingles(spark, dir)
       .select(col("doc_id"), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull) // outer: see dedupNgramJaccard note
@@ -202,6 +206,11 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
+    (sigs, cand)
+  }
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val (sigs, cand) = minhashSigsAndCand(spark, dir)
     val sx = sigs.select(col("doc_id").as("xid") +:
       (0 until nPerms).map(j => col(s"m$j").as(s"x$j")): _*)
     val sy = sigs.select(col("doc_id").as("yid") +:
@@ -248,6 +257,92 @@ object Dedup {
        |  JOIN sigs x ON c.doc_a = x.doc_id
        |  JOIN sigs y ON c.doc_b = y.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ─── dedup_cluster: connected components over the pair graph ───
+  // Pairs are not clusters: a production dedup pipeline must merge
+  // transitively-connected near-dup pairs (A~B, B~C ⇒ {A,B,C}) and
+  // elect one canonical doc per component. Iterative min-label
+  // propagation in pure DataFrame ops: each round every node adopts
+  // the minimum label among itself and its neighbors; converged when
+  // the label-sum stops decreasing (labels are monotone non-increasing
+  // integers, so an unchanged sum ⇔ a fixpoint). Rounds are O(graph
+  // diameter) — near-dup components are dense (band collisions create
+  // cliques), so this converges in a handful of rounds; each round is
+  // one shuffle join over the EDGE set only (near-dup docs, a tiny
+  // fraction of the corpus), never the corpus. localCheckpoint every
+  // round truncates the lineage so the plan doesn't grow per
+  // iteration (the classic iterative-DataFrame trap).
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val (_, cand) = minhashSigsAndCand(spark, dir)
+    val pairs = cand.select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+        .localCheckpoint()
+      var prevSum = BigDecimal(-1)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        val nbrMin = edges.join(labels, edges("src") === labels("node"))
+          .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+        labels = labels.join(nbrMin, labels("node") === nbrMin("dst"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        val s = labels.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+        if (s == null) converged = true // empty pair graph
+        else {
+          val cur = BigDecimal(s)
+          converged = cur == prevSum
+          prevSum = cur
+        }
+        rounds += 1
+      }
+      labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+          (col("node") === col("lbl")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    } finally edges.unpersist(blocking = false)
+  }
+
+  /** DuckDB twin: transitive closure by recursive CTE, component id =
+    * min reachable node (including self). Fine at oracle scale; the
+    * Spark side uses label propagation instead because a closure is
+    * quadratic in component size. */
+  val dedupClusterSql: String = {
+    val minCols = (0 until nPerms).map { j =>
+      s"min((h * ${permCoef(j)._1} + ${permCoef(j)._2}) % $P31) AS m$j"
+    }.mkString(",\n    ")
+    val bandBranches = (0 until nBands).map { b =>
+      val bh = (0 until 4).map(k => s"m${b * 4 + k}")
+        .reduce((acc, x) => s"($acc * 31 + $x)")
+      s"SELECT doc_id, $b AS band, $bh AS bh FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE $docShinglesSql,
+       |srows AS (SELECT doc_id, unnest(sh) AS s FROM shdocs),
+       |hs AS (SELECT doc_id, ${h31Sql("s")} AS h FROM srows),
+       |sigs AS (SELECT doc_id,
+       |    $minCols
+       |  FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  $bandBranches),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |          UNION SELECT doc_b, doc_a FROM cand),
+       |reach(node, x) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.x = e.src)
+       |SELECT node AS doc_id, MIN(x) AS cluster_id,
+       |  (node = MIN(x)) AS is_canonical
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
   }
 
   // ─── dedup_simhash: 60-bit SimHash + 4×15-bit chunk blocking ───
@@ -380,12 +475,14 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
-    "dedup_embedding" -> dedupEmbedding)
+    "dedup_embedding" -> dedupEmbedding,
+    "dedup_cluster" -> dedupCluster)
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
-    "dedup_embedding" -> dedupEmbeddingSql)
+    "dedup_embedding" -> dedupEmbeddingSql,
+    "dedup_cluster" -> dedupClusterSql)
 }

@@ -119,14 +119,63 @@ object ScaleOps {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  // ─── layout_zorder: Z-order (Morton) data-layout clustering ───
+  // The write-side half of multi-dimensional data skipping: interleave
+  // the bits of two clustering dimensions (customer, order day) into
+  // one Morton code, sort by it, and cut the sorted order into target
+  // files. Rows close in BOTH dimensions land in the same file, so a
+  // min/max-pruned scan filtered on EITHER dimension skips most files
+  // — a linear sort by (custkey, date) only skips on the leading
+  // column. Pure integer bit arithmetic (shift/and/or), whole-stage
+  // codegen, one range-partitioned sort — exactly how engines cluster
+  // 100 TB tables for pruning. file_id = zval >> 6 carves the 16-bit
+  // Morton space into 1024 equal z-ranges (a fixed spatial grid, so
+  // the assignment is data-independent and oracle-stable).
+  private val zBits = 8
+
+  private def zInterleave(x: org.apache.spark.sql.Column,
+                          y: org.apache.spark.sql.Column) =
+    (0 until zBits).map { i =>
+      shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  def layoutZorder(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val dims = t.orders.select(col("o_orderkey"),
+      pmod(col("o_custkey"), lit(1L << zBits)).as("xd"),
+      pmod(expr("unix_timestamp(o_orderdate) DIV 86400"),
+        lit(1L << zBits)).as("yd"))
+    dims.select(col("o_orderkey"), zInterleave(col("xd"), col("yd")).as("zval"))
+      .withColumn("file_id", shiftrightunsigned(col("zval"), 6))
+      .orderBy(col("zval"), col("o_orderkey"))
+  }
+
+  val layoutZorderSql: String = {
+    val terms = (0 until zBits).map { i =>
+      s"(((xd >> $i) & 1) << ${2 * i}) | (((yd >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+    s"""WITH dims AS (
+       |  SELECT o_orderkey,
+       |    o_custkey % ${1L << zBits} AS xd,
+       |    (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) % ${1L << zBits} AS yd
+       |  FROM orders),
+       |z AS (SELECT o_orderkey, CAST($terms AS BIGINT) AS zval FROM dims)
+       |SELECT o_orderkey, zval, zval >> 6 AS file_id
+       |FROM z ORDER BY zval, o_orderkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_range_join" -> q24RangeJoin,
     "q25_skew_salt" -> q25SkewSalt,
-    "sketch_stats" -> sketchStats)
+    "sketch_stats" -> sketchStats,
+    "layout_zorder" -> layoutZorder)
 
   /** sketch_stats is deliberately absent: approximate sketches are not
     * cross-engine reproducible (driver does the rows-only check). */
   val oracle: Map[String, String] = Map(
     "q24_range_join" -> q24Sql,
-    "q25_skew_salt" -> q25Sql)
+    "q25_skew_salt" -> q25Sql,
+    "layout_zorder" -> layoutZorderSql)
 }

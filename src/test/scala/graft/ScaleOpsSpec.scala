@@ -92,4 +92,58 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(claimed.except(anyDelta).count() == 0 &&
       anyDelta.except(claimed).count() == 0)
   }
+
+  test("zorder: morton code matches a reference interleave and preserves locality") {
+    val rows = ScaleOps.layoutZorder(spark, dir)
+      .join(Tables(spark, dir).orders.select(col("o_orderkey"),
+        col("o_custkey"), expr("unix_timestamp(o_orderdate) DIV 86400").as("day")),
+        Seq("o_orderkey"))
+      .collect()
+    assert(rows.nonEmpty)
+    def ref(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    rows.foreach { r =>
+      val z = r.getAs[Long]("zval")
+      val expect = ref(r.getAs[Long]("o_custkey") % 256, r.getAs[Long]("day") % 256)
+      assert(z == expect, s"orderkey ${r.getAs[Long]("o_orderkey")}: $z != $expect")
+      assert(r.getAs[Long]("file_id") == (z >>> 6))
+      assert(z >= 0 && z < 65536)
+    }
+    // Locality: rows sharing a file_id span a bounded box in (cust, day)
+    // space — a 64-wide z-range covers at most an 8×8 grid cell pair.
+    rows.groupBy(_.getAs[Long]("file_id")).foreach { case (_, g) =>
+      val xs = g.map(r => r.getAs[Long]("o_custkey") % 256)
+      val ys = g.map(r => r.getAs[Long]("day") % 256)
+      assert(xs.max - xs.min <= 8 && ys.max - ys.min <= 8,
+        "a z-run of 64 codes must stay within one 8x8 spatial cell")
+    }
+  }
+
+  test("cluster: pair endpoints agree, labels are transitive fixpoints") {
+    import graft.operators.Dedup
+    val pairs = Dedup.dedupMinhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lbl = Dedup.dedupCluster(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // Every doc in a pair is labeled; both endpoints share a cluster.
+    pairs.foreach { case (a, b) =>
+      assert(lbl.contains(a) && lbl.contains(b))
+      assert(lbl(a)._1 == lbl(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // Reference union-find agrees exactly.
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    lbl.foreach { case (doc, (cid, canon)) =>
+      assert(cid == find(doc), s"doc $doc: label $cid vs union-find ${find(doc)}")
+      assert(canon == (cid == doc))
+    }
+  }
 }
