@@ -319,15 +319,52 @@ object Relational {
       |ORDER BY region_name, nation_name""".stripMargin
 
   // ─── q15_percentile: exact interpolated percentiles ───
-  def q15Percentile(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).lineitem
-      .groupBy(col("l_returnflag"))
+  // NOT the built-in `percentile()` aggregate: that is an
+  // ObjectHashAggregate buffering a value→count map of EVERY group
+  // value in executor heap (no codegen, no spill-friendly layout) —
+  // the slowest query in the bench and a straight OOM at 100 TB with
+  // few groups. The scale shape is a distribution aggregate: groupBy
+  // (group, value) counts — map-side combine shrinks this to the
+  // distinct-value set, shuffled across ALL cores, not one reducer
+  // per group — then a cumulative-count window over the (much
+  // smaller) distinct values locates the two order statistics
+  // bracketing each target rank, and a final tiny agg interpolates.
+  // The interpolation replays Spark's Percentile formula bit-for-bit
+  // (lower*(hi-pos) + upper*(pos-lo), pos = p*(n-1)) so the DuckDB
+  // percentile_cont oracle keeps hash-matching through the cents
+  // rounding.
+  def q15Percentile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val c = d
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    def pos(p: Double): Column = lit(p) * (col("n") - lit(1)).cast("double")
+    def lowVal(p: Double): Column =
+      min(when(col("cum") >= floor(pos(p)) + 1, col("l_extendedprice")))
+    def highVal(p: Double): Column =
+      min(when(col("cum") >= ceil(pos(p)) + 1, col("l_extendedprice")))
+    def interp(posC: Column, lo: Column, hi: Column): Column =
+      when(floor(posC) === ceil(posC), lo)
+        .otherwise(lo * (ceil(posC) - posC) + hi * (posC - floor(posC)))
+    c.groupBy(col("l_returnflag"))
       .agg(
-        cents(expr("percentile(l_extendedprice, 0.5)")).as("p50_cents"),
-        cents(expr("percentile(l_extendedprice, 0.9)")).as("p90_cents"),
+        lowVal(0.5).as("lo50"), highVal(0.5).as("hi50"), max(pos(0.5)).as("pos50"),
+        lowVal(0.9).as("lo90"), highVal(0.9).as("hi90"), max(pos(0.9)).as("pos90"),
         cents(min(col("l_extendedprice"))).as("min_cents"),
         cents(max(col("l_extendedprice"))).as("max_cents"))
+      .select(col("l_returnflag"),
+        cents(interp(col("pos50"), col("lo50"), col("hi50"))).as("p50_cents"),
+        cents(interp(col("pos90"), col("lo90"), col("hi90"))).as("p90_cents"),
+        col("min_cents"), col("max_cents"))
       .orderBy(col("l_returnflag"))
+  }
 
   val q15Sql: String =
     s"""SELECT l_returnflag,

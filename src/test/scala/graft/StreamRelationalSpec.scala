@@ -1,0 +1,99 @@
+package graft
+
+import graft.streaming.StreamRelational
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+final case class Ev(event_id: Long, ts: java.sql.Timestamp, event_type: String)
+
+/** SURVEY §2 #65/#66: stream-stream interval join and watermarked
+  * streaming dedup over memory streams. */
+class StreamRelationalSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.test
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("stream-stream interval join matches purchases inside the error window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val errs = MemoryStream[Ev]
+    val purch = MemoryStream[Ev]
+    val out = StreamRelational.purchasesAfterErrors(errs.toDF(), purch.toDF())
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      errs.addData(Ev(1, ts("2026-01-01 10:00:00"), "error"))
+      purch.addData(
+        Ev(100, ts("2026-01-01 10:05:00"), "purchase"), // inside
+        Ev(101, ts("2026-01-01 10:09:59"), "purchase"), // inside
+        Ev(102, ts("2026-01-01 10:10:00"), "purchase"), // boundary: out for err 1
+        Ev(103, ts("2026-01-01 09:59:59"), "purchase")) // before: out
+      out.processAllAvailable()
+      // A later error joining EARLIER purchases still inside its
+      // window [10:04, 10:14) — including 102, which err 1 excluded.
+      errs.addData(Ev(2, ts("2026-01-01 10:04:00"), "error"))
+      out.processAllAvailable()
+    } finally out.stop()
+
+    val got = spark.table("ssj").select("err_id", "p_id").as[(Long, Long)]
+      .collect().toSet
+    assert(got == Set((1L, 100L), (1L, 101L),
+      (2L, 100L), (2L, 101L), (2L, 102L)))
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses at-least-once redelivery") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val in = MemoryStream[Ev]
+    val out = StreamRelational.dedupWithinWatermark(in.toDF())
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, ts("2026-01-01 10:00:00"), "a"),
+        Ev(2, ts("2026-01-01 10:00:01"), "b"),
+        Ev(1, ts("2026-01-01 10:00:00"), "a")) // same-batch duplicate
+      out.processAllAvailable()
+      in.addData(
+        Ev(1, ts("2026-01-01 10:00:02"), "a"), // cross-batch redelivery
+        Ev(3, ts("2026-01-01 10:00:03"), "c"))
+      out.processAllAvailable()
+    } finally out.stop()
+
+    val ids = spark.table("sdedup").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+  }
+
+  test("interval join state is bounded by the watermark (metrics)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val errs = MemoryStream[Ev]
+    val purch = MemoryStream[Ev]
+    val out = StreamRelational.purchasesAfterErrors(errs.toDF(), purch.toDF())
+      .writeStream.format("memory").queryName("ssj_state").outputMode("append").start()
+    try {
+      // Two batches an hour apart: after the watermark advances past
+      // the first window, its buffered rows must be evicted.
+      errs.addData(Ev(1, ts("2026-01-01 10:00:00"), "error"))
+      purch.addData(Ev(100, ts("2026-01-01 10:01:00"), "purchase"))
+      out.processAllAvailable()
+      errs.addData(Ev(2, ts("2026-01-01 11:30:00"), "error"))
+      purch.addData(Ev(200, ts("2026-01-01 11:31:00"), "purchase"))
+      out.processAllAvailable()
+      // One more batch so eviction (driven by the advanced watermark)
+      // lands in the recorded progress.
+      errs.addData(Ev(3, ts("2026-01-01 11:40:00"), "error"))
+      out.processAllAvailable()
+      val last = out.lastProgress
+      val state = last.stateOperators
+      assert(state.nonEmpty)
+      val rows = state.map(_.numRowsTotal).sum
+      // Live set after the watermark (11:21) clears batch 1: errors 2
+      // and 3 (×2 bucket rows each) + purchase 200 = 5. Without
+      // eviction all 9 fed rows (3 errors ×2 + 3 purchases) linger.
+      assert(rows <= 5, s"stale join state not evicted: $rows rows buffered")
+    } finally out.stop()
+  }
+}
