@@ -24,11 +24,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val cold = sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")
+    // Dev-only focus filter (comma-separated keys); the driver sets
+    // neither and always benches the full set.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     Tables(spark, sfDir).region.write.format("noop").mode("overwrite").save()
-    if (!cold) SparkEntry.queries.foreach { case (_, fn) =>
+    if (!cold) SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () } // failures re-surface in the timed pass
     }
@@ -41,7 +46,9 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // A failed iteration's elapsed time is time-to-failure, not a
       // query timing — keep it out of the median, and stop iterating
       // on that query (it will fail identically again).

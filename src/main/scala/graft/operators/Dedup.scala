@@ -275,15 +275,24 @@ object Dedup {
   // iteration (the classic iterative-DataFrame trap).
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
     val (_, cand) = minhashSigsAndCand(spark, dir)
-    val pairs = cand.select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
+    // Both directions via ONE explode pass over cand — a
+    // union(cand, cand.flipped) would evaluate the banded self-join
+    // twice (only sigs is persisted, not cand).
+    val edges = cand.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // Lazy localCheckpoints: truncation still happens (the first
+      // action over the frame materializes the checkpoint blocks),
+      // but the convergence-sum action below doubles as that first
+      // action — one Spark job per round instead of two. The rounds
+      // are overhead-dominated (tiny data, fixed job latency), so
+      // halving the job count nearly halves the loop.
       var labels = edges.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       var prevSum = BigDecimal(-1)
       var converged = false
       var rounds = 0
@@ -293,7 +302,7 @@ object Dedup {
         labels = labels.join(nbrMin, labels("node") === nbrMin("dst"), "left")
           .select(col("node"),
             least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val s = labels.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
         if (s == null) converged = true // empty pair graph
         else {
@@ -302,6 +311,8 @@ object Dedup {
           prevSum = cur
         }
         rounds += 1
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(s"[cc] round $rounds sum=$prevSum converged=$converged")
       }
       labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
           (col("node") === col("lbl")).as("is_canonical"))
