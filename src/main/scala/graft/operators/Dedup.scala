@@ -172,6 +172,12 @@ object Dedup {
     * accumulating one per invocation. */
   private var lastSigs: Option[DataFrame] = None
 
+  /** One (doc_id, band, bh) row per band — the LSH band index. */
+  private def bandedOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      posexplode(array((0 until nBands).map(b =>
+        bandHash(k => col(s"m${b * 4 + k}"))): _*)).as(Seq("band", "bh")))
+
   /** Signatures + banded candidate pairs — shared by dedupMinhashLsh
     * (which adds the estimated-similarity verify columns) and
     * dedupCluster (which only needs the pair graph). */
@@ -198,9 +204,7 @@ object Dedup {
       lastSigs.foreach(_.unpersist(blocking = false))
       lastSigs = Some(sigs)
     }
-    val banded = sigs.select(col("doc_id"),
-      posexplode(array((0 until nBands).map(b =>
-        bandHash(k => col(s"m${b * 4 + k}"))): _*)).as(Seq("band", "bh")))
+    val banded = bandedOf(sigs)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -356,6 +360,67 @@ object Dedup {
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
   }
 
+  // ─── dedup_incremental: delta-vs-corpus LSH dedup ───
+  // The production shape for "dedupe today's crawl against the
+  // corpus": only the DELTA (here: the top 10% of doc_ids, standing
+  // in for the newest ingest batch) is shingled, hashed and banded
+  // per increment; it joins against the full band index, which at
+  // 100 TB is a MATERIALIZED table maintained incrementally — never
+  // recomputed from the corpus (this query recomputes it only
+  // because testdata has no persisted index). The small delta side
+  // is broadcast, so the corpus-sized index never shuffles — the
+  // increment streams past it map-side. Pairs are oriented
+  // doc_a < doc_b; since delta ids are the highest, every emitted
+  // pair has doc_b in the delta, and kind says whether doc_a is an
+  // old corpus doc (base-delta) or a same-batch twin (delta-delta).
+  private val deltaFrac = 0.9
+
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val (sigs, _) = minhashSigsAndCand(spark, dir)
+    // Index-maintenance metadata, driver-computed like table stats.
+    val cutoff = math.floor(
+      Tables(spark, dir).documents.agg(max(col("doc_id"))).head.getLong(0)
+        * deltaFrac).toLong
+    val index = bandedOf(sigs)
+    val delta = index.filter(col("doc_id") >= cutoff)
+    index.as("a").join(broadcast(delta.as("b")),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .withColumn("kind",
+        when(col("doc_a") >= cutoff, "delta-delta").otherwise("base-delta"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupIncrementalSql: String = {
+    val minCols = (0 until nPerms).map { j =>
+      s"min((h * ${permCoef(j)._1} + ${permCoef(j)._2}) % $P31) AS m$j"
+    }.mkString(",\n    ")
+    val bandBranches = (0 until nBands).map { b =>
+      val bh = (0 until 4).map(k => s"m${b * 4 + k}")
+        .reduce((acc, x) => s"($acc * 31 + $x)")
+      s"SELECT doc_id, $b AS band, $bh AS bh FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $docShinglesSql,
+       |srows AS (SELECT doc_id, unnest(sh) AS s FROM shdocs),
+       |hs AS (SELECT doc_id, ${h31Sql("s")} AS h FROM srows),
+       |sigs AS (SELECT doc_id,
+       |    $minCols
+       |  FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  $bandBranches),
+       |mx AS (SELECT CAST(floor(max(doc_id) * $deltaFrac) AS BIGINT) AS cutoff
+       |       FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands,
+       |  CASE WHEN a.doc_id >= (SELECT cutoff FROM mx)
+       |       THEN 'delta-delta' ELSE 'base-delta' END AS kind
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |WHERE b.doc_id >= (SELECT cutoff FROM mx)
+       |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ─── dedup_simhash: 60-bit SimHash + 4×15-bit chunk blocking ───
   // Per-bit vote over md5-derived 60-bit shingle hashes → fingerprint;
   // candidates share an exact 15-bit chunk (pigeonhole: catches all
@@ -487,7 +552,8 @@ object Dedup {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
-    "dedup_cluster" -> dedupCluster)
+    "dedup_cluster" -> dedupCluster,
+    "dedup_incremental" -> dedupIncremental)
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -495,5 +561,6 @@ object Dedup {
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql,
-    "dedup_cluster" -> dedupClusterSql)
+    "dedup_cluster" -> dedupClusterSql,
+    "dedup_incremental" -> dedupIncrementalSql)
 }

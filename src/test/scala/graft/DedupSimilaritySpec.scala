@@ -66,4 +66,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val recall = exact.count(approx.contains).toDouble / exact.size
     assert(recall >= 0.3, s"IVF ANN recall $recall")
   }
+
+  test("incremental dedup equals the full-batch pairs restricted to the delta") {
+    import spark.implicits._
+    val cutoff = math.floor(Tables(spark, dir).documents
+      .agg(org.apache.spark.sql.functions.max($"doc_id")).head.getLong(0) * 0.9).toLong
+    val full = Dedup.dedupMinhashLsh(spark, dir)
+      .filter($"doc_b" >= cutoff)
+      .select($"doc_a", $"doc_b", $"n_bands").as[(Long, Long, Long)].collect().toSet
+    val inc = Dedup.dedupIncremental(spark, dir)
+      .select($"doc_a", $"doc_b", $"n_bands").as[(Long, Long, Long)].collect().toSet
+    assert(inc == full, "delta-vs-index pairs must match the batch recompute")
+    Dedup.dedupIncremental(spark, dir).collect().foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(b >= cutoff, "every pair involves a delta doc")
+      assert(r.getAs[String]("kind") ==
+        (if (a >= cutoff) "delta-delta" else "base-delta"))
+    }
+  }
+
+  test("incremental dedup broadcasts the delta, not the index") {
+    val p = Dedup.dedupIncremental(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the small increment must broadcast against the corpus-sized index")
+  }
 }

@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 final case class Ev(event_id: Long, ts: java.sql.Timestamp, event_type: String)
 
-/** SURVEY §2 #65/#66: stream-stream interval join and watermarked
+/** SURVEY §2 #66/#67: stream-stream interval join and watermarked
   * streaming dedup over memory streams. */
 class StreamRelationalSpec extends AnyFunSuite {
   private lazy val spark = GraftSession.test
