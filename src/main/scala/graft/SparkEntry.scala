@@ -18,7 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ RelationalExt.queries ++ Events.queries ++
       TextAnalysis.queries ++ Pipeline.queries ++
-      ScaleOps.queries ++ Cdc.queries ++
+      ScaleOps.queries ++ Cdc.queries ++ Fuzzy.queries ++
       Trike.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++
       Map("shard_journal" ->
@@ -29,7 +29,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ RelationalExt.oracle ++ Events.oracle ++
       TextAnalysis.oracle ++ Pipeline.oracle ++
-      ScaleOps.oracle ++ Cdc.oracle ++
+      ScaleOps.oracle ++ Cdc.oracle ++ Fuzzy.oracle ++
       Trike.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       Multimodal.oracle ++
       Map("shard_journal" -> graft.sources.ShardedJournal.shardJournalSql())
