@@ -123,15 +123,115 @@ object Events {
       |    THEN 1 ELSE 0 END AS converted
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ─── ev_pattern: adjacent-event sequence detection ───
+  // MATCH_RECOGNIZE-lite: an error IMMEDIATELY followed (no
+  // intervening event for that user) by a purchase within one hour.
+  // lead() over the per-user event-time order — one shuffle on
+  // user_id, linear per key; never a self-join on proximity (which
+  // would be a range join over the whole event stream). Ties broken
+  // by event_id so the adjacency relation is total and both engines
+  // see the same sequence.
+  def evPattern(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir).events
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .withColumn("next_ts", lead(col("ts"), 1).over(byUser))
+      .filter(col("event_type") === "error" && col("next_type") === "purchase" &&
+        epochS(col("next_ts")) - epochS(col("ts")) <= 3600)
+      .select(col("user_id"), col("event_id").as("err_id"),
+        epochS(col("ts")).as("err_epoch"),
+        (epochS(col("next_ts")) - epochS(col("ts"))).as("gap_sec"))
+      .orderBy(col("err_id"))
+  }
+
+  val evPatternSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    lead(event_type) OVER w AS next_type,
+      |    lead(ts) OVER w AS next_ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, event_id AS err_id,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS err_epoch,
+      |  CAST(floor(epoch(next_ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) AS gap_sec
+      |FROM seq
+      |WHERE event_type = 'error' AND next_type = 'purchase'
+      |  AND CAST(floor(epoch(next_ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) <= 3600
+      |ORDER BY err_id""".stripMargin
+
+  // ─── ts_fill: time-series resample + forward fill ───
+  // Regularize the irregular event stream onto an hourly grid per
+  // event_type, forward-filling empty hours with the last observed
+  // hourly sum. The grid is data-derived (global [min, max] hour) so
+  // the plan is deterministic; grid×type is a broadcast of two tiny
+  // frames; the fill is last(ignoreNulls) over a per-type linear
+  // window — one shuffle on event_type, no per-gap self-joins.
+  def tsFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(cents(sum(col("value"))).as("sum_cents"))
+    val span = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = span.select(explode(
+      expr("sequence(h0, h1, INTERVAL 1 HOUR)")).as("hour_ts"))
+    val types = ev.select(col("event_type")).distinct()
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("hour_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.crossJoin(broadcast(types))
+      .join(hourly, Seq("hour_ts", "event_type"), "left")
+      .withColumn("filled", col("sum_cents").isNull)
+      .withColumn("sum_cents",
+        last(col("sum_cents"), ignoreNulls = true).over(w))
+      .filter(col("sum_cents").isNotNull) // leading hours before first datum
+      .select(epochS(col("hour_ts")).as("hour_epoch"), col("event_type"),
+        col("sum_cents"), col("filled"))
+      .orderBy(col("hour_epoch"), col("event_type"))
+  }
+
+  val tsFillSql: String =
+    s"""WITH hourly AS (
+       |  SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+       |    ${Tables.centsSql("sum(value)")} AS sum_cents
+       |  FROM events GROUP BY 1, 2),
+       |span AS (SELECT date_trunc('hour', min(ts)) AS h0,
+       |                date_trunc('hour', max(ts)) AS h1 FROM events),
+       |grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+       |         FROM span),
+       |typed AS (SELECT g.hour_ts, t.event_type
+       |          FROM grid g CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+       |joined AS (
+       |  SELECT t.hour_ts, t.event_type, h.sum_cents,
+       |    h.sum_cents IS NULL AS filled
+       |  FROM typed t LEFT JOIN hourly h
+       |    ON t.hour_ts = h.hour_ts AND t.event_type = h.event_type),
+       |flled AS (
+       |  SELECT CAST(floor(epoch(hour_ts)) AS BIGINT) AS hour_epoch, event_type,
+       |    last_value(sum_cents IGNORE NULLS) OVER (
+       |      PARTITION BY event_type ORDER BY hour_ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_fill,
+       |    filled
+       |  FROM joined)
+       |SELECT hour_epoch, event_type, sum_fill AS sum_cents, filled
+       |FROM flled WHERE sum_fill IS NOT NULL
+       |ORDER BY hour_epoch, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_tumbling" -> evTumbling,
     "ev_sessionize" -> evSessionize,
     "ev_json_props" -> evJsonProps,
-    "ev_funnel" -> evFunnel)
+    "ev_funnel" -> evFunnel,
+    "ev_pattern" -> evPattern,
+    "ts_fill" -> tsFill)
 
   val oracle: Map[String, String] = Map(
     "ev_tumbling" -> evTumblingSql,
     "ev_sessionize" -> evSessionizeSql,
     "ev_json_props" -> evJsonPropsSql,
-    "ev_funnel" -> evFunnelSql)
+    "ev_funnel" -> evFunnelSql,
+    "ev_pattern" -> evPatternSql,
+    "ts_fill" -> tsFillSql)
 }

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Events
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2 #69/#70: sequence-pattern detection and time-series
+  * gap fill — invariants the row-level oracle can't state. */
+class EventsExtSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.test
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ev_pattern matches are truly adjacent error→purchase steps") {
+    import spark.implicits._
+    val seq = Tables(spark, dir).events
+      .select($"user_id", $"event_id", unix_timestamp($"ts").as("ep"), $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).map { case (u, rows) =>
+        u -> rows.sortBy(r => (r._3, r._2)).toList
+      }
+    val expect = (for {
+      (_, rows) <- seq.toSeq
+      (cur, nxt) <- rows.zip(rows.drop(1))
+      if cur._4 == "error" && nxt._4 == "purchase" && nxt._3 - cur._3 <= 3600
+    } yield (cur._2, nxt._3 - cur._3)).toSet
+    val got = Events.evPattern(spark, dir)
+      .select($"err_id", $"gap_sec").as[(Long, Long)].collect().toSet
+    assert(got == expect, s"got ${got.size} expect ${expect.size}")
+  }
+
+  test("ts_fill: complete hourly grid per type after its first datum; fills carry last value") {
+    import spark.implicits._
+    val rows = Events.tsFill(spark, dir)
+      .select($"event_type", $"hour_epoch", $"sum_cents", $"filled")
+      .as[(String, Long, Long, Boolean)].collect()
+    val maxEpoch = rows.map(_._2).max
+    rows.groupBy(_._1).foreach { case (t, g) =>
+      val sorted = g.sortBy(_._2)
+      // Grid completeness: no missing hours between first datum and global max.
+      val hours = sorted.map(_._2)
+      assert(hours.last == maxEpoch, s"$t: grid must reach the global span end")
+      assert(hours.zip(hours.drop(1)).forall { case (a, b) => b - a == 3600 },
+        s"$t: hourly grid has gaps")
+      // Forward fill: a filled row repeats the previous row's value.
+      sorted.zip(sorted.drop(1)).foreach { case ((_, _, prev, _), (_, ep, v, f)) =>
+        if (f) assert(v == prev, s"$t@$ep: filled value $v != previous $prev")
+      }
+    }
+  }
+}
