@@ -79,6 +79,46 @@ object Events {
        |FROM sess GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  // ─── ev_session_native: Spark's native session_window operator ───
+  // The same 30-minute-gap semantics as ev_sessionize but via the
+  // built-in session_window aggregate — the operator a Spark-first
+  // user reaches for, and the one that carries over unchanged to
+  // Structured Streaming (StreamRelationalSpec drives it on a
+  // stream with a watermark). Native semantics are µs-precise: a
+  // session extends while ts < session_end (= last ts + gap), so the
+  // DuckDB twin flags a new session at gap ≥ 1800s in epoch_us —
+  // NOT the floored-seconds logic of ev_sessionize; keeping both
+  // queries documents the subtle boundary difference.
+  def evSessionNative(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        cents(sum(col("value"))).as("value_cents"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("value_cents"))
+      .orderBy(col("user_id"), col("start_us"))
+
+  val evSessionNativeSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value, epoch_us(ts) AS us, ts FROM events
+       |), flagged AS (
+       |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+       |      OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_new
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), sess AS (
+       |  SELECT *, sum(is_new) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM flagged
+       |)
+       |SELECT user_id, min(us) AS start_us,
+       |  max(us) + 1800000000 AS end_us, count(*) AS n_events,
+       |  ${Tables.centsSql("sum(value)")} AS value_cents
+       |FROM sess GROUP BY user_id, sid
+       |ORDER BY user_id, start_us""".stripMargin
+
   // ─── ev_json_props: JSON payload extraction ───
   def evJsonProps(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
@@ -225,7 +265,8 @@ object Events {
     "ev_json_props" -> evJsonProps,
     "ev_funnel" -> evFunnel,
     "ev_pattern" -> evPattern,
-    "ts_fill" -> tsFill)
+    "ts_fill" -> tsFill,
+    "ev_session_native" -> evSessionNative)
 
   val oracle: Map[String, String] = Map(
     "ev_tumbling" -> evTumblingSql,
@@ -233,5 +274,6 @@ object Events {
     "ev_json_props" -> evJsonPropsSql,
     "ev_funnel" -> evFunnelSql,
     "ev_pattern" -> evPatternSql,
-    "ts_fill" -> tsFillSql)
+    "ts_fill" -> tsFillSql,
+    "ev_session_native" -> evSessionNativeSql)
 }

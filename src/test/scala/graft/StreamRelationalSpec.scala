@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 final case class Ev(event_id: Long, ts: java.sql.Timestamp, event_type: String)
+final case class UserEv(user_id: Long, ts: java.sql.Timestamp)
 
 /** SURVEY §2 #66/#67: stream-stream interval join and watermarked
   * streaming dedup over memory streams. */
@@ -63,6 +64,41 @@ class StreamRelationalSpec extends AnyFunSuite {
 
     val ids = spark.table("sdedup").select("event_id").as[Long].collect().sorted
     assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+  }
+
+  test("native session_window sessionizes a stream, emitting closed sessions") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val in = MemoryStream[UserEv]
+    val out = in.toDF()
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .count()
+      .select(col("user_id"), col("session_window.start").as("s"),
+        col("session_window.end").as("e"), col("count"))
+      .writeStream.format("memory").queryName("ssw").outputMode("append").start()
+    try {
+      // user 7: two events 10 min apart (one session), then a 40-min
+      // silence, then one more (second session).
+      in.addData(
+        UserEv(7, ts("2026-01-01 10:00:00")),
+        UserEv(7, ts("2026-01-01 10:10:00")))
+      out.processAllAvailable()
+      in.addData(UserEv(7, ts("2026-01-01 10:50:00")))
+      out.processAllAvailable()
+      // Advance the watermark far enough to close both sessions.
+      in.addData(UserEv(7, ts("2026-01-01 12:30:00")))
+      out.processAllAvailable()
+    } finally out.stop()
+
+    val got = spark.table("ssw")
+      .select(col("s").cast("string"), col("e").cast("string"), col("count"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got.contains(("2026-01-01 10:00:00", "2026-01-01 10:40:00", 2L)),
+      s"first session (2 events, end = last+gap): $got")
+    assert(got.contains(("2026-01-01 10:50:00", "2026-01-01 11:20:00", 1L)),
+      s"second session after the 40-min gap: $got")
   }
 
   test("interval join state is bounded by the watermark (metrics)") {
