@@ -57,13 +57,18 @@ object Cdc {
       .withColumnRenamed("last_type", "b_type")
       .withColumnRenamed("last_epoch", "b_epoch")
       .withColumnRenamed("last_value_cents", "b_cents")
+    // Presence marker, NOT a value column as presence proxy: a delta
+    // row whose last_type is legitimately NULL must still win the
+    // merge and be labeled 'delta' (mirrors the oracle's
+    // `d.user_id IS NOT NULL`).
     val delta = latestPerUser(ev.filter(col("ts") >= lit(cutoff)))
+      .withColumn("in_delta", lit(true))
     base.join(delta, Seq("user_id"), "full_outer")
       .select(col("user_id"),
-        coalesce(col("last_type"), col("b_type")).as("last_type"),
-        coalesce(col("last_epoch"), col("b_epoch")).as("last_epoch"),
-        coalesce(col("last_value_cents"), col("b_cents")).as("last_value_cents"),
-        when(col("last_type").isNotNull, "delta").otherwise("base").as("src"))
+        when(col("in_delta"), col("last_type")).otherwise(col("b_type")).as("last_type"),
+        when(col("in_delta"), col("last_epoch")).otherwise(col("b_epoch")).as("last_epoch"),
+        when(col("in_delta"), col("last_value_cents")).otherwise(col("b_cents")).as("last_value_cents"),
+        when(col("in_delta"), "delta").otherwise("base").as("src"))
       .orderBy(col("user_id"))
   }
 
@@ -74,9 +79,9 @@ object Cdc {
        |${latestSql(s"(SELECT * FROM events WHERE ts >= TIMESTAMP '$cutoff')")}
        |)
        |SELECT coalesce(d.user_id, b.user_id) AS user_id,
-       |  coalesce(d.last_type, b.last_type) AS last_type,
-       |  coalesce(d.last_epoch, b.last_epoch) AS last_epoch,
-       |  coalesce(d.last_value_cents, b.last_value_cents) AS last_value_cents,
+       |  CASE WHEN d.user_id IS NOT NULL THEN d.last_type ELSE b.last_type END AS last_type,
+       |  CASE WHEN d.user_id IS NOT NULL THEN d.last_epoch ELSE b.last_epoch END AS last_epoch,
+       |  CASE WHEN d.user_id IS NOT NULL THEN d.last_value_cents ELSE b.last_value_cents END AS last_value_cents,
        |  CASE WHEN d.user_id IS NOT NULL THEN 'delta' ELSE 'base' END AS src
        |FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
        |ORDER BY user_id""".stripMargin

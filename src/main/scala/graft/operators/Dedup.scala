@@ -300,12 +300,23 @@ object Dedup {
       var prevSum = BigDecimal(-1)
       var converged = false
       var rounds = 0
-      while (!converged && rounds < 50) {
+      val maxRounds = 50
+      while (!converged && rounds < maxRounds) {
         val nbrMin = edges.join(labels, edges("src") === labels("node"))
           .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
-        labels = labels.join(nbrMin, labels("node") === nbrMin("dst"), "left")
+        val propagated = labels.join(nbrMin, labels("node") === nbrMin("dst"), "left")
           .select(col("node"),
             least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        // Pointer-jumping shortcut: also adopt the label OF my label
+        // (every lbl is itself a node). Neighbor-min alone needs
+        // O(diameter) rounds — a drifted chain A1~A2~…~A60 would blow
+        // the round cap; with the shortcut the propagation distance
+        // doubles per round, so maxRounds=50 covers diameters past
+        // 2^49. Costs one extra small join per round.
+        val m = propagated.select(col("node").as("k"), col("lbl").as("v"))
+        labels = propagated.join(m, propagated("lbl") === m("k"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("v"), col("lbl"))).as("lbl"))
           .localCheckpoint(eager = false)
         val s = labels.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
         if (s == null) converged = true // empty pair graph
@@ -318,6 +329,11 @@ object Dedup {
         if (sys.env.contains("GRAFT_CC_DEBUG"))
           System.err.println(s"[cc] round $rounds sum=$prevSum converged=$converged")
       }
+      // Fail loudly rather than return a partially-merged clustering:
+      // a silent wrong answer would also silently disagree with the
+      // transitive-closure oracle.
+      require(converged,
+        s"dedupCluster: label propagation did not converge in $maxRounds rounds")
       labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
           (col("node") === col("lbl")).as("is_canonical"))
         .orderBy(col("doc_id"))

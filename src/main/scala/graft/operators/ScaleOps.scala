@@ -78,7 +78,12 @@ object ScaleOps {
   def q25SkewSalt(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val fact = t.lineitem
-      .withColumn("salt", pmod(col("l_linenumber").cast("long"), lit(saltR)))
+      // Murmur3 over non-key columns: deterministic (re-runs and
+      // speculative retries agree) AND covers the full [0,R) range —
+      // a raw l_linenumber mod R never hits salt 0 (domain 1..7), so
+      // 1/R of the exploded dim would be dead weight and a hot key
+      // would fan to R-1 reducers, not R.
+      .withColumn("salt", pmod(hash(col("l_linenumber"), col("l_partkey")).cast("long"), lit(saltR)))
     val dim = t.orders.select(col("o_orderkey"), col("o_orderpriority"))
       .withColumn("salt", explode(array((0 until saltR).map(i => lit(i.toLong)): _*)))
     fact.join(dim,

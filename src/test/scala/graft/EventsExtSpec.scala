@@ -12,17 +12,22 @@ class EventsExtSpec extends AnyFunSuite {
 
   test("ev_pattern matches are truly adjacent error→purchase steps") {
     import spark.implicits._
+    // Sort on epoch-MICROseconds — the operator's window orders by the
+    // full-precision ts; a floored-seconds sort could disagree on
+    // same-second neighbors. The gap check stays on floored seconds
+    // (that is what the operator outputs).
     val seq = Tables(spark, dir).events
-      .select($"user_id", $"event_id", unix_timestamp($"ts").as("ep"), $"event_type")
-      .as[(Long, Long, Long, String)].collect()
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        unix_timestamp($"ts").as("ep"), $"event_type")
+      .as[(Long, Long, Long, Long, String)].collect()
       .groupBy(_._1).map { case (u, rows) =>
         u -> rows.sortBy(r => (r._3, r._2)).toList
       }
     val expect = (for {
       (_, rows) <- seq.toSeq
       (cur, nxt) <- rows.zip(rows.drop(1))
-      if cur._4 == "error" && nxt._4 == "purchase" && nxt._3 - cur._3 <= 3600
-    } yield (cur._2, nxt._3 - cur._3)).toSet
+      if cur._5 == "error" && nxt._5 == "purchase" && nxt._4 - cur._4 <= 3600
+    } yield (cur._2, nxt._4 - cur._4)).toSet
     val got = Events.evPattern(spark, dir)
       .select($"err_id", $"gap_sec").as[(Long, Long)].collect().toSet
     assert(got == expect, s"got ${got.size} expect ${expect.size}")
