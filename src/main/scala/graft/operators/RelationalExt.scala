@@ -41,6 +41,28 @@ object RelationalExt {
        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   }
 
+  // ─── q26_unpivot: wide → long (melt), inverse of q17 ───
+  // Spark's native unpivot (a Generate of struct rows, no shuffle —
+  // the long form streams out of the wide form map-side). Composing
+  // it over q17Pivot round-trips pivot→unpivot, which is how the two
+  // operators prove each other in both engines.
+  def q26Unpivot(spark: SparkSession, dir: String): DataFrame =
+    q17Pivot(spark, dir)
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("f_cents"), col("o_cents"), col("p_cents")),
+        "status_col", "sum_cents")
+      .orderBy(col("o_orderpriority"), col("status_col"))
+
+  val q26Sql: String =
+    s"""WITH p AS ($q17Sql)
+       |SELECT o_orderpriority, 'f_cents' AS status_col, f_cents AS sum_cents FROM p
+       |UNION ALL
+       |SELECT o_orderpriority, 'o_cents', o_cents FROM p
+       |UNION ALL
+       |SELECT o_orderpriority, 'p_cents', p_cents FROM p
+       |ORDER BY o_orderpriority, status_col""".stripMargin
+
   // ─── q18_cube: full cube over two dimensions ───
   // 'ALL' labels via coalesce: the source domains never contain the
   // literal, so the subtotal rows are unambiguous in both engines.
@@ -182,7 +204,8 @@ object RelationalExt {
     "q20_except" -> q20Except,
     "q21_lead_lag" -> q21LeadLag,
     "q22_ntile" -> q22Ntile,
-    "q23_correlated" -> q23Correlated)
+    "q23_correlated" -> q23Correlated,
+    "q26_unpivot" -> q26Unpivot)
 
   val oracle: Map[String, String] = Map(
     "q17_pivot" -> q17Sql,
@@ -191,5 +214,6 @@ object RelationalExt {
     "q20_except" -> q20Sql,
     "q21_lead_lag" -> q21Sql,
     "q22_ntile" -> q22Sql,
-    "q23_correlated" -> q23Sql)
+    "q23_correlated" -> q23Sql,
+    "q26_unpivot" -> q26Sql)
 }
