@@ -90,4 +90,38 @@ class PlanShapeSpec extends AnyFunSuite {
       l.contains("Exchange hashpartitioning") && l.contains("ENSURE_REQUIREMENTS"))
     assert(required == 0, "per-row text analysis must not aggregate-shuffle")
   }
+
+  test("round-4 candidate generation stays equijoin: fuzzy, incremental, cluster") {
+    for ((name, df) <- Seq(
+      "fuzzy_join" -> Fuzzy.fuzzyJoin(spark, dir),
+      "dedup_incremental" -> Dedup.dedupIncremental(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must block into equijoins")
+    }
+  }
+
+  test("layout_zorder is one projection + one range sort, no mid-plan shuffle") {
+    val p = plan(ScaleOps.layoutZorder(spark, dir))
+    assert(count(p, "Exchange hashpartitioning") == 0,
+      "z-value computation is per-row; only the final range sort may shuffle")
+    assert(count(p, "Exchange rangepartitioning") == 1, "the clustering sort")
+  }
+
+  test("q26_unpivot adds no shuffle beyond its pivot input") {
+    // The unpivot itself is a per-row Expand and must not introduce
+    // any hash exchange beyond what q17's pivot already needs (the
+    // two-phase pivot aggregation).
+    def hashEx(df: DataFrame): Int = plan(df).linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("ENSURE_REQUIREMENTS"))
+    val base = hashEx(RelationalExt.q17Pivot(spark, dir))
+    val up = hashEx(RelationalExt.q26Unpivot(spark, dir))
+    assert(up == base, s"unpivot must stay map-side: $base -> $up hash exchanges")
+  }
+
+  test("ts_fill never shuffles the grid: broadcast-joined dimensions") {
+    val p = plan(Events.tsFill(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      "grid x types must be a broadcast nested loop over two tiny frames, not a cartesian over data")
+  }
 }
