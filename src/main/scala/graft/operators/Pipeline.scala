@@ -29,6 +29,14 @@ object Pipeline {
   private def bucket100Sql(salt: String, key: String): String =
     s"(CAST(('0x' || substr(md5('$salt:' || CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) % 100)"
 
+  /** Finer 10 000-bucket variant for fractional-bp sampling rates. */
+  private def bucket10k(salt: String, key: Column): Column =
+    conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 10000
+
+  private def bucket10kSql(salt: String, key: String): String =
+    s"(CAST(('0x' || substr(md5('$salt:' || CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) % 10000)"
+
   // ─── split_hash: deterministic 80/10/10 train/val/test split ───
   // Hash-assignment, not `randomSplit`: randomSplit re-samples per
   // run (and per partition layout), so a doc could migrate between
@@ -67,6 +75,49 @@ object Pipeline {
     s"""SELECT doc_id, lang, n_chars FROM documents
        |WHERE ${bucket100Sql("sample", "doc_id")} < 15
        |ORDER BY doc_id""".stripMargin
+
+  // ─── sample_temperature: α-balanced multilingual sampling ───
+  // The standard multilingual-corpus rebalance (the mT5/CC-100
+  // trick): sample language i with probability ∝ p_i^α / p_i so
+  // rare languages are upsampled relative to their share. α = 0.5
+  // deliberately: the per-language keep rate reduces to
+  // sqrt(p_min / p_i) — division and square root are both
+  // correctly-rounded IEEE-754 ops, so Spark and DuckDB compute the
+  // SAME threshold bit-for-bit and the decision hash-matches (a
+  // general pow(x, 0.3) would be libm-dependent). Rates derive from
+  // a tiny per-language aggregate that broadcasts back onto the
+  // corpus — one shuffle for the stats, a broadcast join for the
+  // decision, no driver round-trip.
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val stats = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("double").as("n_lang"))
+    val tot = docs.agg(count(lit(1)).cast("double").as("n_tot"))
+    val ps = stats.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_lang") / col("n_tot"))
+    val mn = ps.agg(min(col("p")).as("p_min"))
+    val rates = ps.crossJoin(broadcast(mn))
+      .select(col("lang"),
+        floor(sqrt(col("p_min") / col("p")) * 10000).cast("long").as("thr_bp"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(bucket10k("temp", col("doc_id")) < col("thr_bp"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("thr_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sampleTemperatureSql: String =
+    s"""WITH st AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_lang
+       |            FROM documents GROUP BY lang),
+       |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_tot FROM documents),
+       |ps AS (SELECT lang, n_lang / n_tot AS p FROM st, tot),
+       |mn AS (SELECT min(p) AS p_min FROM ps),
+       |rates AS (SELECT lang,
+       |    CAST(floor(sqrt(p_min / p) * 10000) AS BIGINT) AS thr_bp
+       |  FROM ps, mn)
+       |SELECT d.doc_id, d.lang, d.n_chars, r.thr_bp
+       |FROM documents d JOIN rates r USING (lang)
+       |WHERE ${bucket10kSql("temp", "d.doc_id")} < r.thr_bp
+       |ORDER BY d.doc_id""".stripMargin
 
   // ─── pack_chunks: concat-then-chunk sequence packing ───
   // Documents are concatenated per language in doc_id order and cut
@@ -141,11 +192,13 @@ object Pipeline {
     "split_hash" -> splitHash,
     "sample_stratified" -> sampleStratified,
     "pack_chunks" -> packChunks,
-    "doc_pipeline" -> docPipeline)
+    "doc_pipeline" -> docPipeline,
+    "sample_temperature" -> sampleTemperature)
 
   val oracle: Map[String, String] = Map(
     "split_hash" -> splitHashSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pack_chunks" -> packChunksSql,
-    "doc_pipeline" -> docPipelineSql)
+    "doc_pipeline" -> docPipelineSql,
+    "sample_temperature" -> sampleTemperatureSql)
 }

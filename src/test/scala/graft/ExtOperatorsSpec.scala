@@ -84,6 +84,29 @@ class ExtOperatorsSpec extends AnyFunSuite {
     assert(sample.count() > 0)
   }
 
+  test("temperature sampling keeps all of the rarest language and thins the biggest") {
+    import spark.implicits._
+    val out = Pipeline.sampleTemperature(spark, dir)
+    val perLang = out.groupBy($"lang")
+      .agg(count(lit(1)).as("kept"), first($"thr_bp").as("thr_bp"))
+      .join(Tables(spark, dir).documents.groupBy($"lang")
+        .agg(count(lit(1)).as("n_total")), "lang")
+      .select($"lang", $"kept", $"thr_bp", $"n_total")
+      .as[(String, Long, Long, Long)].collect()
+    val rarest = perLang.minBy(_._4)
+    assert(rarest._3 == 10000 && rarest._2 == rarest._4,
+      s"rarest language keeps everything: $rarest")
+    val biggest = perLang.maxBy(_._4)
+    assert(biggest._3 < 10000 && biggest._2 < biggest._4,
+      s"dominant language must be thinned: $biggest")
+    // Observed keep rate tracks the declared threshold (hash uniform).
+    perLang.foreach { case (lang, kept, thr, total) =>
+      val expect = total.toDouble * thr / 10000
+      assert(math.abs(kept - expect) <= math.max(5.0, expect * 0.5),
+        s"$lang: kept $kept vs expected ~$expect at thr $thr")
+    }
+  }
+
   test("pack_chunks conserves tokens and numbers chunks contiguously") {
     val chunks = Pipeline.packChunks(spark, dir).cache()
     try {
