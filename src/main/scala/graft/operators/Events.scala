@@ -200,6 +200,66 @@ object Events {
       |  AND CAST(floor(epoch(next_ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) <= 3600
       |ORDER BY err_id""".stripMargin
 
+  // ─── ev_pattern_quant: quantified 3-step sequence ───
+  // MATCH_RECOGNIZE with a quantifier: error, then AT LEAST ONE
+  // click, then the next purchase — all inside 48 hours (the event
+  // stream is sparse: ~1 event/user/10h, so a tighter window never
+  // contains an intermediate click). No
+  // self-joins: a running click count per user plus two
+  // conditional-min windows over the FOLLOWING rows. The trick that
+  // keeps it one pass: cum_clicks is monotone in event order, so the
+  // earliest following purchase also carries the MINIMUM cum_clicks
+  // among following purchases — min() recovers both its time and its
+  // click count without joining back to the purchase row. Clicks
+  // strictly between the two anchors = cum(purchase) − cum(error)
+  // (neither anchor is a click). One shuffle on user_id, linear per
+  // key.
+  def evPatternQuant(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val upTo = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = order.rowsBetween(1, Window.unboundedFollowing)
+    Tables(spark, dir).events
+      .withColumn("cum_clicks",
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(upTo))
+      .withColumn("np_ts",
+        min(when(col("event_type") === "purchase", col("ts"))).over(after))
+      .withColumn("np_cum",
+        min(when(col("event_type") === "purchase", col("cum_clicks"))).over(after))
+      .filter(col("event_type") === "error" && col("np_ts").isNotNull &&
+        epochS(col("np_ts")) - epochS(col("ts")) <= 172800 &&
+        col("np_cum") - col("cum_clicks") >= 1)
+      .select(col("user_id"), col("event_id").as("err_id"),
+        epochS(col("ts")).as("err_epoch"),
+        (epochS(col("np_ts")) - epochS(col("ts"))).as("gap_sec"),
+        (col("np_cum") - col("cum_clicks")).as("n_clicks_between"))
+      .orderBy(col("err_id"))
+  }
+
+  val evPatternQuantSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_clicks
+      |  FROM events),
+      |nxt AS (
+      |  SELECT *,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) OVER w AS np_ts,
+      |    min(CASE WHEN event_type = 'purchase' THEN cum_clicks END) OVER w AS np_cum
+      |  FROM seq
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, event_id AS err_id,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS err_epoch,
+      |  CAST(floor(epoch(np_ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) AS gap_sec,
+      |  CAST(np_cum - cum_clicks AS BIGINT) AS n_clicks_between
+      |FROM nxt
+      |WHERE event_type = 'error' AND np_ts IS NOT NULL
+      |  AND CAST(floor(epoch(np_ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) <= 172800
+      |  AND np_cum - cum_clicks >= 1
+      |ORDER BY err_id""".stripMargin
+
   // ─── ts_fill: time-series resample + forward fill ───
   // Regularize the irregular event stream onto an hourly grid per
   // event_type, forward-filling empty hours with the last observed
@@ -266,7 +326,8 @@ object Events {
     "ev_funnel" -> evFunnel,
     "ev_pattern" -> evPattern,
     "ts_fill" -> tsFill,
-    "ev_session_native" -> evSessionNative)
+    "ev_session_native" -> evSessionNative,
+    "ev_pattern_quant" -> evPatternQuant)
 
   val oracle: Map[String, String] = Map(
     "ev_tumbling" -> evTumblingSql,
@@ -275,5 +336,6 @@ object Events {
     "ev_funnel" -> evFunnelSql,
     "ev_pattern" -> evPatternSql,
     "ts_fill" -> tsFillSql,
-    "ev_session_native" -> evSessionNativeSql)
+    "ev_session_native" -> evSessionNativeSql,
+    "ev_pattern_quant" -> evPatternQuantSql)
 }

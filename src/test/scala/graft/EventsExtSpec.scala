@@ -33,6 +33,26 @@ class EventsExtSpec extends AnyFunSuite {
     assert(got == expect, s"got ${got.size} expect ${expect.size}")
   }
 
+  test("ev_pattern_quant agrees with a brute-force 3-step scan") {
+    import spark.implicits._
+    val seq = Tables(spark, dir).events
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        unix_timestamp($"ts").as("ep"), $"event_type")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (r._3, r._2)).toVector)
+    val expect = (for {
+      (_, rows) <- seq.toSeq
+      i <- rows.indices if rows(i)._5 == "error"
+      j = rows.indexWhere(_._5 == "purchase", i + 1) if j >= 0
+      gap = rows(j)._4 - rows(i)._4 if gap <= 172800
+      clicks = rows.slice(i + 1, j).count(_._5 == "click") if clicks >= 1
+    } yield (rows(i)._2, gap, clicks.toLong)).toSet
+    val got = Events.evPatternQuant(spark, dir)
+      .select($"err_id", $"gap_sec", $"n_clicks_between")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expect, s"got ${got.size} expect ${expect.size}")
+  }
+
   test("ts_fill: complete hourly grid per type after its first datum; fills carry last value") {
     import spark.implicits._
     val rows = Events.tsFill(spark, dir)
