@@ -256,13 +256,42 @@ object Similarity {
        |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp
        |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
+  // ─── ann_retrieve: vector search joined back to the payload ───
+  // The retrieval composition (the RAG shape): top-k neighbor ids
+  // from the vector index, then ONE equijoin to fetch the documents'
+  // payload. The hit set is tiny (queries × k) so it broadcasts;
+  // the corpus-sized documents table never shuffles — at 100 TB the
+  // payload fetch is a broadcast-hash probe into the doc store, not
+  // a join of two big sides. Snippet is a deterministic prefix (both
+  // engines count characters, so zh text round-trips).
+  def annRetrieve(spark: SparkSession, dir: String): DataFrame = {
+    val hits = annBruteforce(spark, dir)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    Tables(spark, dir).documents
+      .join(broadcast(hits), col("doc_id") === col("neighbor_id"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("lang"), col("n_chars"),
+        substring(col("text"), 1, 40).as("snippet"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annRetrieveSql: String =
+    s"""WITH hits AS (
+       |  SELECT query_id, rank, neighbor_id FROM ($annBruteforceSql))
+       |SELECT h.query_id, h.rank, h.neighbor_id, d.lang, d.n_chars,
+       |  substr(d.text, 1, 40) AS snippet
+       |FROM hits h JOIN documents d ON d.doc_id = h.neighbor_id
+       |ORDER BY h.query_id, h.rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
-    "ann_ivf" -> annIvf)
+    "ann_ivf" -> annIvf,
+    "ann_retrieve" -> annRetrieve)
 
   val oracle: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
-    "ann_ivf" -> annIvfSql)
+    "ann_ivf" -> annIvfSql,
+    "ann_retrieve" -> annRetrieveSql)
 }

@@ -85,6 +85,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ann_retrieve broadcasts the hit set, never the corpus") {
+    import spark.implicits._
+    val df = Similarity.annRetrieve(spark, dir)
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "payload fetch must be a broadcast-hash probe")
+    // Hits join 1:1 onto their documents.
+    val hits = Similarity.annBruteforce(spark, dir).count()
+    assert(df.count() == hits, "every hit resolves to exactly one document")
+    df.select($"snippet").as[String].collect()
+      .foreach(s => assert(s.length <= 40))
+  }
+
   test("incremental dedup broadcasts the delta, not the index") {
     val p = Dedup.dedupIncremental(spark, dir)
       .queryExecution.executedPlan.toString
