@@ -158,15 +158,69 @@ object TextAnalysis {
       |  FROM documents
       |) ORDER BY doc_id""".stripMargin
 
+  // ─── text_ngram_top: top bigrams per language by document frequency ───
+  // Corpus-level n-gram statistics (contamination checks, boilerplate
+  // detection, vocabulary drift): distinct bigrams PER DOCUMENT
+  // (document frequency, not raw term count — a single spammy doc
+  // can't dominate), aggregated per (lang, bigram) with map-side
+  // combine, then a per-language top-5 window. Tokens materialize in
+  // their own projection before the bigram lambda (HOF re-evaluation
+  // pitfall — see Dedup.docShingles).
+  private val topN = 5
+
+  def textNgramTop(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(col("text"), " "), w => w =!= "")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("df").desc, col("bigram"))
+    docs(spark, dir)
+      .select(col("lang"), toks.as("t"))
+      .select(col("lang"),
+        when(size(col("t")) >= 2,
+          array_distinct(transform(sequence(lit(0), size(col("t")) - 2),
+            i => concat_ws(" ",
+              element_at(col("t"), i + 1), element_at(col("t"), i + 2)))))
+          .otherwise(array().cast("array<string>")).as("bg"))
+      .select(col("lang"), explode_outer(col("bg")).as("bigram"))
+      .filter(col("bigram").isNotNull)
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("lang"), col("rank"), col("bigram"), col("df"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val textNgramTopSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split(text, ' '), w -> w <> '') AS w
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, lang,
+       |    list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS b
+       |  FROM tok),
+       |rows_ AS (SELECT lang, unnest(b) AS bigram FROM bg),
+       |dfc AS (SELECT lang, bigram, count(*) AS df FROM rows_ GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT lang, bigram, df,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY lang ORDER BY df DESC, bigram) AS BIGINT) AS rank
+       |  FROM dfc)
+       |SELECT lang, rank, bigram, df FROM rk WHERE rank <= $topN
+       |ORDER BY lang, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
-    "text_fingerprint" -> textFingerprint)
+    "text_fingerprint" -> textFingerprint,
+    "text_ngram_top" -> textNgramTop)
 
   val oracle: Map[String, String] = Map(
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
-    "text_fingerprint" -> textFingerprintSql)
+    "text_fingerprint" -> textFingerprintSql,
+    "text_ngram_top" -> textNgramTopSql)
 }
