@@ -101,6 +101,33 @@ class StreamRelationalSpec extends AnyFunSuite {
       s"second session after the 40-min gap: $got")
   }
 
+  test("stream-static enrichment joins the stream against a broadcast dimension") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    // Static dimension from the batch tables; the stream enriches
+    // against it per micro-batch — the standard lookup-join shape.
+    // The dim is broadcast, so the stream side never shuffles.
+    val dim = Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("doc_id"), col("lang"))
+    val in = MemoryStream[UserEv]
+    val out = in.toDF()
+      .join(broadcast(dim), col("user_id") === col("doc_id"))
+      .select(col("user_id"), col("lang"))
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    try {
+      in.addData(UserEv(0, ts("2026-01-01 10:00:00")),
+        UserEv(1, ts("2026-01-01 10:00:01")),
+        UserEv(999999, ts("2026-01-01 10:00:02"))) // no dim row: dropped
+      out.processAllAvailable()
+    } finally out.stop()
+
+    val expected = dim.filter(col("doc_id").isin(0L, 1L))
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect().toSet
+    val got = spark.table("enrich").as[(Long, String)].collect().toSet
+    assert(got == expected, s"got $got expect $expected")
+  }
+
   test("interval join state is bounded by the watermark (metrics)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
