@@ -394,9 +394,12 @@ object Dedup {
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val (sigs, _) = minhashSigsAndCand(spark, dir)
     // Index-maintenance metadata, driver-computed like table stats.
-    val cutoff = math.floor(
-      Tables(spark, dir).documents.agg(max(col("doc_id"))).head.getLong(0)
-        * deltaFrac).toLong
+    // max() over an empty corpus is NULL — treat as cutoff 0 (no
+    // delta, empty output) instead of crashing the first-ever run.
+    val maxRow = Tables(spark, dir).documents.agg(max(col("doc_id"))).head
+    val cutoff =
+      if (maxRow.isNullAt(0)) 0L
+      else math.floor(maxRow.getLong(0) * deltaFrac).toLong
     val index = bandedOf(sigs)
     val delta = index.filter(col("doc_id") >= cutoff)
     index.as("a").join(broadcast(delta.as("b")),
