@@ -36,4 +36,21 @@ object Tables {
   def centsSql(x: String): String = s"CAST(floor(($x) * 100 + 0.5) AS BIGINT)"
   /** Ratio → basis points (x10000). */
   def bpSql(x: String): String = s"CAST(floor(($x) * 10000 + 0.5) AS BIGINT)"
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** SQL-first entry point: register every table as a temp view so
+    * `spark.sql("SELECT … FROM lineitem JOIN orders …")` works
+    * directly — the same schema'd readers (events keeps its
+    * nanos→micros conversion), so SQL and DataFrame callers see
+    * identical data. */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    val t = Tables(spark, dir)
+    Seq("region" -> t.region, "nation" -> t.nation, "customer" -> t.customer,
+      "supplier" -> t.supplier, "part" -> t.part, "orders" -> t.orders,
+      "lineitem" -> t.lineitem, "events" -> t.events,
+      "documents" -> t.documents, "embeddings" -> t.embeddings)
+      .foreach { case (n, df) => df.createOrReplaceTempView(n) }
+  }
 }
