@@ -264,6 +264,11 @@ object Dedup {
   }
 
   // ─── dedup_cluster: connected components over the pair graph ───
+  // (Min-label propagation with pointer-jumping is the DataFrame
+  // rendition of the alternating large-star/small-star algorithms in
+  // Kiveris et al., "Connected Components in MapReduce and Beyond",
+  // SoCC 2014 — O(log d) rounds, per-round state bounded by the edge
+  // set.)
   // Pairs are not clusters: a production dedup pipeline must merge
   // transitively-connected near-dup pairs (A~B, B~C ⇒ {A,B,C}) and
   // elect one canonical doc per component. Iterative min-label

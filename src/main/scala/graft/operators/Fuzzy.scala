@@ -5,7 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Fuzzy (edit-distance) string matching — the entity-resolution
-  * primitive. A naive similarity join is a cross join with a
+  * primitive. (The wildcard/deletion neighborhood blocking is the
+  * classic partition-based edit-distance filter — cf. Li et al.,
+  * "PassJoin: A Partition-based Method for Similarity Joins",
+  * VLDB 2012, and the FastSS deletion-neighborhood technique.) A naive similarity join is a cross join with a
   * levenshtein() predicate: O(n²) compares and a nested-loop plan,
   * fatal at scale. For threshold t=1 the neighborhood-blocking
   * transform makes it an EQUIJOIN: two strings are within edit

@@ -77,8 +77,10 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
 
   // ─── sample_temperature: α-balanced multilingual sampling ───
-  // The standard multilingual-corpus rebalance (the mT5/CC-100
-  // trick): sample language i with probability ∝ p_i^α / p_i so
+  // The standard multilingual-corpus rebalance (exponentially-
+  // smoothed sampling as in the mBERT/XLM-R/mT5 recipes — cf. Xue et
+  // al., "mT5", NAACL 2021 §3): sample language i with probability
+  // ∝ p_i^α / p_i so
   // rare languages are upsampled relative to their share. α = 0.5
   // deliberately: the per-language keep rate reduces to
   // sqrt(p_min / p_i) — division and square root are both
