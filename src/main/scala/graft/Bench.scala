@@ -68,7 +68,9 @@ object Bench {
           }
         }
       }
-      name -> (if (samples.isEmpty) None else Some(median(samples.toSeq)))
+      // timings and the failed list are mutually exclusive: a broken
+      // query's pre-failure samples are not a timing for the query.
+      name -> (if (broken || samples.isEmpty) None else Some(median(samples.toSeq)))
     }
     val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

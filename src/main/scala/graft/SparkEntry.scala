@@ -20,7 +20,7 @@ object SparkEntry {
       TextAnalysis.queries ++ Pipeline.queries ++
       ScaleOps.queries ++ Cdc.queries ++ Fuzzy.queries ++
       Trike.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++
+      Multimodal.queries ++ Graph.queries ++
       Map("shard_journal" ->
         ((s: SparkSession, d: String) => graft.sources.ShardedJournal.shardJournal(s, d)))
 
@@ -31,6 +31,6 @@ object SparkEntry {
       TextAnalysis.oracle ++ Pipeline.oracle ++
       ScaleOps.oracle ++ Cdc.oracle ++ Fuzzy.oracle ++
       Trike.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      Multimodal.oracle ++
+      Multimodal.oracle ++ Graph.oracle ++
       Map("shard_journal" -> graft.sources.ShardedJournal.shardJournalSql())
 }

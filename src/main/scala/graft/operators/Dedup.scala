@@ -169,7 +169,15 @@ object Dedup {
     * call. Each call unpersists its predecessor, so a long-lived
     * session (Verify runs all 40+ queries in one SparkSession) holds at
     * most one cached signature block set at a time instead of
-    * accumulating one per invocation. */
+    * accumulating one per invocation.
+    *
+    * SEQUENTIAL-EXECUTION ASSUMPTION: because the cache is scoped to
+    * the object, a dedup entry point invalidates the (lazy) frame the
+    * PREVIOUS entry point returned — interleaved callers that hold
+    * both results silently recompute the whole minhash pipeline when
+    * the earlier frame is re-executed. Run each returned frame's
+    * action before requesting the next query (Verify/Bench do), or
+    * persist results you intend to interleave. */
   private var lastSigs: Option[DataFrame] = None
 
   /** One (doc_id, band, bh) row per band — the LSH band index. */
@@ -264,92 +272,43 @@ object Dedup {
   }
 
   // ─── dedup_cluster: connected components over the pair graph ───
-  // (Min-label propagation with pointer-jumping is the DataFrame
-  // rendition of the alternating large-star/small-star algorithms in
-  // Kiveris et al., "Connected Components in MapReduce and Beyond",
-  // SoCC 2014 — O(log d) rounds, per-round state bounded by the edge
-  // set.)
   // Pairs are not clusters: a production dedup pipeline must merge
   // transitively-connected near-dup pairs (A~B, B~C ⇒ {A,B,C}) and
-  // elect one canonical doc per component. Iterative min-label
-  // propagation in pure DataFrame ops: each round every node adopts
-  // the minimum label among itself and its neighbors; converged when
-  // the label-sum stops decreasing (labels are monotone non-increasing
-  // integers, so an unchanged sum ⇔ a fixpoint). Rounds are O(graph
-  // diameter) — near-dup components are dense (band collisions create
-  // cliques), so this converges in a handful of rounds; each round is
-  // one shuffle join over the EDGE set only (near-dup docs, a tiny
-  // fraction of the corpus), never the corpus. localCheckpoint every
-  // round truncates the lineage so the plan doesn't grow per
-  // iteration (the classic iterative-DataFrame trap).
-  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+  // elect one canonical doc per component. The iteration lives in
+  // Graph.connectedComponents (min-label propagation + pointer
+  // jumping, O(log d) rounds, per-round checkpoint-block hygiene);
+  // this query supplies the MinHash pair graph and the output shape.
+
+  /** Both directions of the candidate pair graph, via ONE explode
+    * pass over cand — a union(cand, cand.flipped) would evaluate the
+    * banded self-join twice (only sigs is persisted, not cand).
+    * Callers iterating over the edges should persist the frame. */
+  private[operators] def pairEdges(spark: SparkSession, dir: String): DataFrame = {
     val (_, cand) = minhashSigsAndCand(spark, dir)
-    // Both directions via ONE explode pass over cand — a
-    // union(cand, cand.flipped) would evaluate the banded self-join
-    // twice (only sigs is persisted, not cand).
-    val edges = cand.select(explode(array(
+    cand.select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+  }
+
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val edges = pairEdges(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // Lazy localCheckpoints: truncation still happens (the first
-      // action over the frame materializes the checkpoint blocks),
-      // but the convergence-sum action below doubles as that first
-      // action — one Spark job per round instead of two. The rounds
-      // are overhead-dominated (tiny data, fixed job latency), so
-      // halving the job count nearly halves the loop.
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("lbl", col("node"))
-        .localCheckpoint(eager = false)
-      var prevSum = BigDecimal(-1)
-      var converged = false
-      var rounds = 0
-      val maxRounds = 50
-      while (!converged && rounds < maxRounds) {
-        val nbrMin = edges.join(labels, edges("src") === labels("node"))
-          .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
-        val propagated = labels.join(nbrMin, labels("node") === nbrMin("dst"), "left")
-          .select(col("node"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        // Pointer-jumping shortcut: also adopt the label OF my label
-        // (every lbl is itself a node). Neighbor-min alone needs
-        // O(diameter) rounds — a drifted chain A1~A2~…~A60 would blow
-        // the round cap; with the shortcut the propagation distance
-        // doubles per round, so maxRounds=50 covers diameters past
-        // 2^49. Costs one extra small join per round.
-        val m = propagated.select(col("node").as("k"), col("lbl").as("v"))
-        labels = propagated.join(m, propagated("lbl") === m("k"), "left")
-          .select(col("node"),
-            least(col("lbl"), coalesce(col("v"), col("lbl"))).as("lbl"))
-          .localCheckpoint(eager = false)
-        val s = labels.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
-        if (s == null) converged = true // empty pair graph
-        else {
-          val cur = BigDecimal(s)
-          converged = cur == prevSum
-          prevSum = cur
-        }
-        rounds += 1
-        if (sys.env.contains("GRAFT_CC_DEBUG"))
-          System.err.println(s"[cc] round $rounds sum=$prevSum converged=$converged")
-      }
-      // Fail loudly rather than return a partially-merged clustering:
-      // a silent wrong answer would also silently disagree with the
-      // transitive-closure oracle.
-      require(converged,
-        s"dedupCluster: label propagation did not converge in $maxRounds rounds")
-      labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+      Graph.connectedComponents(edges, "dedupCluster")
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
           (col("node") === col("lbl")).as("is_canonical"))
         .orderBy(col("doc_id"))
     } finally edges.unpersist(blocking = false)
   }
 
-  /** DuckDB twin: transitive closure by recursive CTE, component id =
+  /** Shared oracle prefix: the MinHash pair graph's edges plus its
+    * transitive closure (`reach`) by recursive CTE, component id =
     * min reachable node (including self). Fine at oracle scale; the
     * Spark side uses label propagation instead because a closure is
-    * quadratic in component size. */
-  val dedupClusterSql: String = {
+    * quadratic in component size. Callers prepend WITH RECURSIVE.
+    * Shared with Graph.graphComponentsSql. */
+  private[operators] lazy val ccReachCtes: String = {
     val minCols = (0 until nPerms).map { j =>
       s"min((h * ${permCoef(j)._1} + ${permCoef(j)._2}) % $P31) AS m$j"
     }.mkString(",\n    ")
@@ -358,7 +317,7 @@ object Dedup {
         .reduce((acc, x) => s"($acc * 31 + $x)")
       s"SELECT doc_id, $b AS band, $bh AS bh FROM sigs"
     }.mkString("\n  UNION ALL ")
-    s"""WITH RECURSIVE $docShinglesSql,
+    s"""$docShinglesSql,
        |srows AS (SELECT doc_id, unnest(sh) AS s FROM shdocs),
        |hs AS (SELECT doc_id, ${h31Sql("s")} AS h FROM srows),
        |sigs AS (SELECT doc_id,
@@ -375,11 +334,14 @@ object Dedup {
        |reach(node, x) AS (
        |  SELECT src, src FROM edges
        |  UNION
-       |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.x = e.src)
+       |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.x = e.src)""".stripMargin
+  }
+
+  val dedupClusterSql: String =
+    s"""WITH RECURSIVE $ccReachCtes
        |SELECT node AS doc_id, MIN(x) AS cluster_id,
        |  (node = MIN(x)) AS is_canonical
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
-  }
 
   // ─── dedup_incremental: delta-vs-corpus LSH dedup ───
   // The production shape for "dedupe today's crawl against the
@@ -407,6 +369,12 @@ object Dedup {
       else math.floor(maxRow.getLong(0) * deltaFrac).toLong
     val index = bandedOf(sigs)
     val delta = index.filter(col("doc_id") >= cutoff)
+    // The broadcast hint assumes a GENUINELY small ingest batch (the
+    // production contract: one crawl increment vs the whole corpus).
+    // The 10%-of-corpus delta below is only the test-data stand-in —
+    // at a real 100 TB deployment the increment is orders of magnitude
+    // below the broadcast threshold; if a caller ever feeds a large
+    // delta, drop the hint and let AQE pick the join side.
     index.as("a").join(broadcast(delta.as("b")),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))

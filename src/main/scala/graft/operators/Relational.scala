@@ -329,10 +329,12 @@ object Relational {
   // per group — then a cumulative-count window over the (much
   // smaller) distinct values locates the two order statistics
   // bracketing each target rank, and a final tiny agg interpolates.
-  // The interpolation replays Spark's Percentile formula bit-for-bit
-  // (lower*(hi-pos) + upper*(pos-lo), pos = p*(n-1)) so the DuckDB
-  // percentile_cont oracle keeps hash-matching through the cents
-  // rounding.
+  // The interpolation replays DuckDB percentile_cont's formula in its
+  // exact float evaluation order (lo + (hi-lo)*frac, pos = p*(n-1)) —
+  // algebraically equal to Spark's own Percentile form
+  // lo*(ceil-pos) + hi*(pos-floor), but the DuckDB order means the
+  // two engines agree to the last ulp, not merely within the cents
+  // quantization margin.
   def q15Percentile(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = Tables(spark, dir).lineitem
@@ -352,7 +354,7 @@ object Relational {
       min(when(col("cum") >= ceil(pos(p)) + 1, col("l_extendedprice")))
     def interp(posC: Column, lo: Column, hi: Column): Column =
       when(floor(posC) === ceil(posC), lo)
-        .otherwise(lo * (ceil(posC) - posC) + hi * (posC - floor(posC)))
+        .otherwise(lo + (hi - lo) * (posC - floor(posC)))
     c.groupBy(col("l_returnflag"))
       .agg(
         lowVal(0.5).as("lo50"), highVal(0.5).as("hi50"), max(pos(0.5)).as("pos50"),

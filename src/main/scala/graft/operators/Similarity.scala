@@ -258,14 +258,16 @@ object Similarity {
 
   // ─── ann_retrieve: vector search joined back to the payload ───
   // The retrieval composition (the RAG shape): top-k neighbor ids
-  // from the vector index, then ONE equijoin to fetch the documents'
-  // payload. The hit set is tiny (queries × k) so it broadcasts;
-  // the corpus-sized documents table never shuffles — at 100 TB the
+  // from the LSH INDEX (annLsh — candidates per query track bucket
+  // occupancy, never the corpus; annBruteforce stays its own oracle
+  // baseline), then ONE equijoin to fetch the documents' payload.
+  // The hit set is tiny (queries × k) so it broadcasts; the
+  // corpus-sized documents table never shuffles — at 100 TB the
   // payload fetch is a broadcast-hash probe into the doc store, not
   // a join of two big sides. Snippet is a deterministic prefix (both
   // engines count characters, so zh text round-trips).
   def annRetrieve(spark: SparkSession, dir: String): DataFrame = {
-    val hits = annBruteforce(spark, dir)
+    val hits = annLsh(spark, dir)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
     Tables(spark, dir).documents
       .join(broadcast(hits), col("doc_id") === col("neighbor_id"))
@@ -277,7 +279,7 @@ object Similarity {
 
   val annRetrieveSql: String =
     s"""WITH hits AS (
-       |  SELECT query_id, rank, neighbor_id FROM ($annBruteforceSql))
+       |  SELECT query_id, rank, neighbor_id FROM ($annLshSql))
        |SELECT h.query_id, h.rank, h.neighbor_id, d.lang, d.n_chars,
        |  substr(d.text, 1, 40) AS snippet
        |FROM hits h JOIN documents d ON d.doc_id = h.neighbor_id

@@ -88,10 +88,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
   test("ann_retrieve broadcasts the hit set, never the corpus") {
     import spark.implicits._
     val df = Similarity.annRetrieve(spark, dir)
-    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
       "payload fetch must be a broadcast-hash probe")
+    // Retrieval rides the LSH index: no queries×corpus cosine scoring
+    // anywhere in the plan — candidates come from bucket equijoins, so
+    // a nested-loop join (the brute-force composition's signature)
+    // must not appear.
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "retrieve must compose on the index, not the brute-force baseline")
     // Hits join 1:1 onto their documents.
-    val hits = Similarity.annBruteforce(spark, dir).count()
+    val hits = Similarity.annLsh(spark, dir).count()
     assert(df.count() == hits, "every hit resolves to exactly one document")
     df.select($"snippet").as[String].collect()
       .foreach(s => assert(s.length <= 40))
