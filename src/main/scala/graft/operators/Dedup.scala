@@ -421,6 +421,10 @@ object Dedup {
   // this carries a full SQL oracle. Votes are 60 sum() aggregate
   // columns over exploded shingle-hash rows (map-side combine, no
   // array lambdas — same rationale as dedupMinhashLsh).
+  // Codegen width measured (round 5, sf0.1): the 60-column aggregate
+  // emits no hugeMethodLimit/64KB splits and no "Broadcasting large
+  // task binary" growth — runtime is dominated by the shared
+  // shingle+md5 pipeline, so lane-packing the votes would not pay.
   private val nBits = 60
   private val chunkBits = 15
   private val hammingMax = 16

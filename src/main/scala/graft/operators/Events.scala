@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -200,41 +200,143 @@ object Events {
       |  AND CAST(floor(epoch(next_ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) <= 3600
       |ORDER BY err_id""".stripMargin
 
-  // ─── ev_pattern_quant: quantified 3-step sequence ───
-  // MATCH_RECOGNIZE with a quantifier: error, then AT LEAST ONE
-  // click, then the next purchase — all inside 48 hours (the event
-  // stream is sparse: ~1 event/user/10h, so a tighter window never
-  // contains an intermediate click). No
-  // self-joins: a running click count per user plus two
-  // conditional-min windows over the FOLLOWING rows. The trick that
-  // keeps it one pass: cum_clicks is monotone in event order, so the
-  // earliest following purchase also carries the MINIMUM cum_clicks
-  // among following purchases — min() recovers both its time and its
-  // click count without joining back to the purchase row. Clicks
-  // strictly between the two anchors = cum(purchase) − cum(error)
-  // (neither anchor is a click). One shuffle on user_id, linear per
-  // key.
-  def evPatternQuant(spark: SparkSession, dir: String): DataFrame = {
+  // ─── seqMatch: k-step MATCH_RECOGNIZE-lite compiler ───
+  // Generalizes the round-4 hand-built quantified query: a pattern is
+  // m ≥ 2 anchor predicates a_1..a_m with a quantified FILLER between
+  // consecutive anchors (at least minCount events matching fillPred
+  // strictly between them), all inside windowSec from the first to
+  // the last anchor. Semantics: skip-till-next-match with greedy
+  // earliest anchors — anchor i+1 is the first matching event after
+  // anchor i (the semantics the 3-step query shipped with).
+  //
+  // Compilation keeps the one-pass shape at any m: ONE shuffle on
+  // user_id; per-slot cumulative counts plus m−1 argmin-struct window
+  // passes all share the same (ts, event_id) sort. The chain trick:
+  // anchor i's window min carries a STRUCT snapshot of that row —
+  // (us, event_id, every cum counter, and anchor i+1's snapshot
+  // taken at that row) — so "the b after my a, then the c after that
+  // b" resolves by struct field access, never a self-join. Struct
+  // min is lexicographic with event time first, so it picks the
+  // earliest matching row; cum counters are monotone in event order,
+  // so count-between = cum difference between snapshots.
+  def seqMatch(events: DataFrame, anchors: Seq[Column],
+      fills: Seq[(Column, Int)], windowSec: Long): DataFrame = {
+    require(anchors.size >= 2 && fills.size == anchors.size - 1,
+      "pattern = m >= 2 anchors with m-1 quantified fillers")
+    val m = anchors.size
     val order = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val upTo = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val after = order.rowsBetween(1, Window.unboundedFollowing)
-    Tables(spark, dir).events
-      .withColumn("cum_clicks",
-        sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(upTo))
-      .withColumn("np_ts",
-        min(when(col("event_type") === "purchase", col("ts"))).over(after))
-      .withColumn("np_cum",
-        min(when(col("event_type") === "purchase", col("cum_clicks"))).over(after))
-      .filter(col("event_type") === "error" && col("np_ts").isNotNull &&
-        epochS(col("np_ts")) - epochS(col("ts")) <= 172800 &&
-        col("np_cum") - col("cum_clicks") >= 1)
-      .select(col("user_id"), col("event_id").as("err_id"),
-        epochS(col("ts")).as("err_epoch"),
-        (epochS(col("np_ts")) - epochS(col("ts"))).as("gap_sec"),
-        (col("np_cum") - col("cum_clicks")).as("n_clicks_between"))
-      .orderBy(col("err_id"))
+    val withCums = fills.zipWithIndex.foldLeft(
+      events.withColumn("us", unix_micros(col("ts")))) {
+      case (df, ((fp, _), j)) =>
+        df.withColumn(s"cum_$j", sum(when(fp, 1L).otherwise(0L)).over(upTo))
+    }
+    val chained = ((m - 1) to 1 by -1).foldLeft(withCums) { (df, i) =>
+      val payload = Seq(col("us").as("us"), col("event_id").as("eid")) ++
+        fills.indices.map(j => col(s"cum_$j").as(s"cum_$j")) ++
+        (if (i < m - 1) Seq(col(s"nx_${i + 1}").as("nx")) else Nil)
+      df.withColumn(s"nx_$i",
+        min(when(anchors(i), struct(payload: _*))).over(after))
+    }
+    // The snapshot of anchor i (1-based): nx_1(.nx)^(i-1). A broken
+    // chain surfaces as a null at the first missing link (getField on
+    // null is null), so one isNotNull per anchor covers it.
+    def at(i: Int): Column =
+      (2 to i).foldLeft(col("nx_1"))((c, _) => c.getField("nx"))
+    def epochOf(us: Column): Column = floor(us / 1e6).cast("long")
+    val gap = epochOf(at(m - 1).getField("us")) - epochOf(col("us"))
+    val fillConds = fills.zipWithIndex.map { case ((_, minN), j) =>
+      val prev = if (j == 0) col(s"cum_$j") else at(j).getField(s"cum_$j")
+      (at(j + 1).getField(s"cum_$j") - prev) >= minN
+    }
+    chained.filter(anchors.head)
+      .filter((1 until m).map(i => at(i).isNotNull).reduce(_ && _))
+      .filter(gap <= windowSec)
+      .filter(fillConds.reduce(_ && _))
+      .select(
+        Seq(col("user_id"), col("event_id").as("a1_id"),
+          epochOf(col("us")).as("a1_epoch")) ++
+        (2 to m).map(i => epochOf(at(i - 1).getField("us")).as(s"a${i}_epoch")) ++
+        Seq(gap.as("gap_sec")) ++
+        fills.indices.map { j =>
+          val prev = if (j == 0) col(s"cum_$j") else at(j).getField(s"cum_$j")
+          (at(j + 1).getField(s"cum_$j") - prev).as(s"n_fill_$j")
+        }: _*)
+      .orderBy(col("a1_id"))
   }
+
+  /** DuckDB twin generator for seqMatch — the same cum-counter +
+    * struct-argmin chain emitted from the same pattern description
+    * (DuckDB orders structs lexicographically by field position, like
+    * Spark, so both engines pick identical anchor rows). */
+  def seqMatchSql(anchorsSql: Seq[String], fillsSql: Seq[(String, Int)],
+      windowSec: Long): String = {
+    val m = anchorsSql.size
+    val cumCols = fillsSql.zipWithIndex.map { case ((fp, _), j) =>
+      s"""sum(CASE WHEN $fp THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_$j""".stripMargin
+    }
+    val after = """PARTITION BY user_id ORDER BY ts, event_id
+                  |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING""".stripMargin
+    val ctes = ((m - 1) to 1 by -1).map { i =>
+      val fields = Seq("'us': us", "'eid': event_id") ++
+        fillsSql.indices.map(j => s"'cum_$j': cum_$j") ++
+        (if (i < m - 1) Seq(s"'nx': nx_${i + 1}") else Nil)
+      val src = if (i == m - 1) "cums" else s"n${i + 1}"
+      s"""n$i AS (SELECT *, min(CASE WHEN ${anchorsSql(i)}
+         |    THEN {${fields.mkString(", ")}} END) OVER (
+         |      $after) AS nx_$i FROM $src)""".stripMargin
+    }
+    def path(i: Int): String =
+      (2 to i).foldLeft("nx_1")((s, _) => s"struct_extract($s, 'nx')")
+    def fld(i: Int, f: String): String = s"struct_extract(${path(i)}, '$f')"
+    val epoch1 = "CAST(us // 1000000 AS BIGINT)"
+    def epochAt(i: Int) = s"CAST(${fld(i, "us")} // 1000000 AS BIGINT)"
+    val gap = s"${epochAt(m - 1)} - $epoch1"
+    val notNulls = (1 until m).map(i => s"${path(i)} IS NOT NULL")
+    val fillConds = fillsSql.zipWithIndex.map { case ((_, minN), j) =>
+      val prev = if (j == 0) s"cum_$j" else fld(j, s"cum_$j")
+      s"${fld(j + 1, s"cum_$j")} - $prev >= $minN"
+    }
+    val nFills = fillsSql.indices.map { j =>
+      val prev = if (j == 0) s"cum_$j" else fld(j, s"cum_$j")
+      s"CAST(${fld(j + 1, s"cum_$j")} - $prev AS BIGINT) AS n_fill_$j"
+    }
+    val aEpochs = (2 to m).map(i => s"${epochAt(i - 1)} AS a${i}_epoch")
+    s"""WITH base AS (SELECT *, epoch_us(ts) AS us FROM events),
+       |cums AS (SELECT *,
+       |    ${cumCols.mkString(",\n    ")}
+       |  FROM base),
+       |${ctes.mkString(",\n")}
+       |SELECT user_id, event_id AS a1_id, $epoch1 AS a1_epoch,
+       |  ${aEpochs.mkString(", ")},
+       |  CAST($gap AS BIGINT) AS gap_sec,
+       |  ${nFills.mkString(", ")}
+       |FROM n1
+       |WHERE ${anchorsSql.head} AND ${notNulls.mkString(" AND ")}
+       |  AND $gap <= $windowSec AND ${fillConds.mkString(" AND ")}
+       |ORDER BY a1_id""".stripMargin
+  }
+
+  // ─── ev_pattern_quant: quantified 3-step sequence ───
+  // error, then AT LEAST ONE click, then the next purchase — all
+  // inside 48 hours. Expressed through the seqMatch compiler; the
+  // hand-written oracle below predates the compiler and pins the
+  // semantics the builder must reproduce (it has, hash-exact, since
+  // round 4).
+  def evPatternQuant(spark: SparkSession, dir: String): DataFrame =
+    seqMatch(Tables(spark, dir).events,
+      anchors = Seq(col("event_type") === "error",
+        col("event_type") === "purchase"),
+      fills = Seq((col("event_type") === "click", 1)),
+      windowSec = 172800)
+      .select(col("user_id"), col("a1_id").as("err_id"),
+        col("a1_epoch").as("err_epoch"), col("gap_sec"),
+        col("n_fill_0").as("n_clicks_between"))
+      .orderBy(col("err_id"))
 
   val evPatternQuantSql: String =
     """WITH seq AS (
@@ -259,6 +361,38 @@ object Events {
       |  AND CAST(floor(epoch(np_ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) <= 172800
       |  AND np_cum - cum_clicks >= 1
       |ORDER BY err_id""".stripMargin
+
+  // ─── ev_pattern_seq: 4-step quantified sequence via seqMatch ───
+  // signup, then AT LEAST ONE click, then an error, then (≥0 clicks
+  // and) a purchase — first to last anchor inside 30 days. The
+  // 4-step pattern (3 anchors, 2 filler slots) exercises the nested
+  // anchor chain the 2-anchor queries never reach; its oracle is
+  // GENERATED from the same pattern description by seqMatchSql.
+  def evPatternSeq(spark: SparkSession, dir: String): DataFrame =
+    seqMatch(Tables(spark, dir).events,
+      anchors = Seq(col("event_type") === "signup",
+        col("event_type") === "error", col("event_type") === "purchase"),
+      fills = Seq((col("event_type") === "click", 1),
+        (col("event_type") === "click", 0)),
+      windowSec = 2592000)
+      .select(col("user_id"), col("a1_id").as("signup_id"),
+        col("a1_epoch").as("signup_epoch"), col("a2_epoch").as("error_epoch"),
+        col("a3_epoch").as("purchase_epoch"), col("gap_sec"),
+        col("n_fill_0").as("n_clicks_before_error"),
+        col("n_fill_1").as("n_clicks_after_error"))
+      .orderBy(col("signup_id"))
+
+  val evPatternSeqSql: String = {
+    val inner = seqMatchSql(
+      Seq("event_type = 'signup'", "event_type = 'error'",
+        "event_type = 'purchase'"),
+      Seq(("event_type = 'click'", 1), ("event_type = 'click'", 0)),
+      2592000)
+    s"""SELECT user_id, a1_id AS signup_id, a1_epoch AS signup_epoch,
+       |  a2_epoch AS error_epoch, a3_epoch AS purchase_epoch, gap_sec,
+       |  n_fill_0 AS n_clicks_before_error, n_fill_1 AS n_clicks_after_error
+       |FROM ($inner) ORDER BY signup_id""".stripMargin
+  }
 
   // ─── ts_fill: time-series resample + forward fill ───
   // Regularize the irregular event stream onto an hourly grid per
@@ -327,7 +461,8 @@ object Events {
     "ev_pattern" -> evPattern,
     "ts_fill" -> tsFill,
     "ev_session_native" -> evSessionNative,
-    "ev_pattern_quant" -> evPatternQuant)
+    "ev_pattern_quant" -> evPatternQuant,
+    "ev_pattern_seq" -> evPatternSeq)
 
   val oracle: Map[String, String] = Map(
     "ev_tumbling" -> evTumblingSql,
@@ -337,5 +472,6 @@ object Events {
     "ev_pattern" -> evPatternSql,
     "ts_fill" -> tsFillSql,
     "ev_session_native" -> evSessionNativeSql,
-    "ev_pattern_quant" -> evPatternQuantSql)
+    "ev_pattern_quant" -> evPatternQuantSql,
+    "ev_pattern_seq" -> evPatternSeqSql)
 }

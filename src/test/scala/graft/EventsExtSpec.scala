@@ -72,4 +72,33 @@ class EventsExtSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("seqMatch compiles a 3-anchor pattern with greedy earliest anchors") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    // user 1: a@0, b@10(click@5 between), c@20 → match, 1 click before b,
+    //         0 after. user 2: a@0 then c@10 but NO b → no match.
+    // user 3: a@0, b@10 with no click between → fails fill(click>=1).
+    // user 4: a@0, click@5, b@10, c@5000000 → outside the window.
+    val ev = Seq(
+      (1L, 1L, t(0), "a"), (1L, 2L, t(5), "click"), (1L, 3L, t(10), "b"),
+      (1L, 4L, t(15), "click"), (1L, 5L, t(20), "c"),
+      (2L, 10L, t(0), "a"), (2L, 11L, t(10), "c"),
+      (3L, 20L, t(0), "a"), (3L, 21L, t(10), "b"), (3L, 22L, t(20), "c"),
+      (4L, 30L, t(0), "a"), (4L, 31L, t(5), "click"), (4L, 32L, t(10), "b"),
+      (4L, 33L, t(5000000), "c")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Events.seqMatch(ev,
+      anchors = Seq(col("event_type") === "a", col("event_type") === "b",
+        col("event_type") === "c"),
+      fills = Seq((col("event_type") === "click", 1),
+        (col("event_type") === "click", 0)),
+      windowSec = 3600)
+      .select($"user_id", $"a1_id", $"a2_epoch", $"a3_epoch", $"gap_sec",
+        $"n_fill_0", $"n_fill_1").as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set((1L, 1L, 10L, 20L, 20L, 1L, 1L)),
+      s"expected exactly user 1's chain, got $got")
+  }
 }
