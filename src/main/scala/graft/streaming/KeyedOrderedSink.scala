@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions.col
   *    resumes from `client.lastSequence` (the cross-batch carry), then
   *    chains the returned sequence through the run of that key.
   *
+  * REPLAY IDEMPOTENCE (the exactly-once upgrade the reference can't
+  * express — proxy.ex retries re-put blindly): foreachBatch is
+  * at-least-once, re-running a failed micro-batch under the SAME
+  * batchId. Because the repartition+sort pipeline is deterministic, a
+  * replay presents each key's records in the identical order, so the
+  * client only needs a replay cursor: `putsInBatch(key, batchId)` says
+  * how many records of this (key, batch) already landed, and the
+  * writer skips exactly that many before resuming the chain. Clients
+  * that don't persist the cursor (the reference's contract) default
+  * to 0 = plain at-least-once. The guarantee requires `orderCols` to
+  * totally order each key's records within a batch.
+  *
   * Scale posture: the only data movement is the one shuffle on the
   * sink's own partitioning key; nothing is collected to the driver.
   */
@@ -31,11 +43,20 @@ object KeyedOrderedSink {
     * like the in-memory test sink, resolved via a static factory. */
   trait PutClient {
     /** Put one record; `seqForOrdering` must chain from the previous
-      * put for this key. Returns the service-assigned sequence. */
-    def put(partitionKey: String, data: String, seqForOrdering: Option[Long]): Long
+      * put for this key. `batchId` identifies the micro-batch for
+      * replay bookkeeping. Returns the service-assigned sequence. */
+    def put(partitionKey: String, data: String, seqForOrdering: Option[Long],
+      batchId: Long): Long
     /** The last sequence this client assigned for the key, if any —
       * the resume point when a new micro-batch begins. */
     def lastSequence(partitionKey: String): Option[Long]
+    /** Replay cursor: how many records of (key, batchId) this client
+      * already committed. A failed batch replays under the same
+      * batchId and in the same deterministic order, so the writer
+      * skips this many records before putting. Default 0 keeps the
+      * reference's at-least-once contract for clients that don't
+      * persist per-batch counts. */
+    def putsInBatch(partitionKey: String, batchId: Long): Long = 0L
   }
 
   /** Build the `foreachBatch` function. `client` is a factory invoked
@@ -52,7 +73,7 @@ object KeyedOrderedSink {
     * }}}
     */
   def orderedPuts(client: () => PutClient, keyCol: String, dataCol: String,
-    orderCols: Seq[String]): (DataFrame, Long) => Unit = { (batch, _) =>
+    orderCols: Seq[String]): (DataFrame, Long) => Unit = { (batch, batchId) =>
     batch
       .repartition(col(keyCol))
       .sortWithinPartitions((keyCol +: orderCols).map(col): _*)
@@ -61,13 +82,16 @@ object KeyedOrderedSink {
         val c = client()
         var currentKey: String = null
         var chain: Option[Long] = None
+        var skip = 0L
         it.foreach { r =>
           val key = r.getString(0)
           if (key != currentKey) {
             currentKey = key
             chain = c.lastSequence(key)
+            skip = c.putsInBatch(key, batchId)
           }
-          chain = Some(c.put(key, r.getString(1), chain))
+          if (skip > 0) skip -= 1 // already landed in a prior attempt
+          else chain = Some(c.put(key, r.getString(1), chain, batchId))
         }
       }
   }

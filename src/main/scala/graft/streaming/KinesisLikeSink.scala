@@ -16,7 +16,8 @@ import scala.collection.mutable
   * `foreachBatch`/`ForeachWriter` partitions.
   */
 final class KinesisLikeSink extends KeyedOrderedSink.PutClient {
-  final case class PutRecord(partitionKey: String, seq: Long, data: String)
+  final case class PutRecord(partitionKey: String, seq: Long, data: String,
+    batchId: Long)
 
   private val records = mutable.ArrayBuffer.empty[PutRecord]
   private val lastSeq = mutable.Map.empty[String, Long]
@@ -25,19 +26,26 @@ final class KinesisLikeSink extends KeyedOrderedSink.PutClient {
   /** Put one record; `seqForOrdering` must be the sequence number
     * returned by the previous put for this key (or None for the
     * first), mirroring sequence_number_for_ordering. */
-  def put(partitionKey: String, data: String,
-    seqForOrdering: Option[Long]): Long = synchronized {
+  def put(partitionKey: String, data: String, seqForOrdering: Option[Long],
+    batchId: Long): Long = synchronized {
     val expected = lastSeq.get(partitionKey)
     require(seqForOrdering == expected,
       s"out-of-order put for $partitionKey: got $seqForOrdering, chain is at $expected")
     nextSeq += 1
     lastSeq(partitionKey) = nextSeq
-    records += PutRecord(partitionKey, nextSeq, data)
+    records += PutRecord(partitionKey, nextSeq, data, batchId)
     nextSeq
   }
 
   def lastSequence(partitionKey: String): Option[Long] =
     synchronized(lastSeq.get(partitionKey))
+
+  /** Replay cursor (KeyedOrderedSink.PutClient): the per-(key, batch)
+    * committed-record count a durable service would persist alongside
+    * the records themselves. */
+  override def putsInBatch(partitionKey: String, batchId: Long): Long =
+    synchronized(records.count(r =>
+      r.partitionKey == partitionKey && r.batchId == batchId).toLong)
 
   def all: Seq[PutRecord] = synchronized(records.toVector)
 

@@ -72,13 +72,13 @@ class KeyedOrderedSinkSpec extends AnyFunSuite {
     val query = OcsPipeline.cloudEvents(input.toDF())
       .writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.orderBy(col("partitionkey"), col("receiveTs"), col("pos"))
           .select(col("partitionkey"), col("raw")).collect()
           .foldLeft(Map.empty[String, Long]) { (chain, r: Row) =>
             val key = r.getString(0)
             chain + (key -> KeyedOrderedSinkSpec.sharedSink.put(
-              key, r.getString(1), chain.get(key)))
+              key, r.getString(1), chain.get(key), batchId))
           }
         ()
       }
