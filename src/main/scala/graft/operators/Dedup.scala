@@ -308,7 +308,11 @@ object Dedup {
     * Spark side uses label propagation instead because a closure is
     * quadratic in component size. Callers prepend WITH RECURSIVE.
     * Shared with Graph.graphComponentsSql. */
-  private[operators] lazy val ccReachCtes: String = {
+  /** Oracle CTE prefix ending in `edges` — both directions of the
+    * MinHash pair graph. Shared by every graph-operator oracle
+    * (degrees, triangles, PageRank) that needs the edge set but not
+    * the transitive closure. */
+  private[operators] lazy val edgesCtes: String = {
     val minCols = (0 until nPerms).map { j =>
       s"min((h * ${permCoef(j)._1} + ${permCoef(j)._2}) % $P31) AS m$j"
     }.mkString(",\n    ")
@@ -329,13 +333,16 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
-       |          UNION SELECT doc_b, doc_a FROM cand),
+       |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |          UNION SELECT doc_b, doc_a FROM cand)""".stripMargin
+  }
+
+  private[operators] lazy val ccReachCtes: String =
+    s"""$edgesCtes,
        |reach(node, x) AS (
        |  SELECT src, src FROM edges
        |  UNION
        |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.x = e.src)""".stripMargin
-  }
 
   val dedupClusterSql: String =
     s"""WITH RECURSIVE $ccReachCtes

@@ -146,9 +146,182 @@ object Graph {
        |FROM sizes s JOIN ec ON s.cluster_id = ec.cluster_id
        |ORDER BY s.cluster_id""".stripMargin
 
+  /** Fixed-round sibling of `iterate` with the same checkpoint-block
+    * hygiene: each round is lazily localCheckpoint'ed, materialized by
+    * ONE count job, and round N−1's blocks are released as soon as
+    * round N is live. For algorithms whose round count is part of the
+    * semantics (power iteration) rather than a convergence test. */
+  def iterateRounds(init: DataFrame, rounds: Int)(
+      step: DataFrame => DataFrame): DataFrame = {
+    releaseRetired()
+    var cur = init.localCheckpoint(eager = false)
+    var curRdds = ckptRdds(cur)
+    for (_ <- 1 to rounds) {
+      val next = step(cur).localCheckpoint(eager = false)
+      val nextRdds = ckptRdds(next)
+      next.count() // materialize this round's checkpoint blocks
+      curRdds.foreach(_.unpersist(blocking = false))
+      cur = next
+      curRdds = nextRdds
+    }
+    synchronized { retired = curRdds }
+    cur
+  }
+
+  // ─── graph_degrees: degree histogram of the pair graph ───
+  // The first diagnostic over any similarity graph: how skewed is it?
+  // A heavy tail here predicts hot keys in every downstream bucket
+  // join. Two map-side-combining aggregations; never materializes
+  // anything per-pair beyond the edge list itself.
+  def graphDegrees(spark: SparkSession, dir: String): DataFrame =
+    Dedup.pairEdges(spark, dir)
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+      .orderBy(col("deg"))
+
+  val graphDegreesSql: String =
+    s"""WITH ${Dedup.edgesCtes},
+       |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src)
+       |SELECT deg, count(*) AS n_nodes, min(node) AS min_node
+       |FROM deg GROUP BY deg ORDER BY deg""".stripMargin
+
+  // ─── graph_triangles: per-node triangle counts ───
+  // Triangle participation separates true near-dup cliques from
+  // chains of borderline pairs (a clique of k dups has (k−1)(k−2)/2
+  // triangles per node; a chained false-positive path has none).
+  // Degree-ordered node-iterator (Schank & Wagner 2005): orient each
+  // undirected edge from its lower-(degree, id) endpoint, pair
+  // out-neighbors, close against the oriented edge set. Out-degrees
+  // are bounded by O(√m), so the wedge join is arboricity-bounded —
+  // the 100 TB-safe form — and every triangle matches exactly once
+  // (its unique 2-out-degree vertex), with no DISTINCT pass.
+  /** Per-node triangle participation counts over a symmetric edge
+    * frame (both directions present). Exposed for spec graphs. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+    val ore = edges
+      .join(deg.select(col("n").as("sn"), col("d").as("sd")), col("src") === col("sn"))
+      .join(deg.select(col("n").as("dn"), col("d").as("dd")), col("dst") === col("dn"))
+      .filter(struct(col("sd"), col("src")) < struct(col("dd"), col("dst")))
+      .select(col("src"), col("dst"))
+    val tri = ore.as("e1")
+      .join(ore.as("e2"), col("e1.src") === col("e2.src"))
+      .join(ore.as("e3"),
+        col("e1.dst") === col("e3.src") && col("e2.dst") === col("e3.dst"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.pairEdges(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try triangleCounts(edges).orderBy(col("node"))
+    finally edges.unpersist(blocking = false)
+  }
+
+  val graphTrianglesSql: String =
+    s"""WITH ${Dedup.edgesCtes},
+       |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+       |ore AS MATERIALIZED (SELECT e.src, e.dst FROM edges e
+       |        JOIN deg ds ON ds.node = e.src
+       |        JOIN deg dd ON dd.node = e.dst
+       |        WHERE (ds.deg, e.src) < (dd.deg, e.dst)),
+       |tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+       |        FROM ore e1 JOIN ore e2 ON e1.src = e2.src
+       |        JOIN ore e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+       |tn AS (SELECT u AS node FROM tri
+       |       UNION ALL SELECT v FROM tri
+       |       UNION ALL SELECT w FROM tri)
+       |SELECT node, count(*) AS n_tri FROM tn GROUP BY node ORDER BY node""".stripMargin
+
+  // ─── graph_pagerank: power iteration over the pair graph ───
+  // Canonical-doc election by centrality: inside a duplicate cluster
+  // the highest-PageRank doc is the one most corroborated by its
+  // neighbors — a better canonical than min-id when clusters chain.
+  // Fixed 10 rounds of the power method (d = 0.85); the symmetric
+  // edge set means groupBy(dst) already covers every node, so a round
+  // is ONE equijoin against the persisted (src, dst, deg) frame plus
+  // one aggregation — state per round is the rank vector, never the
+  // corpus. Rounds run under iterateRounds' checkpoint-block hygiene.
+  // Oracle: the same 10 rounds unrolled as chained DuckDB CTEs.
+  private val prRounds = 10
+
+  /** Power-iteration PageRank over a symmetric edge frame; returns
+    * (node, r, deg). Checkpointed rounds via iterateRounds, so the
+    * result is self-contained once returned. Exposed for spec graphs. */
+  def pagerank(edges: DataFrame, rounds: Int = prRounds): DataFrame = {
+    val deg = edges.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
+    val edeg = edges.join(deg, col("src") === col("n"))
+      .select(col("src"), col("dst"), col("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = edeg.select(col("src")).distinct().count()
+      val init = edeg.select(col("src").as("node")).distinct()
+        .withColumn("r", lit(1.0) / n)
+      val pr = iterateRounds(init, rounds) { prev =>
+        edeg.join(prev, col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(sum(col("r") / col("deg")).as("c"))
+          .select(col("dst").as("node"),
+            (lit(0.15) / n + lit(0.85) * col("c")).as("r"))
+      }
+      // The deg join re-reads edeg (persisted) — materialize before the
+      // finally releases that cache. Once `out` is eager-checkpointed
+      // the final round's blocks are dead weight too: swap them out of
+      // `retired` for out's own, keeping the invariant that exactly one
+      // result's blocks outlive the call.
+      val out = pr.join(deg, col("node") === col("n"))
+        .select(col("node"), col("r"), col("deg"))
+        .localCheckpoint(eager = true)
+      synchronized {
+        retired.foreach(_.unpersist(blocking = false))
+        retired = ckptRdds(out)
+      }
+      out
+    } finally edeg.unpersist(blocking = false)
+  }
+
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.pairEdges(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try
+      pagerank(edges)
+        .select(col("node"),
+          floor(col("r") * 1e7 + 0.5).cast("long").as("rank_e7"), col("deg"))
+        .orderBy(col("node"))
+    finally edges.unpersist(blocking = false)
+  }
+
+  val graphPagerankSql: String = {
+    val rounds = (1 to prRounds).map { i =>
+      s"""pr$i AS MATERIALIZED (SELECT e.dst AS node,
+         |  0.15 / (SELECT n FROM nn) + 0.85 * sum(p.r / d.deg) AS r
+         |  FROM edges e
+         |  JOIN pr${i - 1} p ON p.node = e.src
+         |  JOIN deg d ON d.node = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.edgesCtes},
+       |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM deg),
+       |$rounds
+       |SELECT p.node, CAST(floor(p.r * 1e7 + 0.5) AS BIGINT) AS rank_e7, d.deg
+       |FROM pr$prRounds p JOIN deg d ON d.node = p.node
+       |ORDER BY p.node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_components" -> graphComponents)
+    "graph_components" -> graphComponents,
+    "graph_degrees" -> graphDegrees,
+    "graph_triangles" -> graphTriangles,
+    "graph_pagerank" -> graphPagerank)
 
   val oracle: Map[String, String] = Map(
-    "graph_components" -> graphComponentsSql)
+    "graph_components" -> graphComponentsSql,
+    "graph_degrees" -> graphDegreesSql,
+    "graph_triangles" -> graphTrianglesSql,
+    "graph_pagerank" -> graphPagerankSql)
 }

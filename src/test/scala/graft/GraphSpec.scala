@@ -53,6 +53,30 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("triangleCounts: K4 has 3 triangles per node, C4 has none") {
+    // Complete graph on {0,1,2,3}: each node sits in C(3,2) = 3
+    // triangles. A 4-cycle {10,11,12,13} (no diagonals) has zero —
+    // chained borderline pairs must not read as a clique.
+    val k4 = for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)
+    val c4 = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+    val got = Graph.triangleCounts(edgeDf(k4 ++ c4)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("pagerank: star center outranks leaves; ranks sum to 1") {
+    // K1,4 star rooted at 0 — the center must dominate, and with no
+    // dangling nodes the power method conserves total mass.
+    val star = edgeDf((1L to 4L).map(i => (0L, i)))
+    val pr = Graph.pagerank(star).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.size == 5)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, s"mass: ${pr.values.sum}")
+    (1L to 4L).foreach(i => assert(pr(0L) > pr(i) * 2))
+    // Leaves are symmetric — identical ranks.
+    assert((1L to 4L).map(pr).toSet.size == 1)
+  }
+
   test("iterate releases every superseded round's checkpoint blocks") {
     // After the loop, only the FINAL round's blocks may remain
     // persisted (they back the returned frame); every earlier round
