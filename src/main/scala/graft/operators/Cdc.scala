@@ -86,11 +86,59 @@ object Cdc {
        |FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
        |ORDER BY user_id""".stripMargin
 
+  // ─── cdc_scd2: slowly-changing-dimension type-2 history ───
+  // The changelog → dimension-history build: per user, collapse
+  // consecutive events with the same attribute (event_type here
+  // standing in for the tracked column) into validity intervals
+  // [valid_from, valid_to), open-ended for the current version.
+  // Three linear window passes over ONE shuffle on user_id — change
+  // detection (lag), version numbering (cumulative sum), interval
+  // close (lead on the filtered change rows). No self-join, no
+  // full-history re-sort downstream: at 100 TB the input arrives
+  // bucketed by the key and the whole build is map-side after the one
+  // exchange. Arrival order ties break on event_id, as cdc_latest.
+  def cdcScd2(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val changes = Tables(spark, dir).events
+      .withColumn("attr", col("event_type"))
+      .withColumn("prev_attr", lag(col("attr"), 1).over(byUser))
+      .filter(col("prev_attr").isNull || col("attr") =!= col("prev_attr"))
+      .select(col("user_id"), col("attr"), epochS(col("ts")).as("valid_from"),
+        col("event_id"))
+    val byUserV = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("event_id"))
+    changes
+      .withColumn("version", row_number().over(byUserV))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byUserV))
+      .select(col("user_id"), col("version"), col("attr"),
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val cdcScd2Sql: String =
+    s"""WITH chg AS (
+       |  SELECT user_id, event_type AS attr,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS valid_from, event_id
+       |  FROM (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+       |          ORDER BY ts, event_id) AS prev_attr FROM events)
+       |  WHERE prev_attr IS NULL OR event_type <> prev_attr)
+       |SELECT user_id,
+       |  CAST(row_number() OVER w AS INT) AS version, attr, valid_from,
+       |  lead(valid_from) OVER w AS valid_to,
+       |  lead(valid_from) OVER w IS NULL AS is_current
+       |FROM chg
+       |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+       |ORDER BY user_id, version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_latest" -> cdcLatest,
-    "cdc_merge" -> cdcMerge)
+    "cdc_merge" -> cdcMerge,
+    "cdc_scd2" -> cdcScd2)
 
   val oracle: Map[String, String] = Map(
     "cdc_latest" -> cdcLatestSql,
-    "cdc_merge" -> cdcMergeSql)
+    "cdc_merge" -> cdcMergeSql,
+    "cdc_scd2" -> cdcScd2Sql)
 }

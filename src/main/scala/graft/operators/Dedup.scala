@@ -37,7 +37,7 @@ object Dedup {
     * tokenizing inline would re-split the text ~3×n_shingles times
     * per document. Referencing the attribute keeps the lambda O(1)
     * per element. */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       // Hash-repartition on the downstream groupBy key straight off
       // the scan: small testdata arrives as one parquet split, which
@@ -51,7 +51,7 @@ object Dedup {
       .withColumn("n_sh", size(col("sh")))
 
   /** DuckDB twin of docShingles (list comprehension over 1-based w). */
-  private val docShinglesSql: String =
+  private[operators] val docShinglesSql: String =
     """shdocs AS (
       |  SELECT doc_id,
       |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]

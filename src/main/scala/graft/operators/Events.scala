@@ -453,7 +453,190 @@ object Events {
        |FROM flled WHERE sum_fill IS NOT NULL
        |ORDER BY hour_epoch, event_type""".stripMargin
 
+  // ─── ev_retention: weekly cohort retention matrix ───
+  // Cohort = the week of a user's first event; a cell (cohort, k) =
+  // users of that cohort active k weeks later. Two bounded shuffles:
+  // first-seen per user (groupBy user_id), then the matrix aggregate
+  // over DISTINCT (user, week) activity — at 100 TB both key on
+  // user_id / (cohort, offset), never on events. count(*) suffices in
+  // the matrix because the activity frame is already distinct per
+  // (user, week) and the offset is a function of the week.
+  def evRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val first = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_w"))
+    val act = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("act_w"))
+      .distinct()
+    val ret = act.join(first, "user_id")
+      // Both ends are Monday-midnight truncations, so the day span is
+      // an exact multiple of 7 — the double division is exact.
+      .withColumn("week_offset",
+        (datediff(col("act_w"), col("cohort_w")) / lit(7)).cast("int"))
+      .groupBy(col("cohort_w"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val size = first.groupBy(col("cohort_w")).agg(count(lit(1)).as("cohort_n"))
+    ret.join(size, "cohort_w")
+      .select(epochS(col("cohort_w")).as("cohort_epoch"), col("week_offset"),
+        col("n_users"),
+        floor(col("n_users") * 10000.0 / col("cohort_n") + 0.5)
+          .cast("long").as("retention_bp"))
+      .orderBy(col("cohort_epoch"), col("week_offset"))
+  }
+
+  val evRetentionSql: String =
+    s"""WITH cohort AS (
+       |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_w
+       |  FROM events GROUP BY user_id),
+       |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS act_w
+       |        FROM events),
+       |ret AS (
+       |  SELECT f.cohort_w,
+       |    CAST(date_diff('day', f.cohort_w, a.act_w) // 7 AS INT) AS week_offset,
+       |    count(*) AS n_users
+       |  FROM act a JOIN cohort f USING (user_id) GROUP BY 1, 2),
+       |sz AS (SELECT cohort_w, count(*) AS cohort_n FROM cohort GROUP BY 1)
+       |SELECT CAST(floor(epoch(r.cohort_w)) AS BIGINT) AS cohort_epoch,
+       |  r.week_offset, r.n_users,
+       |  CAST(floor(r.n_users * 10000.0 / s.cohort_n + 0.5) AS BIGINT)
+       |    AS retention_bp
+       |FROM ret r JOIN sz s USING (cohort_w)
+       |ORDER BY cohort_epoch, week_offset""".stripMargin
+
+  // ─── ev_anomaly: hourly-volume outliers, exact-integer z-test ───
+  // Hours whose event count sits more than 2.5σ from the type's mean.
+  // The membership test is ALL-INTEGER: with H observed hours, S=Σn,
+  // SS=Σn², flag n iff 4·(H·n−S)²·(H−1) > 25·H·(H·SS−S²) — identical
+  // to |z|>2.5 under the sample stddev, but no float ever decides
+  // whether a row appears, so the oracle can't diverge on a rounding
+  // boundary (a z_bp-style threshold could). Strict '>' keeps a
+  // zero-variance series from flagging itself. Longs hold the
+  // products up to n·H ≈ 3·10⁹ — beyond that (far past these SFs)
+  // promote to decimal(38,0). One aggregate per type (broadcast-sized)
+  // joined back to the hourly frame.
+  def evAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir).events
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("h"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("ss"))
+    val dev = col("h") * col("n") - col("s")
+    hourly.join(broadcast(stats), col("event_type") === col("et"))
+      .filter(col("h") >= 2 &&
+        lit(4) * dev * dev * (col("h") - 1) >
+          lit(25) * col("h") * (col("h") * col("ss") - col("s") * col("s")))
+      .select(epochS(col("hour_ts")).as("hour_epoch"), col("event_type"),
+        col("n"), when(dev > 0, 1).otherwise(-1).cast("int").as("direction"))
+      .orderBy(col("hour_epoch"), col("event_type"))
+  }
+
+  val evAnomalySql: String =
+    s"""WITH hourly AS (
+       |  SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS h,
+       |    CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS ss
+       |  FROM hourly GROUP BY event_type)
+       |SELECT CAST(floor(epoch(x.hour_ts)) AS BIGINT) AS hour_epoch,
+       |  x.event_type, x.n,
+       |  CAST(CASE WHEN t.h * x.n - t.s > 0 THEN 1 ELSE -1 END AS INT)
+       |    AS direction
+       |FROM hourly x JOIN stats t USING (event_type)
+       |WHERE t.h >= 2
+       |  AND 4 * (t.h * x.n - t.s) * (t.h * x.n - t.s) * (t.h - 1)
+       |      > 25 * t.h * (t.h * t.ss - t.s * t.s)
+       |ORDER BY hour_epoch, event_type""".stripMargin
+
+  // ─── ts_interp: linear interpolation on the hourly grid ───
+  // tsFill's twin for quantities where carry-forward lies (gauges,
+  // rates): interior gaps are filled by the line between the
+  // bracketing observations. Same grid × types shape as tsFill; the
+  // bracketing points come from two linear window passes (last/first
+  // IGNORE NULLS), never a self-join. The interpolation itself is one
+  // fixed float expression — prev + (next−prev)·(Δt/len) — evaluated
+  // in the same operation order by both engines, then cents-rounded.
+  // Leading/trailing edges (no bracket) are dropped: interpolation
+  // has no mandate there, extrapolation is tsFill's job.
+  def tsInterp(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(cents(sum(col("value"))).as("obs_cents"))
+    val span = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = span.select(explode(
+      expr("sequence(h0, h1, INTERVAL 1 HOUR)")).as("hour_ts"))
+    val types = ev.select(col("event_type")).distinct()
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+    val back = byType.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = byType.rowsBetween(0, Window.unboundedFollowing)
+    val he = epochS(col("hour_ts"))
+    grid.crossJoin(broadcast(types))
+      .join(hourly, Seq("hour_ts", "event_type"), "left")
+      .withColumn("he", he)
+      .withColumn("pv", last(col("obs_cents"), ignoreNulls = true).over(back))
+      .withColumn("pt", last(when(col("obs_cents").isNotNull, col("he")),
+        ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("obs_cents"), ignoreNulls = true).over(fwd))
+      .withColumn("nt", first(when(col("obs_cents").isNotNull, col("he")),
+        ignoreNulls = true).over(fwd))
+      .filter(col("pv").isNotNull && col("nv").isNotNull)
+      .select(col("he").as("hour_epoch"), col("event_type"),
+        when(col("obs_cents").isNotNull, col("obs_cents"))
+          .otherwise(floor(col("pv") + (col("nv") - col("pv")) *
+            ((col("he") - col("pt")) / (col("nt") - col("pt"))) + 0.5)
+            .cast("long")).as("cents"),
+        col("obs_cents").isNull.as("interpolated"))
+      .orderBy(col("hour_epoch"), col("event_type"))
+  }
+
+  val tsInterpSql: String =
+    s"""WITH hourly AS (
+       |  SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+       |    ${Tables.centsSql("sum(value)")} AS obs_cents
+       |  FROM events GROUP BY 1, 2),
+       |span AS (SELECT date_trunc('hour', min(ts)) AS h0,
+       |                date_trunc('hour', max(ts)) AS h1 FROM events),
+       |grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+       |         FROM span),
+       |typed AS (SELECT g.hour_ts, t.event_type
+       |          FROM grid g CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+       |joined AS (
+       |  SELECT t.hour_ts, t.event_type, h.obs_cents,
+       |    CAST(floor(epoch(t.hour_ts)) AS BIGINT) AS he
+       |  FROM typed t LEFT JOIN hourly h
+       |    ON t.hour_ts = h.hour_ts AND t.event_type = h.event_type),
+       |brk AS (
+       |  SELECT *,
+       |    last_value(obs_cents IGNORE NULLS) OVER (
+       |      PARTITION BY event_type ORDER BY hour_ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+       |    last_value(CASE WHEN obs_cents IS NOT NULL THEN he END IGNORE NULLS)
+       |      OVER (PARTITION BY event_type ORDER BY hour_ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+       |    first_value(obs_cents IGNORE NULLS) OVER (
+       |      PARTITION BY event_type ORDER BY hour_ts
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+       |    first_value(CASE WHEN obs_cents IS NOT NULL THEN he END IGNORE NULLS)
+       |      OVER (PARTITION BY event_type ORDER BY hour_ts
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+       |  FROM joined)
+       |SELECT he AS hour_epoch, event_type,
+       |  CASE WHEN obs_cents IS NOT NULL THEN obs_cents
+       |       ELSE CAST(floor(pv + (nv - pv) * ((he - pt) / (nt - pt)) + 0.5)
+       |                 AS BIGINT) END AS cents,
+       |  obs_cents IS NULL AS interpolated
+       |FROM brk WHERE pv IS NOT NULL AND nv IS NOT NULL
+       |ORDER BY hour_epoch, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_retention" -> evRetention,
+    "ev_anomaly" -> evAnomaly,
+    "ts_interp" -> tsInterp,
     "ev_tumbling" -> evTumbling,
     "ev_sessionize" -> evSessionize,
     "ev_json_props" -> evJsonProps,
@@ -465,6 +648,9 @@ object Events {
     "ev_pattern_seq" -> evPatternSeq)
 
   val oracle: Map[String, String] = Map(
+    "ev_retention" -> evRetentionSql,
+    "ev_anomaly" -> evAnomalySql,
+    "ts_interp" -> tsInterpSql,
     "ev_tumbling" -> evTumblingSql,
     "ev_sessionize" -> evSessionizeSql,
     "ev_json_props" -> evJsonPropsSql,

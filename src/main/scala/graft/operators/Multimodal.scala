@@ -90,9 +90,45 @@ object Multimodal {
         md5(col("chunk")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("sample_idx"))
 
+  // ─── mm_dedup: exact binary-content dedup across re-uploads ───
+  // Image/audio stores accumulate byte-identical re-uploads under new
+  // ids; dedup keys on (md5, byte_len) — the length guard makes an
+  // md5 collision also need a length collision. ONE shuffle on the
+  // content key with map-side combine; at 100 TB the md5 is computed
+  // at scan time per blob, never materializing two copies anywhere.
+  // The testdata has no byte-identical payloads, so the fixture
+  // re-uploads every 97th blob under a shifted id (deterministic in
+  // both engines); groups of 2 must surface, canonical = min id.
+  private val reuploadMod = 97
+  private val reuploadShift = 1000000L
+
+  def mmDedup(spark: SparkSession, dir: String): DataFrame = {
+    val b = blobs(spark, dir).toDF()
+    val reuploads = b.filter(col("doc_id") % reuploadMod === 0)
+      .select((col("doc_id") + reuploadShift).as("doc_id"), col("payload"))
+    b.select(col("doc_id"), col("payload")).unionByName(reuploads)
+      .groupBy(md5(col("payload")).as("content_md5"),
+        octet_length(col("payload")).cast("long").as("byte_len"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("canonical_id"))
+  }
+
+  /** Varchar twin (ASCII fixture — see oracle note above). */
+  val mmDedupSql: String =
+    s"""WITH all_blobs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $reuploadShift, text FROM documents
+       |  WHERE doc_id % $reuploadMod = 0)
+       |SELECT md5(text) AS content_md5,
+       |  CAST(length(text) AS BIGINT) AS byte_len,
+       |  min(doc_id) AS canonical_id, count(*) AS n_copies
+       |FROM all_blobs GROUP BY 1, 2 ORDER BY canonical_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> mmDecodeMeta,
-    "mm_frame_sample" -> mmFrameSample)
+    "mm_frame_sample" -> mmFrameSample,
+    "mm_dedup" -> mmDedup)
 
   /** Oracles operate on the varchar twin of the binary payload — the
     * fixture is pure ASCII (verified), so character ops equal byte ops
@@ -121,5 +157,6 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "mm_decode_meta" -> mmDecodeMetaSql,
-    "mm_frame_sample" -> mmFrameSampleSql)
+    "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_dedup" -> mmDedupSql)
 }

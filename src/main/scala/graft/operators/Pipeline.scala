@@ -190,7 +190,54 @@ object Pipeline {
       |  FROM documents WHERE length(text) >= 200
       |) WHERE doc_id = keep_id GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ─── decontam_ngram: train/benchmark contamination sweep ───
+  // Before training, every corpus must be checked for eval-set
+  // leakage: find training documents sharing word-3-gram shingles
+  // with any benchmark document (the n-gram-overlap decontamination
+  // reported for the big LLM corpora). Shape is the asymmetric twin
+  // of dedup_ngram_jaccard: the benchmark side is SMALL by nature
+  // (an eval suite, not a corpus), so its exploded shingles broadcast
+  // and the training corpus streams past map-side — the corpus never
+  // shuffles, no df-cap needed because the broadcast side bounds the
+  // join fan-out. contam_bp normalizes by the training doc's shingle
+  // count: the score that decides quarantine.
+  // Benchmark stand-in: every 50th doc_id (an eval-suite fixture).
+  private val benchMod = 50
+
+  def decontamNgram(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.operators.Dedup.docShingles(spark, dir)
+    val ex = sh.select(col("doc_id"), col("n_sh"),
+        explode_outer(col("sh")).as("s")) // outer: see dedupNgramJaccard
+      .filter(col("s").isNotNull)
+    val bench = ex.filter(col("doc_id") % benchMod === 0)
+      .select(col("doc_id").as("bench_doc"), col("s").as("bs"))
+    val train = ex.filter(col("doc_id") % benchMod =!= 0)
+    train.join(broadcast(bench), col("s") === col("bs"))
+      .groupBy(col("doc_id").as("train_doc"), col("bench_doc"),
+        col("n_sh"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("train_doc"), col("bench_doc"), col("n_shared"),
+        floor(col("n_shared") * 10000.0 / col("n_sh") + 0.5)
+          .cast("long").as("contam_bp"))
+      .orderBy(col("train_doc"), col("bench_doc"))
+  }
+
+  val decontamNgramSql: String =
+    s"""WITH ${graft.operators.Dedup.docShinglesSql},
+       |sr AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM shdocs),
+       |bench AS (SELECT doc_id AS bench_doc, s FROM sr
+       |          WHERE doc_id % $benchMod = 0),
+       |train AS (SELECT doc_id, n_sh, s FROM sr WHERE doc_id % $benchMod <> 0),
+       |shared AS (
+       |  SELECT t.doc_id AS train_doc, b.bench_doc, t.n_sh,
+       |    count(*) AS n_shared
+       |  FROM train t JOIN bench b ON t.s = b.s GROUP BY 1, 2, 3)
+       |SELECT train_doc, bench_doc, n_shared,
+       |  CAST(floor(n_shared * 10000.0 / n_sh + 0.5) AS BIGINT) AS contam_bp
+       |FROM shared ORDER BY train_doc, bench_doc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontam_ngram" -> decontamNgram,
     "split_hash" -> splitHash,
     "sample_stratified" -> sampleStratified,
     "pack_chunks" -> packChunks,
@@ -198,6 +245,7 @@ object Pipeline {
     "sample_temperature" -> sampleTemperature)
 
   val oracle: Map[String, String] = Map(
+    "decontam_ngram" -> decontamNgramSql,
     "split_hash" -> splitHashSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pack_chunks" -> packChunksSql,

@@ -197,7 +197,105 @@ object RelationalExt {
        |    WHERE p2.p_brand = p.p_brand) * 1010
        |ORDER BY p_partkey""".stripMargin
 
+  // ─── q27_grouping_sets: explicit subtotal levels ───
+  // The general form cube/rollup specialize: exactly the requested
+  // levels — (flag, status), (flag), () — lowered by Catalyst to ONE
+  // Expand + single-pass aggregation (one scan, one shuffle), not a
+  // union of per-level scans. 'ALL' labels via coalesce, as q18_cube:
+  // the source domains are single-char flags, so the literal is
+  // unambiguous in both engines.
+  def q27GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(cents(sum(col("l_extendedprice"))).as("rev_cents"),
+        count(lit(1)).as("n_items"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("rev_cents"), col("n_items"))
+      .orderBy(col("rflag"), col("lstatus"))
+
+  val q27Sql: String =
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+       |  coalesce(l_linestatus, 'ALL') AS lstatus,
+       |  ${Tables.centsSql("sum(l_extendedprice)")} AS rev_cents,
+       |  count(*) AS n_items
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+       |ORDER BY rflag, lstatus""".stripMargin
+
+  // ─── q28_window_range: time-RANGE window frame ───
+  // Trailing-30-day spend per customer: a RANGE frame over epoch
+  // seconds — peers are by VALUE distance, not row count, so the
+  // frame is deterministic under timestamp ties (all peers always
+  // included; no tie-break needed for the sum). Cents are computed
+  // per row BEFORE the frame sum: an integer frame total is exact in
+  // both engines, where a double frame (incremental in Spark,
+  // segment-tree in DuckDB) could round differently.
+  def q28WindowRange(spark: SparkSession, dir: String): DataFrame = {
+    val day30 = 30L * 86400
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("epoch_s")).rangeBetween(-day30, 0)
+    Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"),
+        epochS(col("o_orderdate")).as("epoch_s"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .withColumn("trail30_cents", sum(col("price_cents")).over(w))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q28Sql: String =
+    s"""SELECT o_orderkey, o_custkey,
+       |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
+       |  ${Tables.centsSql("o_totalprice")} AS price_cents,
+  |  CAST(sum(${Tables.centsSql("o_totalprice")}) OVER (
+       |    PARTITION BY o_custkey
+       |    ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+       |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail30_cents
+       |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ─── q29_lateral: correlated LATERAL top-k per outer row ───
+  // "For each high-balance customer, their 2 most recent orders" —
+  // the LATERAL derived-table form (Spark ≥3.2 SQL; no DataFrame
+  // twin exists, which is the point: the SQL surface carries it).
+  // Catalyst decorrelates the limited subquery into a window-ranked
+  // join rather than per-row re-execution — the same plan the manual
+  // row_number() rewrite would build, so outer rows stream once.
+  def q29Lateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(
+      s"""SELECT c.c_custkey, o.o_orderkey, o.epoch_s, o.price_cents
+         |FROM customer c,
+         |LATERAL (
+         |  SELECT o_orderkey,
+         |    CAST(floor(unix_timestamp(o_orderdate)) AS BIGINT) AS epoch_s,
+         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+         |  FROM orders
+         |  WHERE o_custkey = c.c_custkey
+         |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2) o
+         |WHERE c.c_acctbal > 9000
+         |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
+  }
+
+  val q29Sql: String =
+    s"""SELECT c.c_custkey, o.o_orderkey, o.epoch_s, o.price_cents
+       |FROM customer c,
+       |LATERAL (
+       |  SELECT o_orderkey,
+       |    CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
+       |    ${Tables.centsSql("o_totalprice")} AS price_cents
+       |  FROM orders
+       |  WHERE o_custkey = c.c_custkey
+       |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2) o
+       |WHERE c.c_acctbal > 9000
+       |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_grouping_sets" -> q27GroupingSets,
+    "q28_window_range" -> q28WindowRange,
+    "q29_lateral" -> q29Lateral,
     "q17_pivot" -> q17Pivot,
     "q18_cube" -> q18Cube,
     "q19_intersect" -> q19Intersect,
@@ -208,6 +306,9 @@ object RelationalExt {
     "q26_unpivot" -> q26Unpivot)
 
   val oracle: Map[String, String] = Map(
+    "q27_grouping_sets" -> q27Sql,
+    "q28_window_range" -> q28Sql,
+    "q29_lateral" -> q29Sql,
     "q17_pivot" -> q17Sql,
     "q18_cube" -> q18Sql,
     "q19_intersect" -> q19Sql,

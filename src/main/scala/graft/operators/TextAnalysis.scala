@@ -210,7 +210,72 @@ object TextAnalysis {
        |SELECT lang, rank, bigram, df FROM rk WHERE rank <= $topN
        |ORDER BY lang, rank""".stripMargin
 
+  // ─── text_pii_redact: regex PII scrub with audit counts ───
+  // The pre-training hygiene pass: match emails / phone numbers /
+  // 16-digit card-like ids, count per class (the audit trail), and
+  // replace with class tags. Patterns stay in the Java∩RE2 regex
+  // subset so the DuckDB oracle replays them byte-exactly (\b is an
+  // ASCII word boundary in both). Pure codegen'd string expressions,
+  // no UDF — at 100 TB this runs at scan speed, map-only, zero
+  // shuffle before the output sort.
+  //
+  // The shared testdata is deliberately PII-free, so the query plants
+  // deterministic markers first (doc_id-derived, every 3rd/4th/7th
+  // doc) — the fixture makes hit counts verifiable in both engines;
+  // production callers run the redaction columns on raw text.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  private val cardRe = "\\b[0-9]{16}\\b"
+
+  def textPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" user"), col("doc_id"), lit("@mail.example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" 415-555-"), lpad(col("doc_id") % 10000, 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" 4111111111"), lpad(col("doc_id") % 1000000, 6, "0")))
+        .otherwise(lit("")))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), planted.as("raw"))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("raw"), lit(phoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("raw"), lit(cardRe)).cast("long").as("n_cards"),
+        md5(regexp_replace(
+          regexp_replace(regexp_replace(col("raw"), cardRe, "[CARD]"),
+            phoneRe, "[PHONE]"),
+          emailRe, "[EMAIL]")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textPiiRedactSql: String = {
+    val planted =
+      """text ||
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN ' user' || doc_id || '@mail.example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 4 = 0
+        |    THEN ' 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0
+        |    THEN ' 4111111111' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0')
+        |    ELSE '' END""".stripMargin
+    s"""WITH raw AS (SELECT doc_id, $planted AS raw FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(raw, '$emailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(raw, '$phoneRe')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(raw, '$cardRe')) AS BIGINT) AS n_cards,
+       |  md5(regexp_replace(
+       |    regexp_replace(regexp_replace(raw, '$cardRe', '[CARD]', 'g'),
+       |      '$phoneRe', '[PHONE]', 'g'),
+       |    '$emailRe', '[EMAIL]', 'g')) AS redacted_md5
+       |FROM raw ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_redact" -> textPiiRedact,
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
@@ -218,6 +283,7 @@ object TextAnalysis {
     "text_ngram_top" -> textNgramTop)
 
   val oracle: Map[String, String] = Map(
+    "text_pii_redact" -> textPiiRedactSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
