@@ -165,20 +165,26 @@ object Dedup {
   private def bandHash(m: Int => Column): Column =
     (0 until 4).map(m).reduce((acc, x) => acc * 31 + x)
 
-  /** The signature frame persisted by the most recent dedupMinhashLsh
-    * call. Each call unpersists its predecessor, so a long-lived
-    * session (Verify runs all 40+ queries in one SparkSession) holds at
-    * most one cached signature block set at a time instead of
-    * accumulating one per invocation.
+  /** Session-shared MinHash fixture: signatures + banded candidate
+    * pairs, keyed by (session, dir). Seven queries branch off this
+    * prefix (dedup_minhash_lsh, dedup_cluster, dedup_incremental and
+    * the four graph_* analytics) — in a production dedup pipeline the
+    * signature table and the candidate pair graph are materialization
+    * points (computed once per corpus snapshot, read by every
+    * downstream consumer), so the batch twins share one
+    * materialization per (session, dir) too. localCheckpoint rather
+    * than persist: a durable materialization with explicit release
+    * (the predecessor's blocks are dropped when the key changes), not
+    * an advisory cache entry — same discipline as Trike's frames
+    * fixture and Graph.iterate.
     *
-    * SEQUENTIAL-EXECUTION ASSUMPTION: because the cache is scoped to
-    * the object, a dedup entry point invalidates the (lazy) frame the
-    * PREVIOUS entry point returned — interleaved callers that hold
-    * both results silently recompute the whole minhash pipeline when
-    * the earlier frame is re-executed. Run each returned frame's
-    * action before requesting the next query (Verify/Bench do), or
-    * persist results you intend to interleave. */
-  private var lastSigs: Option[DataFrame] = None
+    * SEQUENTIAL-EXECUTION ASSUMPTION: a dir switch invalidates the
+    * (lazy) frames the previous dir's queries returned but haven't
+    * executed yet. Run each returned frame's action before requesting
+    * the next query (Verify/Bench do), or persist results you intend
+    * to interleave. */
+  private var fixture: Option[((SparkSession, String), DataFrame, DataFrame,
+    Seq[org.apache.spark.rdd.RDD[_]])] = None
 
   /** One (doc_id, band, bh) row per band — the LSH band index. */
   private def bandedOf(sigs: DataFrame): DataFrame =
@@ -190,35 +196,46 @@ object Dedup {
     * (which adds the estimated-similarity verify columns) and
     * dedupCluster (which only needs the pair graph). */
   private def minhashSigsAndCand(
-      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val hashRows = docShingles(spark, dir)
-      .select(col("doc_id"), explode_outer(col("sh")).as("s"))
-      .filter(col("s").isNotNull) // outer: see dedupNgramJaccard note
-      .select(col("doc_id"), h31(col("s")).as("h"))
-    // Signatures are referenced 4× downstream (banded self-join ×2,
-    // sx, sy); without a persist Spark re-runs the whole shingle→hash→
-    // 64-min aggregate per reference. At 100 TB signatures are a
-    // materialization point by design — a few hundred bytes/doc versus
-    // re-tokenizing the corpus.
-    val sigs = hashRows
-      .groupBy(col("doc_id"))
-      .agg(
-        min((col("h") * permCoef(0)._1 + permCoef(0)._2) % P31).as("m0"),
-        (1 until nPerms).map { j =>
-          min((col("h") * permCoef(j)._1 + permCoef(j)._2) % P31).as(s"m$j")
-        }: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    synchronized {
-      lastSigs.foreach(_.unpersist(blocking = false))
-      lastSigs = Some(sigs)
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
+    val key = (spark, dir)
+    fixture match {
+      case Some((k, sigs, cand, _)) if k == key => (sigs, cand)
+      case prev =>
+        prev.foreach { case (_, _, _, rdds) =>
+          rdds.foreach(r => scala.util.Try(r.unpersist(blocking = false)))
+        }
+        val hashRows = docShingles(spark, dir)
+          .select(col("doc_id"), explode_outer(col("sh")).as("s"))
+          .filter(col("s").isNotNull) // outer: see dedupNgramJaccard note
+          .select(col("doc_id"), h31(col("s")).as("h"))
+        // Signatures are referenced 4× downstream (banded self-join ×2,
+        // sx, sy); without a materialization Spark re-runs the whole
+        // shingle→hash→64-min aggregate per reference. At 100 TB
+        // signatures are a materialization point by design — a few
+        // hundred bytes/doc versus re-tokenizing the corpus.
+        val sigs = hashRows
+          .groupBy(col("doc_id"))
+          .agg(
+            min((col("h") * permCoef(0)._1 + permCoef(0)._2) % P31).as("m0"),
+            (1 until nPerms).map { j =>
+              min((col("h") * permCoef(j)._1 + permCoef(j)._2) % P31).as(s"m$j")
+            }: _*)
+          .localCheckpoint(eager = false)
+        val banded = bandedOf(sigs)
+        // The pair graph too: cand is the second materialization point
+        // (bounded by duplicate density, far smaller than the corpus) —
+        // the four graph_* analytics read it without re-running the
+        // banded self-join.
+        val cand = banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_bands"))
+          .localCheckpoint(eager = false)
+        fixture = Some((key, sigs, cand,
+          Graph.ckptRdds(sigs) ++ Graph.ckptRdds(cand)))
+        (sigs, cand)
     }
-    val banded = bandedOf(sigs)
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_bands"))
-    (sigs, cand)
   }
 
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -280,9 +297,10 @@ object Dedup {
   // this query supplies the MinHash pair graph and the output shape.
 
   /** Both directions of the candidate pair graph, via ONE explode
-    * pass over cand — a union(cand, cand.flipped) would evaluate the
-    * banded self-join twice (only sigs is persisted, not cand).
-    * Callers iterating over the edges should persist the frame. */
+    * pass over cand — a union(cand, cand.flipped) would read the
+    * checkpointed cand twice (harmless now, but the single-pass shape
+    * also holds where cand is a live plan). Callers iterating over
+    * the edges should persist the frame. */
   private[operators] def pairEdges(spark: SparkSession, dir: String): DataFrame = {
     val (_, cand) = minhashSigsAndCand(spark, dir)
     cand.select(explode(array(
