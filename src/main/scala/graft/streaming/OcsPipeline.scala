@@ -121,6 +121,6 @@ object OcsPipeline {
         lit("1.0").as("specversion"),
         lit(eventSource).as("source"),
         col("message").as("raw"),
-        col("kind"), col("receiveTs"))
+        col("kind"), col("receiveTs"), col("pos"))
   }
 }

@@ -17,7 +17,7 @@ final case class ConnState(buffer: String, lastSeenMs: Long)
   * CloudEvent id/time derived downstream is bit-identical to the
   * stateless path's full-precision timestamp. */
 final case class FrameEvent(connId: String, sourceIp: String,
-  receiveMicros: Long, message: String, kind: String)
+  receiveMicros: Long, message: String, kind: String, pos: Long = 0L)
 
 /** The stateful depth of the OCS pipeline that the stateless
   * `OcsPipeline.frames` can't express: EOT framing with the partial
@@ -47,7 +47,7 @@ object StatefulFraming {
             val st = state.get
             state.remove()
             Iterator.single(
-              FrameEvent(connId, "", st.lastSeenMs * 1000L, "", "stale"))
+              FrameEvent(connId, "", st.lastSeenMs * 1000L, "", "stale", 0L))
           } else {
             // One extract() per packet in ARRIVAL order, buffer carried
             // between packets exactly like proxy.ex:154. The seq
@@ -58,12 +58,20 @@ object StatefulFraming {
             var buf = state.getOption.map(_.buffer).getOrElse("")
             val out = Vector.newBuilder[FrameEvent]
             var lastMs = state.getOption.map(_.lastSeenMs).getOrElse(0L)
+            // Emission index: a total within-(key, batch) order for the
+            // keyed sink's deterministic sort. Frames split from one
+            // packet share receiveMicros, so the timestamp alone can't
+            // order them; pos is arrival order by construction, and a
+            // replay of the same micro-batch reproduces it exactly
+            // (sorted input → same split → same indices).
+            var pos = 0L
             for (p <- sorted) {
               val micros =
                 p.receiveTs.getTime / 1000L * 1000000L + p.receiveTs.getNanos / 1000L
               val statements = (buf + p.payload).split(EOT, -1)
               statements.dropRight(1).foreach { m =>
-                out += FrameEvent(connId, p.sourceIp, micros, m, "frame")
+                out += FrameEvent(connId, p.sourceIp, micros, m, "frame", pos)
+                pos += 1
               }
               buf = statements.last
               lastMs = math.max(lastMs, p.receiveTs.getTime)
