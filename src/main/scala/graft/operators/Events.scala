@@ -633,7 +633,44 @@ object Events {
        |FROM brk WHERE pv IS NOT NULL AND nv IS NOT NULL
        |ORDER BY hour_epoch, event_type""".stripMargin
 
+  // ─── ev_markov: event-type transition matrix ───
+  // First-order Markov model of user behavior: P(next type | type),
+  // estimated from adjacent event pairs within each user's stream.
+  // One window pass for the lag (shuffle on user_id), one map-side-
+  // combining count over at most |types|² keys, and a tiny window for
+  // the row-normalization — the transition matrix itself is broadcast-
+  // sized no matter how large the event log grows. Ties on ts break by
+  // event_id, the same arrival-order discipline as cdc/scd2.
+  def evMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir).events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_bp",
+        floor(col("n") * 10000.0 /
+          sum(col("n")).over(Window.partitionBy(col("from_type"))) + 0.5)
+          .cast("long"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val evMarkovSql: String =
+    """WITH pairs AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_type
+      |  FROM events),
+      |counts AS (
+      |  SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+      |  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(floor(n * 10000.0 / sum(n) OVER (PARTITION BY from_type) + 0.5)
+      |    AS BIGINT) AS p_bp
+      |FROM counts ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_markov" -> evMarkov,
     "ev_retention" -> evRetention,
     "ev_anomaly" -> evAnomaly,
     "ts_interp" -> tsInterp,
@@ -648,6 +685,7 @@ object Events {
     "ev_pattern_seq" -> evPatternSeq)
 
   val oracle: Map[String, String] = Map(
+    "ev_markov" -> evMarkovSql,
     "ev_retention" -> evRetentionSql,
     "ev_anomaly" -> evAnomalySql,
     "ts_interp" -> tsInterpSql,

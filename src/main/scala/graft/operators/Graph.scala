@@ -258,6 +258,11 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = edeg.select(col("src")).distinct().count()
+      // Empty graph: 0.15/n would constant-fold into an ANSI
+      // divide-by-zero at plan time — short-circuit to the (empty)
+      // result frame instead.
+      if (n == 0)
+        return edeg.select(col("src").as("node"), lit(0.0).as("r"), col("deg"))
       val init = edeg.select(col("src").as("node")).distinct()
         .withColumn("r", lit(1.0) / n)
       val pr = iterateRounds(init, rounds) { prev =>
@@ -313,13 +318,71 @@ object Graph {
        |ORDER BY p.node""".stripMargin
   }
 
+  // ─── graph_bfs: multi-source shortest hop-distance ───
+  // "How far is every doc from a trusted seed set?" — the propagation
+  // query behind quality-rank seeding (e.g. pages within k hops of
+  // curated sources) and blast-radius analysis of a contaminated doc
+  // set. Seeds = nodes ≡ 0 (mod 11); per round, every reached node
+  // offers dist+1 to its neighbors and keeps the min — frontier-free
+  // min-plus relaxation whose per-round state is the reached set only.
+  // Rounds = graph eccentricity (near-dup components are shallow);
+  // convergence when (reached-count, dist-sum) repeats: count is
+  // monotone non-decreasing, the sum over a fixed reached set is
+  // non-increasing, so a repeat ⇔ fixpoint.
+  private val bfsSeedMod = 11
+  /** DuckDB walk-depth cap; must exceed the true max distance (loud
+    * divergence from the Spark fixpoint otherwise, which iterate's
+    * require(converged) would surface first anyway). */
+  private val bfsOracleCap = 30
+
+  /** Min-plus BFS from `seeds` (a (node) frame, dist 0) over a
+    * symmetric persisted edge frame; returns (node, dist) for reached
+    * nodes only. Exposed for spec graphs. */
+  def shortestDistances(edges: DataFrame, seeds: DataFrame,
+      opName: String): DataFrame = {
+    val init = seeds.select(col("node")).withColumn("dist", lit(0L))
+    iterate(init, 50, opName) { dist =>
+      val relaxed = edges.join(dist, edges("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    } { df =>
+      val r = df.agg(count(lit(1)), sum(col("dist"))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+  }
+
+  def graphBfs(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.pairEdges(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .filter(pmod(col("node"), lit(bfsSeedMod)) === 0)
+      shortestDistances(edges, seeds, "graphBfs").orderBy(col("node"))
+    } finally edges.unpersist(blocking = false)
+  }
+
+  val graphBfsSql: String =
+    s"""WITH RECURSIVE ${Dedup.edgesCtes},
+       |seeds AS (SELECT DISTINCT src AS node FROM edges WHERE src % $bfsSeedMod = 0),
+       |walk(node, dist) AS (
+       |  SELECT node, CAST(0 AS BIGINT) FROM seeds
+       |  UNION
+       |  SELECT e.dst, w.dist + 1 FROM walk w
+       |  JOIN edges e ON e.src = w.node
+       |  WHERE w.dist < $bfsOracleCap)
+       |SELECT node, min(dist) AS dist FROM walk
+       |GROUP BY node ORDER BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bfs" -> graphBfs,
     "graph_components" -> graphComponents,
     "graph_degrees" -> graphDegrees,
     "graph_triangles" -> graphTriangles,
     "graph_pagerank" -> graphPagerank)
 
   val oracle: Map[String, String] = Map(
+    "graph_bfs" -> graphBfsSql,
     "graph_components" -> graphComponentsSql,
     "graph_degrees" -> graphDegreesSql,
     "graph_triangles" -> graphTrianglesSql,

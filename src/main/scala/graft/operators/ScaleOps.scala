@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Operators whose whole point is the 100 TB execution shape:
@@ -171,7 +171,76 @@ object ScaleOps {
        |FROM z ORDER BY zval, o_orderkey""".stripMargin
   }
 
+  // ─── profile_table: per-column data-quality profile ───
+  // The Deequ/Great-Expectations shape every ingestion run executes
+  // before data is admitted: per column — null count, exact distinct
+  // count, normalized min/max (doubles as cents, timestamps as epoch
+  // seconds, so the profile is integer-exact cross-engine; free-text
+  // columns profile cardinality only). ONE pass over the fact table:
+  // Spark expands the multi-distinct aggregate internally (11
+  // distinct columns → 11-way expand before a single shuffle) — the
+  // documented at-scale trade; with approx_count_distinct the expand
+  // disappears entirely (sketch_stats demonstrates that tier), exact
+  // distincts are kept here for the oracle gate.
+  private case class ProfCol(name: String, norm: Option[Column], distinctOn: Column)
+  private val profCols: Seq[ProfCol] = Seq(
+    ProfCol("l_orderkey", Some(col("l_orderkey")), col("l_orderkey")),
+    ProfCol("l_partkey", Some(col("l_partkey")), col("l_partkey")),
+    ProfCol("l_suppkey", Some(col("l_suppkey")), col("l_suppkey")),
+    ProfCol("l_linenumber", Some(col("l_linenumber").cast("long")), col("l_linenumber")),
+    ProfCol("l_quantity", Some(cents(col("l_quantity")).cast("long")), col("l_quantity")),
+    ProfCol("l_extendedprice", Some(cents(col("l_extendedprice")).cast("long")), col("l_extendedprice")),
+    ProfCol("l_discount", Some(cents(col("l_discount")).cast("long")), col("l_discount")),
+    ProfCol("l_tax", Some(cents(col("l_tax")).cast("long")), col("l_tax")),
+    ProfCol("l_returnflag", None, col("l_returnflag")),
+    ProfCol("l_linestatus", None, col("l_linestatus")),
+    ProfCol("l_shipdate", Some(epochS(col("l_shipdate"))), col("l_shipdate")))
+
+  def profileTable(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    val aggs = profCols.flatMap { pc =>
+      val mn = pc.norm.map(min(_).as(s"mn_${pc.name}"))
+        .getOrElse(lit(null).cast("long").as(s"mn_${pc.name}"))
+      val mx = pc.norm.map(max(_).as(s"mx_${pc.name}"))
+        .getOrElse(lit(null).cast("long").as(s"mx_${pc.name}"))
+      Seq(
+        sum(when(pc.distinctOn.isNull, 1L).otherwise(0L)).as(s"nl_${pc.name}"),
+        count_distinct(pc.distinctOn).as(s"nd_${pc.name}"), mn, mx)
+    }
+    val wide = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    wide.select(explode(array(profCols.map(pc => struct(
+        lit(pc.name).as("column_name"), col("n_rows"),
+        col(s"nl_${pc.name}").as("n_nulls"),
+        col(s"nd_${pc.name}").as("n_distinct"),
+        col(s"mn_${pc.name}").cast("long").as("min_v"),
+        col(s"mx_${pc.name}").cast("long").as("max_v"))): _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("column_name"))
+  }
+
+  val profileTableSql: String = {
+    val branches = profCols.map { pc =>
+      val (mn, mx) = pc.norm match {
+        case None => ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)")
+        case Some(_) =>
+          val e = pc.name match {
+            case "l_quantity" | "l_extendedprice" | "l_discount" | "l_tax" =>
+              s"CAST(${Tables.centsSql(pc.name)} AS BIGINT)"
+            case "l_shipdate" => s"CAST(floor(epoch(${pc.name})) AS BIGINT)"
+            case n => s"CAST($n AS BIGINT)"
+          }
+          (s"min($e)", s"max($e)")
+      }
+      s"""SELECT '${pc.name}' AS column_name, count(*) AS n_rows,
+         |  CAST(count(*) - count(${pc.name}) AS BIGINT) AS n_nulls,
+         |  count(DISTINCT ${pc.name}) AS n_distinct,
+         |  $mn AS min_v, $mx AS max_v FROM lineitem""".stripMargin
+    }
+    branches.mkString("\nUNION ALL\n") + "\nORDER BY column_name"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_table" -> profileTable,
     "q24_range_join" -> q24RangeJoin,
     "q25_skew_salt" -> q25SkewSalt,
     "sketch_stats" -> sketchStats,
@@ -180,6 +249,7 @@ object ScaleOps {
   /** sketch_stats is deliberately absent: approximate sketches are not
     * cross-engine reproducible (driver does the rows-only check). */
   val oracle: Map[String, String] = Map(
+    "profile_table" -> profileTableSql,
     "q24_range_join" -> q24Sql,
     "q25_skew_salt" -> q25Sql,
     "layout_zorder" -> layoutZorderSql)

@@ -285,13 +285,97 @@ object Similarity {
        |FROM hits h JOIN documents d ON d.doc_id = h.neighbor_id
        |ORDER BY h.query_id, h.rank""".stripMargin
 
+  // ─── ann_sq: int8 scalar quantization + exact rescore ───
+  // The SQ tier (faiss IndexScalarQuantizer shape): embeddings are
+  // unit-norm, so a FIXED symmetric scale maps each component to a
+  // small integer with no corpus statistics — q_i = floor(200·x_i+0.5)
+  // (|x_i| ≤ 1 ⇒ |q_i| ≤ 200, int8-packable). The scan phase scores
+  // candidates with an INTEGER dot product over the codes — exact in
+  // both engines (no float summation-order hazard), and at 100 TB the
+  // quantized corpus is ¼ the bytes of float32, which is the point:
+  // the full-scan cost is memory bandwidth. A 10-deep shortlist per
+  // query is then rescored with the exact double cosine. Composes
+  // with IVF at scale (probe cells, SQ-scan within cells); recall vs
+  // the exact baseline is measured in ScaleOpsSpec's sibling
+  // (SimilaritySpec-style) recall check below the oracle gate.
+  private val sqScale = 200
+  private val sqShortlist = 10
+
+  def annSq(spark: SparkSession, dir: String): DataFrame = {
+    // Codes kept as doubles so the scan rides the codegen'd dot
+    // product: every |code| ≤ 200, so products (≤ 4·10⁴) and their
+    // 64-term sums (≤ 2.6·10⁶) are exactly representable — the double
+    // dot IS integer arithmetic here, and the final cast to long is
+    // lossless in both engines.
+    val coded = vecs(spark, dir).withColumn("q",
+      transform(col("v"), x => floor(x * sqScale + 0.5).cast("double")))
+    val q = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("v").as("qv"), col("norm").as("qn"))
+    val c = coded.select(col("vec_id").as("neighbor_id"), col("q").as("cq"),
+      col("v").as("cv"), col("norm").as("cn"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("neighbor_id"))
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("ascore", dot(col("qq"), col("cq")).cast("long"))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= sqShortlist)
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(we).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        floor(col("cos") * 10000 + 0.5).cast("long").as("cos_bp"),
+        col("ascore"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annSqSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), (s, x) -> s + x)) AS norm,
+       |    list_transform(embedding,
+       |      x -> floor(CAST(x AS DOUBLE) * $sqScale + 0.5)) AS q
+       |  FROM embeddings),
+       |approx AS (
+       |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    qs.v AS qv, qs.norm AS qn, c.v AS cv, c.norm AS cn,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip(qs.q, c.q), z -> z[1] * z[2])),
+       |      (s, x) -> s + x) AS BIGINT) AS ascore
+       |  FROM n qs JOIN n c ON qs.vec_id < $nQueries AND qs.vec_id <> c.vec_id),
+       |short AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY ascore DESC, neighbor_id) AS arank
+       |    FROM approx)
+       |  WHERE arank <= $sqShortlist),
+       |exact AS (
+       |  SELECT query_id, neighbor_id, ascore,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip(qv, cv), z -> CAST(z[1] AS DOUBLE) * z[2])),
+       |      (s, x) -> s + x) / (qn * cn) AS cos
+       |  FROM short),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, ascore, cos,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM exact)
+       |SELECT query_id, rank, neighbor_id,
+       |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp, ascore
+       |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_sq" -> annSq,
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "ann_retrieve" -> annRetrieve)
 
   val oracle: Map[String, String] = Map(
+    "ann_sq" -> annSqSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,

@@ -274,7 +274,79 @@ object TextAnalysis {
        |FROM raw ORDER BY doc_id""".stripMargin
   }
 
+  // ─── text_repetition: Gopher-style repetition quality signals ───
+  // The repetition family of the Gopher data-quality rules (Rae et
+  // al. 2021, "Scaling Language Models", table A1): documents whose
+  // token stream is dominated by a few repeated words/bigrams are
+  // boilerplate or spam, and a training pipeline filters them before
+  // dedup even sees them. Per doc: unique-word ratio, most-frequent-
+  // word share, most-frequent-bigram share (basis points — exact
+  // integers cross-engine). Two explode→count→aggregate chains, each
+  // partitioned by doc_id off the same pre-repartitioned scan, then a
+  // co-partitioned left join (docs with <2 words have no bigrams).
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), w => w =!= "")
+    val base = docs(spark, dir).select(col("doc_id"), toks.as("t"))
+    val words = base.select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_uniq"),
+        max(col("c")).as("top_w"))
+    val bigrams = base
+      .select(col("doc_id"),
+        when(size(col("t")) >= 2,
+          transform(sequence(lit(0), size(col("t")) - 2),
+            i => concat_ws(" ",
+              element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+          .otherwise(array().cast("array<string>")).as("bg"))
+      .select(col("doc_id"), explode(col("bg")).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bi"), max(col("c")).as("top_bi"))
+    words.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        floor(col("n_uniq") * 10000.0 / col("n_words") + 0.5).cast("long")
+          .as("uniq_bp"),
+        floor(col("top_w") * 10000.0 / col("n_words") + 0.5).cast("long")
+          .as("top_word_bp"),
+        coalesce(
+          floor(col("top_bi") * 10000.0 / col("n_bi") + 0.5).cast("long"),
+          lit(0L)).as("top_bigram_bp"))
+      .withColumn("repetitive",
+        col("uniq_bp") < 5000 || col("top_word_bp") > 2000 ||
+          col("top_bigram_bp") > 1000)
+      .orderBy(col("doc_id"))
+  }
+
+  val textRepetitionSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+      |  FROM documents),
+      |wc AS (SELECT doc_id, w, count(*) AS c
+      |       FROM (SELECT doc_id, unnest(t) AS w FROM tok) GROUP BY 1, 2),
+      |wagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+      |    count(*) AS n_uniq, max(c) AS top_w
+      |  FROM wc GROUP BY doc_id),
+      |bc AS (SELECT doc_id, b, count(*) AS c
+      |       FROM (SELECT doc_id,
+      |               unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS b
+      |             FROM tok) GROUP BY 1, 2),
+      |bagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bi, max(c) AS top_bi
+      |  FROM bc GROUP BY doc_id),
+      |bp AS (
+      |  SELECT w.doc_id, w.n_words,
+      |    CAST(floor(w.n_uniq * 10000.0 / w.n_words + 0.5) AS BIGINT) AS uniq_bp,
+      |    CAST(floor(w.top_w * 10000.0 / w.n_words + 0.5) AS BIGINT) AS top_word_bp,
+      |    COALESCE(CAST(floor(b.top_bi * 10000.0 / b.n_bi + 0.5) AS BIGINT), 0)
+      |      AS top_bigram_bp
+      |  FROM wagg w LEFT JOIN bagg b USING (doc_id))
+      |SELECT doc_id, n_words, uniq_bp, top_word_bp, top_bigram_bp,
+      |  (uniq_bp < 5000 OR top_word_bp > 2000 OR top_bigram_bp > 1000)
+      |    AS repetitive
+      |FROM bp ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> textRepetition,
     "text_pii_redact" -> textPiiRedact,
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
@@ -283,6 +355,7 @@ object TextAnalysis {
     "text_ngram_top" -> textNgramTop)
 
   val oracle: Map[String, String] = Map(
+    "text_repetition" -> textRepetitionSql,
     "text_pii_redact" -> textPiiRedactSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,

@@ -111,4 +111,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       "the small increment must broadcast against the corpus-sized index")
   }
+
+  test("ann_sq: int8 scan recalls the exact top-3 well") {
+    import spark.implicits._
+    // 200 quantization levels on unit-norm vectors barely perturb the
+    // ordering; with a 10-deep shortlist the rescored top-3 should
+    // nearly always match the exact top-3.
+    val exact = Similarity.annBruteforce(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val sq = Similarity.annSq(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(sq.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"SQ ANN recall $recall")
+  }
 }

@@ -92,4 +92,16 @@ class GraphSpec extends AnyFunSuite {
     assert(leaked.size <= 1,
       s"leaked checkpoint RDDs beyond the final round: ${leaked.size}")
   }
+
+  test("shortestDistances: multi-source BFS distances on a barbell") {
+    import spark.implicits._
+    // Path 0-1-2-3-4 plus disjoint pair {10,11}; seeds {0, 10}.
+    // Unreached nodes don't appear; distances are exact hop counts.
+    val edges = edgeDf(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)))
+    val seeds = Seq(0L, 10L).toDF("node")
+    val got = Graph.shortestDistances(edges, seeds, "bfsSpec").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L,
+      10L -> 0L, 11L -> 1L))
+  }
 }
