@@ -59,17 +59,22 @@ object Main {
     queryName = env.getOrElse("GRAFT_QUERY_NAME", "graft-trike"),
     triggerMs = env.getOrElse("GRAFT_TRIGGER_MS", "1000").toLong)
 
-  /** Source selection — the one line a deployment changes. `socket` is
-    * Spark's test-only TCP source (one connection per source; see
-    * PacketSources.socket for the production-bus caveat), `fake` the
+  /** Source selection — the one line a deployment changes.
+    * `multisocket` is the Ranch-listener twin (one listening port, N
+    * accepted OCS connections, per-connection identity); `socket` is
+    * Spark's test-only single-connection TCP source; `fake` the
     * reference's fake_source.ex twin on the rate source. */
-  def packets(spark: SparkSession, cfg: Config): Dataset[RawPacket] =
+  def packets(spark: SparkSession, cfg: Config): Dataset[RawPacket] = {
+    import spark.implicits._
     cfg.source match {
       case "fake" => PacketSources.fake(spark, cfg.rowsPerSecond, cfg.nConns)
       case "socket" => PacketSources.socket(spark, cfg.host, cfg.port)
+      case "multisocket" => spark.readStream.format("graft-multisocket")
+        .option("port", cfg.port.toString).load().as[RawPacket]
       case other => throw new IllegalArgumentException(
-        s"GRAFT_SOURCE=$other (expected fake|socket)")
+        s"GRAFT_SOURCE=$other (expected fake|socket|multisocket)")
     }
+  }
 
   /** Wire the full production pipeline onto any packet source and
     * start it: watermark → stateful framing/CloudEvent projection →

@@ -1,0 +1,189 @@
+package graft.sources
+
+import java.io.BufferedReader
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Multi-connection TCP packet source — the graft twin of the
+  * reference's Ranch listener, which spawns one Proxy per ACCEPTED
+  * connection (/root/reference/lib/trike/proxy.ex:64-83): one
+  * listening port, N concurrent OCS feeds, each packet keyed by the
+  * connection it arrived on. Spark's built-in socket source models
+  * exactly one outbound connection; this source accepts inbound ones,
+  * so the whole fleet of feeds lands in one stream with per-connection
+  * identity — the shape `StatefulFraming` keys its buffers by.
+  *
+  * Emits the RawPacket schema (connId, sourceIp, receiveTs, payload,
+  * seq): one row per received line, `connId` = `peer-ip:peer-port` of
+  * the accepted socket, `seq` a global arrival counter (the
+  * within-batch tiebreak for equal-millisecond packets).
+  *
+  * Like Spark's own TextSocketMicroBatchStream, this is a
+  * driver-buffered, best-effort source for test/dev ingestion: data
+  * accepted between the last committed offset and a crash is lost
+  * (TCP has no replay); committed prefixes are trimmed from the
+  * buffer. A production deployment puts a durable bus between the
+  * listener and Spark — `ShardedJournal.replayStream` models that
+  * contract — but the wire protocol and per-connection keying here
+  * are exactly the reference's.
+  *
+  * Usage: {{{
+  * spark.readStream.format("graft-multisocket")
+  *   .option("port", "8001").load()
+  * }}}
+  */
+class MultiSocketSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-multisocket"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MultiSocketSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new MultiSocketTable(properties.getOrDefault("port", "8001").toInt,
+      Option(properties.get("name")))
+}
+
+object MultiSocketSource {
+  val schema: StructType = StructType(Seq(
+    StructField("connId", StringType),
+    StructField("sourceIp", StringType),
+    StructField("receiveTs", TimestampType),
+    StructField("payload", StringType),
+    StructField("seq", LongType)))
+
+  /** Ephemeral-port rendezvous for specs: `option("port", "0")` binds
+    * any free port; the bound port is published here under the
+    * source's `name` option. */
+  val boundPorts: ConcurrentHashMap[String, Integer] = new ConcurrentHashMap()
+}
+
+private[sources] class MultiSocketTable(port: Int, name: Option[String])
+  extends Table with SupportsRead {
+  override def name(): String = s"graft-multisocket:$port"
+  override def schema(): StructType = MultiSocketSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = MultiSocketSource.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new MultiSocketStream(port, name)
+    }
+}
+
+/** One long offset = total rows accepted since start. The buffer holds
+  * [committed, latest); commit(n) trims everything before n. */
+private[sources] case class RowCountOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+private[sources] class MultiSocketStream(port: Int, name: Option[String])
+  extends MicroBatchStream {
+
+  /** (connId, sourceIp, epochMicros, line, seq) in arrival order;
+    * index 0 corresponds to absolute offset `trimmed`. */
+  private val buffer = new ArrayBuffer[(String, String, Long, String, Long)]
+  private var trimmed = 0L
+  private val seqGen = new AtomicLong(0L)
+  @volatile private var stopped = false
+
+  private val server = new ServerSocket()
+  server.bind(new InetSocketAddress(port))
+  name.foreach(n =>
+    MultiSocketSource.boundPorts.put(n, Integer.valueOf(server.getLocalPort)))
+
+  // The Ranch acceptor: one thread accepts, one reader thread per live
+  // connection (connection counts are fleet-sized — tens, not
+  // thousands — matching the reference's one-process-per-conn model).
+  private val acceptor = new Thread(() => {
+    while (!stopped) {
+      try {
+        val sock = server.accept()
+        val peer = sock.getRemoteSocketAddress.asInstanceOf[InetSocketAddress]
+        val connId = s"${peer.getAddress.getHostAddress}:${peer.getPort}"
+        val reader = new Thread(() => readLoop(sock, connId,
+          peer.getAddress.getHostAddress))
+        reader.setDaemon(true)
+        reader.start()
+      } catch { case _: Throwable if stopped => () }
+    }
+  })
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def readLoop(sock: Socket, connId: String, ip: String): Unit = {
+    val in = new BufferedReader(new java.io.InputStreamReader(
+      sock.getInputStream, StandardCharsets.UTF_8))
+    try {
+      var line = in.readLine()
+      while (line != null && !stopped) {
+        val micros = System.currentTimeMillis() * 1000L
+        buffer.synchronized {
+          buffer += ((connId, ip, micros, line, seqGen.getAndIncrement()))
+        }
+        line = in.readLine()
+      }
+    } catch { case _: Throwable => () } finally sock.close()
+  }
+
+  override def initialOffset(): Offset = RowCountOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    RowCountOffset(json.toLong)
+  override def latestOffset(): Offset =
+    buffer.synchronized(RowCountOffset(trimmed + buffer.size))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[RowCountOffset].n,
+      end.asInstanceOf[RowCountOffset].n)
+    val rows = buffer.synchronized {
+      buffer.slice((s - trimmed).toInt, (e - trimmed).toInt).toArray
+    }
+    Array(MultiSocketPartition(rows))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) =>
+      new MultiSocketReader(partition.asInstanceOf[MultiSocketPartition].rows)
+
+  override def commit(end: Offset): Unit = buffer.synchronized {
+    val n = end.asInstanceOf[RowCountOffset].n
+    val drop = (n - trimmed).toInt
+    if (drop > 0) { buffer.remove(0, math.min(drop, buffer.size)); trimmed = n }
+  }
+
+  override def stop(): Unit = {
+    stopped = true
+    scala.util.Try(server.close())
+  }
+}
+
+private[sources] case class MultiSocketPartition(
+  rows: Array[(String, String, Long, String, Long)]) extends InputPartition
+
+private[sources] class MultiSocketReader(
+  rows: Array[(String, String, Long, String, Long)])
+  extends PartitionReader[InternalRow] {
+  private var i = -1
+  override def next(): Boolean = { i += 1; i < rows.length }
+  override def get(): InternalRow = {
+    val (connId, ip, micros, line, seq) = rows(i)
+    InternalRow(UTF8String.fromString(connId), UTF8String.fromString(ip),
+      micros, UTF8String.fromString(line), seq)
+  }
+  override def close(): Unit = ()
+}

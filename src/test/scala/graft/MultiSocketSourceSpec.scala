@@ -1,0 +1,99 @@
+package graft
+
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+
+import graft.sources.MultiSocketSource
+import graft.streaming.{OcsPipeline, RawPacket}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Ranch-listener twin (SURVEY §2 #108): one listening port, N
+  * accepted TCP connections, every line keyed by the connection it
+  * arrived on — driven end-to-end through the CloudEvent pipeline. */
+class MultiSocketSourceSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.test
+  private val EOT = OcsPipeline.EOT
+
+  private def send(port: Int, lines: Seq[String]): Socket = {
+    val s = new Socket("127.0.0.1", port)
+    val out = s.getOutputStream
+    out.write(lines.map(_ + "\n").mkString.getBytes(StandardCharsets.UTF_8))
+    out.flush()
+    s
+  }
+
+  test("accepts several connections and keys packets by peer") {
+    import spark.implicits._
+    val q = spark.readStream.format("graft-multisocket")
+      .option("port", "0").option("name", "spec1").load()
+      .as[RawPacket]
+      .map(p => (p.connId, p.payload))
+      .toDF("connId", "payload")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("msock").start()
+    try {
+      // The source binds an ephemeral port and publishes it by name.
+      var port = 0
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (port == 0 && System.nanoTime() < deadline) {
+        val p = MultiSocketSource.boundPorts.get("spec1")
+        if (p != null) port = p.intValue() else Thread.sleep(50)
+      }
+      assert(port > 0, "source did not publish its bound port")
+
+      val c1 = send(port, Seq(s"a1$EOT", s"a2$EOT"))
+      val c2 = send(port, Seq(s"b1$EOT"))
+      try {
+        // Poll until all 3 lines came through the accept/read threads.
+        val until = System.nanoTime() + 30e9.toLong
+        var n = 0L
+        while (n < 3 && System.nanoTime() < until) {
+          q.processAllAvailable()
+          n = spark.table("msock").count()
+          if (n < 3) Thread.sleep(100)
+        }
+        val rows = spark.table("msock").collect()
+          .map(r => r.getString(0) -> r.getString(1))
+        assert(rows.length == 3, rows.toSeq)
+        val byConn = rows.groupBy(_._1)
+        assert(byConn.size == 2, s"two distinct connections: $byConn")
+        val payloads = byConn.map { case (_, v) => v.map(_._2).toSet }.toSet
+        assert(payloads == Set(Set(s"a1$EOT", s"a2$EOT"), Set(s"b1$EOT")))
+      } finally { c1.close(); c2.close() }
+    } finally q.stop()
+  }
+
+  test("feeds the CloudEvent pipeline with per-connection identity") {
+    val src = spark.readStream.format("graft-multisocket")
+      .option("port", "0").option("name", "spec2").load()
+    val q = OcsPipeline.cloudEvents(src)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("msock_ce").start()
+    try {
+      var port = 0
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (port == 0 && System.nanoTime() < deadline) {
+        val p = MultiSocketSource.boundPorts.get("spec2")
+        if (p != null) port = p.intValue() else Thread.sleep(50)
+      }
+      val c = send(port, Seq(s"m1${EOT}HEARTBEAT${EOT}m2$EOT"))
+      try {
+        val until = System.nanoTime() + 30e9.toLong
+        var n = 0L
+        while (n < 2 && System.nanoTime() < until) {
+          q.processAllAvailable()
+          n = spark.table("msock_ce").count()
+          if (n < 2) Thread.sleep(100)
+        }
+        val out = spark.table("msock_ce")
+        // Heartbeat dropped; both frames carry the peer connection key
+        // and a content-addressed id.
+        assert(out.count() == 2)
+        assert(out.filter(col("raw") === "HEARTBEAT").count() == 0)
+        assert(out.filter(col("id").isNull).count() == 0)
+        assert(out.select("partitionkey").distinct().count() == 1)
+      } finally c.close()
+    } finally q.stop()
+  }
+}
