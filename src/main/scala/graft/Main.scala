@@ -99,14 +99,21 @@ object Main {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(Trigger.ProcessingTime(cfg.triggerMs))
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        val stale = batch.filter(col("kind") === "stale")
-          .select(col("partitionkey")).collect()
-        stale.foreach(r =>
-          publish(s"stale_connection conn=${r.getString(0)} batch=$batchId"))
-        // The sink receives the canonical JSON encoding, the exact
-        // bytes the reference puts (proxy.ex:171, cloud_event JSON).
-        puts(batch.filter(col("kind") === "frame")
-          .withColumn("json", OcsPipeline.eventJson), batchId)
+        // Two actions consume this batch (the stale split and the
+        // ordered puts); without a persist each would re-execute the
+        // whole stateful plan — including flatMapGroupsWithState state
+        // -store load/commit — twice per trigger. Materialize once.
+        batch.persist()
+        try {
+          val stale = batch.filter(col("kind") === "stale")
+            .select(col("partitionkey")).collect()
+          stale.foreach(r =>
+            publish(s"stale_connection conn=${r.getString(0)} batch=$batchId"))
+          // The sink receives the canonical JSON encoding, the exact
+          // bytes the reference puts (proxy.ex:171, cloud_event JSON).
+          puts(batch.filter(col("kind") === "frame")
+            .withColumn("json", OcsPipeline.eventJson), batchId)
+        } finally batch.unpersist()
       }
       .start()
   }

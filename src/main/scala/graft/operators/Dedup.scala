@@ -182,9 +182,24 @@ object Dedup {
     * (lazy) frames the previous dir's queries returned but haven't
     * executed yet. Run each returned frame's action before requesting
     * the next query (Verify/Bench do), or persist results you intend
-    * to interleave. */
+    * to interleave. Two further caveats of the (session, dir) key:
+    * the fixture serves the signatures AS OF first touch — if the
+    * parquet under `dir` is rewritten in place within a session, call
+    * `invalidate()` (specs that regenerate data must); and the last
+    * session is held strongly until the next key switch or an
+    * explicit `invalidate()` on session stop. */
   private var fixture: Option[((SparkSession, String), DataFrame, DataFrame,
     Seq[org.apache.spark.rdd.RDD[_]])] = None
+
+  /** Drop the shared fixture and release its checkpoint blocks — for
+    * callers that rewrite the corpus dir in place or stop the owning
+    * session. Safe to call when nothing is cached. */
+  def invalidate(): Unit = synchronized {
+    fixture.foreach { case (_, _, _, rdds) =>
+      rdds.foreach(r => scala.util.Try(r.unpersist(blocking = false)))
+    }
+    fixture = None
+  }
 
   /** One (doc_id, band, bh) row per band — the LSH band index. */
   private def bandedOf(sigs: DataFrame): DataFrame =

@@ -204,7 +204,10 @@ object ScaleOps {
       val mx = pc.norm.map(max(_).as(s"mx_${pc.name}"))
         .getOrElse(lit(null).cast("long").as(s"mx_${pc.name}"))
       Seq(
-        sum(when(pc.distinctOn.isNull, 1L).otherwise(0L)).as(s"nl_${pc.name}"),
+        // count(1) - count(col), not sum(when(isNull,1)): sum() is NULL
+        // on an empty table while the oracle's count(*)-count(col) is 0
+        // — the empty-input sweep (#82) exercises exactly that branch.
+        (count(lit(1)) - count(pc.distinctOn)).as(s"nl_${pc.name}"),
         count_distinct(pc.distinctOn).as(s"nd_${pc.name}"), mn, mx)
     }
     val wide = li.agg(count(lit(1)).as("n_rows"), aggs: _*)

@@ -120,7 +120,16 @@ private[sources] class MultiSocketStream(port: Int, name: Option[String])
           peer.getAddress.getHostAddress))
         reader.setDaemon(true)
         reader.start()
-      } catch { case _: Throwable if stopped => () }
+      } catch {
+        case _: Throwable if stopped => ()
+        // Transient accept failure while running (e.g. EMFILE): the
+        // listener must survive it — a dead acceptor would silently
+        // starve the query with no error. Log, back off, keep
+        // accepting; only the stopped path exits quietly.
+        case e: Throwable =>
+          Console.err.println(s"graft-multisocket accept failed (retrying): $e")
+          try Thread.sleep(100L) catch { case _: InterruptedException => () }
+      }
     }
   })
   acceptor.setDaemon(true)
@@ -142,8 +151,21 @@ private[sources] class MultiSocketStream(port: Int, name: Option[String])
   }
 
   override def initialOffset(): Offset = RowCountOffset(0L)
-  override def deserializeOffset(json: String): Offset =
-    RowCountOffset(json.toLong)
+
+  /** Called with offsets restored from the checkpoint log on restart.
+    * A fresh instance starts at trimmed=0, but the restored offset is
+    * the PREVIOUS run's row count N — without resync every batch would
+    * plan [N, latest<N) = empty while commit(N) trims N rows of new
+    * post-restart data. Fast-forward instead: rows buffered by this
+    * instance were all accepted after restart, so they renumber to
+    * [N, N+size) and nothing unemitted is ever trimmed. (Data from the
+    * previous run is gone regardless — TCP has no replay; that loss is
+    * the documented contract, this guards the post-restart stream.) */
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.toLong
+    buffer.synchronized { if (n > trimmed) trimmed = n }
+    RowCountOffset(n)
+  }
   override def latestOffset(): Offset =
     buffer.synchronized(RowCountOffset(trimmed + buffer.size))
 

@@ -96,4 +96,60 @@ class MultiSocketSourceSpec extends AnyFunSuite {
       } finally c.close()
     } finally q.stop()
   }
+
+  test("restart from checkpoint does not trim unemitted post-restart rows") {
+    val ckpt = java.nio.file.Files.createTempDirectory("msock-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("msock-out").toString
+
+    def startQuery() = spark.readStream.format("graft-multisocket")
+      .option("port", "0").option("name", "spec3").load()
+      .selectExpr("connId", "payload")
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+
+    def awaitPort(): Int = {
+      var port = 0
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (port == 0 && System.nanoTime() < deadline) {
+        val p = MultiSocketSource.boundPorts.get("spec3")
+        if (p != null) port = p.intValue() else Thread.sleep(50)
+      }
+      assert(port > 0, "source did not publish its bound port"); port
+    }
+
+    def awaitCount(q: org.apache.spark.sql.streaming.StreamingQuery,
+        want: Long): Long = {
+      val until = System.nanoTime() + 30e9.toLong
+      var n = -1L
+      while (n < want && System.nanoTime() < until) {
+        q.processAllAvailable()
+        n = spark.read.parquet(out).count()
+        if (n < want) Thread.sleep(100)
+      }
+      n
+    }
+
+    val q1 = startQuery()
+    try {
+      val c = send(awaitPort(), Seq(s"r1$EOT", s"r2$EOT", s"r3$EOT"))
+      try assert(awaitCount(q1, 3) == 3) finally c.close()
+    } finally q1.stop()
+
+    // Restart: a fresh stream instance begins at trimmed=0 while the
+    // restored offset is 3. Without the deserializeOffset fast-forward,
+    // the first ~3 post-restart rows are silently trimmed uncommitted
+    // and this times out at 3 rows.
+    MultiSocketSource.boundPorts.remove("spec3")
+    val q2 = startQuery()
+    try {
+      val c = send(awaitPort(), Seq(s"r4$EOT", s"r5$EOT"))
+      try {
+        assert(awaitCount(q2, 5) == 5)
+        val payloads = spark.read.parquet(out).collect()
+          .map(_.getString(1)).toSet
+        assert(payloads == Set("r1", "r2", "r3", "r4", "r5").map(_ + EOT))
+      } finally c.close()
+    } finally q2.stop()
+  }
 }
