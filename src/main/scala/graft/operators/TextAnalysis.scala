@@ -158,6 +158,21 @@ object TextAnalysis {
       |  FROM documents
       |) ORDER BY doc_id""".stripMargin
 
+  /** Adjacent-bigram array from a token array, HOF-inlining-safe.
+    * Built with zip_with(t, tail(t)) rather than
+    * transform(sequence(...), i => element_at(t, i)...): CollapseProject
+    * inlines t = filter(split(text)) into every use, and element_at
+    * inside a per-ELEMENT lambda re-tokenizes the document per bigram —
+    * O(tokens²) per doc (measured 6.4s → 0.1s on text_repetition at
+    * sf0.1). zip_with evaluates both array children once per row; the
+    * lambda touches only lambda variables. concat (not concat_ws) so
+    * the null-padded last pair stays null and is filtered out. */
+  private def bigramArr(t: Column): Column =
+    filter(
+      zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull)
+
   // ─── text_ngram_top: top bigrams per language by document frequency ───
   // Corpus-level n-gram statistics (contamination checks, boilerplate
   // detection, vocabulary drift): distinct bigrams PER DOCUMENT
@@ -175,12 +190,7 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("bigram"))
     docs(spark, dir)
       .select(col("lang"), toks.as("t"))
-      .select(col("lang"),
-        when(size(col("t")) >= 2,
-          array_distinct(transform(sequence(lit(0), size(col("t")) - 2),
-            i => concat_ws(" ",
-              element_at(col("t"), i + 1), element_at(col("t"), i + 2)))))
-          .otherwise(array().cast("array<string>")).as("bg"))
+      .select(col("lang"), array_distinct(bigramArr(col("t"))).as("bg"))
       .select(col("lang"), explode_outer(col("bg")).as("bigram"))
       .filter(col("bigram").isNotNull)
       .groupBy(col("lang"), col("bigram"))
@@ -293,12 +303,8 @@ object TextAnalysis {
       .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_uniq"),
         max(col("c")).as("top_w"))
     val bigrams = base
-      .select(col("doc_id"),
-        when(size(col("t")) >= 2,
-          transform(sequence(lit(0), size(col("t")) - 2),
-            i => concat_ws(" ",
-              element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
-          .otherwise(array().cast("array<string>")).as("bg"))
+      .select(col("doc_id"), bigramArr(col("t")).as("bg")) // see bigramArr
+
       .select(col("doc_id"), explode(col("bg")).as("b"))
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
