@@ -132,12 +132,48 @@ object Cdc {
        |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
        |ORDER BY user_id, version""".stripMargin
 
+  // ─── cdc_ivm: incremental maintenance of an aggregate view ───
+  // The materialized-view refresh a 100 TB warehouse runs on every
+  // ingest: a per-key aggregate state (count + sum are
+  // self-maintainable — commutative monoids) is updated by
+  // aggregating ONLY the delta partition and merging it onto the base
+  // state with an outer join; history is never rescanned. The merged
+  // result must equal the from-scratch aggregate over base ∪ delta —
+  // the oracle IS that full recompute, so the hash match proves the
+  // maintenance identity, not just the plumbing. At scale base and
+  // delta aggregates are bucketed by key → co-partitioned merge.
+  def cdcIvm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    def aggOf(f: DataFrame) = f.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("c"))
+    val base = aggOf(ev.filter(col("ts") < lit(cutoff)))
+      .select(col("user_id"), col("n").as("bn"), col("c").as("bc"))
+    val delta = aggOf(ev.filter(col("ts") >= lit(cutoff)))
+      .select(col("user_id"), col("n").as("dn"), col("c").as("dc"))
+    base.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_events"),
+        (coalesce(col("bc"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+          .as("value_cents"),
+        col("dn").isNotNull.as("touched"))
+      .orderBy(col("user_id"))
+  }
+
+  val cdcIvmSql: String =
+    s"""SELECT user_id, count(*) AS n_events,
+       |  CAST(sum(${Tables.centsSql("value")}) AS BIGINT) AS value_cents,
+       |  bool_or(ts >= TIMESTAMP '$cutoff') AS touched
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_ivm" -> cdcIvm,
     "cdc_latest" -> cdcLatest,
     "cdc_merge" -> cdcMerge,
     "cdc_scd2" -> cdcScd2)
 
   val oracle: Map[String, String] = Map(
+    "cdc_ivm" -> cdcIvmSql,
     "cdc_latest" -> cdcLatestSql,
     "cdc_merge" -> cdcMergeSql,
     "cdc_scd2" -> cdcScd2Sql)

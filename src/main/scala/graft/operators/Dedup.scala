@@ -582,7 +582,59 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  // ─── dedup_containment: asymmetric (sub/superset) near-dup pairs ───
+  // Jaccard misses one-sided duplication: a document EMBEDDED in a
+  // much larger one scores low symmetric overlap but ~100%
+  // containment |A∩B|/|A| — the quote/boilerplate/expansion case a
+  // training-data pipeline must catch separately (Broder's
+  // resemblance-vs-containment distinction, 1997). Same bounded
+  // inverted-index candidate generation as dedup_ngram_jaccard
+  // (shared-shingle equijoin under the df cap, ReuseExchange'd alias
+  // self-join), then exact containment both directions and a flag for
+  // pairs where either direction crosses 80%.
+  private val contBp = 8000L
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val ex = docShingles(spark, dir)
+      .select(col("doc_id"), col("n_sh"), explode_outer(col("sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+    val keep = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val f = ex.join(keep.select("shingle"), Seq("shingle"))
+    f.as("a").join(f.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .withColumn("cont_a_bp", expr("shared * 10000 div n_a"))
+      .withColumn("cont_b_bp", expr("shared * 10000 div n_b"))
+      .withColumn("one_sided",
+        col("cont_a_bp") >= contBp || col("cont_b_bp") >= contBp)
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("cont_a_bp"), col("cont_b_bp"), col("one_sided"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupContainmentSql: String =
+    s"""WITH $docShinglesSql,
+       |d AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM shdocs),
+       |keep AS (SELECT shingle FROM d GROUP BY shingle HAVING count(*) <= $dfCap),
+       |f AS (SELECT d.* FROM d JOIN keep USING (shingle)),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS shared
+       |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= $minShared)
+       |SELECT doc_a, doc_b, shared,
+       |  shared * 10000 // n_a AS cont_a_bp,
+       |  shared * 10000 // n_b AS cont_b_bp,
+       |  (shared * 10000 // n_a >= $contBp OR shared * 10000 // n_b >= $contBp)
+       |    AS one_sided
+       |FROM p ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> dedupContainment,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -592,6 +644,7 @@ object Dedup {
     "dedup_incremental" -> dedupIncremental)
 
   val oracle: Map[String, String] = Map(
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

@@ -79,6 +79,131 @@ object Events {
        |FROM sess GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  // ─── ev_attribution: last-touch attribution for purchases ───
+  // The marketing/analytics staple: each purchase is credited to the
+  // most recent click or view by the same user within a 48 h lookback,
+  // else 'direct'. One shuffle on user_id, one linear window pass —
+  // the as-of join collapsed into a running max, never a self-join.
+  // The preceding touch is carried as a single BIGINT key
+  // ((epoch·10^7 + event_id)·10 + type_code) so ONE window max yields
+  // epoch, id and type at once, integer-exact in both engines (the
+  // max-of-key IS the latest touch because epoch leads the encoding;
+  // fits a BIGINT for event_id < 10^7 — true at every testdata SF).
+  private val attrLookbackS = 172800L // 48 h
+  def evAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val prec = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val code = when(col("event_type") === "click", 1L)
+      .when(col("event_type") === "view", 2L)
+    val key = (epochS(col("ts")) * 10000000L + col("event_id")) * 10L + code
+    Tables(spark, dir).events
+      .withColumn("attr_key", max(key).over(prec))
+      .filter(col("event_type") === "purchase")
+      .withColumn("purchase_epoch", epochS(col("ts")))
+      .withColumn("attr_epoch", expr("attr_key div 10 div 10000000"))
+      .withColumn("ok",
+        col("attr_key").isNotNull &&
+          col("attr_epoch") >= col("purchase_epoch") - attrLookbackS)
+      .select(col("event_id"), col("user_id"), col("purchase_epoch"),
+        when(!col("ok"), "direct")
+          .when(col("attr_key") % 10 === 1, "click").otherwise("view")
+          .as("attr_type"),
+        when(col("ok"), expr("attr_key div 10 % 10000000")).as("attr_event_id"),
+        when(col("ok"), col("purchase_epoch") - col("attr_epoch")).as("gap_s"))
+      .orderBy(col("event_id"))
+  }
+
+  val evAttributionSql: String =
+    s"""WITH e AS (
+       |  SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS epoch FROM events
+       |), k AS (
+       |  SELECT *, epoch AS purchase_epoch,
+       |    max(CASE WHEN event_type = 'click' THEN (epoch * 10000000 + event_id) * 10 + 1
+       |             WHEN event_type = 'view'  THEN (epoch * 10000000 + event_id) * 10 + 2
+       |        END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_key
+       |  FROM e
+       |), p AS (
+       |  SELECT *, attr_key // 10 // 10000000 AS attr_epoch,
+       |    attr_key IS NOT NULL
+       |      AND attr_key // 10 // 10000000 >= purchase_epoch - $attrLookbackS AS ok
+       |  FROM k WHERE event_type = 'purchase'
+       |)
+       |SELECT event_id, user_id, purchase_epoch,
+       |  CASE WHEN NOT coalesce(ok, FALSE) THEN 'direct'
+       |       WHEN attr_key % 10 = 1 THEN 'click' ELSE 'view' END AS attr_type,
+       |  CASE WHEN ok THEN attr_key // 10 % 10000000 END AS attr_event_id,
+       |  CASE WHEN ok THEN purchase_epoch - attr_epoch END AS gap_s
+       |FROM p ORDER BY event_id""".stripMargin
+
+  // ─── ev_concurrency: peak concurrent sessions (sweep line) ───
+  // Capacity planning's classic question — how many sessions are
+  // active at once? — answered with the ±1 boundary sweep: +1 at each
+  // session start, −1 one second after its (inclusive) end, running
+  // sum = active count on [epoch, next boundary). The running sum is
+  // a DISTRIBUTED two-level prefix sum, not one global-window task:
+  // per-day partial sums roll up on a days-sized frame (the only
+  // single-partition window, bounded by calendar days at any data
+  // scale), then each day's boundaries cumulate in parallel with the
+  // day's carry added — the textbook scan-primitive decomposition.
+  def evConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val sess = evSessionize(spark, dir)
+    val deltas = sess.select(explode(array(
+        struct(col("session_start_epoch").as("epoch"), lit(1L).as("d")),
+        struct((col("session_end_epoch") + 1).as("epoch"), lit(-1L).as("d"))))
+        .as("b"))
+      .select(col("b.epoch").as("epoch"), col("b.d").as("d"))
+      .groupBy(col("epoch")).agg(sum(col("d")).as("delta"))
+      .withColumn("day", expr("epoch div 86400"))
+    val dayCarry = deltas.groupBy(col("day"))
+      .agg(sum(col("delta")).as("day_delta"))
+      .withColumn("carry", coalesce(
+        sum(col("day_delta")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("day"), col("carry"))
+    deltas
+      .withColumn("cum", sum(col("delta")).over(
+        Window.partitionBy(col("day")).orderBy(col("epoch"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(dayCarry, Seq("day"))
+      .select(col("epoch"), col("delta"), (col("carry") + col("cum")).as("active"))
+      .orderBy(col("epoch"))
+  }
+
+  /** The sessionize CTE chain, shared verbatim with evSessionizeSql. */
+  private val sessCtes: String =
+    s"""e AS (
+       |  SELECT user_id, event_id, value,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS epoch, ts
+       |  FROM events
+       |), flagged AS (
+       |  SELECT *, CASE WHEN lag(epoch) OVER w IS NULL
+       |      OR epoch - lag(epoch) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), sess AS (
+       |  SELECT *, CAST(sum(is_new) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM flagged
+       |)""".stripMargin
+
+  val evConcurrencySql: String =
+    s"""WITH $sessCtes,
+       |s AS (
+       |  SELECT user_id, session_id, min(epoch) AS st, max(epoch) AS en
+       |  FROM sess GROUP BY user_id, session_id
+       |), b AS (
+       |  SELECT st AS epoch, 1 AS d FROM s
+       |  UNION ALL SELECT en + 1, -1 FROM s
+       |), dl AS (
+       |  SELECT epoch, CAST(sum(d) AS BIGINT) AS delta FROM b GROUP BY epoch
+       |)
+       |SELECT epoch, delta,
+       |  CAST(sum(delta) OVER (ORDER BY epoch
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS active
+       |FROM dl ORDER BY epoch""".stripMargin
+
   // ─── ev_session_native: Spark's native session_window operator ───
   // The same 30-minute-gap semantics as ev_sessionize but via the
   // built-in session_window aggregate — the operator a Spark-first
@@ -670,6 +795,8 @@ object Events {
       |FROM counts ORDER BY from_type, to_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_attribution" -> evAttribution,
+    "ev_concurrency" -> evConcurrency,
     "ev_markov" -> evMarkov,
     "ev_retention" -> evRetention,
     "ev_anomaly" -> evAnomaly,
@@ -685,6 +812,8 @@ object Events {
     "ev_pattern_seq" -> evPatternSeq)
 
   val oracle: Map[String, String] = Map(
+    "ev_attribution" -> evAttributionSql,
+    "ev_concurrency" -> evConcurrencySql,
     "ev_markov" -> evMarkovSql,
     "ev_retention" -> evRetentionSql,
     "ev_anomaly" -> evAnomalySql,

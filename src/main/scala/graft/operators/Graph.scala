@@ -374,7 +374,64 @@ object Graph {
        |SELECT node, min(dist) AS dist FROM walk
        |GROUP BY node ORDER BY node""".stripMargin
 
+  // ─── graph_jaccard: neighborhood similarity of connected pairs ───
+  // Link-quality scoring for the near-dup graph: an edge whose
+  // endpoints also share most of their OTHER neighbors sits inside a
+  // dense duplicate clique; an edge with no common neighbors is a
+  // lone (often false-positive) bridge — structural Jaccard is the
+  // standard edge-strength signal (common-neighbors / union, as in
+  // SimRank-lite link prediction). Common neighbors per edge via two
+  // equijoins against the adjacency (pairs → wedges → close on the
+  // composite (endpoint, neighbor) key — work ∝ Σ deg(a), never a
+  // cross join); degrees from one map-side-combining aggregate;
+  // integer-exact basis points via BIGINT division.
+  def graphJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.pairEdges(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = edges.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+      val pairs = edges.filter(col("src") < col("dst"))
+        .select(col("src").as("a"), col("dst").as("b"))
+      val common = pairs
+        .join(edges.select(col("src").as("pa"), col("dst").as("x")),
+          col("a") === col("pa"))
+        .join(edges.select(col("src").as("pb"), col("dst").as("y")),
+          col("b") === col("pb") && col("x") === col("y"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      pairs
+        .join(common, Seq("a", "b"), "left")
+        .na.fill(0L, Seq("common"))
+        .join(deg.select(col("n").as("a"), col("d").as("deg_a")), Seq("a"))
+        .join(deg.select(col("n").as("b"), col("d").as("deg_b")), Seq("b"))
+        .select(col("a").as("src"), col("b").as("dst"), col("common"),
+          col("deg_a"), col("deg_b"),
+          expr("common * 10000 div (deg_a + deg_b - common)").as("jaccard_bp"))
+        .orderBy(col("src"), col("dst"))
+    } finally edges.unpersist(blocking = false)
+  }
+
+  val graphJaccardSql: String =
+    s"""WITH ${Dedup.edgesCtes},
+       |deg AS (SELECT src AS n, count(*) AS d FROM edges GROUP BY src),
+       |pairs AS (SELECT src AS a, dst AS b FROM edges WHERE src < dst),
+       |cm AS (
+       |  SELECT p.a, p.b, count(*) AS common
+       |  FROM pairs p
+       |  JOIN edges e1 ON e1.src = p.a
+       |  JOIN edges e2 ON e2.src = p.b AND e2.dst = e1.dst
+       |  GROUP BY p.a, p.b)
+       |SELECT p.a AS src, p.b AS dst,
+       |  coalesce(cm.common, 0) AS common, da.d AS deg_a, db.d AS deg_b,
+       |  coalesce(cm.common, 0) * 10000
+       |    // (da.d + db.d - coalesce(cm.common, 0)) AS jaccard_bp
+       |FROM pairs p
+       |LEFT JOIN cm ON cm.a = p.a AND cm.b = p.b
+       |JOIN deg da ON da.n = p.a
+       |JOIN deg db ON db.n = p.b
+       |ORDER BY src, dst""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_jaccard" -> graphJaccard,
     "graph_bfs" -> graphBfs,
     "graph_components" -> graphComponents,
     "graph_degrees" -> graphDegrees,
@@ -382,6 +439,7 @@ object Graph {
     "graph_pagerank" -> graphPagerank)
 
   val oracle: Map[String, String] = Map(
+    "graph_jaccard" -> graphJaccardSql,
     "graph_bfs" -> graphBfsSql,
     "graph_components" -> graphComponentsSql,
     "graph_degrees" -> graphDegreesSql,

@@ -351,7 +351,55 @@ object TextAnalysis {
       |    AS repetitive
       |FROM bp ORDER BY doc_id""".stripMargin
 
+  // ─── text_tfidf: top distinctive terms per document ───
+  // The retrieval/keyword-extraction staple: term frequency weighted
+  // against corpus-wide document frequency, top 3 terms per doc. The
+  // idf weight is the exact rational tf·10⁴ div df (integer division)
+  // rather than tf·ln(N/df): ranking by tf/df orders identically to
+  // tf·ln(N/df) for fixed tf ties broken by term, and integer math is
+  // bit-exact cross-engine where libm's ln is not. Plan: one explode →
+  // tf aggregate (shuffle on (doc_id, term)); df is a second aggregate
+  // OVER tf whose exchange ReuseExchange shares with the join's left
+  // side; final per-doc top-k window shuffles on doc_id. df rides a
+  // shuffle join, not a broadcast — at 100 TB the vocabulary is
+  // unbounded (typos, ids), and AQE will broadcast it when it is small.
+  private val tfidfTopK = 3
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(col("text"), " "), w => w =!= "")
+    val tf = docs(spark, dir)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wnd = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_bp").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("score_bp", expr("tf * 10000 div df"))
+      .withColumn("rank", row_number().over(wnd).cast("long"))
+      .filter(col("rank") <= tfidfTopK)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("score_bp"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val textTfidfSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |s AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, idf.df,
+       |    tf.tf * 10000 // idf.df AS score_bp,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY tf.tf * 10000 // idf.df DESC, tf.term) AS rank
+       |  FROM tf JOIN idf USING (term))
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score_bp
+       |FROM s WHERE rank <= $tfidfTopK ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> textTfidf,
     "text_repetition" -> textRepetition,
     "text_pii_redact" -> textPiiRedact,
     "text_langid" -> textLangid,
@@ -361,6 +409,7 @@ object TextAnalysis {
     "text_ngram_top" -> textNgramTop)
 
   val oracle: Map[String, String] = Map(
+    "text_tfidf" -> textTfidfSql,
     "text_repetition" -> textRepetitionSql,
     "text_pii_redact" -> textPiiRedactSql,
     "text_langid" -> textLangidSql,
