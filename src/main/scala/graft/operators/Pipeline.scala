@@ -236,7 +236,38 @@ object Pipeline {
        |  CAST(floor(n_shared * 10000.0 / n_sh + 0.5) AS BIGINT) AS contam_bp
        |FROM shared ORDER BY train_doc, bench_doc""".stripMargin
 
+  // ─── sample_reservoir: exact-k deterministic sample per stratum ───
+  // Rate sampling (sample_stratified) yields a BINOMIAL count per
+  // stratum; eval sets and per-language probes need EXACTLY k rows —
+  // the reservoir guarantee. The distributed equivalent of reservoir
+  // sampling with a fixed seed: rank every row by a uniform
+  // deterministic hash within its stratum and keep the k smallest
+  // (Algorithm-A-style priority sampling; one shuffle on the stratum
+  // key, linear window scan, no per-row randomness to reconcile
+  // across engines). Hash ties are impossible at k ≪ 2⁶⁰/100... but
+  // doc_id tie-breaks anyway to keep the window total-ordered.
+  private val reservoirK = 20
+  def sampleReservoir(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("hkey"), col("doc_id"))
+    Tables(spark, dir).documents
+      .withColumn("hkey", bucket10k("reservoir", col("doc_id")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= reservoirK)
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val sampleReservoirSql: String =
+    s"""SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY lang
+       |    ORDER BY ${bucket10kSql("reservoir", "doc_id")}, doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= $reservoirK ORDER BY lang, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_reservoir" -> sampleReservoir,
     "decontam_ngram" -> decontamNgram,
     "split_hash" -> splitHash,
     "sample_stratified" -> sampleStratified,
@@ -245,6 +276,7 @@ object Pipeline {
     "sample_temperature" -> sampleTemperature)
 
   val oracle: Map[String, String] = Map(
+    "sample_reservoir" -> sampleReservoirSql,
     "decontam_ngram" -> decontamNgramSql,
     "split_hash" -> splitHashSql,
     "sample_stratified" -> sampleStratifiedSql,

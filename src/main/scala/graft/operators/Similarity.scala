@@ -367,7 +367,128 @@ object Similarity {
        |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp, ascore
        |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
+  // ─── ann_pq: product quantization + asymmetric-distance scan ───
+  // The PQ tier (Jégou et al. 2011, faiss IndexPQ shape): 64 dims
+  // split into 8 subspaces of 8; each subvector is replaced by the id
+  // of its nearest codeword, so a vector stores as 8 small codes —
+  // the memory tier below SQ. Scoring is asymmetric: the query
+  // precomputes its dot against every codeword (an 8×16 ADC table),
+  // and a candidate's score is 8 table lookups summed — no per-pair
+  // float math at scan time. Kept bit-exact cross-engine by composing
+  // PQ OVER SQ CODES: codebooks and queries live in the integer
+  // sq-code domain, so every distance/score is an integer-valued
+  // double and the group-by sum is order-independent. The codebook is
+  // the first 16 vectors' coded subvectors (the same deterministic
+  // data-derived "model" trick as ann_ivf's strided centroids —
+  // init-only k-means, broadcast as a 128-row frame, never collected).
+  // Shortlist 10 per query by ADC score, exact-cosine rescore, top 3.
+  private val pqSub = 8       // subspaces
+  private val pqDim = 8       // dims per subspace
+  private val pqK = 16        // codewords per subspace
+
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val coded = vecs(spark, dir).withColumn("q",
+      transform(col("v"), x => floor(x * sqScale + 0.5).cast("double")))
+    // (vec_id, s, sq): the vector's coded subvector per subspace.
+    val sub = coded.select(col("vec_id"), col("v"), col("norm"),
+      posexplode(transform(sequence(lit(0), lit(pqSub - 1)),
+        s => slice(col("q"), s * pqDim + 1, lit(pqDim)))).as(Seq("s", "sq")))
+    val cb = sub.filter(col("vec_id") < pqK)
+      .select(col("s"), col("vec_id").as("k"), col("sq").as("cq"))
+    val d2 = aggregate(zip_with(col("sq"), col("cq"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (s, x) => s + x)
+    val wEnc = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("d2"), col("k"))
+    val enc = sub.join(broadcast(cb), Seq("s"))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("s"), col("k"))
+    val qadc = sub.filter(col("vec_id") < nQueries)
+      .join(broadcast(cb), Seq("s"))
+      .select(col("vec_id").as("query_id"), col("s"), col("k"),
+        dot(col("sq"), col("cq")).as("qd"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_score").desc, col("neighbor_id"))
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val vx = vecs(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val vy = vecs(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("norm").as("cn"))
+    enc.join(broadcast(qadc), Seq("s", "k"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      // Map-side partial combine collapses the 8 per-subspace rows of
+      // a (query, neighbor) pair before the shuffle: the shuffled
+      // volume is queries×corpus, same as the SQ scan's window input.
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qd")).cast("long").as("pq_score"))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= sqShortlist)
+      .join(broadcast(vx), Seq("query_id"))
+      .join(vy, Seq("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(we).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        floor(col("cos") * 10000 + 0.5).cast("long").as("cos_bp"),
+        col("pq_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annPqSql: String =
+    s"""WITH n AS (
+       |  ${vecsSql("vec_id").replace("\n", "\n  ")}
+       |), cv AS (
+       |  SELECT vec_id, v, norm,
+       |    list_transform(v, x -> CAST(floor(x * $sqScale + 0.5) AS DOUBLE)) AS q
+       |  FROM n
+       |), sub AS (
+       |  SELECT vec_id, CAST(r.range AS BIGINT) AS s,
+       |    q[CAST(r.range * $pqDim + 1 AS BIGINT) :
+       |      CAST(r.range * $pqDim + $pqDim AS BIGINT)] AS sq
+       |  FROM cv, range(0, $pqSub) r
+       |), cb AS (
+       |  SELECT s, vec_id AS k, sq AS cq FROM sub WHERE vec_id < $pqK
+       |), enc AS (
+       |  SELECT vec_id AS neighbor_id, s, k FROM (
+       |    SELECT su.vec_id, su.s, cb.k, row_number() OVER (
+       |      PARTITION BY su.vec_id, su.s
+       |      ORDER BY ${dist2SqlOf("su.sq", "cb.cq").replace("\n", "\n      ")}, cb.k) AS rn
+       |    FROM sub su JOIN cb ON cb.s = su.s)
+       |  WHERE rn = 1
+       |), qadc AS (
+       |  SELECT su.vec_id AS query_id, su.s, cb.k,
+       |    ${dotSqlOf("su.sq", "cb.cq").replace("\n", "\n    ")} AS qd
+       |  FROM sub su JOIN cb ON cb.s = su.s WHERE su.vec_id < $nQueries
+       |), score AS (
+       |  SELECT qa.query_id, e.neighbor_id, CAST(sum(qa.qd) AS BIGINT) AS pq_score
+       |  FROM enc e JOIN qadc qa ON qa.s = e.s AND qa.k = e.k
+       |  WHERE qa.query_id <> e.neighbor_id
+       |  GROUP BY 1, 2
+       |), short AS (
+       |  SELECT query_id, neighbor_id, pq_score FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY pq_score DESC, neighbor_id) AS arank
+       |    FROM score)
+       |  WHERE arank <= $sqShortlist
+       |), exact AS (
+       |  SELECT s.query_id, s.neighbor_id, s.pq_score,
+       |    ${dotSqlOf("q.v", "c.v").replace("\n", "\n    ")} / (q.norm * c.norm) AS cos
+       |  FROM short s
+       |  JOIN n q ON q.vec_id = s.query_id
+       |  JOIN n c ON c.vec_id = s.neighbor_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, pq_score, cos,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM exact)
+       |SELECT query_id, rank, neighbor_id,
+       |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp, pq_score
+       |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq" -> annPq,
     "ann_sq" -> annSq,
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
@@ -375,6 +496,7 @@ object Similarity {
     "ann_retrieve" -> annRetrieve)
 
   val oracle: Map[String, String] = Map(
+    "ann_pq" -> annPqSql,
     "ann_sq" -> annSqSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
