@@ -292,7 +292,47 @@ object RelationalExt {
        |WHERE c.c_acctbal > 9000
        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin
 
+  // ─── q30_skyline: Pareto frontier (skyline) per group ───
+  // The skyline operator (Börzsönyi et al., ICDE 2001): the
+  // non-dominated (price, quantity) points per return flag — rows for
+  // which no other row is ≥ on both axes and > on one. Computed
+  // without the naive O(n²) NOT-EXISTS self-join: collapse to the max
+  // quantity per (flag, price) first (dominated-by-equal-price rows
+  // die in a hash aggregate), then one descending-price window pass —
+  // a point survives iff its quantity beats every strictly-higher
+  // price's best (running max over the ROWS frame; prices are
+  // distinct after the aggregate). One shuffle + one partitioned
+  // window; both scale-safe.
+  def q30Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"),
+        cents(col("l_extendedprice")).as("price_cents"))
+      .agg(max(cents(col("l_quantity"))).as("qty_cents"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("price_cents").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("best_hi", max(col("qty_cents")).over(w))
+      .filter(col("best_hi").isNull || col("qty_cents") > col("best_hi"))
+      .select(col("l_returnflag"), col("price_cents"), col("qty_cents"))
+      .orderBy(col("l_returnflag"), col("price_cents").desc)
+  }
+
+  val q30Sql: String =
+    s"""WITH pts AS (
+       |  SELECT l_returnflag, ${Tables.centsSql("l_extendedprice")} AS price_cents,
+       |    max(${Tables.centsSql("l_quantity")}) AS qty_cents
+       |  FROM lineitem GROUP BY 1, 2
+       |), sky AS (
+       |  SELECT *, max(qty_cents) OVER (PARTITION BY l_returnflag
+       |    ORDER BY price_cents DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_hi
+       |  FROM pts)
+       |SELECT l_returnflag, price_cents, qty_cents FROM sky
+       |WHERE best_hi IS NULL OR qty_cents > best_hi
+       |ORDER BY l_returnflag, price_cents DESC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_skyline" -> q30Skyline,
     "q27_grouping_sets" -> q27GroupingSets,
     "q28_window_range" -> q28WindowRange,
     "q29_lateral" -> q29Lateral,
@@ -306,6 +346,7 @@ object RelationalExt {
     "q26_unpivot" -> q26Unpivot)
 
   val oracle: Map[String, String] = Map(
+    "q30_skyline" -> q30Sql,
     "q27_grouping_sets" -> q27Sql,
     "q28_window_range" -> q28Sql,
     "q29_lateral" -> q29Sql,
