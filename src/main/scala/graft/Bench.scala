@@ -16,11 +16,12 @@ package graft
   * gate on one sample gates on that luck. The cache is cleared before
   * every timed iteration so queries that persist per-call
   * intermediates pay their materialization honestly each time. The
-  * two session-scoped fixtures (Trike's framed-message stream,
-  * Dedup's MinHash signature/pair-graph tables) survive clearCache by
-  * design: they model tables a production pipeline materializes once
-  * per corpus snapshot, so steady-state timings price reading them,
-  * not rebuilding them — the rebuild cost is visible in cold mode.
+  * session-scoped fixtures (Trike's framed-message stream, Dedup's
+  * tokenized shingle rows and MinHash signature/pair-graph tables)
+  * survive clearCache by design: they model tables a production
+  * pipeline materializes once per corpus snapshot, so steady-state
+  * timings price reading them, not rebuilding them — the rebuild
+  * cost is visible in cold mode.
   * Set SPARK_GRAFT_BENCH_COLD=1 to time first executions instead; the
   * JSON carries which mode ran.
   */

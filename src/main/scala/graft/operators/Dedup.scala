@@ -85,14 +85,14 @@ object Dedup {
   private val minShared = 3
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // explode_outer, not explode: InferFiltersFromGenerate would clone
-    // the whole (interpreted, HOF-heavy) shingle expression into a
-    // pushed-down scan filter for a plain explode — a ~10× slowdown.
-    // Outer generates skip that rule; the null row of a shingle-less
-    // doc is filtered on the cheap attribute instead.
-    val ex = docShingles(spark, dir)
-      .select(col("doc_id"), col("n_sh"), explode_outer(col("sh")).as("shingle"))
-      .filter(col("shingle").isNotNull)
+    // explode_outer (in the shared fixture), not explode:
+    // InferFiltersFromGenerate would clone the whole (interpreted,
+    // HOF-heavy) shingle expression into a pushed-down scan filter
+    // for a plain explode — a ~10× slowdown. Outer generates skip
+    // that rule; the null row of a shingle-less doc is filtered on
+    // the cheap attribute instead.
+    val ex = shingleRows(spark, dir)
+      .select(col("doc_id"), col("n_sh"), col("shingle"))
     val keep = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
     val f = ex.join(keep.select("shingle"), Seq("shingle"))
@@ -156,9 +156,8 @@ object Dedup {
   }
 
   /** md5-based 60-bit shingle hash reduced mod p — identical in both
-    * engines (verified: conv/Spark vs hex-cast/DuckDB agree). */
-  private def h31(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long") % P31
+    * engines (verified: conv/Spark vs hex-cast/DuckDB agree). The
+    * Spark side is shingleRows' h60 column mod P31. */
   private def h31Sql(s: String): String =
     s"(CAST(('0x' || substr(md5($s), 1, 15)) AS BIGINT) % $P31)"
 
@@ -191,15 +190,54 @@ object Dedup {
   private var fixture: Option[((SparkSession, String), DataFrame, DataFrame,
     Seq[org.apache.spark.rdd.RDD[_]])] = None
 
-  /** Drop the shared fixture and release its checkpoint blocks — for
-    * callers that rewrite the corpus dir in place or stop the owning
-    * session. Safe to call when nothing is cached. */
+  /** Drop the shared fixtures and release their checkpoint blocks —
+    * for callers that rewrite the corpus dir in place or stop the
+    * owning session. Safe to call when nothing is cached. */
   def invalidate(): Unit = synchronized {
     fixture.foreach { case (_, _, _, rdds) =>
       rdds.foreach(r => scala.util.Try(r.unpersist(blocking = false)))
     }
     fixture = None
+    shFixture.foreach { case (_, _, rdds) =>
+      rdds.foreach(r => scala.util.Try(r.unpersist(blocking = false)))
+    }
+    shFixture = None
   }
+
+  /** Session-shared tokenized-shingle fixture: the exploded
+    * (doc_id, n_sh, shingle, h60) rows every shingle-based operator
+    * starts from — h60 is the md5-derived 60-bit shingle hash (h31 =
+    * h60 mod p reuses it). This is the FIRST materialization point of
+    * a dedup pipeline: tokenize+shingle+md5 is the scan-dominating
+    * cost, computed once per corpus snapshot and read by ngram
+    * Jaccard, containment, SimHash, the MinHash signature build and
+    * decontamination alike. Same (session, dir) keying, predecessor
+    * release and SEQUENTIAL-EXECUTION caveats as the signature
+    * fixture above. */
+  private var shFixture: Option[((SparkSession, String), DataFrame,
+    Seq[org.apache.spark.rdd.RDD[_]])] = None
+
+  private[operators] def shingleRows(spark: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val key = (spark, dir)
+      shFixture match {
+        case Some((k, df, _)) if k == key => df
+        case prev =>
+          prev.foreach { case (_, _, rdds) =>
+            rdds.foreach(r => scala.util.Try(r.unpersist(blocking = false)))
+          }
+          // explode_outer: see dedupNgramJaccard note.
+          val rows = docShingles(spark, dir)
+            .select(col("doc_id"), col("n_sh"),
+              explode_outer(col("sh")).as("shingle"))
+            .filter(col("shingle").isNotNull)
+            .withColumn("h60",
+              conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"))
+            .localCheckpoint(eager = false)
+          shFixture = Some((key, rows, Graph.ckptRdds(rows)))
+          rows
+      }
+    }
 
   /** One (doc_id, band, bh) row per band — the LSH band index. */
   private def bandedOf(sigs: DataFrame): DataFrame =
@@ -219,10 +257,8 @@ object Dedup {
         prev.foreach { case (_, _, _, rdds) =>
           rdds.foreach(r => scala.util.Try(r.unpersist(blocking = false)))
         }
-        val hashRows = docShingles(spark, dir)
-          .select(col("doc_id"), explode_outer(col("sh")).as("s"))
-          .filter(col("s").isNotNull) // outer: see dedupNgramJaccard note
-          .select(col("doc_id"), h31(col("s")).as("h"))
+        val hashRows = shingleRows(spark, dir)
+          .select(col("doc_id"), (col("h60") % P31).as("h")) // = h31(shingle)
         // Signatures are referenced 4× downstream (banded self-join ×2,
         // sx, sy); without a materialization Spark re-runs the whole
         // shingle→hash→64-min aggregate per reference. At 100 TB
@@ -470,11 +506,8 @@ object Dedup {
   private val hammingMax = 16
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val hashRows = docShingles(spark, dir)
-      .select(col("doc_id"), explode_outer(col("sh")).as("s"))
-      .filter(col("s").isNotNull) // outer: see dedupNgramJaccard note
-      .select(col("doc_id"),
-        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+    val hashRows = shingleRows(spark, dir)
+      .select(col("doc_id"), col("h60").as("h"))
     val votes = hashRows
       .groupBy(col("doc_id"))
       .agg(sum(expr("((h >> 0) & 1) * 2 - 1")).as("b0"),
@@ -594,9 +627,8 @@ object Dedup {
   // pairs where either direction crosses 80%.
   private val contBp = 8000L
   def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
-    val ex = docShingles(spark, dir)
-      .select(col("doc_id"), col("n_sh"), explode_outer(col("sh")).as("shingle"))
-      .filter(col("shingle").isNotNull)
+    val ex = shingleRows(spark, dir)
+      .select(col("doc_id"), col("n_sh"), col("shingle"))
     val keep = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
     val f = ex.join(keep.select("shingle"), Seq("shingle"))

@@ -205,10 +205,8 @@ object Pipeline {
   private val benchMod = 50
 
   def decontamNgram(spark: SparkSession, dir: String): DataFrame = {
-    val sh = graft.operators.Dedup.docShingles(spark, dir)
-    val ex = sh.select(col("doc_id"), col("n_sh"),
-        explode_outer(col("sh")).as("s")) // outer: see dedupNgramJaccard
-      .filter(col("s").isNotNull)
+    val ex = graft.operators.Dedup.shingleRows(spark, dir)
+      .select(col("doc_id"), col("n_sh"), col("shingle").as("s"))
     val bench = ex.filter(col("doc_id") % benchMod === 0)
       .select(col("doc_id").as("bench_doc"), col("s").as("bs"))
     val train = ex.filter(col("doc_id") % benchMod =!= 0)
