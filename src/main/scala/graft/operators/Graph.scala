@@ -430,7 +430,70 @@ object Graph {
        |JOIN deg db ON db.n = p.b
        |ORDER BY src, dst""".stripMargin
 
+  // ─── graph_kcore: bounded-round 2-core peeling ───
+  // The densest-region extractor (Seidman 1983; Batagelj–Zaveršnik
+  // peeling): repeatedly drop nodes with degree < k — what survives
+  // for k=2 is the cycle-bearing core of the near-dup graph, the part
+  // where transitive duplicate clusters actually live (trees and
+  // chains of borderline pairs peel away). Run as a FIXED 12-round
+  // peel on iterateRounds (checkpoint hygiene; peeling is monotone,
+  // so extra rounds past the fixpoint are no-ops and the oracle can
+  // unroll the same 12 rounds as chained CTEs — the pagerank
+  // precedent). Per round: one degree aggregate + two semi-join-
+  // shaped equijoins over the EDGE set only; state never exceeds the
+  // edge list. Output: every node of the pair graph with its
+  // in-core flag and surviving degree.
+  private val kcoreK = 2
+  private val kcoreRounds = 12
+
+  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    val edges0 = Dedup.pairEdges(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val core = iterateRounds(edges0.select(col("src"), col("dst")),
+        kcoreRounds) { e =>
+        val ok = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= kcoreK).select(col("n"))
+        e.join(ok.withColumnRenamed("n", "src"), Seq("src"))
+          .join(ok.withColumnRenamed("n", "dst"), Seq("dst"))
+          .select(col("src"), col("dst"))
+      }
+      val coreDeg = core.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("core_deg"))
+      edges0.select(col("src").as("node")).distinct()
+        .join(coreDeg, Seq("node"), "left")
+        .select(col("node"), col("core_deg").isNotNull.as("in_core"),
+          coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+        .orderBy(col("node"))
+    } finally edges0.unpersist(blocking = false)
+  }
+
+  val graphKcoreSql: String = {
+    // AS MATERIALIZED throughout: DuckDB inlines plain CTEs, so a
+    // 12-deep chain would replay the whole upstream pipeline
+    // exponentially (same reason graphTrianglesSql materializes).
+    val rounds = (1 to kcoreRounds).map { i =>
+      s"""e$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN (SELECT src AS n FROM e${i - 1} GROUP BY src
+         |        HAVING count(*) >= $kcoreK) oa ON e.src = oa.n
+         |  JOIN (SELECT src AS n FROM e${i - 1} GROUP BY src
+         |        HAVING count(*) >= $kcoreK) ob ON e.dst = ob.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.edgesCtes},
+       |e0 AS MATERIALIZED (SELECT src, dst FROM edges),
+       |$rounds,
+       |cd AS (SELECT src AS node, count(*) AS core_deg
+       |       FROM e$kcoreRounds GROUP BY src)
+       |SELECT n.node, cd.node IS NOT NULL AS in_core,
+       |  coalesce(cd.core_deg, 0) AS core_deg
+       |FROM (SELECT DISTINCT src AS node FROM edges) n
+       |LEFT JOIN cd ON cd.node = n.node
+       |ORDER BY n.node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore" -> graphKcore,
     "graph_jaccard" -> graphJaccard,
     "graph_bfs" -> graphBfs,
     "graph_components" -> graphComponents,
@@ -439,6 +502,7 @@ object Graph {
     "graph_pagerank" -> graphPagerank)
 
   val oracle: Map[String, String] = Map(
+    "graph_kcore" -> graphKcoreSql,
     "graph_jaccard" -> graphJaccardSql,
     "graph_bfs" -> graphBfsSql,
     "graph_components" -> graphComponentsSql,

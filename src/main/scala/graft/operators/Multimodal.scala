@@ -125,7 +125,66 @@ object Multimodal {
        |  min(doc_id) AS canonical_id, count(*) AS n_copies
        |FROM all_blobs GROUP BY 1, 2 ORDER BY canonical_id""".stripMargin
 
+  // ─── mm_near_dup: chunk-fingerprint near-dup over media payloads ───
+  // Exact dedup (mm_dedup) misses re-encodes that share most but not
+  // all bytes — trims, appended metadata, partial re-uploads. The
+  // storage-side answer is chunk fingerprinting (the rsync/CAS/
+  // data-domain technique): split each payload into fixed 64-byte
+  // chunks, hash each, and score pairs by shared-fingerprint count
+  // over an inverted index — the binary-domain twin of
+  // dedup_ngram_jaccard, with the same df-capped equijoin (never a
+  // cross join) and containment-style overlap on the smaller payload.
+  // Chunking/hashes run on the varchar twin of the payload (fixture
+  // is pure ASCII — see oracle note above) so the oracle replays
+  // byte-exactly.
+  private val ndChunk = 64
+  private val ndDfCap = 100
+
+  def mmNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables(spark, dir).documents
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        expr(s"cast(ceil(length(text) / $ndChunk.0) as bigint)").as("n_ch"),
+        explode_outer(expr(
+          s"""case when length(text) > 0 then
+             |  transform(sequence(0, cast(ceil(length(text) / $ndChunk.0) as int) - 1),
+             |    i -> md5(substring(text, i * $ndChunk + 1, $ndChunk)))
+             |else cast(array() as array<string>) end""".stripMargin)).as("h"))
+      .filter(col("h").isNotNull)
+    val keep = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ndDfCap)
+    val f = ex.join(keep.select("h"), Seq("h"))
+    f.as("a").join(f.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_ch").as("n_a"), col("b.n_ch").as("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("overlap_bp", expr("shared * 10000 div least(n_a, n_b)"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("n_a"), col("n_b"), col("overlap_bp"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val mmNearDupSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, CAST(ceil(len(text) / $ndChunk.0) AS BIGINT) AS n_ch,
+       |    md5(substring(text, CAST(i * $ndChunk + 1 AS INT), $ndChunk)) AS h
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(0, CAST(ceil(len(text) / $ndChunk.0) AS BIGINT))) AS i
+       |        FROM documents)
+       |), keep AS (SELECT h FROM c GROUP BY h HAVING count(*) <= $ndDfCap),
+       |f AS (SELECT c.* FROM c JOIN keep USING (h)),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.n_ch AS n_a, b.n_ch AS n_b, count(*) AS shared
+       |  FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b, shared, n_a, n_b,
+       |  shared * 10000 // least(n_a, n_b) AS overlap_bp
+       |FROM p ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_near_dup" -> mmNearDup,
     "mm_decode_meta" -> mmDecodeMeta,
     "mm_frame_sample" -> mmFrameSample,
     "mm_dedup" -> mmDedup)
@@ -156,6 +215,7 @@ object Multimodal {
        |FROM idx ORDER BY doc_id, sample_idx""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "mm_near_dup" -> mmNearDupSql,
     "mm_decode_meta" -> mmDecodeMetaSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_dedup" -> mmDedupSql)
