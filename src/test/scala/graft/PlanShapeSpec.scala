@@ -124,4 +124,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       "grid x types must be a broadcast nested loop over two tiny frames, not a cartesian over data")
   }
+
+  test("round-8 candidate generation stays equijoin: containment, near-dup, jaccard, pq") {
+    for ((name, df) <- Seq(
+      "dedup_containment" -> Dedup.dedupContainment(spark, dir),
+      "mm_near_dup" -> Multimodal.mmNearDup(spark, dir),
+      "graph_jaccard" -> Graph.graphJaccard(spark, dir),
+      "ann_pq" -> Similarity.annPq(spark, dir),
+      "text_tfidf" -> TextAnalysis.textTfidf(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"),
+        s"$name must not build a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name must not nested-loop over the corpus")
+    }
+  }
+
+  test("ev_concurrency's global prefix sum is two-level, not one global window") {
+    // The only unpartitioned window may run over the days-sized carry
+    // frame; the boundary-level cumsum must be partitioned by day.
+    val p = plan(Events.evConcurrency(spark, dir))
+    val globalWindows = p.linesIterator.count(l =>
+      l.trim.startsWith("Window") && !l.contains("windowspecdefinition(day"))
+    assert(p.contains("windowspecdefinition(day"),
+      "within-day cumsum must be partitioned by day")
+    assert(globalWindows <= 1,
+      s"only the tiny day-carry window may be unpartitioned:\n$p")
+  }
+
+  test("ev_attribution is one window pass, no self-join") {
+    val p = plan(Events.evAttribution(spark, dir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("BroadcastHashJoin"),
+      "the as-of attribution must collapse into a window, not a join")
+  }
 }
