@@ -50,6 +50,46 @@ object StreamRelational {
       .select(col("err_id"), col("err_ts"), col("p_id"), col("p_ts"))
   }
 
+  /** Left-outer variant: every error eventually emits — matched rows
+    * as they meet, UNMATCHED errors as null-extended rows once the
+    * watermark proves no purchase can still arrive (err_ts + window
+    * has passed on the right side). This is the alerting shape —
+    * "errors with no recovery purchase within 10 minutes" — and the
+    * state-eviction semantics the inner join never exercises: the
+    * null-extended row is emitted BY the state cleanup, so output
+    * latency for misses is the watermark delay, not the trigger.
+    * Same bucket-equijoin trick as the inner join; a left-outer
+    * bucket join would duplicate unmatched errors (one per candidate
+    * bucket), so the two bucket copies are reduced back to one by
+    * dropDuplicates on err_id for the null branch — expressed here by
+    * bucketing the LEFT side once (b0 only) and letting the right
+    * side explode instead: each error row exists once, each purchase
+    * appears in its own bucket and the preceding one, and a matching
+    * pair still meets exactly once (in the error's bucket).
+    */
+  def unmatchedErrorJoin(errors: DataFrame, purchases: DataFrame): DataFrame = {
+    val e = errors
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("err_id"), col("ts").as("err_ts"),
+        expr(s"unix_timestamp(ts) DIV $windowSec").as("bucket"))
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        expr(s"unix_timestamp(ts) DIV $windowSec").as("b0"))
+      // A purchase can answer errors in its own bucket or the one
+      // BEFORE it (p_ts ∈ [err_ts, err_ts + window) ⇒ B(p) ∈
+      // {B(err), B(err)+1}), so it registers under {B(p), B(p)−1} and
+      // meets each qualifying error exactly once, in the error's own
+      // bucket.
+      .withColumn("bucket", explode(array(col("b0"), col("b0") - 1)))
+      .drop("b0")
+    e.join(p,
+      e("bucket") === p("bucket") &&
+        expr("p_ts >= err_ts AND p_ts < err_ts + INTERVAL 10 MINUTES"),
+      "left_outer")
+      .select(col("err_id"), col("err_ts"), col("p_id"), col("p_ts"))
+  }
+
   /** At-least-once → effectively-once: drop replayed events by id.
     *
     * `dropDuplicatesWithinWatermark` keeps a key's state only until

@@ -43,6 +43,43 @@ class StreamRelationalSpec extends AnyFunSuite {
       (2L, 100L), (2L, 101L), (2L, 102L)))
   }
 
+  test("left-outer interval join emits unmatched errors after the watermark closes them") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val errs = MemoryStream[Ev]
+    val purch = MemoryStream[Ev]
+    val out = StreamRelational.unmatchedErrorJoin(errs.toDF(), purch.toDF())
+      .writeStream.format("memory").queryName("lojoin").outputMode("append").start()
+    try {
+      errs.addData(
+        Ev(1, ts("2026-01-01 10:00:00"), "error"),  // will match 100
+        Ev(2, ts("2026-01-01 10:30:00"), "error"))  // never matches
+      purch.addData(Ev(100, ts("2026-01-01 10:05:00"), "purchase"))
+      out.processAllAvailable()
+      // The match emits inner-join-style; err 2's null row must NOT
+      // exist yet — the watermark hasn't proven a miss.
+      val mid = spark.table("lojoin").select("err_id", "p_id")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(mid == Set((1L, Some(100L))), s"premature null emission: $mid")
+
+      // Advance both watermarks far past err 2's window: state cleanup
+      // must emit the null-extended row for it.
+      errs.addData(Ev(9, ts("2026-01-01 12:00:00"), "error"))
+      purch.addData(Ev(900, ts("2026-01-01 12:00:00"), "purchase"))
+      out.processAllAvailable()
+      errs.addData(Ev(10, ts("2026-01-01 13:00:00"), "error"))
+      purch.addData(Ev(901, ts("2026-01-01 13:00:00"), "purchase"))
+      out.processAllAvailable()
+    } finally out.stop()
+
+    val got = spark.table("lojoin").select("err_id", "p_id")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(got.contains((1L, Some(100L))), s"matched pair missing: $got")
+    assert(got.contains((2L, None)), s"unmatched error never emitted: $got")
+    assert(!got.contains((2L, Some(100L))) && !got.contains((1L, None)), s"$got")
+  }
+
   test("dropDuplicatesWithinWatermark suppresses at-least-once redelivery") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
