@@ -794,7 +794,110 @@ object Events {
       |    AS BIGINT) AS p_bp
       |FROM counts ORDER BY from_type, to_type""".stripMargin
 
+  // ─── ev_cohort: weekly signup-cohort retention matrix ───
+  // Cohort = ISO week (Monday-truncated) of a user's first event;
+  // offset = whole weeks between an activity week and the cohort
+  // week; cell = distinct active users. Shape: one user-keyed
+  // aggregate for the cohort week, one user-keyed join back (AQE
+  // broadcasts the cohort side while it fits; at 100 TB both sides
+  // shuffle on user_id — the only key this ever needs), then a
+  // count-distinct over a (weeks × offsets)-sized key space, which
+  // stays broadcast-sized regardless of event volume.
+  def evCohort(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .withColumn("wk", floor(epochS(date_trunc("week", col("ts"))) / 86400L))
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"))
+    ev.join(cohorts, Seq("user_id"))
+      .select(col("cohort_wk"),
+        ((col("wk") - col("cohort_wk")) / 7).cast("long").as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_wk"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+
+  val evCohortSql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    CAST(floor(epoch(date_trunc('week', ts)) / 86400) AS BIGINT) AS wk
+      |  FROM events),
+      |cohorts AS (
+      |  SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1)
+      |SELECT c.cohort_wk, CAST((e.wk - c.cohort_wk) // 7 AS BIGINT) AS week_offset,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM ev e JOIN cohorts c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin
+
+  // ─── ev_dwell: inter-event dwell-time stats per event type ───
+  // Gap from the previous event in the same user's timeline (arrival
+  // order: ts then event_id, the repo-wide tie-break), attributed to
+  // the *current* event's type. One shuffle on user_id for the lag,
+  // then a 5-key map-side-combining aggregate.
+  def evDwell(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir).events
+      .withColumn("epoch", epochS(col("ts")))
+      .withColumn("gap_s", col("epoch") - lag(col("epoch"), 1).over(w))
+      .filter(col("gap_s").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        cents(avg(col("gap_s"))).as("avg_gap_cents"),
+        min(col("gap_s")).as("min_gap_s"),
+        max(col("gap_s")).as("max_gap_s"))
+      .orderBy(col("event_type"))
+  }
+
+  val evDwellSql: String =
+    s"""WITH g AS (
+       |  SELECT event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT)
+       |      - lag(CAST(floor(epoch(ts)) AS BIGINT))
+       |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+       |  FROM events)
+       |SELECT event_type, count(*) AS n_gaps,
+       |  ${Tables.centsSql("avg(gap_s)")} AS avg_gap_cents,
+       |  min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
+       |FROM g WHERE gap_s IS NOT NULL
+       |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // ─── ev_topk_day: top-3 event types per day by revenue ───
+  // Two-level: a (day × type)-keyed partial-combining aggregate first
+  // (the only pass over the raw log), then the rank window runs on
+  // the aggregate — at most days×types rows — so the window never
+  // sees event-scale data. Ranking ties break on event_type.
+  def evTopkDay(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("day_epoch"))
+      .orderBy(col("value_cents").desc, col("event_type"))
+    Tables(spark, dir).events
+      .groupBy(floor(epochS(date_trunc("day", col("ts"))) / 86400L)
+          .as("day_epoch"),
+        col("event_type"))
+      .agg(cents(sum(col("value"))).as("value_cents"),
+        count(lit(1)).as("n_events"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy(col("day_epoch"), col("rank"))
+  }
+
+  val evTopkDaySql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT)
+       |      AS day_epoch,
+       |    event_type, ${Tables.centsSql("sum(value)")} AS value_cents,
+       |    count(*) AS n_events
+       |  FROM events GROUP BY 1, 2)
+       |SELECT day_epoch, event_type, value_cents, n_events,
+       |  CAST(rank AS BIGINT) AS rank FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY day_epoch ORDER BY value_cents DESC, event_type) AS rank
+       |  FROM d)
+       |WHERE rank <= 3 ORDER BY day_epoch, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_cohort" -> evCohort,
+    "ev_dwell" -> evDwell,
+    "ev_topk_day" -> evTopkDay,
     "ev_attribution" -> evAttribution,
     "ev_concurrency" -> evConcurrency,
     "ev_markov" -> evMarkov,
@@ -812,6 +915,9 @@ object Events {
     "ev_pattern_seq" -> evPatternSeq)
 
   val oracle: Map[String, String] = Map(
+    "ev_cohort" -> evCohortSql,
+    "ev_dwell" -> evDwellSql,
+    "ev_topk_day" -> evTopkDaySql,
     "ev_attribution" -> evAttributionSql,
     "ev_concurrency" -> evConcurrencySql,
     "ev_markov" -> evMarkovSql,

@@ -331,7 +331,117 @@ object RelationalExt {
        |WHERE best_hi IS NULL OR qty_cents > best_hi
        |ORDER BY l_returnflag, price_cents DESC""".stripMargin
 
+  // ─── q31_conditional_agg: filtered / conditional-distinct aggregates ───
+  // Per market segment, one pass over the orders×customer join:
+  // plain counts, CASE-filtered sums, and two distinct-counts under
+  // different predicates. Catalyst lowers the multi-distinct to one
+  // Expand (3 branches here — bounded by the number of DISTINCT
+  // groups, not data volume); the join shuffles on o_custkey once.
+  def q31ConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        cents(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))))
+          .as("filled_cents"),
+        countDistinct(when(col("o_orderpriority") === "1-URGENT",
+          col("o_custkey"))).as("n_urgent_custs"),
+        countDistinct(when(col("o_orderstatus") === "P",
+          col("o_custkey"))).as("n_pending_custs"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q31Sql: String =
+    s"""SELECT c_mktsegment, count(*) AS n_orders,
+       |  ${Tables.centsSql(
+            "sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)")}
+       |    AS filled_cents,
+       |  count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+       |    THEN o_custkey END) AS n_urgent_custs,
+       |  count(DISTINCT CASE WHEN o_orderstatus = 'P'
+       |    THEN o_custkey END) AS n_pending_custs
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
+  // ─── q32_mode: deterministic per-group mode ───
+  // Modal quantity per return flag, tie-broken to the smallest value
+  // (the built-in `mode` aggregate is tie-nondeterministic in both
+  // engines, so it can't hash-match; this two-level shape is also the
+  // scale-honest one: a (flag × qty)-keyed partial-combining count —
+  // 150 cells here, bounded by the domain product — then the rank
+  // window over the tiny aggregate).
+  def q32Mode(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("n").desc, col("qty_cents"))
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"), cents(col("l_quantity")).as("qty_cents"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("l_returnflag"), col("qty_cents").as("mode_qty_cents"),
+        col("n").as("mode_n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q32Sql: String =
+    s"""WITH c AS (
+       |  SELECT l_returnflag, ${Tables.centsSql("l_quantity")} AS qty_cents,
+       |    count(*) AS n
+       |  FROM lineitem GROUP BY 1, 2)
+       |SELECT l_returnflag, qty_cents AS mode_qty_cents, n AS mode_n FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY l_returnflag ORDER BY n DESC, qty_cents) AS r
+       |  FROM c)
+       |WHERE r = 1 ORDER BY l_returnflag""".stripMargin
+
+  // ─── q33_first_last: per-key timeline endpoints via frame windows ───
+  // First and latest shipment price per supplier: first_value over
+  // the full ordering and last_value over an unbounded-following
+  // frame, fully tie-broken (shipdate, orderkey, linenumber) so both
+  // engines pick the identical row. One shuffle on l_suppkey; the
+  // row_number collapse reuses the same window partitioning, so no
+  // second exchange.
+  def q33FirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir).lineitem
+      .withColumn("first_cents", cents(first_value(col("l_extendedprice")).over(full)))
+      .withColumn("last_cents", cents(last_value(col("l_extendedprice")).over(full)))
+      .withColumn("n_ships", count(lit(1)).over(full))
+      .withColumn("r", row_number().over(ord))
+      .filter(col("r") === 1)
+      .select(col("l_suppkey"), col("first_cents"), col("last_cents"),
+        col("n_ships"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  val q33Sql: String =
+    s"""SELECT l_suppkey, first_cents, last_cents, n_ships FROM (
+       |  SELECT l_suppkey,
+       |    ${Tables.centsSql(
+            """first_value(l_extendedprice) OVER (
+       |      PARTITION BY l_suppkey
+       |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")}
+       |      AS first_cents,
+       |    ${Tables.centsSql(
+            """last_value(l_extendedprice) OVER (
+       |      PARTITION BY l_suppkey
+       |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")}
+       |      AS last_cents,
+       |    count(*) OVER (PARTITION BY l_suppkey) AS n_ships,
+       |    row_number() OVER (
+       |      PARTITION BY l_suppkey
+       |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS r
+       |  FROM lineitem)
+       |WHERE r = 1 ORDER BY l_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_conditional_agg" -> q31ConditionalAgg,
+    "q32_mode" -> q32Mode,
+    "q33_first_last" -> q33FirstLast,
     "q30_skyline" -> q30Skyline,
     "q27_grouping_sets" -> q27GroupingSets,
     "q28_window_range" -> q28WindowRange,
@@ -346,6 +456,9 @@ object RelationalExt {
     "q26_unpivot" -> q26Unpivot)
 
   val oracle: Map[String, String] = Map(
+    "q31_conditional_agg" -> q31Sql,
+    "q32_mode" -> q32Sql,
+    "q33_first_last" -> q33Sql,
     "q30_skyline" -> q30Sql,
     "q27_grouping_sets" -> q27Sql,
     "q28_window_range" -> q28Sql,
