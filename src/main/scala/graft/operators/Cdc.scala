@@ -166,13 +166,50 @@ object Cdc {
        |  bool_or(ts >= TIMESTAMP '$cutoff') AS touched
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ─── cdc_audit: per-key changelog churn profile ───
+  // The audit sweep run before trusting a CDC feed: per key, volume,
+  // how often the tracked attribute actually changed (lag compare —
+  // distinguishes updates from no-op writes), lifetime span, and
+  // distinct active days. One shuffle on user_id shared by the lag
+  // window and the aggregate (same key ⇒ Catalyst reuses the
+  // exchange); the distinct-days count is an in-group distinct over
+  // ≤31 values, not a second shuffle.
+  def cdcAudit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir).events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_writes"),
+        sum(when(col("prev_type").isNotNull &&
+          col("prev_type") =!= col("event_type"), 1L).otherwise(0L))
+          .as("n_changes"),
+        (epochS(max(col("ts"))) - epochS(min(col("ts")))).as("span_s"),
+        countDistinct(date_trunc("day", col("ts"))).as("n_active_days"))
+      .orderBy(col("user_id"))
+  }
+
+  val cdcAuditSql: String =
+    """WITH l AS (
+      |  SELECT user_id, ts, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_type
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_writes,
+      |  CAST(sum(CASE WHEN prev_type IS NOT NULL
+      |    AND prev_type <> event_type THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+      |  CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS span_s,
+      |  count(DISTINCT date_trunc('day', ts)) AS n_active_days
+      |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_audit" -> cdcAudit,
     "cdc_ivm" -> cdcIvm,
     "cdc_latest" -> cdcLatest,
     "cdc_merge" -> cdcMerge,
     "cdc_scd2" -> cdcScd2)
 
   val oracle: Map[String, String] = Map(
+    "cdc_audit" -> cdcAuditSql,
     "cdc_ivm" -> cdcIvmSql,
     "cdc_latest" -> cdcLatestSql,
     "cdc_merge" -> cdcMergeSql,

@@ -264,7 +264,91 @@ object Pipeline {
        |  FROM documents)
        |WHERE rk <= $reservoirK ORDER BY lang, rk""".stripMargin
 
+  // ─── split_kfold: deterministic k-fold cross-validation assignment ───
+  // Fold = content-hash bucket mod k — the same hash-IS-the-
+  // coordination discipline as split_hash, so folds are stable under
+  // re-runs, shard arrival order, and engine replay. Output is the
+  // per-(fold, lang) census a CV harness needs to verify balance.
+  // Map-only assignment + one small-keyed aggregate; no shuffle of
+  // the corpus itself.
+  private val kFolds = 5
+
+  def splitKfold(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .withColumn("fold", (bucket100("kfold", col("doc_id")) % kFolds).cast("long"))
+      .groupBy(col("fold"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy(col("fold"), col("lang"))
+
+  val splitKfoldSql: String =
+    s"""SELECT CAST(${bucket100Sql("kfold", "doc_id")} % $kFolds AS BIGINT) AS fold,
+       |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM documents GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin
+
+  // ─── mix_apportion: exact token-budget apportionment across sources ───
+  // Domain-mixing allocation: a fixed training-token budget is split
+  // across sources proportionally to their token mass using LARGEST-
+  // REMAINDER apportionment (Hamilton's method), entirely in integer
+  // arithmetic — quota = budget·tokens DIV total, then the leftover
+  // seats go to the largest integer remainders (source-name
+  // tie-break) — so the allocations sum to the budget EXACTLY and
+  // hash-match across engines (no double rounding anywhere). One
+  // corpus aggregate with map-side combine down to |sources| rows;
+  // the windows run on that broadcast-sized table only.
+  private val mixBudget = 1000000L
+
+  def mixApportion(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    val byRem = Window.partitionBy(lit(1))
+      .orderBy(col("rem").desc, col("source"))
+    Tables(spark, dir).documents
+      .select(col("source"),
+        size(filter(split(col("text"), " "), w => w =!= ""))
+          .cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("tokens"))
+      .withColumn("total", sum(col("tokens")).over(all))
+      .withColumn("quota_num", col("tokens") * mixBudget)
+      .withColumn("base", floor(col("quota_num") / col("total")).cast("long"))
+      .withColumn("rem", col("quota_num") - col("base") * col("total"))
+      .withColumn("leftover", (lit(mixBudget) - sum(col("base")).over(all)).cast("long"))
+      .withColumn("rk", row_number().over(byRem).cast("long"))
+      .select(col("source"), col("tokens"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val mixApportionSql: String =
+    s"""WITH src AS (
+       |  SELECT source,
+       |    CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+       |      AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1),
+       |q AS (
+       |  SELECT source, tokens,
+       |    sum(tokens) OVER () AS total,
+       |    tokens * $mixBudget AS quota_num
+       |  FROM src),
+       |b AS (
+       |  SELECT source, tokens,
+       |    CAST(quota_num // total AS BIGINT) AS base,
+       |    quota_num % total AS rem
+       |  FROM q),
+       |r AS (
+       |  SELECT *,
+       |    CAST($mixBudget - sum(base) OVER () AS BIGINT) AS leftover,
+       |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+       |  FROM b)
+       |SELECT source, tokens,
+       |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+       |    AS alloc_tokens
+       |FROM r ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_kfold" -> splitKfold,
+    "mix_apportion" -> mixApportion,
     "sample_reservoir" -> sampleReservoir,
     "decontam_ngram" -> decontamNgram,
     "split_hash" -> splitHash,
@@ -274,6 +358,8 @@ object Pipeline {
     "sample_temperature" -> sampleTemperature)
 
   val oracle: Map[String, String] = Map(
+    "split_kfold" -> splitKfoldSql,
+    "mix_apportion" -> mixApportionSql,
     "sample_reservoir" -> sampleReservoirSql,
     "decontam_ngram" -> decontamNgramSql,
     "split_hash" -> splitHashSql,

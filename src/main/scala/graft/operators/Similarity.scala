@@ -487,7 +487,78 @@ object Similarity {
        |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp, pq_score
        |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
+  // ─── knn_join: cell-blocked k-NN self-join (the kNN-graph pass) ───
+  // EVERY vector gets its 2 nearest within-cell neighbors — the
+  // kNN-graph construction that feeds diversity filtering and
+  // graph-based dedup, as opposed to the query-set shape of ann_*.
+  // Blocking reuses the IVF coarse quantizer: assignment is a
+  // broadcast join + per-vector min; the candidate join is then an
+  // EQUIJOIN on cell, so pair count tracks Σ|cell|² (bounded by the
+  // quantizer's granularity), never corpus². Within-cell semantics
+  // are deterministic, so the oracle replays them exactly; recall
+  // beyond the cell boundary is ann_lsh/ann_ivf's multi-probe
+  // territory.
+  private val knnK = 2
+
+  def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val cents = v.filter(col("vec_id") % centroidStride === 0)
+      .select((col("vec_id") / centroidStride).cast("long").as("cell"),
+        col("v").as("centv"))
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
+    val assigned = v.join(broadcast(cents))
+      .withColumn("d2", aggregate(
+        zip_with(col("v"), col("centv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (s, x) => s + x))
+      .withColumn("r", row_number().over(aw))
+      .filter(col("r") === 1)
+      .select(col("cell"), col("vec_id"), col("v"), col("norm"))
+    val left = assigned.select(col("cell"), col("vec_id"),
+      col("v").as("lv"), col("norm").as("ln"))
+    val right = assigned.select(col("cell"), col("vec_id").as("neighbor_id"),
+      col("v").as("rv"), col("norm").as("rn"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    left.join(right, Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("lv"), col("rv")) / (col("ln") * col("rn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= knnK)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"), col("cell"),
+        floor(col("cos") * 10000 + 0.5).cast("long").as("cos_bp"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  val knnJoinSql: String =
+    s"""WITH n AS (${vecsSql("vec_id")}),
+       |cents AS (
+       |  SELECT (vec_id // $centroidStride) AS cell, v AS centv
+       |  FROM n WHERE vec_id % $centroidStride = 0),
+       |ad AS (
+       |  SELECT n.vec_id, n.v, n.norm, c.cell,
+       |    (${dist2SqlOf("n.v", "c.centv")}) AS d2
+       |  FROM n, cents c),
+       |assigned AS (
+       |  SELECT cell, vec_id, v, norm FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, cell) AS r FROM ad)
+       |  WHERE r = 1),
+       |scored AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id, a.cell,
+       |    (${dotSqlOf("a.v", "b.v")}) / (a.norm * b.norm) AS cos
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT vec_id, neighbor_id, cell, cos,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT vec_id, rank, neighbor_id, cell,
+       |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp
+       |FROM ranked WHERE rank <= $knnK ORDER BY vec_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_join" -> knnJoin,
     "ann_pq" -> annPq,
     "ann_sq" -> annSq,
     "ann_bruteforce" -> annBruteforce,
@@ -496,6 +567,7 @@ object Similarity {
     "ann_retrieve" -> annRetrieve)
 
   val oracle: Map[String, String] = Map(
+    "knn_join" -> knnJoinSql,
     "ann_pq" -> annPqSql,
     "ann_sq" -> annSqSql,
     "ann_bruteforce" -> annBruteforceSql,

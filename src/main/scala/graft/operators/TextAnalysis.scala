@@ -398,7 +398,47 @@ object TextAnalysis {
        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score_bp
        |FROM s WHERE rank <= $tfidfTopK ORDER BY doc_id, rank""".stripMargin
 
+  // ─── text_zipf: corpus frequency-rank structure ───
+  // Top-20 corpus terms with their Zipf deviation: zipf_bp =
+  // n·rank·10⁴ DIV n₁ (≈10⁴ for an ideal Zipf corpus), all integer
+  // so both engines agree bit-for-bit. Scale shape: one map-side-
+  // combining term count (vocabulary-sized output, ≪ corpus), then
+  // the top-20 via orderBy+limit — Spark plans TakeOrdered, a
+  // distributed partial top-k, NOT a single-partition rank window —
+  // and the rank/deviation windows run on 20 rows.
+  private val zipfTopK = 20
+
+  def textZipf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy(lit(1))
+    val byN = all.orderBy(col("n").desc, col("term"))
+    docs(spark, dir)
+      .select(explode(filter(split(col("text"), " "), w => w =!= "")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(zipfTopK)
+      .withColumn("rank", row_number().over(byN).cast("long"))
+      .withColumn("zipf_bp",
+        floor(col("n") * col("rank") * 10000L / max(col("n")).over(all))
+          .cast("long"))
+      .select(col("rank"), col("term"), col("n"), col("zipf_bp"))
+      .orderBy(col("rank"))
+  }
+
+  val textZipfSql: String =
+    s"""WITH tc AS (
+       |  SELECT unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+       |    AS term
+       |  FROM documents),
+       |cnt AS (SELECT term, count(*) AS n FROM tc GROUP BY 1
+       |  ORDER BY n DESC, term LIMIT $zipfTopK)
+       |SELECT CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank,
+       |  term, n,
+       |  CAST((n * row_number() OVER (ORDER BY n DESC, term) * 10000)
+       |    // max(n) OVER () AS BIGINT) AS zipf_bp
+       |FROM cnt ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf" -> textZipf,
     "text_tfidf" -> textTfidf,
     "text_repetition" -> textRepetition,
     "text_pii_redact" -> textPiiRedact,
@@ -409,6 +449,7 @@ object TextAnalysis {
     "text_ngram_top" -> textNgramTop)
 
   val oracle: Map[String, String] = Map(
+    "text_zipf" -> textZipfSql,
     "text_tfidf" -> textTfidfSql,
     "text_repetition" -> textRepetitionSql,
     "text_pii_redact" -> textPiiRedactSql,

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Semantic invariants of the round-8 additions — properties the
+  * row-hash oracle can't state (exactness of the apportionment total,
+  * cohort monotonicity, mode dominance, knn ordering), on sf0.001. */
+class Round8OpsSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.test
+  private val dir = "/root/testdata/sf0.001"
+
+  test("mix_apportion allocations sum to the budget EXACTLY") {
+    val total = Pipeline.mixApportion(spark, dir)
+      .agg(sum("alloc_tokens")).head.getLong(0)
+    assert(total == 1000000L, s"largest-remainder must be exact, got $total")
+  }
+
+  test("split_kfold covers every document exactly once across 5 folds") {
+    val df = Pipeline.splitKfold(spark, dir)
+    val folds = df.select("fold").distinct.collect.map(_.getLong(0)).toSet
+    assert(folds.subsetOf((0L until 5L).toSet))
+    val n = df.agg(sum("n_docs")).head.getLong(0)
+    assert(n == Tables(spark, dir).documents.count())
+  }
+
+  test("ev_cohort: week 0 is each cohort's peak (every member is active)") {
+    val rows = Events.evCohort(spark, dir)
+      .groupBy("cohort_wk")
+      .agg(max(when(col("week_offset") === 0, col("n_users"))).as("w0"),
+        max(when(col("week_offset") > 0, col("n_users"))).as("later"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w0 = r.getLong(1)
+      val later = if (r.isNullAt(2)) 0L else r.getLong(2)
+      assert(w0 >= later, s"cohort ${r.get(0)}: w0=$w0 < later=$later")
+    }
+  }
+
+  test("q32_mode matches a direct recount") {
+    val expected = Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .count()
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (flag, rows) =>
+        val best = rows.minBy(r => (-r.getLong(2), r.getDouble(1)))
+        flag -> (math.floor(best.getDouble(1) * 100 + 0.5).toLong, best.getLong(2))
+      }
+    val got = RelationalExt.q32Mode(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
+  test("knn_join: ranks are ordered by cosine and bounded by k") {
+    val rows = Similarity.knnJoin(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byVec = rows.groupBy(_.getLong(0))
+    byVec.foreach { case (_, rs) =>
+      assert(rs.length <= 2)
+      val sorted = rs.sortBy(_.getLong(1))
+      val cosines = sorted.map(_.getLong(4))
+      assert(cosines.sameElements(cosines.sortBy(-_)),
+        "rank order must follow descending cosine")
+      cosines.foreach(c => assert(c <= 10000L))
+    }
+    // Neighbors never leave the blocking cell (within-cell semantics).
+    val cellOf = rows.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    rows.foreach { r =>
+      cellOf.get(r.getLong(2)).foreach(nc => assert(nc == r.getLong(3)))
+    }
+  }
+
+  test("cdc_audit: changes are bounded by writes, spans non-negative") {
+    val rows = Cdc.cdcAudit(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) < r.getLong(1), "n_changes must be < n_writes")
+      assert(r.getLong(3) >= 0L)
+      assert(r.getLong(4) >= 1L)
+    }
+  }
+
+  test("text_zipf: the top term sits exactly on the Zipf reference line") {
+    val first = TextAnalysis.textZipf(spark, dir)
+      .filter(col("rank") === 1).head
+    assert(first.getLong(3) == 10000L) // n·1·10⁴ DIV n = 10⁴
+  }
+
+  test("ev_topk_day emits at most 3 ranked rows per day, peak first") {
+    val rows = Events.evTopkDay(spark, dir).collect()
+    val byDay = rows.groupBy(_.getLong(0))
+    byDay.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val byRank = rs.sortBy(_.getLong(4))
+      val values = byRank.map(_.getLong(2))
+      assert(values.sameElements(values.sortBy(-_)))
+    }
+  }
+
+  test("ev_dwell: min ≤ mean ≤ max per type") {
+    Events.evDwell(spark, dir).collect().foreach { r =>
+      val mean = r.getLong(2) / 100.0
+      assert(r.getLong(3) <= mean && mean <= r.getLong(4),
+        s"${r.getString(0)}: ${r.getLong(3)} ≤ $mean ≤ ${r.getLong(4)}")
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{SessionProcessor, UserEvent}
+
+/** The arbitrary-state v2 API (transformWithState, Spark 4): gap
+  * sessionization with ValueState + event-time timers. Sessions close
+  * ONLY when the watermark passes lastSeen + gap — assert both the
+  * emission (with exact aggregate) and the non-emission of a session
+  * the watermark hasn't proven closed yet. Runs on RocksDB, the
+  * provider the v2 API requires (and the 100 TB default). */
+class TransformWithStateSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.test
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("transformWithState closes sessions via event-time timers") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      implicit val ctx = spark.sqlContext
+      val in = MemoryStream[UserEvent]
+      val out = SessionProcessor.closedSessions(in.toDS(), gapMs = 60000L)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("tws_sessions").start()
+      try {
+        // User 1: three events inside one session (10 s apart).
+        in.addData(UserEvent(1L, ts(100), 500L), UserEvent(1L, ts(110), 250L),
+          UserEvent(1L, ts(120), 250L))
+        q.processAllAvailable()
+        // Watermark is only at 120 s — no session may close yet.
+        assert(spark.table("tws_sessions").count() == 0)
+
+        // User 2 far in the future pushes the watermark past 120+60 s;
+        // the timer for user 1 fires on the following trigger.
+        in.addData(UserEvent(2L, ts(1000), 100L))
+        q.processAllAvailable()
+        in.addData(UserEvent(2L, ts(1010), 100L))
+        q.processAllAvailable()
+
+        val rows = spark.table("tws_sessions")
+          .as[graft.streaming.SessionSummary].collect()
+        assert(rows.map(_.userId).toSet == Set(1L), s"got $rows")
+        val s1 = rows.find(_.userId == 1L).get
+        assert(s1.nEvents == 3 && s1.valueCents == 1000L)
+        assert(s1.startMs == 100000L && s1.endMs == 120000L)
+
+        // User 2's session is still open: watermark (1010 s) has not
+        // passed its lastSeen + gap (1070 s).
+        assert(!rows.exists(_.userId == 2L))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+}
