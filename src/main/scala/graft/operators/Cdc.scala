@@ -201,7 +201,47 @@ object Cdc {
       |  count(DISTINCT date_trunc('day', ts)) AS n_active_days
       |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ─── cdc_diff: snapshot-to-snapshot regression diff ───
+  // The pipeline-regression primitive: compare state AT the cutoff
+  // (v1) against current state (v2) per key and classify — `added`
+  // (key absent in v1) / `changed` (tracked attributes differ) /
+  // `unchanged`. Both snapshots are one compaction each (window
+  // rn=1, shuffled on the key), the diff is a co-keyed outer join;
+  // at scale both compactions bucket by user_id so the join is
+  // co-partitioned. Keys can't vanish from an append-only changelog,
+  // so `removed` can't occur here; the classification still carries
+  // the branch for feeds with tombstones.
+  def cdcDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val v1 = latestPerUser(ev.filter(col("ts") < lit(cutoff)))
+      .select(col("user_id"), col("last_type").as("t1"),
+        col("last_value_cents").as("c1"))
+    val v2 = latestPerUser(ev)
+      .select(col("user_id"), col("last_type").as("t2"),
+        col("last_value_cents").as("c2"))
+    v2.join(v1, Seq("user_id"), "left_outer")
+      .select(col("user_id"),
+        when(col("t1").isNull, "added")
+          .when(col("t1") =!= col("t2") || col("c1") =!= col("c2"), "changed")
+          .otherwise("unchanged").as("diff_kind"),
+        col("t2").as("cur_type"), col("c2").as("cur_value_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val cdcDiffSql: String =
+    s"""WITH v1 AS (${latestSql(s"(SELECT * FROM events WHERE ts < TIMESTAMP '$cutoff')")}),
+       |v2 AS (${latestSql("events")})
+       |SELECT v2.user_id,
+       |  CASE WHEN v1.user_id IS NULL THEN 'added'
+       |       WHEN v1.last_type <> v2.last_type
+       |         OR v1.last_value_cents <> v2.last_value_cents THEN 'changed'
+       |       ELSE 'unchanged' END AS diff_kind,
+       |  v2.last_type AS cur_type, v2.last_value_cents AS cur_value_cents
+       |FROM v2 LEFT JOIN v1 ON v1.user_id = v2.user_id
+       |ORDER BY v2.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_diff" -> cdcDiff,
     "cdc_audit" -> cdcAudit,
     "cdc_ivm" -> cdcIvm,
     "cdc_latest" -> cdcLatest,
@@ -209,6 +249,7 @@ object Cdc {
     "cdc_scd2" -> cdcScd2)
 
   val oracle: Map[String, String] = Map(
+    "cdc_diff" -> cdcDiffSql,
     "cdc_audit" -> cdcAuditSql,
     "cdc_ivm" -> cdcIvmSql,
     "cdc_latest" -> cdcLatestSql,

@@ -91,16 +91,24 @@ object Dedup {
     // for a plain explode — a ~10× slowdown. Outer generates skip
     // that rule; the null row of a shingle-less doc is filtered on
     // the cheap attribute instead.
+    // Join/group on h60 (the fixture's 8-byte md5-derived shingle
+    // hash), not the ~20-byte shingle string: same inverted index,
+    // ~2.5× less shuffle and integer hash/compare in its hottest
+    // exchange. The SEMANTIC is hash-keyed in both engines (the
+    // oracle buckets by the identical md5 prefix), so a 60-bit
+    // collision — ~n²/2⁶¹, vanishing at any real shingle count —
+    // would merge the same postings lists on both sides and still
+    // hash-match.
     val ex = shingleRows(spark, dir)
-      .select(col("doc_id"), col("n_sh"), col("shingle"))
-    val keep = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .select(col("doc_id"), col("n_sh"), col("h60"))
+    val keep = ex.groupBy(col("h60")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
-    val f = ex.join(keep.select("shingle"), Seq("shingle"))
+    val f = ex.join(keep.select("h60"), Seq("h60"))
     // Alias self-join (not two renamed projections): both sides
     // canonicalize to the same subplan, so ReuseExchange computes the
     // shuffle over `f` once.
     f.as("a").join(f.as("b"),
-        col("a.shingle") === col("b.shingle") &&
+        col("a.h60") === col("b.h60") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
@@ -115,13 +123,15 @@ object Dedup {
 
   val dedupNgramJaccardSql: String =
     s"""WITH $docShinglesSql,
-       |d AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM shdocs),
-       |keep AS (SELECT shingle FROM d GROUP BY shingle HAVING count(*) <= $dfCap),
-       |f AS (SELECT d.* FROM d JOIN keep USING (shingle)),
+       |d AS (SELECT doc_id, len(sh) AS n_sh,
+       |  CAST(('0x' || substr(md5(unnest(sh)), 1, 15)) AS BIGINT) AS h60
+       |  FROM shdocs),
+       |keep AS (SELECT h60 FROM d GROUP BY h60 HAVING count(*) <= $dfCap),
+       |f AS (SELECT d.* FROM d JOIN keep USING (h60)),
        |p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS shared
-       |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM f a JOIN f b ON a.h60 = b.h60 AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= $minShared)
        |SELECT doc_a, doc_b, shared,
        |  CAST(floor(shared * 10000.0 / (n_a + n_b - shared) + 0.5) AS BIGINT) AS jaccard_bp
@@ -627,13 +637,14 @@ object Dedup {
   // pairs where either direction crosses 80%.
   private val contBp = 8000L
   def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    // h60-keyed like dedupNgramJaccard — see the note there.
     val ex = shingleRows(spark, dir)
-      .select(col("doc_id"), col("n_sh"), col("shingle"))
-    val keep = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .select(col("doc_id"), col("n_sh"), col("h60"))
+    val keep = ex.groupBy(col("h60")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
-    val f = ex.join(keep.select("shingle"), Seq("shingle"))
+    val f = ex.join(keep.select("h60"), Seq("h60"))
     f.as("a").join(f.as("b"),
-        col("a.shingle") === col("b.shingle") &&
+        col("a.h60") === col("b.h60") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
@@ -650,13 +661,15 @@ object Dedup {
 
   val dedupContainmentSql: String =
     s"""WITH $docShinglesSql,
-       |d AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM shdocs),
-       |keep AS (SELECT shingle FROM d GROUP BY shingle HAVING count(*) <= $dfCap),
-       |f AS (SELECT d.* FROM d JOIN keep USING (shingle)),
+       |d AS (SELECT doc_id, len(sh) AS n_sh,
+       |  CAST(('0x' || substr(md5(unnest(sh)), 1, 15)) AS BIGINT) AS h60
+       |  FROM shdocs),
+       |keep AS (SELECT h60 FROM d GROUP BY h60 HAVING count(*) <= $dfCap),
+       |f AS (SELECT d.* FROM d JOIN keep USING (h60)),
        |p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS shared
-       |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM f a JOIN f b ON a.h60 = b.h60 AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= $minShared)
        |SELECT doc_a, doc_b, shared,
        |  shared * 10000 // n_a AS cont_a_bp,

@@ -894,7 +894,104 @@ object Events {
        |  FROM d)
        |WHERE rank <= 3 ORDER BY day_epoch, rank""".stripMargin
 
+  // ─── ev_wau: trailing-7-day active users per day ───
+  // Exact sliding-window COUNT DISTINCT — the aggregate that does NOT
+  // decompose into per-window sums, so the scale-honest exact shape
+  // is contribution explosion: shrink to distinct (user, day) pairs
+  // FIRST (the corpus-sized dedup, one shuffle), then each pair
+  // contributes to the ≤7 window-ends it can serve — a bounded ×7
+  // expand of the already-small pair set — and a final
+  // (day × user)-keyed distinct count. Sketch alternatives (HLL
+  // merge) trade exactness; this stays exact with bounded blowup.
+  def evWau(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(floor(epochS(date_trunc("day", col("ts"))) / 86400L).as("day"),
+        col("user_id"))
+      .distinct()
+      .select(explode(sequence(col("day"), col("day") + 6)).as("day_epoch"),
+        col("user_id"))
+      .groupBy(col("day_epoch"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .orderBy(col("day_epoch"))
+
+  val evWauSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT
+      |    CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS day,
+      |    user_id
+      |  FROM events),
+      |contrib AS (
+      |  SELECT unnest(generate_series(day, day + 6)) AS day_epoch, user_id
+      |  FROM du)
+      |SELECT day_epoch, count(DISTINCT user_id) AS wau
+      |FROM contrib GROUP BY 1 ORDER BY day_epoch""".stripMargin
+
+  // ─── ev_histogram: per-type value distribution in fixed buckets ───
+  // The profiling histogram: decade buckets of `value` per type.
+  // Pure map-side bucketing then a (types × buckets)-bounded
+  // aggregate — the distribution materializes without ever sorting
+  // or windowing event-scale data.
+  def evHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        floor(col("value") / 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        cents(sum(col("value"))).as("sum_cents"))
+      .orderBy(col("event_type"), col("bucket"))
+
+  val evHistogramSql: String =
+    s"""SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bucket,
+       |  count(*) AS n, ${Tables.centsSql("sum(value)")} AS sum_cents
+       |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
+
+  // ─── ev_new_users: daily new vs returning + cumulative reach ───
+  // Running COUNT DISTINCT decomposed scale-honestly: a user is
+  // counted on their FIRST day only (user-keyed min aggregate — the
+  // one corpus shuffle), daily news and actives are day-keyed
+  // aggregates, and the cumulative total is a prefix sum over the
+  // days-sized frame — so no distinct-within-window state ever forms.
+  def evNewUsers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, dir).events
+      .select(floor(epochS(date_trunc("day", col("ts"))) / 86400L).as("day"),
+        col("user_id"))
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    val active = ev.distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    active.join(firstDay, Seq("day"), "left_outer")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+      .select(col("day").as("day_epoch"), col("n_new"), col("n_active"),
+        col("cum_users"))
+      .orderBy(col("day_epoch"))
+  }
+
+  val evNewUsersSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT)
+      |      AS day, user_id
+      |  FROM events),
+      |fd AS (
+      |  SELECT day, count(*) AS n_new FROM (
+      |    SELECT user_id, min(day) AS day FROM ev GROUP BY 1) GROUP BY 1),
+      |act AS (
+      |  SELECT day, count(*) AS n_active FROM (SELECT DISTINCT * FROM ev)
+      |  GROUP BY 1)
+      |SELECT act.day AS day_epoch,
+      |  CAST(coalesce(fd.n_new, 0) AS BIGINT) AS n_new, act.n_active,
+      |  CAST(sum(coalesce(fd.n_new, 0)) OVER (ORDER BY act.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_users
+      |FROM act LEFT JOIN fd ON act.day = fd.day
+      |ORDER BY day_epoch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_histogram" -> evHistogram,
+    "ev_new_users" -> evNewUsers,
+    "ev_wau" -> evWau,
     "ev_cohort" -> evCohort,
     "ev_dwell" -> evDwell,
     "ev_topk_day" -> evTopkDay,
@@ -915,6 +1012,9 @@ object Events {
     "ev_pattern_seq" -> evPatternSeq)
 
   val oracle: Map[String, String] = Map(
+    "ev_histogram" -> evHistogramSql,
+    "ev_new_users" -> evNewUsersSql,
+    "ev_wau" -> evWauSql,
     "ev_cohort" -> evCohortSql,
     "ev_dwell" -> evDwellSql,
     "ev_topk_day" -> evTopkDaySql,

@@ -492,7 +492,52 @@ object Graph {
        |ORDER BY n.node""".stripMargin
   }
 
+  // ─── graph_clustering: local clustering coefficient ───
+  // cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) in basis points, integer
+  // division so both engines agree exactly. Composes the
+  // arboricity-bounded triangle count with the degree aggregate —
+  // nothing new touches edge-scale data beyond those two passes.
+  // High cc + high degree = true near-dup clique; high degree + cc≈0
+  // = a hub stitching unrelated docs (the false-positive signature).
+  def graphClustering(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.pairEdges(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2)
+      deg.join(triangleCounts(edges), Seq("node"), "left_outer")
+        .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+        .withColumn("cc_bp",
+          floor(col("n_tri") * 2 * 10000L / (col("deg") * (col("deg") - 1)))
+            .cast("long"))
+        .select(col("node"), col("deg"), col("n_tri"), col("cc_bp"))
+        .orderBy(col("node"))
+    } finally edges.unpersist(blocking = false)
+  }
+
+  val graphClusteringSql: String =
+    s"""WITH ${Dedup.edgesCtes},
+       |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+       |ore AS MATERIALIZED (SELECT e.src, e.dst FROM edges e
+       |        JOIN deg ds ON ds.node = e.src
+       |        JOIN deg dd ON dd.node = e.dst
+       |        WHERE (ds.deg, e.src) < (dd.deg, e.dst)),
+       |tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+       |        FROM ore e1 JOIN ore e2 ON e1.src = e2.src
+       |        JOIN ore e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+       |tn AS (SELECT u AS node FROM tri
+       |       UNION ALL SELECT v FROM tri
+       |       UNION ALL SELECT w FROM tri),
+       |tc AS (SELECT node, count(*) AS n_tri FROM tn GROUP BY node)
+       |SELECT deg.node, deg.deg,
+       |  CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+       |  CAST(coalesce(tc.n_tri, 0) * 2 * 10000
+       |    // (deg.deg * (deg.deg - 1)) AS BIGINT) AS cc_bp
+       |FROM deg LEFT JOIN tc ON tc.node = deg.node
+       |WHERE deg.deg >= 2 ORDER BY deg.node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_clustering" -> graphClustering,
     "graph_kcore" -> graphKcore,
     "graph_jaccard" -> graphJaccard,
     "graph_bfs" -> graphBfs,
@@ -502,6 +547,7 @@ object Graph {
     "graph_pagerank" -> graphPagerank)
 
   val oracle: Map[String, String] = Map(
+    "graph_clustering" -> graphClusteringSql,
     "graph_kcore" -> graphKcoreSql,
     "graph_jaccard" -> graphJaccardSql,
     "graph_bfs" -> graphBfsSql,

@@ -183,7 +183,46 @@ object Multimodal {
        |  shared * 10000 // least(n_a, n_b) AS overlap_bp
        |FROM p ORDER BY doc_a, doc_b""".stripMargin
 
+  // ─── mm_manifest: random-access shard manifest (byte offsets) ───
+  // The packing index a multimodal loader needs for range reads:
+  // blobs hash-sharded (md5 — placement is a pure function of the
+  // id, the same discipline as Pipeline.splitHash), ordered within
+  // the shard, each row carrying the byte offset where its payload
+  // starts = cumulative length of its predecessors. One shuffle on
+  // the shard key; the offset is a per-shard linear window scan.
+  // Writing the blobs in this order then serving [offset,
+  // offset+len) is exactly the tar/WebDataset layout.
+  private val nShards = 8
+
+  def mmManifest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = (conv(substring(md5(concat(lit("shard:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % nShards).as("shard")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    blobs(spark, dir).toDF()
+      .select(col("doc_id"), shard,
+        octet_length(col("payload")).cast("long").as("byte_len"))
+      .withColumn("offset", coalesce(sum(col("byte_len")).over(w), lit(0L)))
+      .orderBy(col("shard"), col("doc_id"))
+  }
+
+  val mmManifestSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % $nShards AS shard,
+       |    CAST(strlen(text) AS BIGINT) AS byte_len
+       |  FROM documents)
+       |SELECT doc_id, shard, byte_len,
+       |  CAST(coalesce(sum(byte_len) OVER (PARTITION BY shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS "offset"
+       |FROM s ORDER BY shard, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_manifest" -> mmManifest,
     "mm_near_dup" -> mmNearDup,
     "mm_decode_meta" -> mmDecodeMeta,
     "mm_frame_sample" -> mmFrameSample,
@@ -215,6 +254,7 @@ object Multimodal {
        |FROM idx ORDER BY doc_id, sample_idx""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "mm_manifest" -> mmManifestSql,
     "mm_near_dup" -> mmNearDupSql,
     "mm_decode_meta" -> mmDecodeMetaSql,
     "mm_frame_sample" -> mmFrameSampleSql,

@@ -346,7 +346,44 @@ object Pipeline {
        |    AS alloc_tokens
        |FROM r ORDER BY source""".stripMargin
 
+  // ─── sample_balanced: exact class balancing to the minority size ───
+  // Downsample every language to EXACTLY the smallest language's
+  // count (the class-balancing eval-set builder): per-language counts
+  // are a broadcast-sized aggregate, the global min rides along as a
+  // 1-row broadcast join, and membership is the same deterministic
+  // hash-rank-within-stratum as sample_reservoir — so the output is
+  // a pure function of the corpus, stable under re-runs and shard
+  // order. One shuffle on lang; nothing corpus-sized is ever sorted
+  // globally.
+  def sampleBalanced(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+    val kMin = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("k"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("hkey"), col("doc_id"))
+    docs
+      .withColumn("hkey", bucket10k("balance", col("doc_id")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(kMin))
+      .filter(col("rk") <= col("k"))
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val sampleBalancedSql: String =
+    s"""WITH k AS (SELECT min(n) AS k FROM (
+       |    SELECT lang, count(*) AS n FROM documents GROUP BY 1)),
+       |r AS (
+       |  SELECT lang, doc_id, n_chars,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${bucket10kSql("balance", "doc_id")}, doc_id) AS BIGINT) AS rk
+       |  FROM documents)
+       |SELECT lang, rk, doc_id, n_chars FROM r, k
+       |WHERE rk <= k.k ORDER BY lang, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_balanced" -> sampleBalanced,
     "split_kfold" -> splitKfold,
     "mix_apportion" -> mixApportion,
     "sample_reservoir" -> sampleReservoir,
@@ -358,6 +395,7 @@ object Pipeline {
     "sample_temperature" -> sampleTemperature)
 
   val oracle: Map[String, String] = Map(
+    "sample_balanced" -> sampleBalancedSql,
     "split_kfold" -> splitKfoldSql,
     "mix_apportion" -> mixApportionSql,
     "sample_reservoir" -> sampleReservoirSql,

@@ -158,4 +158,54 @@ class PlanShapeSpec extends AnyFunSuite {
       && !p.contains("BroadcastHashJoin"),
       "the as-of attribution must collapse into a window, not a join")
   }
+
+  test("knn_join blocks on cells: equijoin pair join, centroids broadcast") {
+    val p = plan(Similarity.knnJoin(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      "the pair join must be a cell equijoin, never corpus×corpus")
+    // The ONLY nested-loop allowed is the bounded centroid-assignment
+    // broadcast (corpus × |centroids|); the corpus-pair join itself
+    // must key on cell.
+    assert(p.contains("Join [cell#") || p.contains("Join cell#") ||
+      "Join \\[cell".r.findFirstIn(p).isDefined,
+      s"pair join must key on cell:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin BuildLeft"),
+      "only BuildRight broadcast of the tiny centroid frame is allowed")
+  }
+
+  test("text_zipf's top-k is TakeOrdered, not a global rank window") {
+    val p = plan(TextAnalysis.textZipf(spark, dir))
+    assert(p.contains("TakeOrdered"),
+      "top-20 over the vocabulary must be a distributed partial top-k")
+  }
+
+  test("ev_topk_day ranks the rollup, not the raw event log") {
+    // The Window must sit ABOVE the aggregate: physical order in the
+    // plan string is Window first (output side), HashAggregate below.
+    val p = plan(Events.evTopkDay(spark, dir))
+    val w = p.indexOf("Window")
+    val agg = p.indexOf("HashAggregate")
+    assert(w >= 0 && agg >= 0 && w < agg,
+      "rank window must consume the (day × type) aggregate")
+  }
+
+  test("ev_wau shrinks to distinct pairs BEFORE the ×7 expand") {
+    // Generate (the explode) must consume the distinct aggregate:
+    // aggregate appears below (after, in print order) the Generate.
+    val p = plan(Events.evWau(spark, dir))
+    val gen = p.indexOf("Generate explode")
+    assert(gen >= 0, "expected an explode of the contribution window")
+    val aggBelow = p.indexOf("HashAggregate", gen)
+    assert(aggBelow >= 0,
+      "the distinct (user, day) shrink must run before the expand")
+  }
+
+  test("mix_apportion aggregates the corpus before any window") {
+    // All windows must run over the |sources|-sized aggregate.
+    val p = plan(Pipeline.mixApportion(spark, dir))
+    val w = p.indexOf("Window")
+    val agg = p.lastIndexOf("HashAggregate")
+    assert(w >= 0 && agg > w,
+      "windows may only see the per-source aggregate, not documents")
+  }
 }

@@ -63,4 +63,52 @@ class TransformWithStateSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("MapState frequency counts accumulate across a checkpointed restart") {
+    // NOTE on draining: with TimeMode.ProcessingTime the state
+    // operator always reports it may have expired timers, so a
+    // continuous-trigger query re-batches forever and
+    // processAllAvailable never quiesces. AvailableNow is the correct
+    // drain primitive — and restarting from the checkpoint between
+    // phases additionally proves MapState survives recovery.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("tws_freq_ckpt").toString
+    try {
+      import spark.implicits._
+      implicit val ctx = spark.sqlContext
+      val in = MemoryStream[(String, Long)]
+      // foreachBatch, not the memory sink: only the former supports
+      // restarting from a checkpoint.
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.FreqCount]()
+      def drain(): Unit = {
+        val q = graft.streaming.FrequencyProcessor.counts(in.toDS())
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.FreqCount], _: Long) =>
+            df.collect().foreach(buf.add)
+          }.start()
+        try q.awaitTermination(120000L) finally q.stop()
+      }
+      in.addData(("click", 1L), ("click", 1L), ("view", 2L))
+      drain()
+      in.addData(("click", 1L), ("click", 3L))
+      drain()
+      val latest = buf.toArray(Array.empty[graft.streaming.FreqCount])
+        .groupBy(r => (r.group, r.member))
+        .map { case (k, rs) => k -> rs.map(_.n).max }
+      assert(latest(("click", 1L)) == 3L) // 2 before the restart, +1 after
+      assert(latest(("click", 3L)) == 1L)
+      assert(latest(("view", 2L)) == 1L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
