@@ -111,4 +111,50 @@ class TransformWithStateSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ListState funnel completes across batches, partials expire") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      implicit val ctx = spark.sqlContext
+      import graft.streaming.{FunnelProcessor, StepEvent, FunnelHit}
+      val in = MemoryStream[StepEvent]
+      val out = FunnelProcessor.hits(in.toDS(),
+        Seq("signup", "click", "purchase"), windowMs = 600000L)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("tws_funnel").start()
+      try {
+        // User 1 walks the funnel ACROSS batches (list must persist);
+        // user 2 signs up but never converts inside the window.
+        in.addData(StepEvent(1L, ts(100), "signup"), StepEvent(2L, ts(100), "signup"))
+        q.processAllAvailable()
+        in.addData(StepEvent(1L, ts(200), "click"))
+        q.processAllAvailable()
+        in.addData(StepEvent(1L, ts(300), "purchase"))
+        q.processAllAvailable()
+        val hits = spark.table("tws_funnel").as[FunnelHit].collect()
+        assert(hits.toSeq == Seq(FunnelHit(1L, 100000L, 300000L)))
+
+        // Push the watermark past user 2's GC deadline (100 s + 600 s),
+        // then complete the steps too late — the expired signup must
+        // not anchor a hit.
+        in.addData(StepEvent(3L, ts(2000), "signup"))
+        q.processAllAvailable()
+        in.addData(StepEvent(2L, ts(2100), "click"),
+          StepEvent(2L, ts(2200), "purchase"))
+        q.processAllAvailable()
+        val after = spark.table("tws_funnel").as[FunnelHit].collect()
+        assert(!after.exists(_.userId == 2L),
+          s"expired partial must not complete: ${after.toSeq}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
