@@ -988,7 +988,57 @@ object Events {
       |FROM act LEFT JOIN fd ON act.day = fd.day
       |ORDER BY day_epoch""".stripMargin
 
+  // ─── ts_ohlc: resampled open/high/low/close bars ───
+  // 4-hour bars per type. Open/close are ORDER-dependent aggregates,
+  // so they ride the rank window (fully tie-broken by (ts, event_id),
+  // both directions in ONE window pass — same partition, opposite
+  // orders collapse to one exchange) and the bar aggregate picks them
+  // out with rank-gated sums; high/low/volume are plain commutative
+  // aggregates. One shuffle on the bar key.
+  private val barSec = 4L * 3600
+
+  def tsOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("bar"), col("event_type"))
+    // Order by the FULL-precision ts (not the truncated epoch): two
+    // events in the same second but different micros must rank the
+    // same way the oracle's ORDER BY ts does.
+    val asc = w.orderBy(col("ts"), col("event_id"))
+    val desc = w.orderBy(col("ts").desc, col("event_id").desc)
+    Tables(spark, dir).events
+      .withColumn("epoch", epochS(col("ts")))
+      .withColumn("bar", (col("epoch") / barSec).cast("long") * barSec)
+      .withColumn("ra", row_number().over(asc))
+      .withColumn("rd", row_number().over(desc))
+      .groupBy(col("bar"), col("event_type"))
+      .agg(cents(sum(when(col("ra") === 1, col("value")))).as("open_cents"),
+        cents(max(col("value"))).as("high_cents"),
+        cents(min(col("value"))).as("low_cents"),
+        cents(sum(when(col("rd") === 1, col("value")))).as("close_cents"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("bar"), col("event_type"))
+  }
+
+  val tsOhlcSql: String =
+    s"""WITH r AS (
+       |  SELECT event_type, value,
+       |    CAST(floor(epoch(ts)) AS BIGINT) // $barSec * $barSec AS bar,
+       |    row_number() OVER (PARTITION BY
+       |        CAST(floor(epoch(ts)) AS BIGINT) // $barSec, event_type
+       |      ORDER BY ts, event_id) AS ra,
+       |    row_number() OVER (PARTITION BY
+       |        CAST(floor(epoch(ts)) AS BIGINT) // $barSec, event_type
+       |      ORDER BY ts DESC, event_id DESC) AS rd
+       |  FROM events)
+       |SELECT bar, event_type,
+       |  ${Tables.centsSql("sum(CASE WHEN ra = 1 THEN value END)")} AS open_cents,
+       |  ${Tables.centsSql("max(value)")} AS high_cents,
+       |  ${Tables.centsSql("min(value)")} AS low_cents,
+       |  ${Tables.centsSql("sum(CASE WHEN rd = 1 THEN value END)")} AS close_cents,
+       |  count(*) AS n_events
+       |FROM r GROUP BY 1, 2 ORDER BY bar, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_ohlc" -> tsOhlc,
     "ev_histogram" -> evHistogram,
     "ev_new_users" -> evNewUsers,
     "ev_wau" -> evWau,
@@ -1012,6 +1062,7 @@ object Events {
     "ev_pattern_seq" -> evPatternSeq)
 
   val oracle: Map[String, String] = Map(
+    "ts_ohlc" -> tsOhlcSql,
     "ev_histogram" -> evHistogramSql,
     "ev_new_users" -> evNewUsersSql,
     "ev_wau" -> evWauSql,

@@ -382,7 +382,44 @@ object Pipeline {
        |SELECT lang, rk, doc_id, n_chars FROM r, k
        |WHERE rk <= k.k ORDER BY lang, rk""".stripMargin
 
+  // ─── mix_dedup_rate: per-source duplication-rate profile ───
+  // The corpus-health number a mixing decision needs next to
+  // mix_apportion: how much of each source is redundant. Normalized
+  // content hash (same normalization as dedup_exact), per-hash copy
+  // counts, then a per-source rollup of docs living in multi-copy
+  // groups. Two keyed aggregates, both with map-side combine; the
+  // hash join-back is co-keyed with the count it joins to.
+  def mixDedupRate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .withColumn("text_md5",
+        md5(trim(regexp_replace(lower(col("text")), "[ \t\n\f\r]+", " "))))
+    val copies = docs.groupBy(col("text_md5")).agg(count(lit(1)).as("n_copies"))
+    docs.join(copies, Seq("text_md5"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .withColumn("dup_bp",
+        floor(col("n_dup_docs") * 10000L / col("n_docs")).cast("long"))
+      .orderBy(col("source"))
+  }
+
+  val mixDedupRateSql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    md5(trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g')))
+      |      AS text_md5
+      |  FROM documents),
+      |c AS (SELECT text_md5, count(*) AS n_copies FROM d GROUP BY 1)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN c.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_docs,
+      |  CAST(sum(CASE WHEN c.n_copies > 1 THEN 1 ELSE 0 END) * 10000
+      |    // count(*) AS BIGINT) AS dup_bp
+      |FROM d JOIN c USING (text_md5)
+      |GROUP BY 1 ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_dedup_rate" -> mixDedupRate,
     "sample_balanced" -> sampleBalanced,
     "split_kfold" -> splitKfold,
     "mix_apportion" -> mixApportion,
@@ -395,6 +432,7 @@ object Pipeline {
     "sample_temperature" -> sampleTemperature)
 
   val oracle: Map[String, String] = Map(
+    "mix_dedup_rate" -> mixDedupRateSql,
     "sample_balanced" -> sampleBalancedSql,
     "split_kfold" -> splitKfoldSql,
     "mix_apportion" -> mixApportionSql,

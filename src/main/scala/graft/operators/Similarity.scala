@@ -557,7 +557,42 @@ object Similarity {
        |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp
        |FROM ranked WHERE rank <= $knnK ORDER BY vec_id, rank""".stripMargin
 
+  // ─── ann_recall: LSH recall measured against the exact baseline ───
+  // The ANN quality gate, in-engine: join the LSH top-k against the
+  // brute-force top-k per query and report hits and recall (bp). At
+  // scale the exact side runs over a SAMPLED query set (it already
+  // does — nQueries) while LSH serves everything; the join cost is
+  // |queries|·k, nothing corpus-sized. Composition of two existing
+  // operators into one plan — Catalyst dedups nothing here (the two
+  // pipelines differ from the scan up), which is the honest cost of
+  // an independent check.
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = annBruteforce(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val lsh = annLsh(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    bf.join(lsh, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .withColumn("recall_bp",
+        floor(col("n_hit") * 10000L / col("n_true")).cast("long"))
+      .orderBy(col("query_id"))
+  }
+
+  val annRecallSql: String =
+    s"""WITH bf AS (SELECT query_id, neighbor_id FROM (${annBruteforceSql})),
+       |lsh AS (SELECT query_id, neighbor_id, 1 AS hit FROM (${annLshSql}))
+       |SELECT bf.query_id, count(*) AS n_true,
+       |  CAST(coalesce(sum(lsh.hit), 0) AS BIGINT) AS n_hit,
+       |  CAST(coalesce(sum(lsh.hit), 0) * 10000 // count(*) AS BIGINT)
+       |    AS recall_bp
+       |FROM bf LEFT JOIN lsh
+       |  ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
+       |GROUP BY 1 ORDER BY bf.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall" -> annRecall,
     "knn_join" -> knnJoin,
     "ann_pq" -> annPq,
     "ann_sq" -> annSq,
@@ -567,6 +602,7 @@ object Similarity {
     "ann_retrieve" -> annRetrieve)
 
   val oracle: Map[String, String] = Map(
+    "ann_recall" -> annRecallSql,
     "knn_join" -> knnJoinSql,
     "ann_pq" -> annPqSql,
     "ann_sq" -> annSqSql,
