@@ -678,7 +678,43 @@ object Dedup {
        |    AS one_sided
        |FROM p ORDER BY doc_a, doc_b""".stripMargin
 
+  // ─── dedup_est_error: MinHash estimate vs exact Jaccard ───
+  // The sketch-validation gate (ann_recall's twin for dedup): for
+  // every candidate pair that both the LSH path and the exact
+  // inverted-index path surface, the signed error of the 64-perm
+  // signature estimate against exact Jaccard, rolled up to one
+  // calibration row. Proves the estimator inside the engine — at
+  // scale this runs on a pair SAMPLE, and both inputs are the
+  // already-materialized fixture branches.
+  def dedupEstError(spark: SparkSession, dir: String): DataFrame = {
+    val est = dedupMinhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("est_bp"))
+    val exact = dedupNgramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard_bp"))
+    est.join(exact, Seq("doc_a", "doc_b"))
+      .withColumn("abs_err", abs(col("est_bp") - col("jaccard_bp")))
+      .agg(count(lit(1)).as("n_pairs"),
+        floor(sum(col("abs_err")) / count(lit(1))).cast("long")
+          .as("mean_abs_err_bp"),
+        max(col("abs_err")).as("max_abs_err_bp"),
+        sum(when(col("abs_err") > 1000, 1L).otherwise(0L)).as("n_gross"))
+  }
+
+  val dedupEstErrorSql: String =
+    s"""WITH est AS (SELECT doc_a, doc_b, est_bp FROM ($dedupMinhashLshSql)),
+       |exact AS (SELECT doc_a, doc_b, jaccard_bp FROM ($dedupNgramJaccardSql)),
+       |j AS (
+       |  SELECT abs(est_bp - jaccard_bp) AS abs_err
+       |  FROM est JOIN exact USING (doc_a, doc_b))
+       |SELECT count(*) AS n_pairs,
+       |  CAST(sum(abs_err) // count(*) AS BIGINT) AS mean_abs_err_bp,
+       |  max(abs_err) AS max_abs_err_bp,
+       |  CAST(sum(CASE WHEN abs_err > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_gross
+       |FROM j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_est_error" -> dedupEstError,
     "dedup_containment" -> dedupContainment,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -689,6 +725,7 @@ object Dedup {
     "dedup_incremental" -> dedupIncremental)
 
   val oracle: Map[String, String] = Map(
+    "dedup_est_error" -> dedupEstErrorSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,

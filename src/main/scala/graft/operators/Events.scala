@@ -1037,7 +1037,40 @@ object Events {
        |  count(*) AS n_events
        |FROM r GROUP BY 1, 2 ORDER BY bar, event_type""".stripMargin
 
+  // ─── ev_outage: feed-silence (outage) window detection ───
+  // The operational mirror of stale_session at the feed level: gaps
+  // over 10 minutes between CONSECUTIVE events of a type are outage
+  // windows. One shuffle on event_type (5 keys — at scale the
+  // partition key would be (type, day) to spread the lag window),
+  // one lag pass, emit only breaches.
+  private val outageGapSec = 600L
+
+  def evOutage(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir).events
+      .withColumn("epoch", epochS(col("ts")))
+      .withColumn("prev_epoch", lag(col("epoch"), 1).over(w))
+      .withColumn("gap_s", col("epoch") - col("prev_epoch"))
+      .filter(col("gap_s") > outageGapSec)
+      .select(col("event_type"), col("prev_epoch").as("outage_start_epoch"),
+        col("epoch").as("outage_end_epoch"), col("gap_s"))
+      .orderBy(col("event_type"), col("outage_start_epoch"))
+  }
+
+  val evOutageSql: String =
+    s"""WITH l AS (
+       |  SELECT event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+       |    lag(CAST(floor(epoch(ts)) AS BIGINT))
+       |      OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_epoch
+       |  FROM events)
+       |SELECT event_type, prev_epoch AS outage_start_epoch,
+       |  epoch AS outage_end_epoch, epoch - prev_epoch AS gap_s
+       |FROM l WHERE epoch - prev_epoch > $outageGapSec
+       |ORDER BY event_type, outage_start_epoch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_outage" -> evOutage,
     "ts_ohlc" -> tsOhlc,
     "ev_histogram" -> evHistogram,
     "ev_new_users" -> evNewUsers,
@@ -1062,6 +1095,7 @@ object Events {
     "ev_pattern_seq" -> evPatternSeq)
 
   val oracle: Map[String, String] = Map(
+    "ev_outage" -> evOutageSql,
     "ts_ohlc" -> tsOhlcSql,
     "ev_histogram" -> evHistogramSql,
     "ev_new_users" -> evNewUsersSql,

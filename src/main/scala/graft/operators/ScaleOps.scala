@@ -245,7 +245,45 @@ object ScaleOps {
     branches.mkString("\nUNION ALL\n") + "\nORDER BY column_name"
   }
 
+  // ─── shard_skew: hash-sharding balance profile ───
+  // The pre-flight check before committing to a partition key: hash
+  // lineitem into 64 shards on l_orderkey (md5 — the repo-wide
+  // deterministic placement hash) and report each shard's row count
+  // plus its deviation from the mean in bp. A key whose max dev runs
+  // hot tells you to salt BEFORE the 100 TB shuffle does. One
+  // map-side-combining aggregate to 64 rows; the mean/dev windows
+  // touch only those.
+  private val nSkewShards = 64
+
+  def shardSkew(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy(lit(1))
+    Tables(spark, dir).lineitem
+      .select((conv(substring(md5(concat(lit("shard:"),
+        col("l_orderkey").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % nSkewShards).as("shard"))
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_rows"))
+      // cast-truncation, NOT floor: dev can be negative, and DuckDB's
+      // `//` truncates toward zero where floor would round down.
+      .withColumn("dev_bp",
+        ((col("n_rows") * nSkewShards - sum(col("n_rows")).over(all))
+          * 10000L / sum(col("n_rows")).over(all)).cast("long"))
+      .orderBy(col("shard"))
+  }
+
+  val shardSkewSql: String =
+    s"""WITH s AS (
+       |  SELECT CAST(('0x' || substr(md5('shard:' || CAST(l_orderkey AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % $nSkewShards AS shard
+       |  FROM lineitem),
+       |c AS (SELECT shard, count(*) AS n_rows FROM s GROUP BY 1)
+       |SELECT shard, n_rows,
+       |  CAST((n_rows * $nSkewShards - sum(n_rows) OVER ()) * 10000
+       |    // sum(n_rows) OVER () AS BIGINT) AS dev_bp
+       |FROM c ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "shard_skew" -> shardSkew,
     "profile_table" -> profileTable,
     "q24_range_join" -> q24RangeJoin,
     "q25_skew_salt" -> q25SkewSalt,
@@ -255,6 +293,7 @@ object ScaleOps {
   /** sketch_stats is deliberately absent: approximate sketches are not
     * cross-engine reproducible (driver does the rows-only check). */
   val oracle: Map[String, String] = Map(
+    "shard_skew" -> shardSkewSql,
     "profile_table" -> profileTableSql,
     "q24_range_join" -> q24Sql,
     "q25_skew_salt" -> q25Sql,
