@@ -52,6 +52,43 @@ class FrequencyProcessor(ttl: java.time.Duration)
   }
 }
 
+/** The batch→stream migration shape: identical counting logic, but
+  * state is SEEDED from a batch-computed snapshot before the first
+  * micro-batch (StatefulProcessorWithInitialState). This is how a
+  * pipeline cuts over from nightly batch aggregation to streaming
+  * without losing history — the snapshot is the last batch output,
+  * the stream continues from it, and no reprocessing of the
+  * historical log ever happens. handleInitialState runs once per
+  * seed row, before any input. */
+class SeededFrequencyProcessor(ttl: java.time.Duration)
+    extends StatefulProcessorWithInitialState[String, (String, Long), FreqCount, FreqCount] {
+
+  @transient private var counts: MapState[Long, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[Long, Long]("counts",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig(ttl))
+
+  override def handleInitialState(key: String, row: FreqCount,
+      tv: TimerValues): Unit =
+    counts.updateValue(row.member,
+      (if (counts.containsKey(row.member)) counts.getValue(row.member) else 0L)
+        + row.n)
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+      tv: TimerValues): Iterator[FreqCount] = {
+    val delta = rows.foldLeft(Map.empty[Long, Long]) { case (m, (_, member)) =>
+      m.updated(member, m.getOrElse(member, 0L) + 1L)
+    }
+    val out = delta.map { case (member, d) =>
+      val n = (if (counts.containsKey(member)) counts.getValue(member) else 0L) + d
+      counts.updateValue(member, n)
+      FreqCount(key, member, n)
+    }.toVector
+    out.iterator
+  }
+}
+
 object FrequencyProcessor {
 
   /** (group, member) pairs → running per-pair counts, Update mode. */
@@ -62,5 +99,19 @@ object FrequencyProcessor {
       .groupByKey(_._1)
       .transformWithState(new FrequencyProcessor(ttl),
         TimeMode.ProcessingTime, OutputMode.Update, Encoders.product[FreqCount])
+  }
+
+  /** Same, with state seeded from a batch snapshot (the cutover
+    * shape): `seed` is the last batch aggregate, read once into state
+    * before the first trigger. */
+  def countsSeeded(pairs: Dataset[(String, Long)], seed: Dataset[FreqCount],
+      ttl: java.time.Duration = java.time.Duration.ofHours(24)): Dataset[FreqCount] = {
+    import pairs.sparkSession.implicits._
+    pairs
+      .groupByKey(_._1)
+      .transformWithState(new SeededFrequencyProcessor(ttl),
+        TimeMode.ProcessingTime, OutputMode.Update,
+        seed.groupByKey(_.group),
+        Encoders.product[FreqCount], Encoders.product[FreqCount])
   }
 }

@@ -112,6 +112,47 @@ class TransformWithStateSpec extends AnyFunSuite {
     }
   }
 
+  test("initial-state seeding: stream continues from the batch snapshot") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("tws_seed_ckpt").toString
+    try {
+      import spark.implicits._
+      implicit val ctx = spark.sqlContext
+      import graft.streaming.FreqCount
+      // "Last night's batch aggregate": click/1 seen 5 times, view/9 twice.
+      val seed = Seq(FreqCount("click", 1L, 5L), FreqCount("view", 9L, 2L)).toDS()
+      val in = MemoryStream[(String, Long)]
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[FreqCount]()
+      in.addData(("click", 1L), ("click", 1L), ("click", 7L))
+      val q = graft.streaming.FrequencyProcessor.countsSeeded(in.toDS(), seed)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[FreqCount], _: Long) =>
+          df.collect().foreach(buf.add)
+        }.start()
+      try q.awaitTermination(120000L) finally q.stop()
+      val latest = buf.toArray(Array.empty[FreqCount])
+        .groupBy(r => (r.group, r.member))
+        .map { case (k, rs) => k -> rs.map(_.n).max }
+      assert(latest(("click", 1L)) == 7L, // 5 seeded + 2 streamed
+        s"stream must continue from the snapshot: $latest")
+      assert(latest(("click", 7L)) == 1L) // unseeded member starts at 0
+      // view/9 was seeded but saw no stream rows — correctly silent in
+      // Update mode.
+      assert(!latest.contains(("view", 9L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("ListState funnel completes across batches, partials expire") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
