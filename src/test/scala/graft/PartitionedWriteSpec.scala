@@ -37,4 +37,50 @@ class PartitionedWriteSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("dynamic partition pruning reaches the partitioned fact scan") {
+    // The read-side twin of the overwrite contract: a fact table
+    // partitioned on the join key scans ONLY the partitions the
+    // filtered dimension selects — at 100 TB the difference between
+    // reading one day and reading the year. The pruning predicate is
+    // injected at RUNTIME from the dim side (dynamicpruning
+    // subquery), which static predicate pushdown cannot express.
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    Tables(spark, "/root/testdata/sf0.001").orders
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    // At test scale the size-based benefit estimate vetoes the (free,
+    // broadcast-reusing) pruning subquery; disable the stats heuristic
+    // so the plan shape is the one a real partitioned fact would get.
+    val statsKey = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    val prev = spark.conf.getOption(statsKey)
+    spark.conf.set(statsKey, "false")
+    try {
+      val fact = spark.read.parquet(out)
+      // The dim must be a real scan with the filter ABOVE it: a local
+      // Seq would constant-fold filter+relation into one
+      // LocalTableScan and leave no selective predicate for the
+      // pruning rule to find.
+      val dimPath = java.nio.file.Files.createTempDirectory("graft-dppdim").toString
+      Seq(("F", "filled"), ("O", "open"), ("P", "pending"))
+        .toDF("status", "label")
+        .write.mode("overwrite").parquet(dimPath)
+      val dim = spark.read.parquet(dimPath)
+        .filter($"label" === "filled") // selects exactly one partition
+      val joined = fact.join(dim, $"o_orderstatus" === $"status")
+        .groupBy($"label").agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"expected a runtime pruning subquery on the fact scan:\n${plan.take(1500)}")
+      // And it computes the right answer (only status F rows counted).
+      val expected = Tables(spark, "/root/testdata/sf0.001").orders
+        .filter($"o_orderstatus" === "F").count()
+      assert(joined.collect().map(r => r.getLong(1)).sum == expected)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(statsKey, v)
+        case None => spark.conf.unset(statsKey)
+      }
+    }
+  }
 }
