@@ -1069,7 +1069,47 @@ object Events {
        |FROM l WHERE epoch - prev_epoch > $outageGapSec
        |ORDER BY event_type, outage_start_epoch""".stripMargin
 
+  // ─── ev_rfm: recency/frequency/monetary quintile scoring ───
+  // The segmentation workhorse: per-user last-purchase recency, visit
+  // count and total spend, each quintiled by ntile(5). One user-keyed
+  // aggregate over the log; the three rank windows run on the
+  // users-sized rollup, each fully tie-broken by user_id (ntile ties
+  // are placement-nondeterministic otherwise). All three rank
+  // ascending, so quintile 5 always means "best" (most recent /
+  // most visits / highest spend).
+  def evRfm(spark: SparkSession, dir: String): DataFrame = {
+    val byR = Window.partitionBy(lit(1)).orderBy(col("last_epoch"), col("user_id"))
+    val byF = Window.partitionBy(lit(1)).orderBy(col("n_purchases"), col("user_id"))
+    val byM = Window.partitionBy(lit(1)).orderBy(col("spend_cents"), col("user_id"))
+    Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(epochS(col("ts"))).as("last_epoch"),
+        count(lit(1)).as("n_purchases"),
+        cents(sum(col("value"))).as("spend_cents"))
+      .withColumn("r_score", ntile(5).over(byR).cast("long"))
+      .withColumn("f_score", ntile(5).over(byF).cast("long"))
+      .withColumn("m_score", ntile(5).over(byM).cast("long"))
+      .select(col("user_id"), col("last_epoch"), col("n_purchases"),
+        col("spend_cents"), col("r_score"), col("f_score"), col("m_score"))
+      .orderBy(col("user_id"))
+  }
+
+  val evRfmSql: String =
+    s"""WITH agg AS (
+       |  SELECT user_id,
+       |    max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_epoch,
+       |    count(*) AS n_purchases,
+       |    ${Tables.centsSql("sum(value)")} AS spend_cents
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+       |SELECT user_id, last_epoch, n_purchases, spend_cents,
+       |  CAST(ntile(5) OVER (ORDER BY last_epoch, user_id) AS BIGINT) AS r_score,
+       |  CAST(ntile(5) OVER (ORDER BY n_purchases, user_id) AS BIGINT) AS f_score,
+       |  CAST(ntile(5) OVER (ORDER BY spend_cents, user_id) AS BIGINT) AS m_score
+       |FROM agg ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_rfm" -> evRfm,
     "ev_outage" -> evOutage,
     "ts_ohlc" -> tsOhlc,
     "ev_histogram" -> evHistogram,
@@ -1095,6 +1135,7 @@ object Events {
     "ev_pattern_seq" -> evPatternSeq)
 
   val oracle: Map[String, String] = Map(
+    "ev_rfm" -> evRfmSql,
     "ev_outage" -> evOutageSql,
     "ts_ohlc" -> tsOhlcSql,
     "ev_histogram" -> evHistogramSql,

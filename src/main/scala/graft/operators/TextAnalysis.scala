@@ -437,7 +437,39 @@ object TextAnalysis {
        |    // max(n) OVER () AS BIGINT) AS zipf_bp
        |FROM cnt ORDER BY rank""".stripMargin
 
+  // ─── text_hashvec: feature-hashing vectorizer (hashing trick) ───
+  // The fixed-width featurization that needs NO vocabulary pass: each
+  // token hashes into one of 256 dims (md5 → the repo's cross-engine
+  // hash), per-doc dim counts are the sparse vector. Output is the
+  // sparse (doc, dim, count) triple form — the join-friendly layout
+  // downstream trainers bucket-join on. Map-side explode + one
+  // (doc, dim)-keyed combine; no global state of any kind, which is
+  // the entire point of the hashing trick at 100 TB.
+  private val hashDims = 256
+
+  def textHashvec(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), " "), w => w =!= "")).as("term"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("term")), 1, 15), 16, 10)
+          .cast("long") % hashDims).as("dim"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("doc_id"), col("dim"))
+
+  val textHashvecSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % $hashDims AS dim,
+       |  count(*) AS n
+       |FROM t GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hashvec" -> textHashvec,
     "text_zipf" -> textZipf,
     "text_tfidf" -> textTfidf,
     "text_repetition" -> textRepetition,
@@ -449,6 +481,7 @@ object TextAnalysis {
     "text_ngram_top" -> textNgramTop)
 
   val oracle: Map[String, String] = Map(
+    "text_hashvec" -> textHashvecSql,
     "text_zipf" -> textZipfSql,
     "text_tfidf" -> textTfidfSql,
     "text_repetition" -> textRepetitionSql,

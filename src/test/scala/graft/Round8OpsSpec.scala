@@ -108,4 +108,45 @@ class Round8OpsSpec extends AnyFunSuite {
         s"${r.getString(0)}: ${r.getLong(3)} ≤ $mean ≤ ${r.getLong(4)}")
     }
   }
+
+  test("ev_rfm: quintiles in [1,5], balanced within one row") {
+    val rows = Events.evRfm(spark, dir).collect()
+    assert(rows.nonEmpty)
+    Seq(4, 5, 6).foreach { i =>
+      val scores = rows.map(_.getLong(i))
+      assert(scores.forall(s => s >= 1 && s <= 5))
+      // ntile balance: bucket sizes differ by at most 1.
+      val sizes = scores.groupBy(identity).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"col $i sizes: $sizes")
+    }
+  }
+
+  test("text_hashvec: dims bounded, counts conserve tokens") {
+    val rows = TextAnalysis.textHashvec(spark, dir).collect()
+    assert(rows.forall { r => val d = r.getLong(1); d >= 0 && d < 256 })
+    val totalHashed = rows.map(_.getLong(2)).sum
+    val totalTokens = Tables(spark, dir).documents
+      .select(size(filter(split(col("text"), " "), w => w =!= ""))
+        .cast("long").as("n"))
+      .agg(sum("n")).head.getLong(0)
+    assert(totalHashed == totalTokens,
+      s"hashing must conserve token mass: $totalHashed vs $totalTokens")
+  }
+
+  test("dedup_est_error: calibration row is sane") {
+    val r = Dedup.dedupEstError(spark, dir).head
+    assert(r.getLong(0) > 0, "some candidate pairs must overlap")
+    assert(r.getLong(1) >= 0 && r.getLong(1) <= 10000)
+    assert(r.getLong(2) >= r.getLong(1), "max ≥ mean")
+  }
+
+  test("mix_apportion and sample_balanced agree with direct recounts") {
+    val k = Pipeline.sampleBalanced(spark, dir)
+      .groupBy("lang").count().collect()
+    val sizes = k.map(_.getLong(1)).toSet
+    assert(sizes.size == 1, s"every class must end at the same size: $sizes")
+    val minClass = Tables(spark, dir).documents
+      .groupBy("lang").count().agg(min("count")).head.getLong(0)
+    assert(sizes.head == minClass)
+  }
 }
