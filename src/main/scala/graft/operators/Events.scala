@@ -1108,7 +1108,37 @@ object Events {
        |  CAST(ntile(5) OVER (ORDER BY spend_cents, user_id) AS BIGINT) AS m_score
        |FROM agg ORDER BY user_id""".stripMargin
 
+  // ─── ev_seasonality: day-of-week × hour activity profile ───
+  // The load-shape matrix capacity planning reads: one map-side
+  // bucketing pass into a (7 × 24)-bounded aggregate, with the
+  // per-cell share of total in bp (integer, vs the day's total being
+  // broadcast-sized). Week-numbering parity: Spark's dayofweek is
+  // 1=Sunday, DuckDB's 0=Sunday — the oracle shifts by one; UTC is
+  // pinned by GraftSession so the hour never straddles a zone.
+  def evSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    Tables(spark, dir).events
+      .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n"),
+        cents(sum(col("value"))).as("value_cents"))
+      .withColumn("share_bp",
+        floor(col("n") * 10000L / sum(col("n")).over(all)).cast("long"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
+  val evSeasonalitySql: String =
+    s"""WITH c AS (
+       |  SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+       |    CAST(hour(ts) AS BIGINT) AS hour,
+       |    count(*) AS n, ${Tables.centsSql("sum(value)")} AS value_cents
+       |  FROM events GROUP BY 1, 2)
+       |SELECT dow, hour, n, value_cents,
+       |  CAST(n * 10000 // sum(n) OVER () AS BIGINT) AS share_bp
+       |FROM c ORDER BY dow, hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_seasonality" -> evSeasonality,
     "ev_rfm" -> evRfm,
     "ev_outage" -> evOutage,
     "ts_ohlc" -> tsOhlc,
@@ -1135,6 +1165,7 @@ object Events {
     "ev_pattern_seq" -> evPatternSeq)
 
   val oracle: Map[String, String] = Map(
+    "ev_seasonality" -> evSeasonalitySql,
     "ev_rfm" -> evRfmSql,
     "ev_outage" -> evOutageSql,
     "ts_ohlc" -> tsOhlcSql,

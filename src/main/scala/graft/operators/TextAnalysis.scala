@@ -468,7 +468,56 @@ object TextAnalysis {
        |  count(*) AS n
        |FROM t GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin
 
+  // ─── text_readability: integer Flesch-style reading score ───
+  // The readability quality signal, in pure integer parts so both
+  // engines agree exactly: words (whitespace tokens), sentences
+  // ([.!?]+ runs, min 1), syllable proxy (vowel-group runs — the
+  // standard approximation). score_c = 20682 − 101·(words·100/sents)
+  // − 8460·(syll·100/words)/100, i.e. Flesch×100 with the classic
+  // 206.835/1.015/84.6 coefficients ×100 and integer division at
+  // each step — not a linguistic claim, a deterministic ranking
+  // signal. Map-only over the scan; no shuffle before the sort.
+  def textReadability(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => w =!= ""))
+          .cast("long").as("words"),
+        greatest(size(filter(split(col("text"), "[.!?]+"), s => trim(s) =!= ""))
+          .cast("long"), lit(1L)).as("sents"),
+        greatest(size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+          .cast("long"), lit(1L)).as("sylls"))
+      // divisor floors at 1: an all-whitespace doc must yield a row,
+      // not a division-by-zero null that differs across engines
+      .withColumn("wps_c", floor(col("words") * 100L / col("sents")).cast("long"))
+      .withColumn("spw_c",
+        floor(col("sylls") * 100L / greatest(col("words"), lit(1L))).cast("long"))
+      .withColumn("score_c",
+        (lit(20682L) - floor(col("wps_c") * 101L / 100L).cast("long")
+          - floor(col("spw_c") * 8460L / 100L).cast("long")).cast("long"))
+      .orderBy(col("doc_id"))
+
+  val textReadabilitySql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+      |      AS words,
+      |    greatest(CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+      |      s -> trim(s) <> '')) AS BIGINT), 1) AS sents,
+      |    greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |      AS BIGINT), 1) AS sylls
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, words, sents, sylls,
+      |    CAST(words * 100 // sents AS BIGINT) AS wps_c,
+      |    CAST(sylls * 100 // greatest(words, 1) AS BIGINT) AS spw_c
+      |  FROM p)
+      |SELECT doc_id, words, sents, sylls, wps_c, spw_c,
+      |  CAST(20682 - (wps_c * 101 // 100) - (spw_c * 8460 // 100) AS BIGINT)
+      |    AS score_c
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> textReadability,
     "text_hashvec" -> textHashvec,
     "text_zipf" -> textZipf,
     "text_tfidf" -> textTfidf,
@@ -481,6 +530,7 @@ object TextAnalysis {
     "text_ngram_top" -> textNgramTop)
 
   val oracle: Map[String, String] = Map(
+    "text_readability" -> textReadabilitySql,
     "text_hashvec" -> textHashvecSql,
     "text_zipf" -> textZipfSql,
     "text_tfidf" -> textTfidfSql,
