@@ -438,7 +438,41 @@ object RelationalExt {
        |  FROM lineitem)
        |WHERE r = 1 ORDER BY l_suppkey""".stripMargin
 
+  // ─── q34_percent_rank: relative standing within a group ───
+  // percent_rank and cume_dist per customer within their market
+  // segment, floored to bp. Both engines evaluate the same integer
+  // rank arithmetic then one IEEE division of identical operands, so
+  // the doubles (and the floored bp) agree bit-for-bit. One shuffle
+  // on the segment; the full order ties-break on c_custkey.
+  def q34PercentRank(spark: SparkSession, dir: String): DataFrame = {
+    // Rank over the CENTS value in both engines (not the raw double):
+    // ordering and fixed-point rounding must agree or a sub-cent
+    // difference would permute ranks between engines.
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("bal_cents"), col("c_custkey"))
+    Tables(spark, dir).customer
+      .select(col("c_mktsegment"), col("c_custkey"),
+        cents(col("c_acctbal")).as("bal_cents"))
+      .withColumn("pr_bp",
+        floor(percent_rank().over(w) * 10000 + 0.5).cast("long"))
+      .withColumn("cd_bp",
+        floor(cume_dist().over(w) * 10000 + 0.5).cast("long"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  val q34Sql: String =
+    s"""SELECT c_mktsegment, c_custkey,
+       |  ${Tables.centsSql("c_acctbal")} AS bal_cents,
+       |  CAST(floor(percent_rank() OVER (PARTITION BY c_mktsegment
+       |    ORDER BY ${Tables.centsSql("c_acctbal")}, c_custkey) * 10000 + 0.5)
+       |    AS BIGINT) AS pr_bp,
+       |  CAST(floor(cume_dist() OVER (PARTITION BY c_mktsegment
+       |    ORDER BY ${Tables.centsSql("c_acctbal")}, c_custkey) * 10000 + 0.5)
+       |    AS BIGINT) AS cd_bp
+       |FROM customer ORDER BY c_mktsegment, c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_percent_rank" -> q34PercentRank,
     "q31_conditional_agg" -> q31ConditionalAgg,
     "q32_mode" -> q32Mode,
     "q33_first_last" -> q33FirstLast,
@@ -456,6 +490,7 @@ object RelationalExt {
     "q26_unpivot" -> q26Unpivot)
 
   val oracle: Map[String, String] = Map(
+    "q34_percent_rank" -> q34Sql,
     "q31_conditional_agg" -> q31Sql,
     "q32_mode" -> q32Sql,
     "q33_first_last" -> q33Sql,
