@@ -76,14 +76,23 @@ object Bench {
       }
       // timings and the failed list are mutually exclusive: a broken
       // query's pre-failure samples are not a timing for the query.
-      name -> (if (broken || samples.isEmpty) None else Some(median(samples.toSeq)))
+      name -> (if (broken || samples.isEmpty) None
+               else Some((median(samples.toSeq), samples.min, samples.max)))
     }
-    val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + v }
+    val qs = results.collect { case (k, Some((m, _, _))) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
+    // Run-to-run spread per query (min/max over the timed iterations):
+    // local[32] medians swing ±70% on sub-second queries from
+    // scheduler/GC luck alone (SURVEY §7), so a regression read off
+    // one round's median is only actionable when it exceeds the
+    // spread band. Extra key — consumers of "queries" are unaffected.
+    val spread = results.collect { case (k, Some((_, lo, hi))) =>
+      "\"" + k + "\":[" + lo + "," + hi + "]"
+    }.mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.flatMap(_._2).sum
+    val total = results.flatMap(_._2.map(_._1)).sum
     val mode = if (cold) "cold" else "warm"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"mode":"$mode","iters":$iters,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$fj,"mode":"$mode","iters":$iters,"sf":"$sfDir"}""")
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

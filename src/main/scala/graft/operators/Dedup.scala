@@ -349,6 +349,113 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ─── decontam_minhash: fuzzy train/benchmark decontamination ───
+  // The MinHash companion of Pipeline.decontam_ngram: exact shingle
+  // overlap misses paraphrased leakage, so production decontamination
+  // ALSO runs the eval suite through the corpus LSH index and
+  // quarantines near-duplicates. Report shape: ONE ROW PER BENCHMARK
+  // DOC always (not per matched pair — SURVEY §7 flagged the
+  // rows-may-be-zero flakiness of a pair-shaped fuzzy decontam at
+  // small SF; a per-bench report with explicit zero rows is also
+  // what a decontamination audit actually files). Shape: the
+  // benchmark side is an eval suite — tiny by nature — so its band
+  // index broadcasts; the corpus streams past map-side, exactly the
+  // dedup_incremental asymmetry with roles swapped. best_train ties
+  // resolve to the smallest doc_id via min(CASE) against the
+  // windowed max (argmax tie order differs across engines).
+  private val decontamBenchMod = 50
+  private val decontamThreshBp = 5000
+
+  def decontamMinhash(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (sigs, _) = minhashSigsAndCand(spark, dir)
+    val isBench = col("doc_id") % decontamBenchMod === 0
+    val benchSigs = sigs.filter(isBench)
+    val bb = bandedOf(benchSigs)
+      .select(col("doc_id").as("bench_doc"), col("band"), col("bh"))
+    val tb = bandedOf(sigs.filter(!isBench))
+    val candPairs = tb.join(broadcast(bb), Seq("band", "bh"))
+      .select(col("doc_id").as("train_doc"), col("bench_doc")).distinct()
+    val sx = sigs.select(col("doc_id").as("xid") +:
+      (0 until nPerms).map(j => col(s"m$j").as(s"x$j")): _*)
+    val sy = sigs.select(col("doc_id").as("yid") +:
+      (0 until nPerms).map(j => col(s"m$j").as(s"y$j")): _*)
+    val est = candPairs
+      .join(sx, col("train_doc") === col("xid"))
+      .join(sy, col("bench_doc") === col("yid"))
+      .withColumn("est_bp",
+        floor((0 until nPerms)
+          .map(j => when(col(s"x$j") === col(s"y$j"), 1).otherwise(0))
+          .reduce(_ + _) * 10000.0 / nPerms + 0.5).cast("long"))
+      .select(col("bench_doc"), col("train_doc"), col("est_bp"))
+    val perBench = est
+      .withColumn("max_est",
+        max(col("est_bp")).over(Window.partitionBy(col("bench_doc"))))
+      .groupBy(col("bench_doc"))
+      .agg(count(lit(1)).as("n_cand"),
+        max(col("est_bp")).as("best_est_bp"),
+        min(when(col("est_bp") === col("max_est"), col("train_doc")))
+          .as("best_train"))
+    benchSigs.select(col("doc_id").as("bench_doc"))
+      .join(perBench, Seq("bench_doc"), "left")
+      .select(col("bench_doc"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("best_train"), lit(-1L)).as("best_train"),
+        coalesce(col("best_est_bp"), lit(0L)).as("best_est_bp"))
+      .withColumn("contaminated", col("best_est_bp") >= decontamThreshBp)
+      .orderBy(col("bench_doc"))
+  }
+
+  val decontamMinhashSql: String = {
+    val minCols = (0 until nPerms).map { j =>
+      s"min((h * ${permCoef(j)._1} + ${permCoef(j)._2}) % $P31) AS m$j"
+    }.mkString(",\n    ")
+    def bandBranches(src: String) = (0 until nBands).map { b =>
+      val bh = (0 until 4).map(k => s"m${b * 4 + k}")
+        .reduce((acc, x) => s"($acc * 31 + $x)")
+      s"SELECT doc_id, $b AS band, $bh AS bh FROM $src"
+    }.mkString("\n  UNION ALL ")
+    val eqSum = (0 until nPerms)
+      .map(j => s"CASE WHEN x.m$j = y.m$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $docShinglesSql,
+       |srows AS (SELECT doc_id, unnest(sh) AS s FROM shdocs),
+       |hs AS (SELECT doc_id, ${h31Sql("s")} AS h FROM srows),
+       |sigs AS (SELECT doc_id,
+       |    $minCols
+       |  FROM hs GROUP BY doc_id),
+       |bsig AS (SELECT * FROM sigs WHERE doc_id % $decontamBenchMod = 0),
+       |tsig AS (SELECT * FROM sigs WHERE doc_id % $decontamBenchMod <> 0),
+       |bbands AS (
+       |  ${bandBranches("bsig")}),
+       |tbands AS (
+       |  ${bandBranches("tsig")}),
+       |cand AS (
+       |  SELECT DISTINCT t.doc_id AS train_doc, b.doc_id AS bench_doc
+       |  FROM tbands t JOIN bbands b ON t.band = b.band AND t.bh = b.bh),
+       |est AS (
+       |  SELECT c.bench_doc, c.train_doc,
+       |    CAST(floor(($eqSum) * 10000.0 / $nPerms + 0.5) AS BIGINT) AS est_bp
+       |  FROM cand c
+       |    JOIN sigs x ON c.train_doc = x.doc_id
+       |    JOIN sigs y ON c.bench_doc = y.doc_id),
+       |mx AS (
+       |  SELECT bench_doc, train_doc, est_bp,
+       |    max(est_bp) OVER (PARTITION BY bench_doc) AS max_est
+       |  FROM est),
+       |agg AS (
+       |  SELECT bench_doc, count(*) AS n_cand, max(est_bp) AS best_est_bp,
+       |    min(CASE WHEN est_bp = max_est THEN train_doc END) AS best_train
+       |  FROM mx GROUP BY bench_doc)
+       |SELECT b.doc_id AS bench_doc,
+       |  COALESCE(a.n_cand, 0) AS n_cand,
+       |  COALESCE(a.best_train, -1) AS best_train,
+       |  COALESCE(a.best_est_bp, 0) AS best_est_bp,
+       |  COALESCE(a.best_est_bp, 0) >= $decontamThreshBp AS contaminated
+       |FROM bsig b LEFT JOIN agg a ON b.doc_id = a.bench_doc
+       |ORDER BY bench_doc""".stripMargin
+  }
+
   // ─── dedup_cluster: connected components over the pair graph ───
   // Pairs are not clusters: a production dedup pipeline must merge
   // transitively-connected near-dup pairs (A~B, B~C ⇒ {A,B,C}) and
@@ -714,6 +821,7 @@ object Dedup {
        |FROM j""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontam_minhash" -> decontamMinhash,
     "dedup_est_error" -> dedupEstError,
     "dedup_containment" -> dedupContainment,
     "dedup_exact" -> dedupExact,
@@ -725,6 +833,7 @@ object Dedup {
     "dedup_incremental" -> dedupIncremental)
 
   val oracle: Map[String, String] = Map(
+    "decontam_minhash" -> decontamMinhashSql,
     "dedup_est_error" -> dedupEstErrorSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_exact" -> dedupExactSql,

@@ -1137,7 +1137,168 @@ object Events {
        |  CAST(n * 10000 // sum(n) OVER () AS BIGINT) AS share_bp
        |FROM c ORDER BY dow, hour""".stripMargin
 
+  // ─── ev_islands: consecutive-active-day streaks per user ───
+  // The gaps-and-islands engagement primitive (login streaks, SLA
+  // uptime runs): collapse each user's activity to distinct active
+  // days, then day_n − row_number() is constant within a run of
+  // consecutive days — the classic islands key, one shuffle on
+  // user_id and two linear window passes, never a self-join. Output
+  // per user: active days, streak count, longest streak, and the
+  // start day of the (earliest) longest streak — the deterministic
+  // tie-break rides a min(CASE) against the windowed max, not an
+  // argmax whose tie behavior differs across engines.
+  def evIslands(spark: SparkSession, dir: String): DataFrame = {
+    val dayN = datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day_n"))
+    val perUser = Window.partitionBy(col("user_id"))
+    Tables(spark, dir).events
+      .select(col("user_id"), dayN.as("day_n")).distinct()
+      .withColumn("grp", col("day_n") - row_number().over(byUser))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("day_n")).as("start_day"))
+      .withColumn("max_len", max(col("len")).over(perUser))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("max_streak"),
+        min(when(col("len") === col("max_len"), col("start_day")))
+          .as("longest_start_day"))
+      .orderBy(col("user_id"))
+  }
+
+  val evIslandsSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+      |      AS day_n
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id,
+      |    day_n - row_number() OVER (PARTITION BY user_id ORDER BY day_n) AS grp,
+      |    day_n
+      |  FROM days),
+      |runs AS (
+      |  SELECT user_id, grp, count(*) AS len, min(day_n) AS start_day
+      |  FROM isl GROUP BY 1, 2),
+      |mx AS (
+      |  SELECT user_id, grp, len, start_day,
+      |    max(len) OVER (PARTITION BY user_id) AS max_len
+      |  FROM runs)
+      |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+      |  count(*) AS n_streaks, max(len) AS max_streak,
+      |  min(CASE WHEN len = max_len THEN start_day END) AS longest_start_day
+      |FROM mx GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ─── ev_interarrival: per-user inter-arrival gap statistics ───
+  // The arrival-process profile (burstiness, polling detection,
+  // rate-limit tuning): integer-second gaps between consecutive
+  // events of the same user, then count/min/max/mean/variance per
+  // user — mean and variance in exact integer arithmetic
+  // (sum div n and the (n·Σg²−(Σg)²) div (n·(n−1)) form) so both
+  // engines agree bit-for-bit with no float accumulation order in
+  // play. One shuffle on user_id, one lag pass, one aggregate.
+  def evInterarrival(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir).events
+      .withColumn("epoch", epochS(col("ts")))
+      .withColumn("gap", col("epoch") - lag(col("epoch"), 1).over(byUser))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("gap_min_s"),
+        max(col("gap")).as("gap_max_s"),
+        sum(col("gap")).as("sum_gap"),
+        sum(col("gap") * col("gap")).as("sum_sq"))
+      .filter(col("n_gaps") >= 2)
+      .select(col("user_id"), col("n_gaps"), col("gap_min_s"),
+        col("gap_max_s"),
+        expr("sum_gap div n_gaps").as("gap_avg_s"),
+        expr("(n_gaps * sum_sq - sum_gap * sum_gap) div (n_gaps * (n_gaps - 1))")
+          .as("gap_var_s2"))
+      .orderBy(col("user_id"))
+  }
+
+  val evInterarrivalSql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT)
+      |      - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+      |          PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |  FROM events),
+      |agg AS (
+      |  SELECT user_id, count(*) AS n_gaps, min(gap) AS gap_min_s,
+      |    max(gap) AS gap_max_s, CAST(sum(gap) AS BIGINT) AS sum_gap,
+      |    CAST(sum(gap * gap) AS BIGINT) AS sum_sq
+      |  FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+      |SELECT user_id, n_gaps, gap_min_s, gap_max_s,
+      |  sum_gap // n_gaps AS gap_avg_s,
+      |  (n_gaps * sum_sq - sum_gap * sum_gap) // (n_gaps * (n_gaps - 1))
+      |    AS gap_var_s2
+      |FROM agg WHERE n_gaps >= 2 ORDER BY user_id""".stripMargin
+
+  // ─── ts_ema: exponential moving average over per-user values ───
+  // The smoothing primitive of monitoring/finance pipelines. A true
+  // EMA is a recursion (state_t = αx + (1−α)state_{t−1}) — the
+  // streaming twin would be transformWithState — but the batch form
+  // here is the K-term truncated EMA: weights α(1−α)^j over the last
+  // K=8 observations, which at α=0.3 carries >94% of the mass and,
+  // crucially, is a FIXED-SHAPE expression: 8 lag() columns combined
+  // in one fixed-order double sum over integer cents, so both engines
+  // round identically (the float-determinism discipline of q35_corr).
+  // Rows before a full window are skipped (partial-window
+  // normalization would divide by a varying weight sum — correct but
+  // noisier to pin cross-engine). One shuffle on user_id, one linear
+  // window pass, map-only arithmetic after.
+  private val emaAlpha = 0.3
+  private val emaK = 8
+
+  def tsEma(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wNorm = (0 until emaK).map(j => emaAlpha * math.pow(1 - emaAlpha, j)).sum
+    val withLags = Tables(spark, dir).events
+      .withColumn("v_c", cents(col("value")).cast("long"))
+      .withColumn("rn", row_number().over(byUser))
+      .select(Seq(col("user_id"), col("event_id"), col("rn"), col("v_c")) ++
+        (1 until emaK).map(j => lag(col("v_c"), j).over(byUser).as(s"l$j")): _*)
+    val emaSum = (0 until emaK).map { j =>
+      val term = if (j == 0) col("v_c") else col(s"l$j")
+      term * lit(emaAlpha * math.pow(1 - emaAlpha, j))
+    }.reduce(_ + _)
+    withLags.filter(col("rn") >= emaK)
+      .select(col("user_id"), col("event_id"), col("v_c"),
+        floor(emaSum / lit(wNorm)).cast("long").as("ema_c"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val tsEmaSql: String = {
+    val wNorm = (0 until emaK).map(j => emaAlpha * math.pow(1 - emaAlpha, j)).sum
+    val lagCols = (1 until emaK).map { j =>
+      s"lag(v_c, $j) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l$j"
+    }.mkString(",\n    ")
+    val emaSum = (0 until emaK).map { j =>
+      val term = if (j == 0) "v_c" else s"l$j"
+      s"$term * ${emaAlpha * math.pow(1 - emaAlpha, j)}"
+    }.mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT user_id, event_id, ts,
+       |    CAST(${Tables.centsSql("value")} AS BIGINT) AS v_c
+       |  FROM events),
+       |l AS (
+       |  SELECT user_id, event_id, v_c,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       |    $lagCols
+       |  FROM v)
+       |SELECT user_id, event_id, v_c,
+       |  CAST(floor(($emaSum) / $wNorm) AS BIGINT) AS ema_c
+       |FROM l WHERE rn >= $emaK ORDER BY user_id, event_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_ema" -> tsEma,
+    "ev_islands" -> evIslands,
+    "ev_interarrival" -> evInterarrival,
     "ev_seasonality" -> evSeasonality,
     "ev_rfm" -> evRfm,
     "ev_outage" -> evOutage,
@@ -1165,6 +1326,9 @@ object Events {
     "ev_pattern_seq" -> evPatternSeq)
 
   val oracle: Map[String, String] = Map(
+    "ts_ema" -> tsEmaSql,
+    "ev_islands" -> evIslandsSql,
+    "ev_interarrival" -> evInterarrivalSql,
     "ev_seasonality" -> evSeasonalitySql,
     "ev_rfm" -> evRfmSql,
     "ev_outage" -> evOutageSql,

@@ -418,7 +418,55 @@ object Pipeline {
       |FROM d JOIN c USING (text_md5)
       |GROUP BY 1 ORDER BY source""".stripMargin
 
+  // ─── sample_curriculum: difficulty stages + language interleave ───
+  // Curriculum data ordering: train on easy documents first, harder
+  // later, WITHOUT de-mixing languages inside a stage (a stage that
+  // happens to be all-English skews the early gradient steps).
+  // Difficulty proxy = n_chars (short docs first); stage = ntile(10)
+  // over (difficulty, doc_id) — both engines define ntile identically
+  // (earlier buckets take the remainder); within a stage the emit
+  // order round-robins across languages: rank within (stage, lang) is
+  // the round number, so ordering by (round, lang, doc_id) yields
+  // L1,L2,…,Ln, L1,L2,… — the deterministic interleave. Three window
+  // passes over one shuffle; at 100 TB stage assignment would ride a
+  // range-partitioned global sort (TakeOrderedAndProject-style), the
+  // same plan Spark already picks here.
+  private val curriculumStages = 10
+
+  def sampleCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val byDifficulty = Window.orderBy(col("n_chars"), col("doc_id"))
+    val inStageLang = Window.partitionBy(col("stage"), col("lang"))
+      .orderBy(col("doc_id"))
+    val inStage = Window.partitionBy(col("stage"))
+      .orderBy(col("round"), col("lang"), col("doc_id"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("stage", ntile(curriculumStages).over(byDifficulty).cast("long"))
+      .withColumn("round", row_number().over(inStageLang).cast("long"))
+      .withColumn("seq", row_number().over(inStage).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("stage"),
+        col("round"), col("seq"))
+      .orderBy(col("stage"), col("seq"))
+  }
+
+  val sampleCurriculumSql: String =
+    s"""WITH st AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    CAST(ntile($curriculumStages) OVER (ORDER BY n_chars, doc_id)
+       |      AS BIGINT) AS stage
+       |  FROM documents),
+       |rr AS (
+       |  SELECT doc_id, lang, n_chars, stage,
+       |    CAST(row_number() OVER (PARTITION BY stage, lang ORDER BY doc_id)
+       |      AS BIGINT) AS round
+       |  FROM st)
+       |SELECT doc_id, lang, n_chars, stage, round,
+       |  CAST(row_number() OVER (PARTITION BY stage
+       |    ORDER BY round, lang, doc_id) AS BIGINT) AS seq
+       |FROM rr ORDER BY stage, seq""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_curriculum" -> sampleCurriculum,
     "mix_dedup_rate" -> mixDedupRate,
     "sample_balanced" -> sampleBalanced,
     "split_kfold" -> splitKfold,
@@ -432,6 +480,7 @@ object Pipeline {
     "sample_temperature" -> sampleTemperature)
 
   val oracle: Map[String, String] = Map(
+    "sample_curriculum" -> sampleCurriculumSql,
     "mix_dedup_rate" -> mixDedupRateSql,
     "sample_balanced" -> sampleBalancedSql,
     "split_kfold" -> splitKfoldSql,

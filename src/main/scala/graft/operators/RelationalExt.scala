@@ -471,7 +471,73 @@ object RelationalExt {
        |    AS BIGINT) AS cd_bp
        |FROM customer ORDER BY c_mktsegment, c_custkey""".stripMargin
 
+  // ─── q35_corr: exact-sum correlation / regression per group ───
+  // Pearson correlation, sample covariance, and the regression slope
+  // of line-item price against quantity per (returnflag, linestatus).
+  // NOT Spark's corr()/covar_samp(): those accumulate doubles whose
+  // merge order varies with partitioning, so the low bits differ
+  // run-to-run and engine-to-engine. Instead the aggregate collects
+  // the six exact integer sums (n, Σx, Σy, Σxy, Σx², Σy² — longs,
+  // order-insensitive), and each statistic is ONE fixed-shape double
+  // expression over them: bit-deterministic on both engines, and the
+  // aggregate stays a single map-side-combining hash aggregate — the
+  // 100 TB shape for any moment-based statistic.
+  def q35Corr(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("long")
+    val y = floor(col("l_extendedprice")).cast("long")
+    val agg = Tables(spark, dir).lineitem
+      .select(col("l_returnflag"), col("l_linestatus"), x.as("x"), y.as("y"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_x2"),
+        sum(col("y") * col("y")).as("sum_y2"))
+    val nd = col("n").cast("double")
+    val num = nd * col("sum_xy") -
+      col("sum_x").cast("double") * col("sum_y")
+    val dx = nd * col("sum_x2") -
+      col("sum_x").cast("double") * col("sum_x")
+    val dy = nd * col("sum_y2") -
+      col("sum_y").cast("double") * col("sum_y")
+    agg
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        floor(num * 10000 / sqrt(dx * dy)).cast("long").as("corr_bp"),
+        floor(num * 100 / (nd * (nd - 1))).cast("long").as("covar_c"),
+        floor(num * 1000000 / dx).cast("long").as("slope_ppm"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q35Sql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+      |    CAST(sum(x * y) AS BIGINT) AS sum_xy,
+      |    CAST(sum(x * x) AS BIGINT) AS sum_x2,
+      |    CAST(sum(y * y) AS BIGINT) AS sum_y2
+      |  FROM (
+      |    SELECT l_returnflag, l_linestatus,
+      |      CAST(l_quantity AS BIGINT) AS x,
+      |      CAST(floor(l_extendedprice) AS BIGINT) AS y
+      |    FROM lineitem)
+      |  GROUP BY 1, 2)
+      |SELECT l_returnflag, l_linestatus, n,
+      |  CAST(floor((CAST(n AS DOUBLE) * sum_xy
+      |      - CAST(sum_x AS DOUBLE) * sum_y) * 10000
+      |    / sqrt((CAST(n AS DOUBLE) * sum_x2 - CAST(sum_x AS DOUBLE) * sum_x)
+      |         * (CAST(n AS DOUBLE) * sum_y2 - CAST(sum_y AS DOUBLE) * sum_y)))
+      |    AS BIGINT) AS corr_bp,
+      |  CAST(floor((CAST(n AS DOUBLE) * sum_xy
+      |      - CAST(sum_x AS DOUBLE) * sum_y) * 100
+      |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS BIGINT) AS covar_c,
+      |  CAST(floor((CAST(n AS DOUBLE) * sum_xy
+      |      - CAST(sum_x AS DOUBLE) * sum_y) * 1000000
+      |    / (CAST(n AS DOUBLE) * sum_x2 - CAST(sum_x AS DOUBLE) * sum_x))
+      |    AS BIGINT) AS slope_ppm
+      |FROM s ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_corr" -> q35Corr,
     "q34_percent_rank" -> q34PercentRank,
     "q31_conditional_agg" -> q31ConditionalAgg,
     "q32_mode" -> q32Mode,
@@ -490,6 +556,7 @@ object RelationalExt {
     "q26_unpivot" -> q26Unpivot)
 
   val oracle: Map[String, String] = Map(
+    "q35_corr" -> q35Sql,
     "q34_percent_rank" -> q34Sql,
     "q31_conditional_agg" -> q31Sql,
     "q32_mode" -> q32Sql,

@@ -282,7 +282,79 @@ object ScaleOps {
        |    // sum(n_rows) OVER () AS BIGINT) AS dev_bp
        |FROM c ORDER BY shard""".stripMargin
 
+  // ─── filter_bloom: deterministic Bloom-filter build + probe ───
+  // The join pre-filter primitive: build an M=4096-position, K=3
+  // Bloom filter over the custkeys of 'F'-status orders, probe every
+  // customer, and report bloom_hit vs exact membership — false
+  // positives included, byte-reproducibly, because the K hash
+  // positions derive from md5 (the repo's cross-engine hash), not a
+  // JVM-private hash. Distributed shape: the built filter is the
+  // DISTINCT position set (≤ M rows — tiny, AQE broadcasts it), the
+  // probe explodes each key to its K positions and counts matches ==
+  // K; the exact check is a broadcast semi-join on the same build
+  // aggregate. At 100 TB the position set is exactly what you'd ship
+  // to executors as a bitmap to skip shuffling the non-matching bulk
+  // of the fact side — this operator is that filter, plus its own
+  // precision audit (fp row flags).
+  private val bloomM = 4096
+  private val bloomK = 3
+
+  private def bloomPos(k: Int, key: Column): Column =
+    conv(substring(md5(concat(lit(s"bloom$k:"), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % bloomM
+
+  private def bloomPosSql(k: Int, key: String): String =
+    s"(CAST(('0x' || substr(md5('bloom$k:' || CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) % $bloomM)"
+
+  def filterBloom(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val corpus = t.orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("key")).distinct()
+    val built = corpus
+      .select(explode(array((1 to bloomK).map(k => bloomPos(k, col("key"))): _*))
+        .as("pos")).distinct()
+    val probePos = t.customer
+      .select(col("c_custkey"),
+        explode(array((1 to bloomK).map(k => bloomPos(k, col("c_custkey"))): _*))
+          .as("pos"))
+    val hits = probePos.join(broadcast(built), Seq("pos"))
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("n_hit"))
+    val actual = corpus.withColumnRenamed("key", "c_custkey")
+      .withColumn("actual", lit(true))
+    t.customer.select(col("c_custkey"))
+      .join(hits, Seq("c_custkey"), "left")
+      .join(broadcast(actual), Seq("c_custkey"), "left")
+      .select(col("c_custkey"),
+        (coalesce(col("n_hit"), lit(0L)) === bloomK).as("bloom_hit"),
+        coalesce(col("actual"), lit(false)).as("actual"))
+      .withColumn("fp", col("bloom_hit") && !col("actual"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val filterBloomSql: String = {
+    val buildPos = (1 to bloomK).map(k => bloomPosSql(k, "key")).mkString(", ")
+    val probeP = (1 to bloomK).map(k => bloomPosSql(k, "c_custkey")).mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'),
+       |built AS (
+       |  SELECT DISTINCT unnest([$buildPos]) AS pos FROM corpus),
+       |probe AS (
+       |  SELECT c_custkey, unnest([$probeP]) AS pos FROM customer),
+       |hits AS (
+       |  SELECT c_custkey, count(*) AS n_hit
+       |  FROM probe JOIN built USING (pos) GROUP BY c_custkey)
+       |SELECT c.c_custkey,
+       |  COALESCE(h.n_hit, 0) = $bloomK AS bloom_hit,
+       |  (cp.key IS NOT NULL) AS actual,
+       |  (COALESCE(h.n_hit, 0) = $bloomK AND cp.key IS NULL) AS fp
+       |FROM customer c
+       |LEFT JOIN hits h ON c.c_custkey = h.c_custkey
+       |LEFT JOIN corpus cp ON c.c_custkey = cp.key
+       |ORDER BY c.c_custkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "filter_bloom" -> filterBloom,
     "shard_skew" -> shardSkew,
     "profile_table" -> profileTable,
     "q24_range_join" -> q24RangeJoin,
@@ -293,6 +365,7 @@ object ScaleOps {
   /** sketch_stats is deliberately absent: approximate sketches are not
     * cross-engine reproducible (driver does the rows-only check). */
   val oracle: Map[String, String] = Map(
+    "filter_bloom" -> filterBloomSql,
     "shard_skew" -> shardSkewSql,
     "profile_table" -> profileTableSql,
     "q24_range_join" -> q24Sql,

@@ -516,7 +516,137 @@ object TextAnalysis {
       |    AS score_c
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // ─── text_bm25: BM25-lite keyword retrieval over the corpus ───
+  // The keyword-retrieval counterpart of text_tfidf: score every
+  // document against a fixed query-term set with the BM25 saturation
+  // form (k1=1.2, b=0.75) and return the top 10. Determinism
+  // strategy: the idf factor is the same integer rational surrogate
+  // text_tfidf uses (N·10⁴ div df — order-equivalent to ln(N/df) for
+  // the ranking); the tf-saturation factor is ONE double expression
+  // evaluated in the identical shape in both engines (IEEE doubles
+  // are bit-deterministic for a fixed op order — the
+  // sample_temperature precedent); each per-term contribution is
+  // floored to a BIGINT BEFORE the per-doc sum, so the cross-term
+  // accumulation is exact integer math with no float ordering
+  // sensitivity. Plan shape: the term filter prunes the exploded
+  // token stream before any shuffle; tf aggregates on (doc_id, term);
+  // df is a tiny per-term aggregate AQE broadcasts back; the corpus
+  // length stats ride a 1-row broadcast crossJoin; final top-k is a
+  // TakeOrdered, not a global sort.
+  private val bm25Terms = Seq("spark", "join", "vector")
+  private val bm25TopK = 10
+
+  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), w => w =!= "")
+    val base = docs(spark, dir).select(col("doc_id"), toks.as("t"))
+    val dl = base.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val termArr = array(bm25Terms.map(lit): _*)
+    val tf = base
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .filter(array_contains(termArr, col("term")))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dlNorm = (col("dl") * col("n_docs")).cast("double") / col("sum_dl")
+    val sat = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * dlNorm))
+    val idfSur = expr("n_docs * 10000 div df")
+    tf.join(dl, Seq("doc_id"))
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib_c", floor(idfSur.cast("double") * sat).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib_c")).as("score_c"))
+      .orderBy(col("score_c").desc, col("doc_id")).limit(bm25TopK)
+      .select(col("doc_id"), col("n_terms"), col("score_c"))
+
+  }
+
+  val textBm25Sql: String = {
+    val termList = bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+       |  FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM base),
+       |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(t) AS term FROM base)
+       |  WHERE term IN ($termList) GROUP BY 1, 2),
+       |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |contrib AS (
+       |  SELECT tf.doc_id,
+       |    CAST(floor(CAST(s.n_docs * 10000 // idf.df AS DOUBLE) *
+       |      ((tf.tf * 2.2) /
+       |       (tf.tf + 1.2 * (0.25 + 0.75 *
+       |         (CAST(dl.dl * s.n_docs AS DOUBLE) / s.sum_dl))))) AS BIGINT)
+       |      AS contrib_c
+       |  FROM tf JOIN dl USING (doc_id) JOIN idf USING (term) CROSS JOIN stats s)
+       |SELECT doc_id, count(*) AS n_terms, CAST(sum(contrib_c) AS BIGINT) AS score_c
+       |FROM contrib GROUP BY doc_id
+       |ORDER BY score_c DESC, doc_id LIMIT $bm25TopK""".stripMargin
+  }
+
+  // ─── text_collocation: bigram lift (PMI surrogate) over the corpus ───
+  // Collocation mining: which adjacent word pairs co-occur more than
+  // their unigram frequencies predict. The association score is
+  // integer lift (observed·total·10⁴ div expected) rather than log-PMI
+  // — identical ordering, zero libm. Plan: one unigram count and one
+  // bigram count off the same tokenized projection (both map-side
+  // combining, vocabulary-sized outputs), two joins of the bigram
+  // counts against the unigram counts (AQE broadcasts the smaller
+  // side), the corpus token total on a 1-row broadcast crossJoin, and
+  // a distributed TakeOrdered top-20. Support floor c_xy ≥ 5 keeps
+  // the tail noise out, as any collocation extractor would at scale.
+  private val collocTopK = 20
+  private val collocMinCount = 5
+
+  def textCollocation(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), w => w =!= "")
+    val base = docs(spark, dir).select(col("doc_id"), toks.as("t"))
+    val uni = base.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(sum(col("c")).as("n_tok"))
+    val bi = base.select(explode(bigramArr(col("t"))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= collocMinCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    bi.join(uni.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(nTok))
+      .withColumn("lift_bp", expr("c_xy * n_tok * 10000 div (c_x * c_y)"))
+      .orderBy(col("lift_bp").desc, col("bigram")).limit(collocTopK)
+      .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"), col("lift_bp"))
+  }
+
+  val textCollocationSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+       |  FROM documents),
+       |uni AS (
+       |  SELECT w, count(*) AS c
+       |  FROM (SELECT unnest(t) AS w FROM base) GROUP BY w),
+       |ntok AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni),
+       |bi AS (
+       |  SELECT bigram, count(*) AS c_xy,
+       |    string_split(bigram, ' ')[1] AS w1,
+       |    string_split(bigram, ' ')[2] AS w2
+       |  FROM (SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))])
+       |          AS bigram
+       |        FROM base)
+       |  GROUP BY bigram HAVING count(*) >= $collocMinCount)
+       |SELECT bigram, c_xy, u1.c AS c_x, u2.c AS c_y,
+       |  c_xy * n_tok * 10000 // (u1.c * u2.c) AS lift_bp
+       |FROM bi
+       |JOIN uni u1 ON bi.w1 = u1.w
+       |JOIN uni u2 ON bi.w2 = u2.w
+       |CROSS JOIN ntok
+       |ORDER BY lift_bp DESC, bigram LIMIT $collocTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25" -> textBm25,
+    "text_collocation" -> textCollocation,
     "text_readability" -> textReadability,
     "text_hashvec" -> textHashvec,
     "text_zipf" -> textZipf,
@@ -530,6 +660,8 @@ object TextAnalysis {
     "text_ngram_top" -> textNgramTop)
 
   val oracle: Map[String, String] = Map(
+    "text_bm25" -> textBm25Sql,
+    "text_collocation" -> textCollocationSql,
     "text_readability" -> textReadabilitySql,
     "text_hashvec" -> textHashvecSql,
     "text_zipf" -> textZipfSql,

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Semantic invariants of the round-9 additions — properties the
+  * row-hash oracle can't state (Bloom no-false-negatives, curriculum
+  * stage monotonicity, EMA convexity, correlation bounds), on
+  * sf0.001. */
+class Round9OpsSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.test
+  private val dir = "/root/testdata/sf0.001"
+
+  test("text_bm25: scores descend and every hit contains a query term") {
+    val rows = TextAnalysis.textBm25(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val scores = rows.map(_.getLong(2))
+    assert(scores.sameElements(scores.sortBy(-_)), "descending score order")
+    val hitIds = rows.map(_.getLong(0)).toSet
+    val texts = Tables(spark, dir).documents
+      .filter(col("doc_id").isin(hitIds.toSeq: _*))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    hitIds.foreach { id =>
+      val t = " " + texts(id) + " "
+      assert(Seq("spark", "join", "vector").exists(q => t.contains(" " + q + " ")),
+        s"doc $id matched without any query term")
+    }
+  }
+
+  test("text_collocation: support floor and lift ordering hold") {
+    val rows = TextAnalysis.textCollocation(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 5, "support floor")
+      assert(r.getLong(1) <= math.min(r.getLong(2), r.getLong(3)),
+        "pair count bounded by either unigram count")
+    }
+    val lifts = rows.map(_.getLong(4))
+    assert(lifts.sameElements(lifts.sortBy(-_)), "descending lift")
+  }
+
+  test("ev_islands matches a direct per-user streak recount") {
+    val got = Events.evIslands(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val days = Tables(spark, dir).events
+      .select(col("user_id"), datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got.keySet == days.keySet)
+    days.foreach { case (u, ds) =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (start, len)
+      var start = ds.head; var len = 1L
+      ds.sliding(2).foreach {
+        case Array(a, b) =>
+          if (b == a + 1) len += 1
+          else { runs += ((start, len)); start = b; len = 1 }
+        case _ => ()
+      }
+      runs += ((start, len))
+      val maxLen = runs.map(_._2).max
+      val expected = (ds.size.toLong, runs.size.toLong, maxLen,
+        runs.filter(_._2 == maxLen).map(_._1).min)
+      assert(got(u) == expected, s"user $u: ${got(u)} vs $expected")
+    }
+  }
+
+  test("ev_interarrival: min <= avg <= max and variance non-negative") {
+    val rows = Events.evInterarrival(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, mx, avg, vr) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(mn <= avg && avg <= mx, s"user ${r.getLong(0)}: $mn <= $avg <= $mx")
+      assert(vr >= 0, "integer variance must be non-negative")
+    }
+  }
+
+  test("q35_corr: correlation bounded, matches Spark corr() to 1 bp") {
+    val rows = RelationalExt.q35Corr(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getLong(3)) <= 10000))
+    val ref = Tables(spark, dir).lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(corr(col("l_quantity"), floor(col("l_extendedprice"))).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      val expect = math.floor(ref((r.getString(0), r.getString(1))) * 10000)
+      assert(math.abs(r.getLong(3) - expect) <= 1,
+        s"corr_bp ${r.getLong(3)} vs spark corr $expect")
+    }
+  }
+
+  test("filter_bloom: zero false negatives, fp column consistent") {
+    val rows = ScaleOps.filterBloom(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (hit, actual, fp) = (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))
+      assert(!actual || hit, s"false negative at custkey ${r.getLong(0)}")
+      assert(fp == (hit && !actual))
+    }
+    // The filter must actually filter: misses exist at this SF.
+    assert(rows.exists(r => !r.getBoolean(1)))
+  }
+
+  test("decontam_minhash: one row per benchmark doc, flags consistent") {
+    val rows = Dedup.decontamMinhash(spark, dir).collect()
+    assert(rows.nonEmpty, "per-bench report must never be empty")
+    val benchDocs = rows.map(_.getLong(0))
+    assert(benchDocs.forall(_ % 50 == 0))
+    rows.foreach { r =>
+      val (nCand, bestTrain, bestEst, contaminated) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert(bestEst >= 0 && bestEst <= 10000)
+      assert(contaminated == (bestEst >= 5000))
+      if (nCand == 0) assert(bestTrain == -1L && bestEst == 0L)
+      else assert(bestTrain >= 0 && bestTrain % 50 != 0,
+        "best candidate must come from the train split")
+    }
+  }
+
+  test("sample_curriculum: stages partition by difficulty, seq dense per stage") {
+    val rows = Pipeline.sampleCurriculum(spark, dir).collect()
+    assert(rows.length == Tables(spark, dir).documents.count())
+    val byStage = rows.groupBy(_.getLong(3))
+    assert(byStage.keySet.forall(s => s >= 1 && s <= 10))
+    byStage.foreach { case (_, rs) =>
+      val seqs = rs.map(_.getLong(5)).sorted
+      assert(seqs.sameElements(1L to rs.length.toLong), "dense seq per stage")
+    }
+    val bounds = byStage.toSeq.sortBy(_._1)
+      .map { case (s, rs) => (s, rs.map(_.getLong(2)).min, rs.map(_.getLong(2)).max) }
+    bounds.sliding(2).foreach {
+      case Seq((_, _, maxA), (_, minB, _)) =>
+        assert(maxA <= minB, "stage difficulty must be monotone")
+      case _ => ()
+    }
+  }
+
+  test("ts_ema: EMA stays within the user's observed value range") {
+    val ema = Events.tsEma(spark, dir).collect()
+    assert(ema.nonEmpty)
+    val range = Tables(spark, dir).events
+      .select(col("user_id"), floor(col("value") * 100 + 0.5).cast("long").as("v_c"))
+      .groupBy("user_id").agg(min("v_c").as("mn"), max("v_c").as("mx"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // convexity is per-window; the per-user envelope is implied (and
+    // floor() can undershoot the true min by at most 1)
+    ema.foreach { r =>
+      val (mn, mx) = range(r.getLong(0))
+      assert(r.getLong(3) >= mn - 1 && r.getLong(3) <= mx,
+        s"ema ${r.getLong(3)} outside [$mn,$mx] for user ${r.getLong(0)}")
+    }
+  }
+}

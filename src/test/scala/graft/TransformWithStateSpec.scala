@@ -112,6 +112,54 @@ class TransformWithStateSpec extends AnyFunSuite {
     }
   }
 
+  test("EmaProcessor: recursive EMA matches the reference fold across a restart") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("tws_ema_ckpt").toString
+    try {
+      import spark.implicits._
+      implicit val ctx = spark.sqlContext
+      import graft.streaming.EmaPoint
+      val in = MemoryStream[(Long, Long, Long)]
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[EmaPoint]()
+      def drain(): Unit = {
+        // α=0.5 is exactly representable, so the reference integers
+        // below are bit-exact (0.3·2000 rounds half-ulp-ambiguously).
+        val q = graft.streaming.EmaProcessor.smoothed(in.toDS(), alpha = 0.5)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[EmaPoint], _: Long) =>
+            df.collect().foreach(buf.add)
+          }.start()
+        try q.awaitTermination(120000L) finally q.stop()
+      }
+      // One trigger with out-of-order event ids (must fold 1,2 in id
+      // order), then a restart carrying the state forward.
+      in.addData((1L, 2L, 2000L), (1L, 1L, 1000L), (2L, 1L, 500L))
+      drain()
+      in.addData((1L, 3L, 3000L))
+      drain()
+      val got = buf.toArray(Array.empty[EmaPoint])
+        .map(p => (p.userId, p.eventId) -> p.emaC).toMap
+      // Reference fold at α=0.5: 1000; .5·2000+.5·1000 = 1500;
+      // .5·3000+.5·1500 = 2250 — the THIRD point proves the state
+      // (not the batch) carried the recursion across the restart.
+      assert(got((1L, 1L)) == 1000L, s"got $got")
+      assert(got((1L, 2L)) == 1500L, s"got $got")
+      assert(got((1L, 3L)) == 2250L, s"got $got")
+      assert(got((2L, 1L)) == 500L, s"got $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("initial-state seeding: stream continues from the batch snapshot") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
