@@ -349,6 +349,43 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Oracle CTE prefix ending in `lshest(doc_a, doc_b, est_bp)` — the
+    * MinHash candidate pairs with their signature-agreement Jaccard
+    * estimate. Shared by consumers that rank candidates by estimated
+    * similarity (Similarity.ann_hybrid_rrf) without wanting the full
+    * dedup_minhash_lsh projection. */
+  private[operators] lazy val minhashEstCtes: String = {
+    val minCols = (0 until nPerms).map { j =>
+      s"min((h * ${permCoef(j)._1} + ${permCoef(j)._2}) % $P31) AS m$j"
+    }.mkString(",\n    ")
+    val bandBranches = (0 until nBands).map { b =>
+      val bh = (0 until 4).map(k => s"m${b * 4 + k}")
+        .reduce((acc, x) => s"($acc * 31 + $x)")
+      s"SELECT doc_id, $b AS band, $bh AS bh FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    val eqSum = (0 until nPerms)
+      .map(j => s"CASE WHEN x.m$j = y.m$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""$docShinglesSql,
+       |srows AS (SELECT doc_id, unnest(sh) AS s FROM shdocs),
+       |hs AS (SELECT doc_id, ${h31Sql("s")} AS h FROM srows),
+       |sigs AS (SELECT doc_id,
+       |    $minCols
+       |  FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  $bandBranches),
+       |mcand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |lshest AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(floor(($eqSum) * 10000.0 / $nPerms + 0.5) AS BIGINT) AS est_bp
+       |  FROM mcand c
+       |    JOIN sigs x ON c.doc_a = x.doc_id
+       |    JOIN sigs y ON c.doc_b = y.doc_id)""".stripMargin
+  }
+
   // ─── decontam_minhash: fuzzy train/benchmark decontamination ───
   // The MinHash companion of Pipeline.decontam_ngram: exact shingle
   // overlap misses paraphrased leakage, so production decontamination

@@ -536,7 +536,94 @@ object Graph {
        |FROM deg LEFT JOIN tc ON tc.node = deg.node
        |WHERE deg.deg >= 2 ORDER BY deg.node""".stripMargin
 
+  // ─── graph_cc_hist: component size distribution ───
+  // The one-glance answer to "what did dedup find": how many
+  // singleton pairs vs large near-dup families. One CC run + two
+  // tiny aggregations over the label frame — the labels are already
+  // the expensive part and they're shared machinery
+  // (connectedComponents with checkpoint hygiene).
+  def graphCcHist(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.pairEdges(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      connectedComponents(edges, "graphCcHist")
+        .groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("comp_size"))
+        .agg(count(lit(1)).as("n_components"),
+          min(col("cluster_id")).as("min_cluster"))
+        .orderBy(col("comp_size"))
+    } finally edges.unpersist(blocking = false)
+  }
+
+  val graphCcHistSql: String =
+    s"""WITH RECURSIVE ${Dedup.ccReachCtes},
+       |comp AS (SELECT node AS doc_id, MIN(x) AS cluster_id
+       |         FROM reach GROUP BY node),
+       |sizes AS (SELECT cluster_id, count(*) AS sz FROM comp GROUP BY cluster_id)
+       |SELECT sz AS comp_size, count(*) AS n_components,
+       |  min(cluster_id) AS min_cluster
+       |FROM sizes GROUP BY sz ORDER BY comp_size""".stripMargin
+
+  // ─── graph_assortativity: degree correlation of the pair graph ───
+  // Do high-degree docs pair with other high-degree docs (template
+  // families — assortative) or with leaves (hub-and-spoke false
+  // positives — disassortative)? Pearson correlation of endpoint
+  // degrees over the symmetric edge set, via the exact-sum technique
+  // (q35_corr): integer sums in the aggregate, one fixed-shape IEEE
+  // expression at the end, zero-variance guarded identically in both
+  // engines. One degree aggregate + two broadcastable joins + a
+  // single-row reduce.
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.pairEdges(spark, dir)
+    val deg = edges.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+    val xy = edges
+      .join(deg.select(col("n").as("sn"), col("d").as("x")), col("src") === col("sn"))
+      .join(deg.select(col("n").as("dn"), col("d").as("y")), col("dst") === col("dn"))
+      .select(col("x"), col("y"))
+    val agg = xy.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+      sum(col("x") * col("y")).as("sum_xy"),
+      sum(col("x") * col("x")).as("sum_x2"),
+      sum(col("y") * col("y")).as("sum_y2"))
+    val nd = col("n").cast("double")
+    val num = nd * col("sum_xy") - col("sum_x").cast("double") * col("sum_y")
+    val dx = nd * col("sum_x2") - col("sum_x").cast("double") * col("sum_x")
+    val dy = nd * col("sum_y2") - col("sum_y").cast("double") * col("sum_y")
+    agg.select(col("n").as("n_edges"),
+      when(dx * dy > 0, floor(num * 10000 / sqrt(dx * dy)).cast("long"))
+        .otherwise(lit(0L)).as("r_bp"))
+  }
+
+  val graphAssortativitySql: String =
+    s"""WITH ${Dedup.edgesCtes},
+       |deg AS (SELECT src AS n, count(*) AS d FROM edges GROUP BY src),
+       |xy AS (
+       |  SELECT ds.d AS x, dd.d AS y
+       |  FROM edges e
+       |  JOIN deg ds ON e.src = ds.n
+       |  JOIN deg dd ON e.dst = dd.n),
+       |s AS (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+       |    CAST(sum(x * y) AS BIGINT) AS sum_xy,
+       |    CAST(sum(x * x) AS BIGINT) AS sum_x2,
+       |    CAST(sum(y * y) AS BIGINT) AS sum_y2
+       |  FROM xy)
+       |SELECT n AS n_edges,
+       |  CASE WHEN (CAST(n AS DOUBLE) * sum_x2 - CAST(sum_x AS DOUBLE) * sum_x)
+       |          * (CAST(n AS DOUBLE) * sum_y2 - CAST(sum_y AS DOUBLE) * sum_y) > 0
+       |    THEN CAST(floor((CAST(n AS DOUBLE) * sum_xy
+       |        - CAST(sum_x AS DOUBLE) * sum_y) * 10000
+       |      / sqrt((CAST(n AS DOUBLE) * sum_x2 - CAST(sum_x AS DOUBLE) * sum_x)
+       |           * (CAST(n AS DOUBLE) * sum_y2 - CAST(sum_y AS DOUBLE) * sum_y)))
+       |      AS BIGINT)
+       |    ELSE 0 END AS r_bp
+       |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_cc_hist" -> graphCcHist,
+    "graph_assortativity" -> graphAssortativity,
     "graph_clustering" -> graphClustering,
     "graph_kcore" -> graphKcore,
     "graph_jaccard" -> graphJaccard,
@@ -547,6 +634,8 @@ object Graph {
     "graph_pagerank" -> graphPagerank)
 
   val oracle: Map[String, String] = Map(
+    "graph_cc_hist" -> graphCcHistSql,
+    "graph_assortativity" -> graphAssortativitySql,
     "graph_clustering" -> graphClusteringSql,
     "graph_kcore" -> graphKcoreSql,
     "graph_jaccard" -> graphJaccardSql,

@@ -465,7 +465,40 @@ object Pipeline {
        |    ORDER BY round, lang, doc_id) AS BIGINT) AS seq
        |FROM rr ORDER BY stage, seq""".stripMargin
 
+  // ─── mix_reweight: resampling weights toward a target mixture ───
+  // The domain-mixture knob of corpus assembly: given the observed
+  // per-language share, the multiplier each language needs to hit the
+  // TARGET mixture (uniform here — the shape generalizes to any
+  // broadcast target table). weight_bp = N·10⁴ div (L·n_lang), all
+  // integer. A language over target gets < 10⁴ (downsample), under
+  // target > 10⁴ (upsample/repeat) — exactly the number a
+  // sample_temperature-style pass consumes. One map-side-combining
+  // aggregate + a 1-row broadcast crossJoin; nothing driver-side.
+  def mixReweight(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables(spark, dir).documents
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val totals = perLang.agg(sum(col("n_docs")).as("n_total"),
+      count(lit(1)).as("n_langs"))
+    perLang.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"),
+        expr("n_docs * 10000 div n_total").as("share_bp"),
+        expr("10000 div n_langs").as("target_bp"),
+        expr("n_total * 10000 div (n_langs * n_docs)").as("weight_bp"))
+      .orderBy(col("lang"))
+  }
+
+  val mixReweightSql: String =
+    """WITH pl AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+      |        count(*) AS n_langs FROM pl)
+      |SELECT lang, n_docs,
+      |  n_docs * 10000 // n_total AS share_bp,
+      |  10000 // n_langs AS target_bp,
+      |  n_total * 10000 // (n_langs * n_docs) AS weight_bp
+      |FROM pl CROSS JOIN t ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_reweight" -> mixReweight,
     "sample_curriculum" -> sampleCurriculum,
     "mix_dedup_rate" -> mixDedupRate,
     "sample_balanced" -> sampleBalanced,
@@ -480,6 +513,7 @@ object Pipeline {
     "sample_temperature" -> sampleTemperature)
 
   val oracle: Map[String, String] = Map(
+    "mix_reweight" -> mixReweightSql,
     "sample_curriculum" -> sampleCurriculumSql,
     "mix_dedup_rate" -> mixDedupRateSql,
     "sample_balanced" -> sampleBalancedSql,

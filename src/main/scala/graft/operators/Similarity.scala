@@ -591,7 +591,94 @@ object Similarity {
        |  ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
        |GROUP BY 1 ORDER BY bf.query_id""".stripMargin
 
+  // ─── ann_hybrid_rrf: reciprocal-rank fusion of vector + lexical ───
+  // Hybrid search, the production retrieval default: a dense
+  // (embedding-cosine) ranking and a sparse/lexical (MinHash
+  // estimated-Jaccard over the shared LSH candidates) ranking, fused
+  // with RRF — pts = 10⁴ div (60 + rank), summed per (query, doc),
+  // re-ranked. Integer throughout (rank arithmetic only), so fusion
+  // is hash-exact cross-engine even though the two underlying scores
+  // live on incommensurable scales — exactly why RRF is the fusion
+  // operator of choice at scale (no score normalization to keep
+  // consistent across shards). The lexical side reads the SAME
+  // persisted signature/candidate fixture as the dedup family; the
+  // vector side is the bounded query set vs corpus with the codegen'd
+  // dot product. doc_id ≡ vec_id in the testdata (row-aligned
+  // tables), which is the contract a production corpus satisfies by
+  // construction.
+  private val hybridDepth = 10
+  private val hybridTopK = 5
+  private val rrfC = 60
+
+  def annHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val q = vecs(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    val c = vecs(spark, dir)
+      .select(col("vec_id").as("d"), col("v").as("cv"), col("norm").as("cn"))
+    val wv = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("d"))
+    val vecrank = c.join(broadcast(q), col("qid") =!= col("d"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wv).cast("long"))
+      .filter(col("rank") <= hybridDepth)
+      .select(col("qid"), col("d"), col("rank"))
+    val pairs = Dedup.dedupMinhashLsh(spark, dir)
+    val sym = pairs.filter(col("doc_a") < nQueries)
+      .select(col("doc_a").as("qid"), col("doc_b").as("d"), col("est_bp"))
+      .union(pairs.filter(col("doc_b") < nQueries)
+        .select(col("doc_b").as("qid"), col("doc_a").as("d"), col("est_bp")))
+    val wl = Window.partitionBy(col("qid")).orderBy(col("est_bp").desc, col("d"))
+    val lexrank = sym
+      .withColumn("rank", row_number().over(wl).cast("long"))
+      .filter(col("rank") <= hybridDepth)
+      .select(col("qid"), col("d"), col("rank"))
+    val wf = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("d"))
+    vecrank.union(lexrank)
+      .select(col("qid"), col("d"),
+        expr(s"10000 div ($rrfC + rank)").as("pts"))
+      .groupBy(col("qid"), col("d")).agg(sum(col("pts")).as("rrf"))
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= hybridTopK)
+      .select(col("qid").as("query_id"), col("rank"), col("d").as("doc_id"),
+        col("rrf"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annHybridRrfSql: String =
+    s"""WITH ${Dedup.minhashEstCtes},
+       |vn AS (${vecsSql("vec_id")}),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS d,
+       |    ${dotSqlOf("q.v", "c.v")} / (q.norm * c.norm) AS cos
+       |  FROM vn q JOIN vn c ON q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
+       |vecrank AS (
+       |  SELECT qid, d, rank FROM (
+       |    SELECT qid, d, CAST(row_number() OVER (
+       |      PARTITION BY qid ORDER BY cos DESC, d) AS BIGINT) AS rank
+       |    FROM scored) WHERE rank <= $hybridDepth),
+       |lexsym AS (
+       |  SELECT doc_a AS qid, doc_b AS d, est_bp FROM lshest WHERE doc_a < $nQueries
+       |  UNION ALL
+       |  SELECT doc_b, doc_a, est_bp FROM lshest WHERE doc_b < $nQueries),
+       |lexrank AS (
+       |  SELECT qid, d, rank FROM (
+       |    SELECT qid, d, CAST(row_number() OVER (
+       |      PARTITION BY qid ORDER BY est_bp DESC, d) AS BIGINT) AS rank
+       |    FROM lexsym) WHERE rank <= $hybridDepth),
+       |contrib AS (
+       |  SELECT qid, d, 10000 // ($rrfC + rank) AS pts FROM vecrank
+       |  UNION ALL
+       |  SELECT qid, d, 10000 // ($rrfC + rank) AS pts FROM lexrank),
+       |fused AS (
+       |  SELECT qid, d, CAST(sum(pts) AS BIGINT) AS rrf
+       |  FROM contrib GROUP BY qid, d)
+       |SELECT qid AS query_id, rank, d AS doc_id, rrf FROM (
+       |  SELECT qid, d, rrf, CAST(row_number() OVER (
+       |    PARTITION BY qid ORDER BY rrf DESC, d) AS BIGINT) AS rank
+       |  FROM fused) WHERE rank <= $hybridTopK
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_hybrid_rrf" -> annHybridRrf,
     "ann_recall" -> annRecall,
     "knn_join" -> knnJoin,
     "ann_pq" -> annPq,
@@ -602,6 +689,7 @@ object Similarity {
     "ann_retrieve" -> annRetrieve)
 
   val oracle: Map[String, String] = Map(
+    "ann_hybrid_rrf" -> annHybridRrfSql,
     "ann_recall" -> annRecallSql,
     "knn_join" -> knnJoinSql,
     "ann_pq" -> annPqSql,

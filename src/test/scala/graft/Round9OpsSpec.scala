@@ -140,6 +140,53 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_cc_hist: sizes account for every node of the pair graph") {
+    val hist = Graph.graphCcHist(spark, dir).collect()
+    assert(hist.nonEmpty)
+    val accounted = hist.map(r => r.getLong(0) * r.getLong(1)).sum
+    val nodes = Dedup.dedupCluster(spark, dir).count()
+    assert(accounted == nodes,
+      s"histogram covers $accounted nodes, graph has $nodes")
+    // Pair-graph components have >= 2 members by construction.
+    assert(hist.forall(_.getLong(0) >= 2))
+  }
+
+  test("graph_assortativity: single bounded calibration row") {
+    val rows = Graph.graphAssortativity(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) > 0, "pair graph must have edges at sf0.001")
+    assert(math.abs(rows(0).getLong(1)) <= 10000)
+  }
+
+  test("mix_reweight: weights invert shares and cover all docs") {
+    val rows = Pipeline.mixReweight(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables(spark, dir).documents.count())
+    // weight strictly decreases as share increases (inverse relation)
+    val byShare = rows.sortBy(_.getLong(2))
+    val weights = byShare.map(_.getLong(4))
+    assert(weights.sameElements(weights.sorted.reverse),
+      "over-represented languages must get smaller weights")
+    // a language exactly at target share would get weight 10000
+    rows.foreach { r =>
+      val (share, target, w) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      if (share < target) assert(w >= 10000)
+    }
+  }
+
+  test("ann_hybrid_rrf: dense ranks, descending fusion scores, bounded pts") {
+    val rows = Similarity.annHybridRrf(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val maxPts = 2L * (10000L / 61L) // rank-1 in both lists
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).sameElements(1L to sorted.length.toLong),
+        s"query $q: ranks must be dense from 1")
+      val scores = sorted.map(_.getLong(3))
+      assert(scores.sameElements(scores.sortBy(-_)), s"query $q: rrf descending")
+      scores.foreach(s => assert(s > 0 && s <= maxPts))
+    }
+  }
+
   test("ts_ema: EMA stays within the user's observed value range") {
     val ema = Events.tsEma(spark, dir).collect()
     assert(ema.nonEmpty)
