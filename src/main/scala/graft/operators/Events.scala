@@ -1295,7 +1295,80 @@ object Events {
        |FROM l WHERE rn >= $emaK ORDER BY user_id, event_id""".stripMargin
   }
 
+  // ─── ev_path: top event-type trigram paths ───
+  // The "what do users actually do" query of product analytics:
+  // adjacent 3-step event-type sequences per user (clickstream path
+  // mining). Two lead() columns off ONE per-user window pass — the
+  // sequence never self-joins — then a path-keyed aggregate whose
+  // cardinality is bounded by |types|³, so the final top-k ranks a
+  // tiny frame (TakeOrdered, no global rank window). At 100 TB the
+  // only data-sized stage is the user-keyed window sort.
+  private val pathTopK = 10
+
+  def evPath(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(pathTopK)
+  }
+
+  val evPathSql: String =
+    s"""WITH seq AS (
+       |  SELECT event_type AS t1,
+       |    lead(event_type, 1) OVER w AS t2,
+       |    lead(event_type, 2) OVER w AS t3
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
+       |FROM seq WHERE t3 IS NOT NULL
+       |GROUP BY 1 ORDER BY n DESC, path LIMIT $pathTopK""".stripMargin
+
+  // ─── ev_burstiness: per-type Fano factor of hourly arrival counts ───
+  // Dispersion diagnosis for capacity planning: Fano = var/mean of
+  // the hourly count distribution. ≈10⁴ bp means Poisson-like
+  // arrivals; ≫10⁴ means bursty (spikes), ≪10⁴ means regular
+  // (metronomic). Exact-integer via the q35_corr sum technique:
+  // var/mean = (n·Σc² − (Σc)²) / ((n−1)·Σc), one integer div, zero
+  // float merge-order sensitivity. Observed hours only (an hour with
+  // zero events contributes no row — documented bias toward
+  // regularity; the grid-join variant is ts_fill's shape). Two
+  // map-side-combining aggregates, output bounded by |types|.
+  def evBurstiness(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("c")).as("n_events"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .filter(col("n_hours") > 1)
+      .select(col("event_type"), col("n_hours"), col("n_events"),
+        expr("(n_hours * sum_c2 - n_events * n_events) * 10000" +
+          " div ((n_hours - 1) * n_events)").as("fano_bp"))
+      .orderBy(col("event_type"))
+
+  val evBurstinessSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, count(*) AS n_hours,
+      |    CAST(sum(c) AS BIGINT) AS n_events,
+      |    CAST(sum(c * c) AS BIGINT) AS sum_c2
+      |  FROM hourly GROUP BY event_type)
+      |SELECT event_type, n_hours, n_events,
+      |  (n_hours * sum_c2 - n_events * n_events) * 10000
+      |    // ((n_hours - 1) * n_events) AS fano_bp
+      |FROM s WHERE n_hours > 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_path" -> evPath,
+    "ev_burstiness" -> evBurstiness,
     "ts_ema" -> tsEma,
     "ev_islands" -> evIslands,
     "ev_interarrival" -> evInterarrival,
@@ -1326,6 +1399,8 @@ object Events {
     "ev_pattern_seq" -> evPatternSeq)
 
   val oracle: Map[String, String] = Map(
+    "ev_path" -> evPathSql,
+    "ev_burstiness" -> evBurstinessSql,
     "ts_ema" -> tsEmaSql,
     "ev_islands" -> evIslandsSql,
     "ev_interarrival" -> evInterarrivalSql,

@@ -353,7 +353,74 @@ object ScaleOps {
        |ORDER BY c.c_custkey""".stripMargin
   }
 
+  // ─── sketch_cms: count-min sketch build + calibration probe ───
+  // The fixed-memory frequency sketch of streaming telemetry: a
+  // depth-4 × width-256 counter grid whose K=4 row positions derive
+  // from md5 (cross-engine reproducible, like filter_bloom), so the
+  // whole sketch — including its overestimates, which ARE the
+  // interesting part — hash-matches the DuckDB replay exactly.
+  // Build = one (j, pos)-keyed aggregate with map-side combine
+  // (≤ 1024 counter rows at ANY corpus size — that boundedness is
+  // the point of the sketch); probe = the top-20 exact-count keys
+  // explode to their 4 cells, broadcast-join the counter grid, and
+  // take min(c). over_bp audits the collision inflation per key the
+  // way dedup_est_error audits MinHash.
+  private val cmsDepth = 4
+  private val cmsWidth = 256
+  private val cmsTopK = 20
+
+  private def cmsPos(j: Int, key: Column): Column =
+    conv(substring(md5(concat(lit(s"cms$j:"), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % cmsWidth
+
+  private def cmsPosSql(j: Int, key: String): String =
+    s"(CAST(('0x' || substr(md5('cms$j:' || CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) % $cmsWidth)"
+
+  def sketchCms(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events.select(col("user_id"))
+    def cells(base: DataFrame, keep: Seq[Column]): DataFrame =
+      base.select(keep :+ explode(array((1 to cmsDepth).map(j =>
+        struct(lit(j).as("j"), cmsPos(j, col("user_id")).as("pos"))): _*)).as("jp"): _*)
+        .select(keep :+ col("jp.j").as("j") :+ col("jp.pos").as("pos"): _*)
+    val counters = cells(ev, Seq(col("user_id"))).drop("user_id")
+      .groupBy(col("j"), col("pos")).agg(count(lit(1)).as("c"))
+    val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id")).limit(cmsTopK)
+    cells(top, Seq(col("user_id"), col("n_exact")))
+      .join(broadcast(counters), Seq("j", "pos"))
+      .groupBy(col("user_id"), col("n_exact")).agg(min(col("c")).as("cms_est"))
+      .select(col("user_id"), col("n_exact"), col("cms_est"),
+        expr("(cms_est - n_exact) * 10000 div n_exact").as("over_bp"))
+      .orderBy(col("user_id"))
+  }
+
+  val sketchCmsSql: String = {
+    val buildBranches = (1 to cmsDepth).map(j =>
+      s"SELECT $j AS j, ${cmsPosSql(j, "user_id")} AS pos FROM events")
+      .mkString("\n    UNION ALL ")
+    val probeBranches = (1 to cmsDepth).map(j =>
+      s"SELECT user_id, n_exact, $j AS j, ${cmsPosSql(j, "user_id")} AS pos FROM top")
+      .mkString("\n    UNION ALL ")
+    s"""WITH counters AS (
+       |  SELECT j, pos, count(*) AS c FROM (
+       |    $buildBranches)
+       |  GROUP BY j, pos),
+       |top AS (
+       |  SELECT user_id, count(*) AS n_exact FROM events GROUP BY user_id
+       |  ORDER BY n_exact DESC, user_id LIMIT $cmsTopK),
+       |probe AS (
+       |    $probeBranches),
+       |est AS (
+       |  SELECT user_id, n_exact, CAST(min(c) AS BIGINT) AS cms_est
+       |  FROM probe JOIN counters USING (j, pos)
+       |  GROUP BY user_id, n_exact)
+       |SELECT user_id, n_exact, cms_est,
+       |  (cms_est - n_exact) * 10000 // n_exact AS over_bp
+       |FROM est ORDER BY user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_cms" -> sketchCms,
     "filter_bloom" -> filterBloom,
     "shard_skew" -> shardSkew,
     "profile_table" -> profileTable,
@@ -365,6 +432,7 @@ object ScaleOps {
   /** sketch_stats is deliberately absent: approximate sketches are not
     * cross-engine reproducible (driver does the rows-only check). */
   val oracle: Map[String, String] = Map(
+    "sketch_cms" -> sketchCmsSql,
     "filter_bloom" -> filterBloomSql,
     "shard_skew" -> shardSkewSql,
     "profile_table" -> profileTableSql,

@@ -644,7 +644,109 @@ object TextAnalysis {
        |CROSS JOIN ntok
        |ORDER BY lift_bp DESC, bigram LIMIT $collocTopK""".stripMargin
 
+  // ─── text_diversity: Simpson lexical diversity per document ───
+  // Entropy-style diversity WITHOUT libm: the Gini-Simpson index
+  // 1 − Σ(c_i/N)² needs only integer sums (the collision-probability
+  // complement), so it hash-matches cross-engine where Shannon's
+  // −Σ p·ln p would diverge in the last ulp. ttr_bp (type-token
+  // ratio) alongside for the classic lexical-richness number. One
+  // (doc, word) count then a per-doc aggregate — the second shuffle
+  // carries one row per distinct word per doc, already shrunk by the
+  // first map-side combine. Zero-word docs drop out at explode (no
+  // rows), keeping the integer divisions total.
+  def textDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), w => w =!= "")
+    docs(spark, dir)
+      .select(col("doc_id"), explode(toks).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("doc_id"), col("n_words"), col("n_types"),
+        expr("n_types * 10000 div n_words").as("ttr_bp"),
+        expr("(n_words * n_words - sum_c2) * 10000 div (n_words * n_words)")
+          .as("simpson_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textDiversitySql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+      |  FROM documents),
+      |pw AS (SELECT doc_id, w, count(*) AS c FROM base GROUP BY doc_id, w),
+      |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+      |        count(*) AS n_types, CAST(sum(c * c) AS BIGINT) AS sum_c2
+      |      FROM pw GROUP BY doc_id)
+      |SELECT doc_id, n_words, n_types,
+      |  n_types * 10000 // n_words AS ttr_bp,
+      |  (n_words * n_words - sum_c2) * 10000 // (n_words * n_words) AS simpson_bp
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  // ─── text_filter_gate: C4-style composite quality gate ───
+  // The keep/drop decision of corpus cleaning, with an auditable
+  // reason BITMASK instead of a silent filter — at 100 TB you need
+  // to know WHY 30% of a crawl was dropped. Gates: 1 = too short
+  // (<10 words), 2 = too long (>2000), 4 = no stopword (C4's "must
+  // contain a common word" heuristic), 8 = mean word length outside
+  // [3, 10] (boilerplate/code smell). Every gate is a per-row
+  // codegen'd projection (counts via split/filter, mean length in
+  // tenths via integer div) — map-only, runs at scan speed, the
+  // composed keep flag is reasons = 0.
+  private val gateMinWords = 10L
+  private val gateMaxWords = 2000L
+
+  def textFilterGate(spark: SparkSession, dir: String): DataFrame = {
+    val words = filter(split(col("text"), " "), w => w =!= "")
+    val stopArr = array(stopwords.map(lit): _*)
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        size(filter(words, w => array_contains(stopArr, w))).cast("long")
+          .as("n_stop"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_wchars"))
+      .withColumn("mean_wl10",
+        expr("CASE WHEN n_words > 0 THEN n_wchars * 10 div n_words ELSE 0 END"))
+      .withColumn("reasons",
+        when(col("n_words") < gateMinWords, lit(1L)).otherwise(lit(0L)) +
+          when(col("n_words") > gateMaxWords, lit(2L)).otherwise(lit(0L)) +
+          when(col("n_stop") === 0, lit(4L)).otherwise(lit(0L)) +
+          when(col("mean_wl10") < 30 || col("mean_wl10") > 100, lit(8L))
+            .otherwise(lit(0L)))
+      .select(col("doc_id"), col("n_words"), col("mean_wl10"), col("reasons"),
+        when(col("reasons") === 0, lit(1L)).otherwise(lit(0L)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textFilterGateSql: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS BIGINT) AS n_stop,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_wchars
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, n_words, n_stop,
+       |    CASE WHEN n_words > 0 THEN n_wchars * 10 // n_words ELSE 0 END AS mean_wl10
+       |  FROM g),
+       |r AS (
+       |  SELECT doc_id, n_words, mean_wl10,
+       |    (CASE WHEN n_words < $gateMinWords THEN 1 ELSE 0 END
+       |     + CASE WHEN n_words > $gateMaxWords THEN 2 ELSE 0 END
+       |     + CASE WHEN n_stop = 0 THEN 4 ELSE 0 END
+       |     + CASE WHEN mean_wl10 < 30 OR mean_wl10 > 100 THEN 8 ELSE 0 END)
+       |      AS reasons
+       |  FROM m)
+       |SELECT doc_id, n_words, mean_wl10, CAST(reasons AS BIGINT) AS reasons,
+       |  CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_diversity" -> textDiversity,
+    "text_filter_gate" -> textFilterGate,
     "text_bm25" -> textBm25,
     "text_collocation" -> textCollocation,
     "text_readability" -> textReadability,
@@ -660,6 +762,8 @@ object TextAnalysis {
     "text_ngram_top" -> textNgramTop)
 
   val oracle: Map[String, String] = Map(
+    "text_diversity" -> textDiversitySql,
+    "text_filter_gate" -> textFilterGateSql,
     "text_bm25" -> textBm25Sql,
     "text_collocation" -> textCollocationSql,
     "text_readability" -> textReadabilitySql,

@@ -187,6 +187,69 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_path: trigram counts bounded by total adjacent triples") {
+    val rows = Events.evPath(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.sameElements(counts.sortBy(-_)), "descending count order")
+    // Σ over ALL paths = Σ_users max(n_u - 2, 0); top-10 is a subset
+    val perUser = Tables(spark, dir).events
+      .groupBy("user_id").count().collect().map(_.getLong(1))
+    val totalTriples = perUser.map(n => math.max(n - 2, 0L)).sum
+    assert(counts.sum <= totalTriples)
+    rows.foreach(r => assert(r.getString(0).split(">").length == 3))
+  }
+
+  test("ev_burstiness: Fano positive and consistent with a recompute") {
+    val rows = Events.evBurstiness(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, tot, fano) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n > 1 && tot >= n)
+      assert(fano >= 0, s"${r.getString(0)}: variance is non-negative")
+    }
+  }
+
+  test("text_diversity: simpson/ttr bounds and word-count parity") {
+    val rows = TextAnalysis.textDiversity(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, types, ttr, simp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(types <= n && types >= 1)
+      assert(ttr >= 0 && ttr <= 10000)
+      assert(simp >= 0 && simp < 10000, "simpson < 1 (some word repeats or n=1)")
+      // single-type doc => simpson 0
+      if (types == 1) assert(simp == 0)
+    }
+  }
+
+  test("text_filter_gate: reasons decompose and keep matches reasons==0") {
+    val rows = TextAnalysis.textFilterGate(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, wl10, reasons, keep) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(reasons >= 0 && reasons <= 15)
+      assert((keep == 1) == (reasons == 0))
+      if ((reasons & 1) != 0) assert(n < 10)
+      if ((reasons & 2) != 0) assert(n > 2000)
+      if ((reasons & 8) != 0) assert(wl10 < 30 || wl10 > 100)
+    }
+    // the synthetic corpus is clean prose: most docs should survive
+    assert(rows.count(_.getLong(4) == 1) > rows.length / 2)
+  }
+
+  test("sketch_cms: estimate never undercounts and grid is bounded") {
+    val rows = ScaleOps.sketchCms(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS min-of-counters can only OVERestimate (user ${r.getLong(0)})")
+      assert(r.getLong(3) >= 0, "over_bp non-negative")
+    }
+  }
+
   test("ts_ema: EMA stays within the user's observed value range") {
     val ema = Events.tsEma(spark, dir).collect()
     assert(ema.nonEmpty)
