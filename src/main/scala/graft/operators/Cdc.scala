@@ -240,7 +240,55 @@ object Cdc {
        |FROM v2 LEFT JOIN v1 ON v1.user_id = v2.user_id
        |ORDER BY v2.user_id""".stripMargin
 
+  // ─── cdc_staleness: per-key freshness distribution ───
+  // The replication-lag audit of a CDC mirror: how stale is each
+  // key's latest state relative to the stream head ("now" =
+  // data-derived max ts, so the query is reproducible)? One key-keyed
+  // max aggregate (map-side combine) + a broadcast 1-row head frame;
+  // ages bucketed into ops-meaningful bands and rolled up to a
+  // |buckets|-bounded profile. All integer epoch arithmetic.
+  def cdcStaleness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val last = ev.groupBy(col("user_id")).agg(max(col("ts")).as("last_ts"))
+    val head = ev.agg(max(col("ts")).as("now_ts"))
+    last.crossJoin(broadcast(head))
+      .select(col("user_id"),
+        (epochS(col("now_ts")) - epochS(col("last_ts"))).as("age_s"))
+      .withColumn("bucket",
+        when(col("age_s") < 3600, "0_lt1h")
+          .when(col("age_s") < 21600, "1_lt6h")
+          .when(col("age_s") < 86400, "2_lt1d")
+          .when(col("age_s") < 259200, "3_lt3d")
+          .otherwise("4_ge3d"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_keys"),
+        min(col("age_s")).as("min_age_s"),
+        max(col("age_s")).as("max_age_s"))
+      .orderBy(col("bucket"))
+  }
+
+  val cdcStalenessSql: String =
+    """WITH last AS (SELECT user_id, max(ts) AS last_ts FROM events GROUP BY user_id),
+      |head AS (SELECT max(ts) AS now_ts FROM events),
+      |aged AS (
+      |  SELECT user_id,
+      |    CAST(floor(epoch(now_ts)) AS BIGINT)
+      |      - CAST(floor(epoch(last_ts)) AS BIGINT) AS age_s
+      |  FROM last CROSS JOIN head),
+      |bucketed AS (
+      |  SELECT user_id, age_s,
+      |    CASE WHEN age_s < 3600 THEN '0_lt1h'
+      |         WHEN age_s < 21600 THEN '1_lt6h'
+      |         WHEN age_s < 86400 THEN '2_lt1d'
+      |         WHEN age_s < 259200 THEN '3_lt3d'
+      |         ELSE '4_ge3d' END AS bucket
+      |  FROM aged)
+      |SELECT bucket, count(*) AS n_keys,
+      |  min(age_s) AS min_age_s, max(age_s) AS max_age_s
+      |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_staleness" -> cdcStaleness,
     "cdc_diff" -> cdcDiff,
     "cdc_audit" -> cdcAudit,
     "cdc_ivm" -> cdcIvm,
@@ -249,6 +297,7 @@ object Cdc {
     "cdc_scd2" -> cdcScd2)
 
   val oracle: Map[String, String] = Map(
+    "cdc_staleness" -> cdcStalenessSql,
     "cdc_diff" -> cdcDiffSql,
     "cdc_audit" -> cdcAuditSql,
     "cdc_ivm" -> cdcIvmSql,

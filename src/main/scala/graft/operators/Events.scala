@@ -1366,7 +1366,165 @@ object Events {
       |    // ((n_hours - 1) * n_events) AS fano_bp
       |FROM s WHERE n_hours > 1 ORDER BY event_type""".stripMargin
 
+  // ─── ev_autocorr: lag-1 autocorrelation of the hourly series ───
+  // Short-memory diagnosis: does a busy hour predict the next hour?
+  // Computed on the ZERO-FILLED hourly grid (ts_fill's data-derived
+  // span — silent hours are real observations for autocorrelation,
+  // unlike ev_burstiness's documented observed-hours shortcut), then
+  // Pearson r over (c_t, c_{t+1}) pairs from one lead() pass, via
+  // the exact-integer sum technique (q35_corr): the only IEEE math
+  // is one fixed-shape formula per type, so the bp result
+  // hash-matches cross-engine. Grid×types is broadcast-tiny; the
+  // window sort keys on event_type — |types| partitions of
+  // span-hours rows each.
+  def evAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val span = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = span.select(explode(
+      expr("sequence(h0, h1, INTERVAL 1 HOUR)")).as("hour_ts"))
+    val types = ev.select(col("event_type")).distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+    val agg = grid.crossJoin(broadcast(types))
+      .join(hourly, Seq("hour_ts", "event_type"), "left")
+      .withColumn("x", coalesce(col("c"), lit(0L)))
+      .withColumn("y", lead(col("x"), 1).over(w))
+      .filter(col("y").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_x2"),
+        sum(col("y") * col("y")).as("sum_y2"))
+    val nd = col("n").cast("double")
+    val num = nd * col("sum_xy") - col("sum_x").cast("double") * col("sum_y")
+    val dx = nd * col("sum_x2") - col("sum_x").cast("double") * col("sum_x")
+    val dy = nd * col("sum_y2") - col("sum_y").cast("double") * col("sum_y")
+    agg.select(col("event_type"), col("n").as("n_pairs"),
+      when(dx * dy > 0, floor(num * 10000 / sqrt(dx * dy)).cast("long"))
+        .otherwise(lit(0L)).as("r1_bp"))
+      .orderBy(col("event_type"))
+  }
+
+  val evAutocorrSql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT date_trunc('hour', min(ts)) AS h0,
+      |                date_trunc('hour', max(ts)) AS h1 FROM events),
+      |grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+      |         FROM span),
+      |filled AS (
+      |  SELECT t.hour_ts, t.event_type, coalesce(h.c, 0) AS x
+      |  FROM (SELECT g.hour_ts, ty.event_type
+      |        FROM grid g CROSS JOIN (SELECT DISTINCT event_type FROM events) ty) t
+      |  LEFT JOIN hourly h
+      |    ON t.hour_ts = h.hour_ts AND t.event_type = h.event_type),
+      |pairs AS (
+      |  SELECT event_type, x,
+      |    lead(x, 1) OVER (PARTITION BY event_type ORDER BY hour_ts) AS y
+      |  FROM filled),
+      |s AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+      |    CAST(sum(x * y) AS BIGINT) AS sum_xy,
+      |    CAST(sum(x * x) AS BIGINT) AS sum_x2,
+      |    CAST(sum(y * y) AS BIGINT) AS sum_y2
+      |  FROM pairs WHERE y IS NOT NULL GROUP BY event_type)
+      |SELECT event_type, n AS n_pairs,
+      |  CASE WHEN (CAST(n AS DOUBLE) * sum_x2 - CAST(sum_x AS DOUBLE) * sum_x)
+      |          * (CAST(n AS DOUBLE) * sum_y2 - CAST(sum_y AS DOUBLE) * sum_y) > 0
+      |    THEN CAST(floor((CAST(n AS DOUBLE) * sum_xy
+      |        - CAST(sum_x AS DOUBLE) * sum_y) * 10000
+      |      / sqrt((CAST(n AS DOUBLE) * sum_x2 - CAST(sum_x AS DOUBLE) * sum_x)
+      |           * (CAST(n AS DOUBLE) * sum_y2 - CAST(sum_y AS DOUBLE) * sum_y)))
+      |      AS BIGINT)
+      |    ELSE 0 END AS r1_bp
+      |FROM s ORDER BY event_type""".stripMargin
+
+  // ─── ev_forecast: seasonal-naive hour-of-day forecast + backtest ───
+  // The capacity-planning baseline every fancier model must beat:
+  // train on the first 21 days (integer per-hod mean: total at that
+  // hour-of-day div 21 — each hod appears exactly trainDays times on
+  // the whole-day train span, so no observed-hours bias), predict
+  // every hour of the remaining test span on the zero-filled grid,
+  // report per-type MAE ×100. All integer: counts, integer-div
+  // means, absolute differences — the oracle matches to the digit.
+  // Profile is (types × 24) rows — broadcast; the only data-sized
+  // stage is the hourly rollup.
+  private val forecastTrainDays = 21
+
+  def evForecast(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val span = ev.agg(date_trunc("day", min(col("ts"))).as("d0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("h1"),
+        expr(s"d0 + INTERVAL $forecastTrainDays DAYS").as("split"))
+    val profile = hourly.crossJoin(broadcast(span))
+      .filter(col("hour_ts") < col("split"))
+      .groupBy(col("event_type"), hour(col("hour_ts")).as("hod"))
+      .agg(expr(s"sum(c) div $forecastTrainDays").as("pred"))
+    val grid = span.select(explode(
+      expr("sequence(split, h1, INTERVAL 1 HOUR)")).as("hour_ts"))
+    val types = ev.select(col("event_type")).distinct()
+    grid.crossJoin(broadcast(types))
+      .join(hourly, Seq("hour_ts", "event_type"), "left")
+      .withColumn("actual", coalesce(col("c"), lit(0L)))
+      .withColumn("hod", hour(col("hour_ts")))
+      .join(broadcast(profile), Seq("event_type", "hod"), "left")
+      .withColumn("pred", coalesce(col("pred"), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("actual")).as("total_actual"),
+        sum(col("pred")).as("total_pred"),
+        sum(abs(col("actual") - col("pred"))).as("sum_abs"))
+      .select(col("event_type"), col("n_hours"), col("total_actual"),
+        col("total_pred"),
+        expr("sum_abs * 100 div n_hours").as("mae_x100"))
+      .orderBy(col("event_type"))
+  }
+
+  val evForecastSql: String =
+    s"""WITH hourly AS (
+       |  SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |span AS (SELECT date_trunc('day', min(ts)) + INTERVAL $forecastTrainDays DAY AS split,
+       |                date_trunc('hour', max(ts)) AS h1 FROM events),
+       |profile AS (
+       |  SELECT event_type, CAST(hour(hour_ts) AS INT) AS hod,
+       |    CAST(sum(c) AS BIGINT) // $forecastTrainDays AS pred
+       |  FROM hourly CROSS JOIN span WHERE hour_ts < split
+       |  GROUP BY 1, 2),
+       |grid AS (SELECT unnest(generate_series(split, h1, INTERVAL 1 HOUR)) AS hour_ts
+       |         FROM span),
+       |test AS (
+       |  SELECT t.event_type, coalesce(h.c, 0) AS actual,
+       |    coalesce(p.pred, 0) AS pred
+       |  FROM (SELECT g.hour_ts, ty.event_type
+       |        FROM grid g CROSS JOIN (SELECT DISTINCT event_type FROM events) ty) t
+       |  LEFT JOIN hourly h
+       |    ON t.hour_ts = h.hour_ts AND t.event_type = h.event_type
+       |  LEFT JOIN profile p
+       |    ON t.event_type = p.event_type AND CAST(hour(t.hour_ts) AS INT) = p.hod),
+       |s AS (
+       |  SELECT event_type, count(*) AS n_hours,
+       |    CAST(sum(actual) AS BIGINT) AS total_actual,
+       |    CAST(sum(pred) AS BIGINT) AS total_pred,
+       |    CAST(sum(abs(actual - pred)) AS BIGINT) AS sum_abs
+       |  FROM test GROUP BY event_type)
+       |SELECT event_type, n_hours, total_actual, total_pred,
+       |  sum_abs * 100 // n_hours AS mae_x100
+       |FROM s ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_autocorr" -> evAutocorr,
+    "ev_forecast" -> evForecast,
     "ev_path" -> evPath,
     "ev_burstiness" -> evBurstiness,
     "ts_ema" -> tsEma,
@@ -1399,6 +1557,8 @@ object Events {
     "ev_pattern_seq" -> evPatternSeq)
 
   val oracle: Map[String, String] = Map(
+    "ev_autocorr" -> evAutocorrSql,
+    "ev_forecast" -> evForecastSql,
     "ev_path" -> evPathSql,
     "ev_burstiness" -> evBurstinessSql,
     "ts_ema" -> tsEmaSql,

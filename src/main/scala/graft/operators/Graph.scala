@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -621,7 +622,73 @@ object Graph {
        |    ELSE 0 END AS r_bp
        |FROM s""".stripMargin
 
+  // ─── graph_2hop: friend-of-friend link prediction ───
+  // The recommendation twin of graph_jaccard: graph_jaccard scores
+  // EXISTING edges by shared neighborhood; this one scores the
+  // MISSING edges two hops out (common-neighbors link prediction,
+  // the classic baseline) — for the dedup graph, "these two docs
+  // never collided in a band but share k near-dup neighbors" is
+  // exactly the transitive-duplicate candidate a second LSH pass
+  // would chase. One wedge equijoin over the symmetric adjacency
+  // (work ∝ Σ deg², the same arboricity argument as
+  // graph_triangles), minus the existing edges via LEFT ANTI, then
+  // a per-node top-3 window over the (already aggregated) candidate
+  // frame.
+  private val twoHopTopK = 3
+
+  def graph2hop(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.pairEdges(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Existing edges stay in the frame with is_new = false: in a
+      // band-clique graph (every LSH bucket is complete) the strictly
+      // novel 2-hop set can be EMPTY, and the ranked neighborhood
+      // with the novelty flag is the more useful product anyway —
+      // consumers filter is_new for pure link prediction.
+      val cand = edges.select(col("src").as("a"), col("dst").as("b"))
+        .join(edges.select(col("src").as("b2"), col("dst").as("x")),
+          col("b") === col("b2"))
+        .filter(col("a") < col("x"))
+        .groupBy(col("a"), col("x")).agg(count(lit(1)).as("common"))
+        .join(edges.select(col("src").as("a"), col("dst").as("x"),
+          lit(1L).as("is_edge")), Seq("a", "x"), "left")
+        .withColumn("is_new", col("is_edge").isNull)
+        .drop("is_edge")
+      val sym = cand.select(explode(array(
+          struct(col("a").as("node"), col("x").as("rec"), col("common"), col("is_new")),
+          struct(col("x").as("node"), col("a").as("rec"), col("common"), col("is_new")))).as("r"))
+        .select(col("r.node").as("node"), col("r.rec").as("rec"),
+          col("r.common").as("common"), col("r.is_new").as("is_new"))
+      val w = Window.partitionBy(col("node")).orderBy(col("common").desc, col("rec"))
+      sym.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= twoHopTopK)
+        .select(col("node"), col("rank"), col("rec"), col("common"), col("is_new"))
+        .orderBy(col("node"), col("rank"))
+    } finally edges.unpersist(blocking = false)
+  }
+
+  val graph2hopSql: String =
+    s"""WITH ${Dedup.edgesCtes},
+       |fof AS (
+       |  SELECT e1.src AS a, e2.dst AS x, count(*) AS common
+       |  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+       |  WHERE e1.src < e2.dst
+       |  GROUP BY 1, 2),
+       |flg AS (
+       |  SELECT f.a, f.x, f.common, e3.src IS NULL AS is_new
+       |  FROM fof f LEFT JOIN edges e3 ON e3.src = f.a AND e3.dst = f.x),
+       |sym AS (
+       |  SELECT a AS node, x AS rec, common, is_new FROM flg
+       |  UNION ALL SELECT x, a, common, is_new FROM flg),
+       |ranked AS (
+       |  SELECT node, rec, common, is_new, CAST(row_number() OVER (
+       |    PARTITION BY node ORDER BY common DESC, rec) AS BIGINT) AS rank
+       |  FROM sym)
+       |SELECT node, rank, rec, common, is_new FROM ranked
+       |WHERE rank <= $twoHopTopK ORDER BY node, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_2hop" -> graph2hop,
     "graph_cc_hist" -> graphCcHist,
     "graph_assortativity" -> graphAssortativity,
     "graph_clustering" -> graphClustering,
@@ -634,6 +701,7 @@ object Graph {
     "graph_pagerank" -> graphPagerank)
 
   val oracle: Map[String, String] = Map(
+    "graph_2hop" -> graph2hopSql,
     "graph_cc_hist" -> graphCcHistSql,
     "graph_assortativity" -> graphAssortativitySql,
     "graph_clustering" -> graphClusteringSql,

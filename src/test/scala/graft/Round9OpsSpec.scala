@@ -250,6 +250,89 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_autocorr: r1 bounded, pair count matches grid span") {
+    val rows = Events.evAutocorr(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nTypes = Tables(spark, dir).events
+      .select("event_type").distinct().count()
+    assert(rows.length == nTypes)
+    val pairCounts = rows.map(_.getLong(1)).distinct
+    assert(pairCounts.length == 1, "all types share the same global grid")
+    rows.foreach(r => assert(math.abs(r.getLong(2)) <= 10000))
+  }
+
+  test("ev_forecast: totals consistent, MAE bounded by worst case") {
+    val rows = Events.evForecast(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, actual, pred, mae) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n > 0 && actual >= 0 && pred >= 0)
+      // MAE*n/100 <= total_actual + total_pred (triangle inequality)
+      assert(mae * n <= (actual + pred) * 100)
+    }
+    // test span: 30-day data minus 21 train days = 9 days of hours
+    assert(rows.head.getLong(1) >= 8 * 24 && rows.head.getLong(1) <= 10 * 24)
+  }
+
+  test("cdc_staleness: buckets partition all keys, ages within bands") {
+    val rows = Cdc.cdcStaleness(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val totalKeys = Tables(spark, dir).events
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == totalKeys)
+    val bands = Map("0_lt1h" -> (0L, 3600L), "1_lt6h" -> (3600L, 21600L),
+      "2_lt1d" -> (21600L, 86400L), "3_lt3d" -> (86400L, 259200L),
+      "4_ge3d" -> (259200L, Long.MaxValue))
+    rows.foreach { r =>
+      val (lo, hi) = bands(r.getString(0))
+      assert(r.getLong(2) >= lo && r.getLong(3) < hi,
+        s"bucket ${r.getString(0)}: [${r.getLong(2)},${r.getLong(3)}]")
+    }
+  }
+
+  test("graph_2hop: ranks dense, common bounded by degree, flags honest") {
+    val rows = Graph.graph2hop(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val edges = Dedup.dedupMinhashLsh(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (node, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted
+      assert(ranks.sameElements(1L to ranks.length.toLong))
+      rs.foreach { r =>
+        val (rec, common, isNew) = (r.getLong(2), r.getLong(3), r.getBoolean(4))
+        assert(common <= math.min(deg(node), deg(rec)),
+          "common neighbors bounded by either endpoint degree")
+        assert(isNew == !edges.contains((node, rec)), "novelty flag honest")
+      }
+    }
+  }
+
+  test("dedup_keep_best: keeps the longest member of every cluster") {
+    val rows = Dedup.dedupKeepBest(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val labels = Dedup.dedupCluster(spark, dir)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val chars = Tables(spark, dir).documents
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = labels.groupBy(_._2)
+    rows.foreach { r =>
+      val (cid, n, kept, keptChars, dropped) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val members = byCluster(cid).map(_._1)
+      assert(members.length == n.toInt)
+      assert(members.forall(m => chars(m) <= keptChars),
+        s"cluster $cid: kept doc must be longest")
+      assert(chars(kept) == keptChars)
+      assert(dropped == members.map(chars).sum - keptChars)
+    }
+  }
+
   test("ts_ema: EMA stays within the user's observed value range") {
     val ema = Events.tsEma(spark, dir).collect()
     assert(ema.nonEmpty)
