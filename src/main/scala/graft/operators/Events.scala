@@ -1522,7 +1522,73 @@ object Events {
        |  sum_abs * 100 // n_hours AS mae_x100
        |FROM s ORDER BY event_type""".stripMargin
 
+  // ─── ev_ab_test: hash-split two-proportion z-test ───
+  // The experimentation primitive: users deterministically assigned
+  // to A/B by md5 parity (reproducible across runs AND engines — no
+  // RNG state to ship), conversion = reached 'purchase', and the
+  // pooled two-proportion z-score in one fixed-shape IEEE formula
+  // from four integer sums (the q35_corr float discipline).
+  // Conversion = lifetime purchase value above $600 (the corpus
+  // median, so the split is non-degenerate at every SF — raw
+  // "reached purchase" saturates at 100% under this event mix and
+  // would test only the z=0 branch). Shape:
+  // one user-keyed aggregate (map-side combine) → a 2-row group
+  // rollup → a broadcast 1×1 join; nothing driver-side. At 100 TB
+  // the z-test costs exactly one pass over events.
+  def evAbTest(spark: SparkSession, dir: String): DataFrame = {
+    val assign = Tables(spark, dir).events
+      .groupBy(col("user_id"))
+      .agg(when(cents(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0)))) > 60000L, 1L).otherwise(0L)
+        .as("converted"))
+      .withColumn("grp",
+        when(conv(substring(md5(concat(lit("ab:"), col("user_id").cast("string"))),
+          1, 15), 16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+    val s = assign.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    val a = s.filter(col("grp") === "A")
+      .select(col("n").as("n_a"), col("conv").as("conv_a"))
+    val b = s.filter(col("grp") === "B")
+      .select(col("n").as("n_b"), col("conv").as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val p = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val se = sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        when(se > 0, floor((pa - pb) * 100 / se).cast("long"))
+          .otherwise(lit(0L)).as("z_x100"))
+  }
+
+  val evAbTestSql: String =
+    """WITH assign AS (
+      |  SELECT user_id,
+      |    CASE WHEN CAST(floor((sum(CASE WHEN event_type = 'purchase'
+      |        THEN value ELSE 0 END)) * 100 + 0.5) AS BIGINT) > 60000
+      |      THEN 1 ELSE 0 END AS converted,
+      |    CASE WHEN CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+      |        AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS grp
+      |  FROM events GROUP BY user_id),
+      |s AS (SELECT grp, count(*) AS n, CAST(sum(converted) AS BIGINT) AS conv
+      |      FROM assign GROUP BY grp),
+      |a AS (SELECT n AS n_a, conv AS conv_a FROM s WHERE grp = 'A'),
+      |b AS (SELECT n AS n_b, conv AS conv_b FROM s WHERE grp = 'B')
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  CASE WHEN sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+      |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+      |      * (1.0 / n_a + 1.0 / n_b)) > 0
+      |    THEN CAST(floor((CAST(conv_a AS DOUBLE) / n_a
+      |        - CAST(conv_b AS DOUBLE) / n_b) * 100
+      |      / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+      |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+      |        * (1.0 / n_a + 1.0 / n_b))) AS BIGINT)
+      |    ELSE 0 END AS z_x100
+      |FROM a CROSS JOIN b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_ab_test" -> evAbTest,
     "ev_autocorr" -> evAutocorr,
     "ev_forecast" -> evForecast,
     "ev_path" -> evPath,
@@ -1557,6 +1623,7 @@ object Events {
     "ev_pattern_seq" -> evPatternSeq)
 
   val oracle: Map[String, String] = Map(
+    "ev_ab_test" -> evAbTestSql,
     "ev_autocorr" -> evAutocorrSql,
     "ev_forecast" -> evForecastSql,
     "ev_path" -> evPathSql,

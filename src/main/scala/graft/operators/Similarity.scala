@@ -677,7 +677,110 @@ object Similarity {
        |  FROM fused) WHERE rank <= $hybridTopK
        |ORDER BY query_id, rank""".stripMargin
 
+  // ─── sample_hard_negatives: contrastive-training negative mining ───
+  // For each query vector, the most-similar vectors with a DIFFERENT
+  // label — the hard negatives contrastive/embedding training feeds
+  // next to each positive. Same bounded-query broadcast shape as
+  // ann_bruteforce (the query set is small by contract; the corpus
+  // side streams); at scale the cosine scan swaps for the LSH/IVF
+  // index exactly as ann_retrieve does, but the mining semantics —
+  // top-k BY similarity AMONG label-mismatches — live here.
+  def sampleHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val lab = Tables(spark, dir).embeddings.select(col("vec_id"), col("label"))
+    val q = vecs(spark, dir).filter(col("vec_id") < nQueries)
+      .join(lab, Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn"), col("label").as("q_label"))
+    val c = vecs(spark, dir).join(lab, Seq("vec_id"))
+      .select(col("vec_id").as("neg_id"), col("v").as("cv"),
+        col("norm").as("cn"), col("label").as("neg_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neg_id"))
+    c.join(broadcast(q), col("q_label") =!= col("neg_label"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neg_id"), col("neg_label"),
+        floor(col("cos") * 10000 + 0.5).cast("long").as("cos_bp"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val sampleHardNegativesSql: String =
+    s"""WITH n AS (${vecsSql("vec_id")}),
+       |l AS (SELECT vec_id, label FROM embeddings),
+       |q AS (SELECT n.vec_id AS query_id, v AS qv, norm AS qn, label AS q_label
+       |      FROM n JOIN l ON n.vec_id = l.vec_id WHERE n.vec_id < $nQueries),
+       |c AS (SELECT n.vec_id AS neg_id, v AS cv, norm AS cn, label AS neg_label
+       |      FROM n JOIN l ON n.vec_id = l.vec_id),
+       |scored AS (
+       |  SELECT query_id, neg_id, neg_label,
+       |    (${dotSqlOf("q.qv", "c.cv")}) / (q.qn * c.cn) AS cos
+       |  FROM q JOIN c ON q.q_label <> c.neg_label),
+       |ranked AS (
+       |  SELECT query_id, neg_id, neg_label, cos,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neg_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neg_id, neg_label,
+       |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp
+       |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
+  // ─── ann_diverse: label-stratified diversified retrieval ───
+  // Result diversification without MMR's sequential greed: the top
+  // hit per label (the per-stratum representative), re-ranked by
+  // similarity, top-5 — one window pass per level, both over frames
+  // the blocking already shrank, fully order-deterministic. The
+  // "don't show 5 copies of the same thing" production default.
+  private val diverseK = 5
+
+  def annDiverse(spark: SparkSession, dir: String): DataFrame = {
+    val lab = Tables(spark, dir).embeddings.select(col("vec_id"), col("label"))
+    val q = vecs(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val c = vecs(spark, dir).join(lab, Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("norm").as("cn"), col("label"))
+    val wStratum = Window.partitionBy(col("query_id"), col("label"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val wFinal = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("srank", row_number().over(wStratum))
+      .filter(col("srank") === 1)
+      .withColumn("rank", row_number().over(wFinal).cast("long"))
+      .filter(col("rank") <= diverseK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("label"),
+        floor(col("cos") * 10000 + 0.5).cast("long").as("cos_bp"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annDiverseSql: String =
+    s"""WITH n AS (${vecsSql("vec_id")}),
+       |l AS (SELECT vec_id, label FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, l.label,
+       |    (${dotSqlOf("q.v", "c.v")}) / (q.norm * c.norm) AS cos
+       |  FROM n q JOIN n c ON q.vec_id < $nQueries AND q.vec_id <> c.vec_id
+       |  JOIN l ON c.vec_id = l.vec_id),
+       |reps AS (
+       |  SELECT query_id, neighbor_id, label, cos FROM (
+       |    SELECT query_id, neighbor_id, label, cos,
+       |      row_number() OVER (PARTITION BY query_id, label
+       |        ORDER BY cos DESC, neighbor_id) AS srank
+       |    FROM scored) WHERE srank = 1),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, label, cos,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM reps)
+       |SELECT query_id, rank, neighbor_id, label,
+       |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp
+       |FROM ranked WHERE rank <= $diverseK ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_hard_negatives" -> sampleHardNegatives,
+    "ann_diverse" -> annDiverse,
     "ann_hybrid_rrf" -> annHybridRrf,
     "ann_recall" -> annRecall,
     "knn_join" -> knnJoin,
@@ -689,6 +792,8 @@ object Similarity {
     "ann_retrieve" -> annRetrieve)
 
   val oracle: Map[String, String] = Map(
+    "sample_hard_negatives" -> sampleHardNegativesSql,
+    "ann_diverse" -> annDiverseSql,
     "ann_hybrid_rrf" -> annHybridRrfSql,
     "ann_recall" -> annRecallSql,
     "knn_join" -> knnJoinSql,

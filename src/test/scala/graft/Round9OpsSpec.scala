@@ -333,6 +333,49 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_ab_test: assignment partitions users, z consistent with counts") {
+    val r = Events.evAbTest(spark, dir).collect()
+    assert(r.length == 1)
+    val (na, ca, nb, cb, z) = (r(0).getLong(0), r(0).getLong(1),
+      r(0).getLong(2), r(0).getLong(3), r(0).getLong(4))
+    val users = Tables(spark, dir).events.select("user_id").distinct().count()
+    assert(na + nb == users, "every user lands in exactly one arm")
+    assert(ca <= na && cb <= nb)
+    // z sign must agree with the observed rate difference
+    if (ca * nb > cb * na) assert(z >= 0)
+    if (ca * nb < cb * na) assert(z <= 0)
+  }
+
+  test("sample_hard_negatives: negatives always cross labels, ranks dense") {
+    val rows = Similarity.sampleHardNegatives(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val labels = Tables(spark, dir).embeddings
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length.toLong))
+      rs.foreach { r =>
+        assert(labels(r.getLong(2)) != labels(q),
+          s"negative ${r.getLong(2)} shares query $q's label")
+        assert(r.getInt(3) == labels(r.getLong(2)), "reported label correct")
+      }
+    }
+  }
+
+  test("ann_diverse: per-query labels are unique and scores descend") {
+    val rows = Similarity.annDiverse(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      val labs = sorted.map(_.getInt(3))
+      assert(labs.distinct.length == labs.length,
+        "diversification: one representative per label")
+      val scores = sorted.map(_.getLong(4))
+      assert(scores.sameElements(scores.sortBy(-_)))
+      assert(rs.length <= 5)
+    }
+  }
+
   test("ts_ema: EMA stays within the user's observed value range") {
     val ema = Events.tsEma(spark, dir).collect()
     assert(ema.nonEmpty)
