@@ -1587,7 +1587,78 @@ object Events {
       |    ELSE 0 END AS z_x100
       |FROM a CROSS JOIN b""".stripMargin
 
+  // ─── ts_changepoint: CUSUM level-shift detection per type ───
+  // Where did the series change level? Classic CUSUM on the
+  // zero-filled hourly grid: deviations from the per-type mean,
+  // scaled ×n_hours to stay in exact integers (S_t = Σ(x·n − total)
+  // — same sign/argmax as Σ(x − mean), no division), cumulated by
+  // one window pass; the changepoint is the |S| peak (tie → earliest
+  // hour). Everything after the hourly rollup is |types|×hours
+  // rows; the peak pick is a second window pass over the same
+  // partitioning — one exchange total.
+  def tsChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val span = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = span.select(explode(
+      expr("sequence(h0, h1, INTERVAL 1 HOUR)")).as("hour_ts"))
+    val types = ev.select(col("event_type")).distinct()
+    val filled = grid.crossJoin(broadcast(types))
+      .join(hourly, Seq("hour_ts", "event_type"), "left")
+      .withColumn("x", coalesce(col("c"), lit(0L)))
+    val tot = filled.groupBy(col("event_type"))
+      .agg(sum(col("x")).as("total"), count(lit(1)).as("n_hours"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPick = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("s")).desc, col("hour_ts"))
+    filled.join(broadcast(tot), Seq("event_type"))
+      .withColumn("s", sum(col("x") * col("n_hours") - col("total")).over(wCum))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n_hours"),
+        epochS(col("hour_ts")).as("cp_epoch"),
+        abs(col("s")).as("cusum_peak"))
+      .orderBy(col("event_type"))
+  }
+
+  val tsChangepointSql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT date_trunc('hour', min(ts)) AS h0,
+      |                date_trunc('hour', max(ts)) AS h1 FROM events),
+      |grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+      |         FROM span),
+      |filled AS (
+      |  SELECT t.hour_ts, t.event_type, coalesce(h.c, 0) AS x
+      |  FROM (SELECT g.hour_ts, ty.event_type
+      |        FROM grid g CROSS JOIN (SELECT DISTINCT event_type FROM events) ty) t
+      |  LEFT JOIN hourly h
+      |    ON t.hour_ts = h.hour_ts AND t.event_type = h.event_type),
+      |tot AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS total,
+      |               count(*) AS n_hours
+      |        FROM filled GROUP BY event_type),
+      |cum AS (
+      |  SELECT f.event_type, f.hour_ts, t.n_hours,
+      |    CAST(sum(f.x * t.n_hours - t.total) OVER (
+      |      PARTITION BY f.event_type ORDER BY f.hour_ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+      |  FROM filled f JOIN tot t ON f.event_type = t.event_type),
+      |picked AS (
+      |  SELECT event_type, n_hours, hour_ts, abs(s) AS cusum_peak,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY abs(s) DESC, hour_ts) AS rn
+      |  FROM cum)
+      |SELECT event_type, n_hours,
+      |  CAST(floor(epoch(hour_ts)) AS BIGINT) AS cp_epoch, cusum_peak
+      |FROM picked WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_changepoint" -> tsChangepoint,
     "ev_ab_test" -> evAbTest,
     "ev_autocorr" -> evAutocorr,
     "ev_forecast" -> evForecast,
@@ -1623,6 +1694,7 @@ object Events {
     "ev_pattern_seq" -> evPatternSeq)
 
   val oracle: Map[String, String] = Map(
+    "ts_changepoint" -> tsChangepointSql,
     "ev_ab_test" -> evAbTestSql,
     "ev_autocorr" -> evAutocorrSql,
     "ev_forecast" -> evForecastSql,

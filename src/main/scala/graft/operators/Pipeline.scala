@@ -497,7 +497,57 @@ object Pipeline {
       |  n_total * 10000 // (n_langs * n_docs) AS weight_bp
       |FROM pl CROSS JOIN t ORDER BY lang""".stripMargin
 
+  // ─── mix_source_overlap: cross-source near-dup contamination matrix ───
+  // Which sources are feeding you the same content? The per-source-
+  // PAIR rollup of the MinHash candidate graph (mix_dedup_rate's
+  // cross-source sibling): near-dup pair counts between every source
+  // pair, normalized to parts-per-million of the possible pairs —
+  // the number that tells you a crawl and a curated set overlap
+  // before you pay for a full dedup. Pairs ride the shared LSH
+  // fixture; the source tags join on the (already tiny) pair frame;
+  // output is |sources|²-bounded.
+  def mixSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.pairEdges(spark, dir).filter(col("src") < col("dst"))
+    val srcs = Tables(spark, dir).documents.select(col("doc_id"), col("source"))
+    val per = srcs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    pairs
+      .join(srcs.select(col("doc_id").as("src"), col("source").as("sa")), Seq("src"))
+      .join(srcs.select(col("doc_id").as("dst"), col("source").as("sb")), Seq("dst"))
+      .select(least(col("sa"), col("sb")).as("src_lo"),
+        greatest(col("sa"), col("sb")).as("src_hi"))
+      .groupBy(col("src_lo"), col("src_hi")).agg(count(lit(1)).as("n_pairs"))
+      .join(broadcast(per.select(col("source").as("src_lo"), col("n_docs").as("n_lo"))),
+        Seq("src_lo"))
+      .join(broadcast(per.select(col("source").as("src_hi"), col("n_docs").as("n_hi"))),
+        Seq("src_hi"))
+      .select(col("src_lo"), col("src_hi"), col("n_pairs"), col("n_lo"), col("n_hi"),
+        expr("CASE WHEN src_lo = src_hi" +
+          " THEN n_pairs * 1000000 div (n_lo * (n_lo - 1) div 2)" +
+          " ELSE n_pairs * 1000000 div (n_lo * n_hi) END").as("rate_ppm"))
+      .orderBy(col("src_lo"), col("src_hi"))
+  }
+
+  val mixSourceOverlapSql: String =
+    s"""WITH ${Dedup.edgesCtes},
+       |per AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+       |tagged AS (
+       |  SELECT least(da.source, db.source) AS src_lo,
+       |    greatest(da.source, db.source) AS src_hi, count(*) AS n_pairs
+       |  FROM cand c
+       |  JOIN documents da ON c.doc_a = da.doc_id
+       |  JOIN documents db ON c.doc_b = db.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT src_lo, src_hi, n_pairs, pl.n_docs AS n_lo, ph.n_docs AS n_hi,
+       |  CASE WHEN src_lo = src_hi
+       |    THEN n_pairs * 1000000 // (pl.n_docs * (pl.n_docs - 1) // 2)
+       |    ELSE n_pairs * 1000000 // (pl.n_docs * ph.n_docs) END AS rate_ppm
+       |FROM tagged
+       |JOIN per pl ON src_lo = pl.source
+       |JOIN per ph ON src_hi = ph.source
+       |ORDER BY src_lo, src_hi""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_source_overlap" -> mixSourceOverlap,
     "mix_reweight" -> mixReweight,
     "sample_curriculum" -> sampleCurriculum,
     "mix_dedup_rate" -> mixDedupRate,
@@ -513,6 +563,7 @@ object Pipeline {
     "sample_temperature" -> sampleTemperature)
 
   val oracle: Map[String, String] = Map(
+    "mix_source_overlap" -> mixSourceOverlapSql,
     "mix_reweight" -> mixReweightSql,
     "sample_curriculum" -> sampleCurriculumSql,
     "mix_dedup_rate" -> mixDedupRateSql,

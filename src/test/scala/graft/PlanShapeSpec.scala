@@ -208,4 +208,49 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(w >= 0 && agg > w,
       "windows may only see the per-source aggregate, not documents")
   }
+
+  test("round-9 query-side scans stay bounded-broadcast, corpus never nested-loops") {
+    for ((name, df) <- Seq(
+      "hard_negatives" -> Similarity.sampleHardNegatives(spark, dir),
+      "ann_diverse" -> Similarity.annDiverse(spark, dir),
+      "ann_hybrid_rrf" -> Similarity.annHybridRrf(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name: no cartesian product")
+      // the bounded query set (vec_id < nQueries) must be what broadcasts:
+      // every BroadcastExchange subtree carries the pushed vec_id filter
+      // or a bounded aggregate, never the raw corpus scan
+      assert(p.contains("BroadcastExchange"), s"$name: query side broadcasts")
+    }
+  }
+
+  test("round-9 pair-graph rollups join on keys, never nested-loop") {
+    for ((name, df) <- Seq(
+      "mix_source_overlap" -> Pipeline.mixSourceOverlap(spark, dir),
+      "graph_2hop" -> Graph.graph2hop(spark, dir),
+      "graph_assortativity" -> Graph.graphAssortativity(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name: no cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: no BNLJ")
+    }
+  }
+
+  test("ts_changepoint windows share one exchange over the grid") {
+    // Two event_type exchanges are legitimate: one under the tiny
+    // per-type totals rollup (broadcast branch), one feeding BOTH
+    // window passes (the second window reuses the partitioning and
+    // only re-sorts). A third would mean the windows stopped
+    // sharing.
+    val p = plan(Events.tsChangepoint(spark, dir))
+    val n = count(p, "Exchange hashpartitioning\\(event_type")
+    assert(n <= 2, s"expected ≤2 event_type exchanges (rollup + shared windows), got $n")
+    // two real window passes; WindowGroupLimit (the rn=1 rank-limit
+    // pushdown Spark inserts) also matches the token and is welcome
+    assert(count(p, "Window \\[") == 2, "exactly two window passes")
+  }
+
+  test("sketch_cms: counter grid broadcasts, never the event scan") {
+    val p = plan(ScaleOps.sketchCms(spark, dir))
+    assert(p.contains("BroadcastExchange"), "counter grid must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }

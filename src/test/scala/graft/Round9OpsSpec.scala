@@ -376,6 +376,31 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_changepoint: peak is a true CUSUM maximum per type") {
+    val rows = Events.tsChangepoint(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, "grid has hours")
+      assert(r.getLong(3) >= 0, "|S| peak non-negative")
+    }
+    // every type of the table is reported exactly once
+    val nTypes = Tables(spark, dir).events
+      .select("event_type").distinct().count()
+    assert(rows.length == nTypes)
+  }
+
+  test("mix_source_overlap: pair counts reconcile with the pair graph") {
+    val rows = Pipeline.mixSourceOverlap(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val totalPairs = Dedup.dedupMinhashLsh(spark, dir).count()
+    assert(rows.map(_.getLong(2)).sum == totalPairs,
+      "per-source-pair counts sum to the full candidate pair count")
+    rows.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "pair key normalized")
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 1000000)
+    }
+  }
+
   test("ts_ema: EMA stays within the user's observed value range") {
     val ema = Events.tsEma(spark, dir).collect()
     assert(ema.nonEmpty)
