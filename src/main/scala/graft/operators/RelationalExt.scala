@@ -536,7 +536,60 @@ object RelationalExt {
       |    AS BIGINT) AS slope_ppm
       |FROM s ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ─── q36_decile_lift: revenue-concentration lift chart ───
+  // The BI classic: rank customers by lifetime spend, cut into
+  // deciles, report each decile's share of revenue and the
+  // cumulative share ("top 10% of customers carry X% of revenue").
+  // Scale: the ntile window runs on the per-CUSTOMER rollup (the
+  // same customer-sized-window precedent as ev_rfm/q22), the lift
+  // windows on the 10-row decile frame; integer-exact bp via the
+  // grand-total broadcast.
+  def q36DecileLift(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables(spark, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(cents(sum(col("o_totalprice"))).as("spend_cents"))
+    val wTile = Window.orderBy(col("spend_cents").desc, col("o_custkey"))
+    val deciles = spend
+      .withColumn("decile", ntile(10).over(wTile).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("spend_cents")).as("rev_cents"))
+    val total = deciles.agg(sum(col("rev_cents")).as("total_cents"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles.crossJoin(broadcast(total))
+      .withColumn("share_bp", expr("rev_cents * 10000 div total_cents"))
+      .withColumn("cum_cents", sum(col("rev_cents")).over(wCum))
+      .select(col("decile"), col("n_cust"), col("rev_cents"), col("share_bp"),
+        expr("cum_cents * 10000 div total_cents").as("cum_share_bp"))
+      .orderBy(col("decile"))
+  }
+
+  val q36DecileLiftSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(floor((sum(o_totalprice)) * 100 + 0.5) AS BIGINT) AS spend_cents
+      |  FROM orders GROUP BY o_custkey),
+      |deciled AS (
+      |  SELECT spend_cents, CAST(ntile(10) OVER (
+      |    ORDER BY spend_cents DESC, o_custkey) AS BIGINT) AS decile
+      |  FROM spend),
+      |d AS (
+      |  SELECT decile, count(*) AS n_cust,
+      |    CAST(sum(spend_cents) AS BIGINT) AS rev_cents
+      |  FROM deciled GROUP BY decile),
+      |t AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total_cents FROM d),
+      |c AS (
+      |  SELECT decile, n_cust, rev_cents, total_cents,
+      |    CAST(sum(rev_cents) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+      |  FROM d CROSS JOIN t)
+      |SELECT decile, n_cust, rev_cents,
+      |  rev_cents * 10000 // total_cents AS share_bp,
+      |  cum_cents * 10000 // total_cents AS cum_share_bp
+      |FROM c ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_decile_lift" -> q36DecileLift,
     "q35_corr" -> q35Corr,
     "q34_percent_rank" -> q34PercentRank,
     "q31_conditional_agg" -> q31ConditionalAgg,
@@ -556,6 +609,7 @@ object RelationalExt {
     "q26_unpivot" -> q26Unpivot)
 
   val oracle: Map[String, String] = Map(
+    "q36_decile_lift" -> q36DecileLiftSql,
     "q35_corr" -> q35Sql,
     "q34_percent_rank" -> q34Sql,
     "q31_conditional_agg" -> q31Sql,

@@ -246,4 +246,62 @@ class TransformWithStateSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("DriftProcessor: level shift flags drift across a restart, stable tail does not") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("tws_drift_ckpt").toString
+    try {
+      import spark.implicits._
+      implicit val ctx = spark.sqlContext
+      import graft.streaming.DriftPoint
+      val in = MemoryStream[(Long, Long, Long)]
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[DriftPoint]()
+      def drain(): Unit = {
+        val q = graft.streaming.DriftProcessor.scored(in.toDS(), minN = 10)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[DriftPoint], _: Long) =>
+            df.collect().foreach(buf.add)
+          }.start()
+        // AvailableNow + awaitTermination, NOT processAllAvailable:
+        // under TimeMode.ProcessingTime the state operator never
+        // quiesces for processAllAvailable (see the NOTE on the
+        // MapState test above).
+        try q.awaitTermination(120000L) finally q.stop()
+      }
+      // 12 stable points (alternating 990/1010 around 1000)…
+      in.addData((1 to 12).map(i =>
+        (1L, i.toLong, if (i % 2 == 0) 1010L else 990L)): _*)
+      drain()
+      // …then, AFTER a restart (state must carry n/mean/M2), one
+      // outlier and one more stable point.
+      in.addData((1L, 13L, 2000L), (1L, 14L, 1000L))
+      drain()
+      val got = buf.toArray(Array.empty[DriftPoint])
+        .map(p => p.eventId -> p).toMap
+      assert(got.size == 14)
+      // warm-up: first 10 points are unscored by contract
+      (1 to 10).foreach(i => assert(!got(i.toLong).isDrift && got(i.toLong).zX100 == 0L))
+      // stable points inside the band never flag
+      assert(!got(11L).isDrift && !got(12L).isDrift)
+      assert(math.abs(got(12L).zX100) < 300)
+      // the 2000-cent outlier is ~100σ out against the ±10 history
+      assert(got(13L).isDrift, s"outlier must flag: ${got(13L)}")
+      assert(got(13L).zX100 > 300)
+      assert(got(13L).nBefore == 12L, "restart carried the observation count")
+      // the point AFTER the outlier is scored against a state the
+      // outlier has widened — honest Welford absorption, no flag
+      assert(!got(14L).isDrift, s"post-outlier stable point: ${got(14L)}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
