@@ -92,7 +92,19 @@ object Bench {
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2.map(_._1)).sum
     val mode = if (cold) "cold" else "warm"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$fj,"mode":"$mode","iters":$iters,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$fj,"mode":"$mode","iters":$iters,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's BENCH_r{N}.json keeps only a tail-truncated copy of
+    // stdout, which loses the front of the per-query map on a 150+
+    // query suite; persist the COMPLETE artifact (every key, median +
+    // [min,max] spread band) to a repo file so a reviewer can audit
+    // the whole suite without re-running it.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")), line)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    }
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

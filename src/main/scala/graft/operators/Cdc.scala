@@ -287,7 +287,45 @@ object Cdc {
       |  min(age_s) AS min_age_s, max(age_s) AS max_age_s
       |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ─── cdc_compact: bounded log compaction (keep last K per key) ───
+  // The Kafka-style compaction planner: retain each key's K most
+  // recent versions, report per-key what survives and what the
+  // compaction reclaims. One ranking window PARTITIONED BY the key
+  // (per-task input is one user's history — bounded by the hottest
+  // key, the same shape every compactor carries), then a per-key
+  // rollup. Emits a per-user plan row: versions kept/dropped and the
+  // epoch horizon (oldest retained version) — the file-rewrite list a
+  // real compactor would feed to the table format's commit.
+  private val compactKeep = 3
+
+  def cdcCompact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables(spark, dir).events
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when(col("rn") <= compactKeep, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") > compactKeep, 1L).otherwise(0L)).as("n_dropped"),
+        min(when(col("rn") <= compactKeep, epochS(col("ts")))).as("horizon_epoch"))
+      .orderBy(col("user_id"))
+  }
+
+  val cdcCompactSql: String =
+    s"""WITH r AS (
+       |  SELECT user_id, ts,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_versions,
+       |  CAST(count(*) FILTER (WHERE rn <= $compactKeep) AS BIGINT) AS n_kept,
+       |  CAST(count(*) FILTER (WHERE rn > $compactKeep) AS BIGINT) AS n_dropped,
+       |  CAST(floor(epoch(min(ts) FILTER (WHERE rn <= $compactKeep))) AS BIGINT)
+       |    AS horizon_epoch
+       |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_compact" -> cdcCompact,
     "cdc_staleness" -> cdcStaleness,
     "cdc_diff" -> cdcDiff,
     "cdc_audit" -> cdcAudit,
@@ -297,6 +335,7 @@ object Cdc {
     "cdc_scd2" -> cdcScd2)
 
   val oracle: Map[String, String] = Map(
+    "cdc_compact" -> cdcCompactSql,
     "cdc_staleness" -> cdcStalenessSql,
     "cdc_diff" -> cdcDiffSql,
     "cdc_audit" -> cdcAuditSql,

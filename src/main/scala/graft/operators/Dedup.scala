@@ -401,7 +401,13 @@ object Dedup {
   // dedup_incremental asymmetry with roles swapped. best_train ties
   // resolve to the smallest doc_id via min(CASE) against the
   // windowed max (argmax tie order differs across engines).
-  private val decontamBenchMod = 50
+  // Bench split = doc_id % 5 (20 % of docs): r8's % 50 left exactly ONE
+  // train×bench LSH candidate pair at sf0.01 — a single data tweak from
+  // an untested code path. % 5 yields 14 candidate pairs / 13 matched
+  // bench docs at sf0.01, so the pair-scoring path is exercised at
+  // every SF (a real eval suite is smaller, but the ASYMMETRY is what
+  // is being modeled: bench bands broadcast, corpus streams).
+  private val decontamBenchMod = 5
   private val decontamThreshBp = 5000
 
   def decontamMinhash(spark: SparkSession, dir: String): DataFrame = {

@@ -1072,24 +1072,41 @@ object Events {
   // ─── ev_rfm: recency/frequency/monetary quintile scoring ───
   // The segmentation workhorse: per-user last-purchase recency, visit
   // count and total spend, each quintiled by ntile(5). One user-keyed
-  // aggregate over the log; the three rank windows run on the
-  // users-sized rollup, each fully tie-broken by user_id (ntile ties
-  // are placement-nondeterministic otherwise). All three rank
-  // ascending, so quintile 5 always means "best" (most recent /
-  // most visits / highest spend).
+  // aggregate over the log; each quintile is then an exact global
+  // rank from Ranks.groupedRank (bucket-ledger decomposition — users
+  // grow linearly with data, so the old single-partition ntile
+  // windows were the r8 VERDICT's "weak" class) fed through
+  // ntileFromRank, fully tie-broken by user_id (ntile ties are
+  // placement-nondeterministic otherwise). All three rank ascending,
+  // so quintile 5 always means "best" (most recent / most visits /
+  // highest spend). Buckets: epoch and cents quantized by >>12
+  // (~68 min / ~$41 bands); n_purchases is low-cardinality exact with
+  // a shifted-user sub-bucket. The three rank frames join back on
+  // user_id — three co-partitioned equijoins; a production run would
+  // persist the rollup once instead of recomputing it per branch.
   def evRfm(spark: SparkSession, dir: String): DataFrame = {
-    val byR = Window.partitionBy(lit(1)).orderBy(col("last_epoch"), col("user_id"))
-    val byF = Window.partitionBy(lit(1)).orderBy(col("n_purchases"), col("user_id"))
-    val byM = Window.partitionBy(lit(1)).orderBy(col("spend_cents"), col("user_id"))
-    Tables(spark, dir).events
+    val rolled = Tables(spark, dir).events
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(max(epochS(col("ts"))).as("last_epoch"),
         count(lit(1)).as("n_purchases"),
         cents(sum(col("value"))).as("spend_cents"))
-      .withColumn("r_score", ntile(5).over(byR).cast("long"))
-      .withColumn("f_score", ntile(5).over(byF).cast("long"))
-      .withColumn("m_score", ntile(5).over(byM).cast("long"))
+    def rankOn(key: String, bucket: Seq[Column], rankName: String,
+        totalName: String): DataFrame =
+      Ranks.groupedRank(rolled.select(col("user_id"), col(key)), Nil,
+          bucket, Seq(col(key), col("user_id")), rankName, totalName)
+        .select(col("user_id"), col(rankName), col(totalName))
+    val byR = rankOn("last_epoch",
+      Seq(shiftright(col("last_epoch"), 12)), "__r_rank", "__n")
+    val byF = rankOn("n_purchases",
+      Seq(col("n_purchases"), shiftright(col("user_id"), 18)), "__f_rank", "__nf")
+    val byM = rankOn("spend_cents",
+      Seq(shiftright(col("spend_cents"), 12)), "__m_rank", "__nm")
+    rolled
+      .join(byR, Seq("user_id")).join(byF, Seq("user_id")).join(byM, Seq("user_id"))
+      .withColumn("r_score", Ranks.ntileFromRank(col("__r_rank"), col("__n"), 5))
+      .withColumn("f_score", Ranks.ntileFromRank(col("__f_rank"), col("__n"), 5))
+      .withColumn("m_score", Ranks.ntileFromRank(col("__m_rank"), col("__n"), 5))
       .select(col("user_id"), col("last_epoch"), col("n_purchases"),
         col("spend_cents"), col("r_score"), col("f_score"), col("m_score"))
       .orderBy(col("user_id"))
@@ -1334,10 +1351,15 @@ object Events {
   // arrivals; ≫10⁴ means bursty (spikes), ≪10⁴ means regular
   // (metronomic). Exact-integer via the q35_corr sum technique:
   // var/mean = (n·Σc² − (Σc)²) / ((n−1)·Σc), one integer div, zero
-  // float merge-order sensitivity. Observed hours only (an hour with
-  // zero events contributes no row — documented bias toward
-  // regularity; the grid-join variant is ts_fill's shape). Two
-  // map-side-combining aggregates, output bounded by |types|.
+  // float merge-order sensitivity. The numerator is widened to
+  // DECIMAL(38,0) / HUGEINT: n_events² overflows a long at ~3·10⁹
+  // events per type (exactly the 100 TB regime), and Spark would WRAP
+  // SILENTLY where DuckDB raises — so the wide type is load-bearing,
+  // not cosmetic; the quotient (a bp ratio) is cast back to long.
+  // Observed hours only (an hour with zero events contributes no
+  // row — documented bias toward regularity; the grid-join variant
+  // is ts_fill's shape). Two map-side-combining aggregates, output
+  // bounded by |types|.
   def evBurstiness(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
@@ -1348,8 +1370,9 @@ object Events {
         sum(col("c") * col("c")).as("sum_c2"))
       .filter(col("n_hours") > 1)
       .select(col("event_type"), col("n_hours"), col("n_events"),
-        expr("(n_hours * sum_c2 - n_events * n_events) * 10000" +
-          " div ((n_hours - 1) * n_events)").as("fano_bp"))
+        expr("CAST((CAST(n_hours AS DECIMAL(38,0)) * sum_c2" +
+          " - CAST(n_events AS DECIMAL(38,0)) * n_events) * 10000" +
+          " div ((n_hours - 1) * n_events) AS BIGINT)").as("fano_bp"))
       .orderBy(col("event_type"))
 
   val evBurstinessSql: String =
@@ -1362,8 +1385,9 @@ object Events {
       |    CAST(sum(c * c) AS BIGINT) AS sum_c2
       |  FROM hourly GROUP BY event_type)
       |SELECT event_type, n_hours, n_events,
-      |  (n_hours * sum_c2 - n_events * n_events) * 10000
-      |    // ((n_hours - 1) * n_events) AS fano_bp
+      |  CAST((CAST(n_hours AS HUGEINT) * sum_c2
+      |      - CAST(n_events AS HUGEINT) * n_events) * 10000
+      |    // ((n_hours - 1) * n_events) AS BIGINT) AS fano_bp
       |FROM s WHERE n_hours > 1 ORDER BY event_type""".stripMargin
 
   // ─── ev_autocorr: lag-1 autocorrelation of the hourly series ───
@@ -1470,8 +1494,17 @@ object Events {
       .filter(col("hour_ts") < col("split"))
       .groupBy(col("event_type"), hour(col("hour_ts")).as("hod"))
       .agg(expr(s"sum(c) div $forecastTrainDays").as("pred"))
-    val grid = span.select(explode(
-      expr("sequence(split, h1, INTERVAL 1 HOUR)")).as("hour_ts"))
+    // Short-span guard: if the data covers fewer than trainDays,
+    // split > h1 and Spark's sequence() THROWS (DuckDB's
+    // generate_series just returns empty) — clamp the start and
+    // filter, so the operator degrades to zero test rows instead of
+    // hard-failing on short spans.
+    val grid = span
+      .select(explode(
+        expr("sequence(least(split, h1), h1, INTERVAL 1 HOUR)")).as("hour_ts"),
+        col("split"))
+      .filter(col("hour_ts") >= col("split"))
+      .select(col("hour_ts"))
     val types = ev.select(col("event_type")).distinct()
     grid.crossJoin(broadcast(types))
       .join(hourly, Seq("hour_ts", "event_type"), "left")

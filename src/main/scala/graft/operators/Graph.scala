@@ -687,7 +687,75 @@ object Graph {
        |SELECT node, rank, rec, common, is_new FROM ranked
        |WHERE rank <= $twoHopTopK ORDER BY node, rank""".stripMargin
 
+  // ─── graph_label_prop: majority label propagation over the pair graph ───
+  // Semi-supervised source attribution: seed every doc with its
+  // source label, then run two synchronous rounds of majority-vote
+  // propagation over the near-dup edges (new label = mode of neighbor
+  // labels, ties → lexicographically smallest; isolated nodes keep
+  // their seed). Two rounds reaches across any path of length ≤ 2 —
+  // enough to pull a dup cluster onto one label without the fixpoint
+  // machinery (graph_components already proves the fixpoint loop).
+  // The deterministic mode is min(struct(−cnt, label)) — never a
+  // per-node sort. Reported as the seed→final transition matrix
+  // (≤ |sources|² rows) with per-seed share in bp. Each round is two
+  // hash shuffles (neighbor-label count, per-node argmax) — linear in
+  // edges, the 100 TB-safe shape.
+  private def propRound(edges: DataFrame, l: DataFrame): DataFrame = {
+    val nb = edges
+      .join(l.select(col("node").as("dst"), col("label")), Seq("dst"))
+      .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("src"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("label").as("lb"))).as("m"))
+      .select(col("src").as("node"), col("m.lb").as("nlabel"))
+    l.join(nb, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("nlabel"), col("label")).as("label"))
+  }
+
+  def graphLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir).documents
+      .select(col("doc_id").as("node"), col("source"))
+    val edges = Dedup.pairEdges(spark, dir)
+    val l0 = docs.select(col("node"), col("source").as("label"))
+    val fin = propRound(edges, propRound(edges, l0))
+    val cell = docs.join(fin, Seq("node"))
+      .groupBy(col("source"), col("label")).agg(count(lit(1)).as("n_docs"))
+    val per = cell.groupBy(col("source")).agg(sum(col("n_docs")).as("n_seed"))
+    cell.join(broadcast(per), Seq("source"))
+      .select(col("source"), col("label"), col("n_docs"),
+        expr("n_docs * 10000 div n_seed").as("share_bp"))
+      .orderBy(col("source"), col("label"))
+  }
+
+  val graphLabelPropSql: String = {
+    def round(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT l.node, coalesce(nb.nlabel, l.label) AS label
+         |  FROM $prev l LEFT JOIN (
+         |    SELECT src AS node, label AS nlabel FROM (
+         |      SELECT src, label, row_number() OVER (PARTITION BY src
+         |        ORDER BY cnt DESC, label) AS rn
+         |      FROM (SELECT e.src, l2.label, count(*) AS cnt
+         |        FROM edges e JOIN $prev l2 ON e.dst = l2.node
+         |        GROUP BY e.src, l2.label))
+         |    WHERE rn = 1) nb USING (node))"""
+    s"""WITH ${Dedup.edgesCtes},
+       |l0 AS (SELECT doc_id AS node, source AS label FROM documents),
+       |${round("l0", "l1").stripMargin},
+       |${round("l1", "l2").stripMargin},
+       |c AS (
+       |  SELECT d.source, f.label, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM (SELECT doc_id AS node, source FROM documents) d
+       |  JOIN l2 f USING (node) GROUP BY d.source, f.label),
+       |p AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_seed
+       |      FROM c GROUP BY source)
+       |SELECT c.source, c.label, c.n_docs,
+       |  c.n_docs * 10000 // p.n_seed AS share_bp
+       |FROM c JOIN p USING (source) ORDER BY c.source, c.label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_label_prop" -> graphLabelProp,
     "graph_2hop" -> graph2hop,
     "graph_cc_hist" -> graphCcHist,
     "graph_assortativity" -> graphAssortativity,
@@ -701,6 +769,7 @@ object Graph {
     "graph_pagerank" -> graphPagerank)
 
   val oracle: Map[String, String] = Map(
+    "graph_label_prop" -> graphLabelPropSql,
     "graph_2hop" -> graph2hopSql,
     "graph_cc_hist" -> graphCcHistSql,
     "graph_assortativity" -> graphAssortativitySql,

@@ -442,21 +442,34 @@ object RelationalExt {
   // percent_rank and cume_dist per customer within their market
   // segment, floored to bp. Both engines evaluate the same integer
   // rank arithmetic then one IEEE division of identical operands, so
-  // the doubles (and the floored bp) agree bit-for-bit. One shuffle
-  // on the segment; the full order ties-break on c_custkey.
+  // the doubles (and the floored bp) agree bit-for-bit.
+  //
+  // Because the order ties-breaks on the unique c_custkey, rank() ==
+  // row_number(), so percent_rank = (rank−1)/(n−1) and cume_dist =
+  // rank/n of the EXACT per-segment rank — computed via Ranks
+  // .groupedRank's bucket ledger instead of a 5-partition window (5
+  // segments = 5 tasks carrying all customers, the r8 VERDICT's skew
+  // watch item): one hash shuffle on (segment, bal_cents>>12), the
+  // cross-bucket carry rides the bounded ledger. Identical operands,
+  // identical IEEE results, hash unchanged.
   def q34PercentRank(spark: SparkSession, dir: String): DataFrame = {
     // Rank over the CENTS value in both engines (not the raw double):
     // ordering and fixed-point rounding must agree or a sub-cent
     // difference would permute ranks between engines.
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("bal_cents"), col("c_custkey"))
-    Tables(spark, dir).customer
+    val base = Tables(spark, dir).customer
       .select(col("c_mktsegment"), col("c_custkey"),
         cents(col("c_acctbal")).as("bal_cents"))
-      .withColumn("pr_bp",
-        floor(percent_rank().over(w) * 10000 + 0.5).cast("long"))
-      .withColumn("cd_bp",
-        floor(cume_dist().over(w) * 10000 + 0.5).cast("long"))
+    Ranks.groupedRank(base, Seq("c_mktsegment"),
+        Seq(shiftright(col("bal_cents"), 12)),
+        Seq(col("bal_cents"), col("c_custkey")), "__rank", "__n")
+      .withColumn("pr_bp", floor(
+        when(col("__n") > 1,
+          (col("__rank") - 1).cast("double") / (col("__n") - 1))
+          .otherwise(lit(0.0)) * 10000 + 0.5).cast("long"))
+      .withColumn("cd_bp", floor(
+        col("__rank").cast("double") / col("__n") * 10000 + 0.5).cast("long"))
+      .select(col("c_mktsegment"), col("c_custkey"), col("bal_cents"),
+        col("pr_bp"), col("cd_bp"))
       .orderBy(col("c_mktsegment"), col("c_custkey"))
   }
 
@@ -540,17 +553,23 @@ object RelationalExt {
   // The BI classic: rank customers by lifetime spend, cut into
   // deciles, report each decile's share of revenue and the
   // cumulative share ("top 10% of customers carry X% of revenue").
-  // Scale: the ntile window runs on the per-CUSTOMER rollup (the
-  // same customer-sized-window precedent as ev_rfm/q22), the lift
-  // windows on the 10-row decile frame; integer-exact bp via the
-  // grand-total broadcast.
+  // Scale: customers grow with data, so the decile is an exact
+  // global rank from Ranks.groupedRank (bucket ledger on the negated
+  // spend >>12 — descending order becomes ascending on the negation,
+  // arithmetic shiftright keeps negatives monotone) fed through
+  // ntileFromRank — no single-partition ntile window (the r8
+  // VERDICT's "weak" class). The lift windows still run on the
+  // 10-row decile frame; integer-exact bp via the grand-total
+  // broadcast.
   def q36DecileLift(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables(spark, dir).orders
       .groupBy(col("o_custkey"))
       .agg(cents(sum(col("o_totalprice"))).as("spend_cents"))
-    val wTile = Window.orderBy(col("spend_cents").desc, col("o_custkey"))
-    val deciles = spend
-      .withColumn("decile", ntile(10).over(wTile).cast("long"))
+      .withColumn("__neg", -col("spend_cents"))
+    val deciles = Ranks.groupedRank(spend, Nil,
+        Seq(shiftright(col("__neg"), 12)),
+        Seq(col("__neg"), col("o_custkey")), "__rank", "__n")
+      .withColumn("decile", Ranks.ntileFromRank(col("__rank"), col("__n"), 10))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_cust"), sum(col("spend_cents")).as("rev_cents"))
     val total = deciles.agg(sum(col("rev_cents")).as("total_cents"))
@@ -588,7 +607,98 @@ object RelationalExt {
       |  cum_cents * 10000 // total_cents AS cum_share_bp
       |FROM c ORDER BY decile""".stripMargin
 
+  // ─── q37_mad: robust outlier detection via median / MAD ───
+  // The robust-statistics cousin of z-scoring: per market segment,
+  // the median account balance, the median absolute deviation, and
+  // how many customers sit beyond 3·MAD (the classic robust outlier
+  // fence — unlike mean/stddev, one whale cannot drag the fence).
+  // All integer-exact: medians are kept doubled (med_x2 = sum of the
+  // two middle order statistics; for odd n the single middle counts
+  // twice) and the MAD quadrupled (mad_x4 — deviations are already
+  // ×2), so the 3·MAD fence is the integer test 2·dev2 > 3·mad_x4
+  // with no division anywhere. Both exact order statistics come from
+  // Ranks.groupedRank's bucket ledger — per-task input is bounded by
+  // the >>12 cents band (~$41), never by segment size, where a
+  // percentile_cont/window formulation would drag each whole segment
+  // through one task. Two corpus passes (value rank, deviation rank)
+  // joined through 5-row broadcast frames.
+  def q37Mad(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir).customer
+      .select(col("c_mktsegment"), col("c_custkey"),
+        cents(col("c_acctbal")).as("bal_cents"))
+    // Exact doubled median of `v` per segment off a ledger rank:
+    // pick ranks (n+1) div 2 and n div 2 + 1 (equal when n is odd —
+    // then the single middle row contributes twice).
+    def medX2(df: DataFrame, v: String, out: String): DataFrame = {
+      val ranked = Ranks.groupedRank(df, Seq("c_mktsegment"),
+        Seq(shiftright(col(v), 12)),
+        Seq(col(v), col("c_custkey")), "__rank", "__n")
+      val k1 = Ranks.idiv(col("__n") + 1, lit(2L))
+      val k2 = Ranks.idiv(col("__n"), lit(2L)) + 1
+      ranked.filter(col("__rank") === k1 || col("__rank") === k2)
+        .groupBy(col("c_mktsegment"))
+        .agg(max(col("__n")).as("__n_grp"),
+          sum(when(k1 === k2, col(v) * 2).otherwise(col(v))).as(out))
+    }
+    val med = medX2(base, "bal_cents", "med_x2").drop("__n_grp")
+    val dev = base.join(broadcast(med), Seq("c_mktsegment"))
+      .withColumn("dev2", abs(col("bal_cents") * 2 - col("med_x2")))
+    val mad = medX2(dev.select(col("c_mktsegment"), col("c_custkey"),
+      col("dev2")), "dev2", "mad_x4")
+    dev.join(broadcast(mad.drop("__n_grp")), Seq("c_mktsegment"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        max(col("med_x2")).as("med_x2"),
+        max(col("mad_x4")).as("mad_x4"),
+        sum(when(col("dev2") * 2 > col("mad_x4") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("c_mktsegment"), col("n_cust"), col("med_x2"),
+        col("mad_x4"), col("n_outliers"),
+        expr("n_outliers * 10000 div n_cust").as("outlier_bp"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q37Sql: String =
+    """WITH d AS (
+      |  SELECT c_mktsegment, c_custkey,
+      |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+      |  FROM customer),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY bal_cents, c_custkey) AS BIGINT) AS rk,
+      |    CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+      |  FROM d),
+      |m AS (
+      |  SELECT c_mktsegment, max(n) AS n_cust,
+      |    CAST(sum(CASE WHEN (n+1)//2 = n//2+1 THEN bal_cents*2
+      |      ELSE bal_cents END) AS BIGINT) AS med_x2
+      |  FROM r WHERE rk = (n+1)//2 OR rk = n//2+1 GROUP BY c_mktsegment),
+      |v AS (
+      |  SELECT d.c_mktsegment, d.c_custkey,
+      |    abs(2*d.bal_cents - m.med_x2) AS dev2
+      |  FROM d JOIN m USING (c_mktsegment)),
+      |r2 AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY dev2, c_custkey) AS BIGINT) AS rk,
+      |    CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+      |  FROM v),
+      |m2 AS (
+      |  SELECT c_mktsegment,
+      |    CAST(sum(CASE WHEN (n+1)//2 = n//2+1 THEN dev2*2
+      |      ELSE dev2 END) AS BIGINT) AS mad_x4
+      |  FROM r2 WHERE rk = (n+1)//2 OR rk = n//2+1 GROUP BY c_mktsegment),
+      |o AS (
+      |  SELECT v.c_mktsegment,
+      |    CAST(count(*) FILTER (WHERE 2*v.dev2 > 3*m2.mad_x4) AS BIGINT)
+      |      AS n_outliers
+      |  FROM v JOIN m2 USING (c_mktsegment) GROUP BY v.c_mktsegment)
+      |SELECT m.c_mktsegment, m.n_cust, m.med_x2, m2.mad_x4, o.n_outliers,
+      |  o.n_outliers * 10000 // m.n_cust AS outlier_bp
+      |FROM m JOIN m2 USING (c_mktsegment) JOIN o USING (c_mktsegment)
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_mad" -> q37Mad,
     "q36_decile_lift" -> q36DecileLift,
     "q35_corr" -> q35Corr,
     "q34_percent_rank" -> q34PercentRank,
@@ -609,6 +719,7 @@ object RelationalExt {
     "q26_unpivot" -> q26Unpivot)
 
   val oracle: Map[String, String] = Map(
+    "q37_mad" -> q37Sql,
     "q36_decile_lift" -> q36DecileLiftSql,
     "q35_corr" -> q35Sql,
     "q34_percent_rank" -> q34Sql,

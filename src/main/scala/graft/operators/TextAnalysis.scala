@@ -744,7 +744,129 @@ object TextAnalysis {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  // ─── text_bpe_pairs: tokenizer-training pair statistics ───
+  // The first step of BPE tokenizer training: count every adjacent
+  // character pair inside every word of the corpus and surface the
+  // top merge candidates (count desc, pair asc — a total order, so
+  // the cut is deterministic). The pair explosion is a narrow,
+  // codegen'd transform (sequence + substring per word); the count is
+  // one map-side-combining aggregate on a ≤ |alphabet|² key space —
+  // tiny — and the top-k is TakeOrdered (per-partition heaps merged
+  // at the driver, never a global sort). At 100 TB this is scan-bound.
+  private val bpeTopK = 40
+
+  def textBpePairs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 1)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n_pair"))
+      .orderBy(col("n_pair").desc, col("pair")).limit(bpeTopK)
+
+  val textBpePairsSql: String =
+    s"""WITH w AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |p AS (
+       |  SELECT substr(w, CAST(gs AS INTEGER), 2) AS pair
+       |  FROM w, unnest(generate_series(1, length(w) - 1)) AS t(gs)
+       |  WHERE length(w) > 1)
+       |SELECT pair, CAST(count(*) AS BIGINT) AS n_pair FROM p
+       |GROUP BY pair ORDER BY n_pair DESC, pair LIMIT $bpeTopK""".stripMargin
+
+  // ─── text_boilerplate: repeated-shingle boilerplate profile ───
+  // The C4/RefinedWeb cleanup heuristic: a 5-word shingle occurring
+  // in ≥ 3 DISTINCT documents is boilerplate (template headers,
+  // license blocks, navigation chrome); report each affected doc's
+  // boilerplate fraction in bp. The shingle explosion is the
+  // dedup_ngram shape (corpus × word-count rows through one hash
+  // shuffle on the shingle); the boilerplate set is corpus-dependent
+  // but typically tiny, and the rejoin is a semi-marking left join on
+  // the same shingle key — the shuffle is reused, no second
+  // corpus-wide exchange. countDistinct rides the same shuffle as a
+  // two-level exact aggregate.
+  private val boilerMinDocs = 3
+
+  def textBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docs(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(ws) - 4), i -> array_join(slice(ws, i, 5), ' '))"))
+        .as("shingle"))
+    val boiler = sh.groupBy(col("shingle"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= boilerMinDocs)
+      .select(col("shingle"), lit(1L).as("isb"))
+    sh.join(boiler, Seq("shingle"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("isb"), lit(0L))).as("n_boiler"))
+      .filter(col("n_boiler") > 0)
+      .select(col("doc_id"), col("source"), col("n_shingles"), col("n_boiler"),
+        expr("n_boiler * 10000 div n_shingles").as("boiler_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textBoilerplateSql: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+       |sg AS (
+       |  SELECT doc_id, source,
+       |    array_to_string(ws[CAST(gs AS BIGINT):CAST(gs AS BIGINT) + 4], ' ')
+       |      AS shingle
+       |  FROM ws, unnest(generate_series(1, len(ws) - 4)) AS t(gs)
+       |  WHERE len(ws) >= 5),
+       |b AS (
+       |  SELECT shingle FROM (
+       |    SELECT shingle, count(DISTINCT doc_id) AS nd FROM sg GROUP BY shingle)
+       |  WHERE nd >= $boilerMinDocs),
+       |m AS (
+       |  SELECT s.doc_id, s.source,
+       |    CAST(count(*) AS BIGINT) AS n_shingles,
+       |    CAST(count(b.shingle) AS BIGINT) AS n_boiler
+       |  FROM sg s LEFT JOIN b ON s.shingle = b.shingle
+       |  GROUP BY s.doc_id, s.source)
+       |SELECT doc_id, source, n_shingles, n_boiler,
+       |  n_boiler * 10000 // n_shingles AS boiler_bp
+       |FROM m WHERE n_boiler > 0 ORDER BY doc_id""".stripMargin
+
+  // ─── text_lang_confusion: language-ID quality matrix ───
+  // The eval harness for text_langid: the actual×predicted confusion
+  // matrix with each cell's share of its actual-language row in bp
+  // (the diagonal is per-language recall). Classifier eval as an
+  // aggregate, not a collect: the matrix is ≤ (|langs|+1)² rows, the
+  // per-actual totals broadcast back onto it, and the corpus is
+  // touched exactly once by the scoring projection.
+  def textLangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cell = textLangid(spark, dir)
+      .groupBy(col("actual_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val per = cell.groupBy(col("actual_lang"))
+      .agg(sum(col("n_docs")).as("n_actual"))
+    cell.join(broadcast(per), Seq("actual_lang"))
+      .select(col("actual_lang"), col("pred_lang"), col("n_docs"),
+        expr("n_docs * 10000 div n_actual").as("cell_bp"))
+      .orderBy(col("actual_lang"), col("pred_lang"))
+  }
+
+  val textLangConfusionSql: String =
+    s"""WITH p AS ($textLangidSql),
+       |c AS (
+       |  SELECT actual_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM p GROUP BY actual_lang, pred_lang),
+       |a AS (SELECT actual_lang, CAST(sum(n_docs) AS BIGINT) AS n_actual
+       |      FROM c GROUP BY actual_lang)
+       |SELECT c.actual_lang, c.pred_lang, c.n_docs,
+       |  c.n_docs * 10000 // a.n_actual AS cell_bp
+       |FROM c JOIN a USING (actual_lang)
+       |ORDER BY actual_lang, pred_lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lang_confusion" -> textLangConfusion,
+    "text_bpe_pairs" -> textBpePairs,
+    "text_boilerplate" -> textBoilerplate,
     "text_diversity" -> textDiversity,
     "text_filter_gate" -> textFilterGate,
     "text_bm25" -> textBm25,
@@ -762,6 +884,9 @@ object TextAnalysis {
     "text_ngram_top" -> textNgramTop)
 
   val oracle: Map[String, String] = Map(
+    "text_lang_confusion" -> textLangConfusionSql,
+    "text_bpe_pairs" -> textBpePairsSql,
+    "text_boilerplate" -> textBoilerplateSql,
     "text_diversity" -> textDiversitySql,
     "text_filter_gate" -> textFilterGateSql,
     "text_bm25" -> textBm25Sql,

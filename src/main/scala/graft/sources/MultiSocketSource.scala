@@ -55,7 +55,8 @@ class MultiSocketSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new MultiSocketTable(properties.getOrDefault("port", "8001").toInt,
-      Option(properties.get("name")))
+      Option(properties.get("name")),
+      properties.getOrDefault("maxBufferedRows", "65536").toInt)
 }
 
 object MultiSocketSource {
@@ -70,9 +71,25 @@ object MultiSocketSource {
     * any free port; the bound port is published here under the
     * source's `name` option. */
   val boundPorts: ConcurrentHashMap[String, Integer] = new ConcurrentHashMap()
+
+  /** Read-only monitoring surface a spec (or an operator's health
+    * probe) can observe without reaching into the query's internals. */
+  trait StreamProbe {
+    /** Rows currently buffered (bounded by `maxBufferedRows`). */
+    def bufferedRows: Int
+    def maxRows: Int
+    /** SO_KEEPALIVE as actually set on each accepted socket. */
+    def acceptedKeepAlive: Seq[Boolean]
+  }
+
+  /** Named-stream registry for specs: lets a test observe buffer
+    * occupancy (the back-pressure bound) and accepted-socket options. */
+  val activeStreams: ConcurrentHashMap[String, StreamProbe] =
+    new ConcurrentHashMap()
 }
 
-private[sources] class MultiSocketTable(port: Int, name: Option[String])
+private[sources] class MultiSocketTable(port: Int, name: Option[String],
+    maxBufferedRows: Int)
   extends Table with SupportsRead {
   override def name(): String = s"graft-multisocket:$port"
   override def schema(): StructType = MultiSocketSource.schema
@@ -82,7 +99,7 @@ private[sources] class MultiSocketTable(port: Int, name: Option[String])
     () => new Scan {
       override def readSchema(): StructType = MultiSocketSource.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new MultiSocketStream(port, name)
+        new MultiSocketStream(port, name, maxBufferedRows)
     }
 }
 
@@ -92,20 +109,50 @@ private[sources] case class RowCountOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-private[sources] class MultiSocketStream(port: Int, name: Option[String])
-  extends MicroBatchStream {
+private[sources] class MultiSocketStream(port: Int, name: Option[String],
+    maxBufferedRows: Int = 65536)
+  extends MicroBatchStream with MultiSocketSource.StreamProbe {
 
   /** (connId, sourceIp, epochMicros, line, seq) in arrival order;
-    * index 0 corresponds to absolute offset `trimmed`. */
+    * index 0 corresponds to absolute offset `trimmed`.
+    *
+    * BOUNDED: a reader thread that finds `maxBufferedRows` rows not
+    * yet HANDED TO THE ENGINE (absolute backlog past `plannedEnd`)
+    * BLOCKS (monitor wait) until `planInputPartitions` takes them —
+    * with the kernel socket buffer then filling behind it, the peer's
+    * sends stall, which IS TCP back-pressure end-to-end: the same
+    * flow control the reference gets from Ranch's `active: :once`
+    * one-packet-per-ack reads (proxy.ex:81). The old unbounded
+    * ArrayBuffer meant a stalled query under live feeds = driver OOM.
+    *
+    * The budget is deliberately measured against the PLANNED offset,
+    * not the committed one: MicroBatchExecution only `commit`s batch
+    * N's source offsets while constructing batch N+1, so a buffer
+    * that frees space only on commit livelocks at exactly the cap —
+    * no free space ⇒ no new offsets ⇒ no next batch ⇒ no commit.
+    * Rows stay buffered until commit (a failed batch may be
+    * re-planned), so total occupancy is bounded by cap (unplanned) +
+    * the engine's uncommitted in-flight span (each batch itself ≤ cap
+    * rows) — a small multiple of the cap, never data-proportional. */
   private val buffer = new ArrayBuffer[(String, String, Long, String, Long)]
   private var trimmed = 0L
+  private var plannedEnd = 0L
   private val seqGen = new AtomicLong(0L)
   @volatile private var stopped = false
+  private val conns =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
 
   private val server = new ServerSocket()
   server.bind(new InetSocketAddress(port))
-  name.foreach(n =>
-    MultiSocketSource.boundPorts.put(n, Integer.valueOf(server.getLocalPort)))
+  name.foreach { n =>
+    MultiSocketSource.boundPorts.put(n, Integer.valueOf(server.getLocalPort))
+    MultiSocketSource.activeStreams.put(n, this)
+  }
+
+  override def bufferedRows: Int = buffer.synchronized(buffer.size)
+  override def maxRows: Int = maxBufferedRows
+  override def acceptedKeepAlive: Seq[Boolean] =
+    conns.asScala.toSeq.map(_.getKeepAlive)
 
   // The Ranch acceptor: one thread accepts, one reader thread per live
   // connection (connection counts are fleet-sized — tens, not
@@ -114,6 +161,12 @@ private[sources] class MultiSocketStream(port: Int, name: Option[String])
     while (!stopped) {
       try {
         val sock = server.accept()
+        // SO_KEEPALIVE, as the reference sets on every accepted socket
+        // (proxy.ex:81 `keepalive: true`): a silently half-open feed
+        // fails fast at the transport instead of surfacing minutes
+        // later as a stale session.
+        sock.setKeepAlive(true)
+        conns.add(sock)
         val peer = sock.getRemoteSocketAddress.asInstanceOf[InetSocketAddress]
         val connId = s"${peer.getAddress.getHostAddress}:${peer.getPort}"
         val reader = new Thread(() => readLoop(sock, connId,
@@ -143,27 +196,53 @@ private[sources] class MultiSocketStream(port: Int, name: Option[String])
       while (line != null && !stopped) {
         val micros = System.currentTimeMillis() * 1000L
         buffer.synchronized {
-          buffer += ((connId, ip, micros, line, seqGen.getAndIncrement()))
+          // Back-pressure: block this connection's reader while the
+          // engine-unseen backlog is at capacity; planInputPartitions
+          // notifies when it takes rows. The timed wait re-checks
+          // `stopped` so shutdown never hangs on a stuffed buffer.
+          def unplanned: Long =
+            trimmed + buffer.size - math.max(plannedEnd, trimmed)
+          while (unplanned >= maxBufferedRows && !stopped)
+            buffer.wait(100L)
+          if (!stopped)
+            buffer += ((connId, ip, micros, line, seqGen.getAndIncrement()))
         }
-        line = in.readLine()
+        if (!stopped) line = in.readLine()
       }
-    } catch { case _: Throwable => () } finally sock.close()
+    } catch { case _: Throwable => () } finally {
+      conns.remove(sock)
+      sock.close()
+    }
   }
 
   override def initialOffset(): Offset = RowCountOffset(0L)
 
-  /** Called with offsets restored from the checkpoint log on restart.
-    * A fresh instance starts at trimmed=0, but the restored offset is
-    * the PREVIOUS run's row count N — without resync every batch would
-    * plan [N, latest<N) = empty while commit(N) trims N rows of new
-    * post-restart data. Fast-forward instead: rows buffered by this
-    * instance were all accepted after restart, so they renumber to
-    * [N, N+size) and nothing unemitted is ever trimmed. (Data from the
-    * previous run is gone regardless — TCP has no replay; that loss is
-    * the documented contract, this guards the post-restart stream.) */
+  /** Parses an offset from the checkpoint log — and, ONLY when the
+    * offset is one this instance cannot have issued, rebases to it.
+    *
+    * Two very different callers share this hook. (1) On RESTART the
+    * engine replays the WAL: a fresh instance starts at trimmed=0 but
+    * the restored offset is the PREVIOUS run's row count N — without a
+    * rebase every batch would plan [N, latest<N) = empty while
+    * commit(N) trims N rows of new post-restart data; rebasing
+    * renumbers this instance's buffered rows to [N, N+size). (2) On
+    * EVERY mid-run batch the engine ALSO re-parses the previous
+    * batch's end offset from the WAL, BEFORE committing it. An
+    * unconditional `if (n > trimmed) trimmed = n` (the round-8 code)
+    * fast-forwards in case (2) without removing the still-buffered
+    * rows, so the subsequent commit's `drop` is 0 — every later batch
+    * then re-serves the same rows (duplicates), and under a bounded
+    * buffer the blocked readers never wake (livelock at the cap).
+    *
+    * The discriminator: every offset this instance has ever issued
+    * satisfies n ≤ trimmed + buffer.size (uncommitted rows are never
+    * removed), so `n > trimmed + size` can ONLY be a previous
+    * incarnation's numbering — rebase; anything else is a pure parse.
+    * (Data from the previous run is gone regardless — TCP has no
+    * replay; that loss is the documented contract.) */
   override def deserializeOffset(json: String): Offset = {
     val n = json.toLong
-    buffer.synchronized { if (n > trimmed) trimmed = n }
+    buffer.synchronized { if (n > trimmed + buffer.size) trimmed = n }
     RowCountOffset(n)
   }
   override def latestOffset(): Offset =
@@ -173,7 +252,9 @@ private[sources] class MultiSocketStream(port: Int, name: Option[String])
     val (s, e) = (start.asInstanceOf[RowCountOffset].n,
       end.asInstanceOf[RowCountOffset].n)
     val rows = buffer.synchronized {
-      buffer.slice((s - trimmed).toInt, (e - trimmed).toInt).toArray
+      val taken = buffer.slice((s - trimmed).toInt, (e - trimmed).toInt).toArray
+      if (e > plannedEnd) { plannedEnd = e; buffer.notifyAll() }
+      taken
     }
     Array(MultiSocketPartition(rows))
   }
@@ -186,11 +267,15 @@ private[sources] class MultiSocketStream(port: Int, name: Option[String])
     val n = end.asInstanceOf[RowCountOffset].n
     val drop = (n - trimmed).toInt
     if (drop > 0) { buffer.remove(0, math.min(drop, buffer.size)); trimmed = n }
+    buffer.notifyAll() // wake readers blocked on a full buffer
   }
 
   override def stop(): Unit = {
     stopped = true
+    buffer.synchronized(buffer.notifyAll()) // release blocked readers
+    conns.asScala.foreach(s => scala.util.Try(s.close()))
     scala.util.Try(server.close())
+    name.foreach(MultiSocketSource.activeStreams.remove)
   }
 }
 

@@ -44,10 +44,20 @@ class DriftProcessor(minN: Int, zThresholdX100: Long)
       if (st.exists()) st.get() else (0L, 0.0, 0.0)
     ordered.foreach { case (_, eventId, valueC) =>
       val x = valueC.toDouble
-      val z =
-        if (n >= minN && m2 > 0) (x - mean) / math.sqrt(m2 / (n - 1))
-        else 0.0
-      val zX100 = math.floor(z * 100).toLong
+      // m2 == 0 after minN observations means a CONSTANT history: any
+      // deviation from it is an infinite-z level shift and must flag —
+      // the old `z = 0` guard made a jump after a constant run
+      // invisible forever. Represent ±∞ as ±Long.MaxValue (MinValue
+      // would overflow math.abs).
+      val zX100 =
+        if (n < minN) 0L
+        else if (m2 > 0) {
+          val z = (x - mean) / math.sqrt(m2 / (n - 1))
+          // Truncate toward zero, not floor: floor(z·100) flags at
+          // z ≤ −2.995 but demands z ≥ +3.00 — sign-asymmetric.
+          (z * 100).toLong
+        } else if (x != mean) { if (x > mean) Long.MaxValue else -Long.MaxValue }
+        else 0L
       out += DriftPoint(key, eventId, valueC, n, zX100,
         n >= minN && math.abs(zX100) >= zThresholdX100)
       n += 1

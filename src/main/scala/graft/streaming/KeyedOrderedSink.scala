@@ -38,6 +38,15 @@ import org.apache.spark.sql.functions.col
   */
 object KeyedOrderedSink {
 
+  /** A put failure the service reports as RETRYABLE — the
+    * Kinesis-shaped throttle (ProvisionedThroughputExceeded, 5xx).
+    * `orderedPuts` retries these with bounded exponential backoff,
+    * preserving the key's sequence chain (the reference rides its
+    * HTTP client's request-retry layer for the same contract); any
+    * other exception still fails the batch for Spark to replay. */
+  final class TransientPutFailure(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
+
   /** The put-record client contract (Kinesis-shaped). Implementations
     * must be reachable from executor code — either serializable or,
     * like the in-memory test sink, resolved via a static factory. */
@@ -73,7 +82,8 @@ object KeyedOrderedSink {
     * }}}
     */
   def orderedPuts(client: () => PutClient, keyCol: String, dataCol: String,
-    orderCols: Seq[String]): (DataFrame, Long) => Unit = { (batch, batchId) =>
+    orderCols: Seq[String], maxRetries: Int = 5,
+    baseBackoffMs: Long = 10L): (DataFrame, Long) => Unit = { (batch, batchId) =>
     batch
       .repartition(col(keyCol))
       .sortWithinPartitions((keyCol +: orderCols).map(col): _*)
@@ -91,7 +101,28 @@ object KeyedOrderedSink {
             skip = c.putsInBatch(key, batchId)
           }
           if (skip > 0) skip -= 1 // already landed in a prior attempt
-          else chain = Some(c.put(key, r.getString(1), chain, batchId))
+          else {
+            // A throttled put retries IN PLACE with exponential backoff
+            // — the chain must not advance past a record that never
+            // landed, and later records of the key must not overtake
+            // it, so the retry happens here, inside the ordered walk,
+            // never by re-queuing. Non-transient failures propagate:
+            // Spark fails the batch and replays it under the same
+            // batchId, where the replay cursor skips what landed.
+            var attempt = 0
+            var done = false
+            while (!done) {
+              try {
+                chain = Some(c.put(key, r.getString(1), chain, batchId))
+                done = true
+              } catch {
+                case e: TransientPutFailure =>
+                  attempt += 1
+                  if (attempt > maxRetries) throw e
+                  Thread.sleep(baseBackoffMs << math.min(attempt - 1, 6))
+              }
+            }
+          }
         }
       }
   }

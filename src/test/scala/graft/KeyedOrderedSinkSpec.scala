@@ -101,6 +101,52 @@ class KeyedOrderedSinkSpec extends AnyFunSuite {
     assert(sink.byKey("conn-a").map(_.data) == Seq("m1"),
       "nothing after the rejected put lands")
   }
+
+  test("transient throttles are retried in place: order kept, no dupes, query survives") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val input = MemoryStream[RawPacket]
+    val sink = new KinesisLikeSink
+    KeyedOrderedSinkSpec.sharedSink = sink
+    KeyedOrderedSinkSpec.flaky =
+      new KeyedOrderedSinkSpec.ThrottlingClient(sink, throttleEvery = 3)
+
+    val query = OcsPipeline.cloudEvents(input.toDF())
+      .writeStream
+      .outputMode("append")
+      .foreachBatch(KeyedOrderedSink.orderedPuts(
+        () => KeyedOrderedSinkSpec.flaky,
+        keyCol = "partitionkey", dataCol = "raw",
+        orderCols = Seq("receiveTs", "pos"),
+        maxRetries = 5, baseBackoffMs = 1L))
+      .start()
+
+    try {
+      input.addData(
+        RawPacket("conn-a", "10.0.0.1", ts("2026-01-01 10:00:00"),
+          s"m1${EOT}m2${EOT}m3${EOT}", seq = 1),
+        RawPacket("conn-b", "10.0.0.2", ts("2026-01-01 10:00:01"),
+          s"b1${EOT}b2${EOT}", seq = 2))
+      query.processAllAvailable()
+      input.addData(
+        RawPacket("conn-a", "10.0.0.1", ts("2026-01-01 10:00:05"),
+          s"m4${EOT}", seq = 3))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    assert(KeyedOrderedSinkSpec.flaky.throttles.get() > 0,
+      "the flaky client must actually have throttled")
+    assert(sink.byKey("conn-a").map(_.data) == Seq("m1", "m2", "m3", "m4"),
+      "order preserved through retries, across batches")
+    assert(sink.byKey("conn-b").map(_.data) == Seq("b1", "b2"))
+    val all = sink.all
+    assert(all.map(r => (r.partitionKey, r.data)).distinct.size == all.size,
+      "a retried put must not land twice")
+    val seqA = sink.byKey("conn-a").map(_.seq)
+    assert(seqA == seqA.sorted && seqA.distinct == seqA,
+      "per-key sequence strictly increasing despite throttles")
+  }
 }
 
 object KeyedOrderedSinkSpec {
@@ -108,4 +154,29 @@ object KeyedOrderedSinkSpec {
     * assertion sink through a static so executor code (same JVM in
     * local mode) and the driver-side spec see one instance. */
   @volatile var sharedSink: KinesisLikeSink = _
+
+  /** Kinesis-shaped flake: every `throttleEvery`-th put ATTEMPT fails
+    * with the retryable TransientPutFailure BEFORE reaching the real
+    * sink — so a throttled record must be re-presented with the SAME
+    * chain value to land, exactly what the in-place retry does. */
+  final class ThrottlingClient(inner: KinesisLikeSink, throttleEvery: Int)
+    extends KeyedOrderedSink.PutClient {
+    val attempts = new java.util.concurrent.atomic.AtomicLong(0L)
+    val throttles = new java.util.concurrent.atomic.AtomicLong(0L)
+    def put(partitionKey: String, data: String, seqForOrdering: Option[Long],
+        batchId: Long): Long = {
+      if (attempts.incrementAndGet() % throttleEvery == 0) {
+        throttles.incrementAndGet()
+        throw new KeyedOrderedSink.TransientPutFailure(
+          s"simulated throughput-exceeded for $partitionKey")
+      }
+      inner.put(partitionKey, data, seqForOrdering, batchId)
+    }
+    def lastSequence(partitionKey: String): Option[Long] =
+      inner.lastSequence(partitionKey)
+    override def putsInBatch(partitionKey: String, batchId: Long): Long =
+      inner.putsInBatch(partitionKey, batchId)
+  }
+
+  @volatile var flaky: ThrottlingClient = _
 }

@@ -152,4 +152,62 @@ class MultiSocketSourceSpec extends AnyFunSuite {
       } finally c.close()
     } finally q2.stop()
   }
+
+  test("back-pressure: full buffer blocks the producer, no loss on resume; keepalive set") {
+    // A producer far faster than the (deliberately tiny) buffer cap:
+    // the reader thread must BLOCK rather than grow the heap, and
+    // every line must still land once the query drains — bounded
+    // memory with zero data loss is exactly the TCP back-pressure
+    // contract (reference proxy.ex:81 active: :once + keepalive).
+    import spark.implicits._
+    val total = 500
+    val cap = 32
+    val q = spark.readStream.format("graft-multisocket")
+      .option("port", "0").option("name", "specbp")
+      .option("maxBufferedRows", cap.toString).load()
+      .as[RawPacket].map(_.payload).toDF("payload")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("msock_bp").start()
+    try {
+      var port = 0
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (port == 0 && System.nanoTime() < deadline) {
+        val p = MultiSocketSource.boundPorts.get("specbp")
+        if (p != null) port = p.intValue() else Thread.sleep(50)
+      }
+      assert(port > 0, "source did not publish its bound port")
+      val probe = MultiSocketSource.activeStreams.get("specbp")
+      assert(probe != null, "stream did not register its probe")
+
+      // Blast all lines from one connection as fast as TCP allows.
+      val c = send(port, (1 to total).map(i => s"p$i$EOT"))
+      try {
+        // While draining, the source-side buffer must never exceed the
+        // cap (the probe reads under the same lock the reader appends
+        // under, so this observes the bound exactly, not racily).
+        val until = System.nanoTime() + 60e9.toLong
+        var n = 0L
+        var maxSeen = 0
+        while (n < total && System.nanoTime() < until) {
+          maxSeen = math.max(maxSeen, probe.bufferedRows)
+          q.processAllAvailable()
+          n = spark.table("msock_bp").count()
+          if (n < total) Thread.sleep(20)
+        }
+        assert(n == total, s"all $total lines must land after draining, got $n")
+        // Occupancy = unplanned backlog (≤ cap, reader-enforced) plus
+        // the planned-but-uncommitted span the engine holds for batch
+        // replay (each batch ≤ cap rows, ≤ 2 in flight): bounded by a
+        // small multiple of the cap, never by how much the producer
+        // sent (total = 500 ≫ 3·cap would fail this before the fix).
+        assert(maxSeen <= 3 * cap, s"buffer exceeded its bound: $maxSeen > 3×$cap")
+        val got = spark.table("msock_bp").collect().map(_.getString(0)).toSet
+        assert(got == (1 to total).map(i => s"p$i$EOT").toSet, "no loss, no dupes")
+        // Keepalive is set on every accepted socket (while still open).
+        val ka = probe.acceptedKeepAlive
+        assert(ka.isEmpty || ka.forall(identity),
+          s"accepted sockets must have SO_KEEPALIVE: $ka")
+      } finally c.close()
+    } finally q.stop()
+  }
 }

@@ -253,4 +253,54 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), "counter grid must broadcast")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  // A window function whose spec has NO partition columns prints its
+  // spec starting with an ORDERED column — `windowspecdefinition(x ASC
+  // …` — while a partitioned spec starts with bare partition columns.
+  private val unpartitionedRankFn =
+    """(ntile\(\d+\)|row_number\(\)|rank\(\)|percent_rank\(\)|cume_dist\(\)) windowspecdefinition\([^,()]*(ASC|DESC)""".r
+
+  test("no registered query ranks the data through an unpartitioned window") {
+    // The r8 VERDICT's top defect class: ntile/row_number over an
+    // empty partition spec = ALL rows through one task. Ranking ops
+    // must decompose via Ranks.groupedRank (bucket ledger); the only
+    // unpartitioned windows allowed anywhere are non-ranking carries
+    // (sum/count) over bounded aggregate frames (day carries, bucket
+    // ledgers, decile frames), which this regex does not match.
+    // Audited exceptions — the ranked input is an aggregate bounded by
+    // KEY CARDINALITY, not data volume, so one task is the right plan:
+    //  - mix_apportion: Hamilton remainders over the |sources| frame;
+    //  - mix_waterfill: the water-fill level search over the |langs|
+    //    frame (the corpus rollup above it is a hash aggregate);
+    //  - text_zipf: ranks the 20-row TakeOrdered output (the top-k
+    //    itself is distributed — guarded by its own test above).
+    val boundedFrameRanks = Set("mix_apportion", "mix_waterfill", "text_zipf")
+    for ((name, fn) <- graft.SparkEntry.queries if !boundedFrameRanks(name)) {
+      val p = plan(fn(spark, dir))
+      assert(unpartitionedRankFn.findFirstIn(p).isEmpty,
+        s"$name: unpartitioned ranking window (single-partition sort of the data):\n" +
+          unpartitionedRankFn.findFirstIn(p).getOrElse(""))
+    }
+  }
+
+  test("quantile assignment rides the bucket ledger, not a global ntile") {
+    // sample_curriculum / ev_rfm / q36_decile_lift / q34_percent_rank:
+    // no ntile anywhere in the physical plan (stage/score/decile come
+    // from Ranks.ntileFromRank over the exact ledger rank), and every
+    // data-ranking row_number window is partitioned by the __rk bucket
+    // key, so per-task input is bounded by bucket width.
+    for ((name, df) <- Seq(
+      "sample_curriculum" -> Pipeline.sampleCurriculum(spark, dir),
+      "ev_rfm" -> Events.evRfm(spark, dir),
+      "q36_decile_lift" -> RelationalExt.q36DecileLift(spark, dir),
+      "q34_percent_rank" -> RelationalExt.q34PercentRank(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("ntile("), s"$name: ntile window survived the rewrite")
+      p.linesIterator.filter(_.contains("row_number() windowspecdefinition"))
+        .foreach { l =>
+          assert(l.contains("__rk_b0"),
+            s"$name: data-ranking window not bucket-partitioned: $l")
+        }
+    }
+  }
 }

@@ -110,16 +110,21 @@ class Round9OpsSpec extends AnyFunSuite {
     val rows = Dedup.decontamMinhash(spark, dir).collect()
     assert(rows.nonEmpty, "per-bench report must never be empty")
     val benchDocs = rows.map(_.getLong(0))
-    assert(benchDocs.forall(_ % 50 == 0))
+    assert(benchDocs.forall(_ % 5 == 0))
     rows.foreach { r =>
       val (nCand, bestTrain, bestEst, contaminated) =
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
       assert(bestEst >= 0 && bestEst <= 10000)
       assert(contaminated == (bestEst >= 5000))
       if (nCand == 0) assert(bestTrain == -1L && bestEst == 0L)
-      else assert(bestTrain >= 0 && bestTrain % 50 != 0,
+      else assert(bestTrain >= 0 && bestTrain % 5 != 0,
         "best candidate must come from the train split")
     }
+    // The % 5 split must leave the pair-scoring path exercised: at
+    // every SF some bench doc has at least one train candidate (the
+    // r8 % 50 split left exactly ONE pair at sf0.01 — one data tweak
+    // from an untested path).
+    assert(rows.exists(_.getLong(1) > 0), "no train×bench candidate pairs")
   }
 
   test("sample_curriculum: stages partition by difficulty, seq dense per stage") {

@@ -304,4 +304,52 @@ class TransformWithStateSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("DriftProcessor: a level shift after a CONSTANT history flags (m2 == 0)") {
+    // The r8 ADVICE defect: a key whose first minN observations are
+    // identical has m2 == 0, and the old z-guard pinned z to 0 forever
+    // — an arbitrary jump after a flat history was invisible. The fix
+    // scores x != mean against a zero-variance history as ±∞
+    // (±Long.MaxValue), which always flags; x == mean stays quiet.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.DriftPoint
+    val in = MemoryStream[(Long, Long, Long)]
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[DriftPoint]()
+    // Key 7: 12 identical points, one more identical (quiet), one
+    // shifted up (flag, +∞). Key 8: constant history then a DOWN
+    // shift (flag, −∞ — the sign-symmetry half of the fix; it needs
+    // its own key because key 7's first shift makes m2 > 0).
+    in.addData((1 to 12).map(i => (7L, i.toLong, 500L)) ++
+      Seq((7L, 13L, 500L), (7L, 14L, 501L)) ++
+      (1 to 12).map(i => (8L, (20 + i).toLong, 500L)) ++
+      Seq((8L, 33L, 499L)): _*)
+    val q = graft.streaming.DriftProcessor.scored(in.toDS(), minN = 10)
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[DriftPoint], _: Long) =>
+        df.collect().foreach(buf.add)
+      }.start()
+    try q.awaitTermination(120000L) finally q.stop()
+    val got = buf.toArray(Array.empty[DriftPoint])
+      .map(p => p.eventId -> p).toMap
+    assert(got.size == 27)
+    assert(!got(13L).isDrift && got(13L).zX100 == 0L,
+      s"constant point on constant history must stay quiet: ${got(13L)}")
+    assert(got(14L).isDrift && got(14L).zX100 == Long.MaxValue,
+      s"up-shift after constant history must flag: ${got(14L)}")
+    assert(got(33L).isDrift && got(33L).zX100 == -Long.MaxValue,
+      s"down-shift after constant history must flag: ${got(33L)}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
