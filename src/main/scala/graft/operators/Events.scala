@@ -1082,8 +1082,12 @@ object Events {
   // highest spend). Buckets: epoch and cents quantized by >>12
   // (~68 min / ~$41 bands); n_purchases is low-cardinality exact with
   // a shifted-user sub-bucket. The three rank frames join back on
-  // user_id — three co-partitioned equijoins; a production run would
-  // persist the rollup once instead of recomputing it per branch.
+  // user_id — three co-partitioned equijoins. The rollup is
+  // materialized ONCE (lazy localCheckpoint, same pattern as the
+  // Dedup fixtures): without it the three rank branches plus the
+  // join-back each re-scan and re-aggregate the events log — four
+  // corpus scans where one suffices, which at 100 TB is the whole
+  // cost of the query.
   def evRfm(spark: SparkSession, dir: String): DataFrame = {
     val rolled = Tables(spark, dir).events
       .filter(col("event_type") === "purchase")
@@ -1091,6 +1095,7 @@ object Events {
       .agg(max(epochS(col("ts"))).as("last_epoch"),
         count(lit(1)).as("n_purchases"),
         cents(sum(col("value"))).as("spend_cents"))
+      .localCheckpoint(eager = false)
     def rankOn(key: String, bucket: Seq[Column], rankName: String,
         totalName: String): DataFrame =
       Ranks.groupedRank(rolled.select(col("user_id"), col(key)), Nil,
@@ -1105,8 +1110,8 @@ object Events {
     rolled
       .join(byR, Seq("user_id")).join(byF, Seq("user_id")).join(byM, Seq("user_id"))
       .withColumn("r_score", Ranks.ntileFromRank(col("__r_rank"), col("__n"), 5))
-      .withColumn("f_score", Ranks.ntileFromRank(col("__f_rank"), col("__n"), 5))
-      .withColumn("m_score", Ranks.ntileFromRank(col("__m_rank"), col("__n"), 5))
+      .withColumn("f_score", Ranks.ntileFromRank(col("__f_rank"), col("__nf"), 5))
+      .withColumn("m_score", Ranks.ntileFromRank(col("__m_rank"), col("__nm"), 5))
       .select(col("user_id"), col("last_epoch"), col("n_purchases"),
         col("spend_cents"), col("r_score"), col("f_score"), col("m_score"))
       .orderBy(col("user_id"))

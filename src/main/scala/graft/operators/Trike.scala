@@ -103,6 +103,16 @@ object Trike {
   private var fixture: Option[((SparkSession, String), DataFrame,
     Seq[org.apache.spark.rdd.RDD[_]])] = None
 
+  /** Drop the shared frames fixture and release its checkpoint blocks —
+    * for callers that stop the owning session (Bench's chunk recycle).
+    * Safe to call when nothing is cached. */
+  def invalidate(): Unit = synchronized {
+    fixture.foreach { case (_, _, rdds) =>
+      rdds.foreach(r => scala.util.Try(r.unpersist(blocking = false)))
+    }
+    fixture = None
+  }
+
   private def frames(spark: SparkSession, dir: String): DataFrame = synchronized {
     val key = (spark, dir)
     fixture match {

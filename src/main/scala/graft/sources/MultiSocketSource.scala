@@ -103,10 +103,26 @@ private[sources] class MultiSocketTable(port: Int, name: Option[String],
     }
 }
 
-/** One long offset = total rows accepted since start. The buffer holds
-  * [committed, latest); commit(n) trims everything before n. */
-private[sources] case class RowCountOffset(n: Long) extends Offset {
-  override def json(): String = n.toString
+/** One long offset = total rows accepted since start, stamped with the
+  * issuing instance's epoch. The buffer holds [committed, latest);
+  * commit(n) trims everything before n. The epoch makes an offset
+  * restored from a PREVIOUS incarnation's WAL unambiguous (see
+  * deserializeOffset) — connector Offset equality is json-string
+  * equality, so same-epoch same-n offsets stay equal and a restored
+  * foreign offset never spuriously equals a fresh one. */
+private[sources] case class RowCountOffset(n: Long, epoch: String = "")
+  extends Offset {
+  override def json(): String = s"""{"e":"$epoch","n":$n}"""
+}
+
+private[sources] object RowCountOffset {
+  private val Re = """\{"e":"([^"]*)","n":(-?\d+)\}""".r
+  /** (row count, issuing epoch); a legacy bare-long offset (or any
+    * unrecognized shape) parses as epoch-less — i.e. foreign. */
+  def parse(json: String): (Long, Option[String]) = json.trim match {
+    case Re(e, n) => (n.toLong, Some(e))
+    case s => (s.toLong, None)
+  }
 }
 
 private[sources] class MultiSocketStream(port: Int, name: Option[String],
@@ -137,6 +153,10 @@ private[sources] class MultiSocketStream(port: Int, name: Option[String],
   private val buffer = new ArrayBuffer[(String, String, Long, String, Long)]
   private var trimmed = 0L
   private var plannedEnd = 0L
+  /** Stamped into every offset this instance issues; an offset whose
+    * epoch differs was written by a previous incarnation's WAL — the
+    * explicit restart-vs-midrun discriminator for deserializeOffset. */
+  private val instanceEpoch = java.util.UUID.randomUUID().toString
   private val seqGen = new AtomicLong(0L)
   @volatile private var stopped = false
   private val conns =
@@ -151,8 +171,13 @@ private[sources] class MultiSocketStream(port: Int, name: Option[String],
 
   override def bufferedRows: Int = buffer.synchronized(buffer.size)
   override def maxRows: Int = maxBufferedRows
+  // A socket can be closed concurrently (stop() closes sockets still in
+  // the set; a reader's finally has a remove-then-close window), and
+  // getKeepAlive throws SocketException on a closed socket — a probe
+  // must return a snapshot, never crash the observer, so closed
+  // sockets are skipped.
   override def acceptedKeepAlive: Seq[Boolean] =
-    conns.asScala.toSeq.map(_.getKeepAlive)
+    conns.asScala.toSeq.flatMap(s => scala.util.Try(s.getKeepAlive).toOption)
 
   // The Ranch acceptor: one thread accepts, one reader thread per live
   // connection (connection counts are fleet-sized — tens, not
@@ -215,10 +240,11 @@ private[sources] class MultiSocketStream(port: Int, name: Option[String],
     }
   }
 
-  override def initialOffset(): Offset = RowCountOffset(0L)
+  override def initialOffset(): Offset = RowCountOffset(0L, instanceEpoch)
 
-  /** Parses an offset from the checkpoint log — and, ONLY when the
-    * offset is one this instance cannot have issued, rebases to it.
+  /** Parses an offset from the checkpoint log — and, ONLY when its
+    * epoch proves it was issued by a PREVIOUS incarnation, rebases
+    * this instance's numbering forward to it.
     *
     * Two very different callers share this hook. (1) On RESTART the
     * engine replays the WAL: a fresh instance starts at trimmed=0 but
@@ -234,25 +260,48 @@ private[sources] class MultiSocketStream(port: Int, name: Option[String],
     * then re-serves the same rows (duplicates), and under a bounded
     * buffer the blocked readers never wake (livelock at the cap).
     *
-    * The discriminator: every offset this instance has ever issued
-    * satisfies n ≤ trimmed + buffer.size (uncommitted rows are never
-    * removed), so `n > trimmed + size` can ONLY be a previous
-    * incarnation's numbering — rebase; anything else is a pure parse.
-    * (Data from the previous run is gone regardless — TCP has no
-    * replay; that loss is the documented contract.) */
+    * The discriminator is EXPLICIT, not heuristic: every offset this
+    * instance issues carries `instanceEpoch` in its JSON, so a parsed
+    * offset with a different (or missing) epoch can ONLY be WAL state
+    * from a previous incarnation — rebase; a same-epoch parse is the
+    * engine re-reading our own numbering — pure parse. Two earlier
+    * designs failed here: the round-9 value heuristic
+    * (`n > trimmed + buffer.size`) misclassified a genuine restart
+    * whenever reconnecting producers re-buffered ≥ N rows before the
+    * WAL was first parsed (silently trimming the first N post-restart
+    * rows at commit), and a rebase-before-first-issuance flag fails
+    * because on a committed-batch restart MicroBatchExecution calls
+    * latestOffset() (in constructing the next batch) BEFORE it ever
+    * parses the restored offset (in runBatch's start-offset
+    * resolution). The epoch is ordering-independent. A replay may
+    * parse several foreign offsets (a committed end and a pending
+    * batch's end); rebasing to the max keeps the pending batch's
+    * replay a clean empty span — the previous run's data is gone
+    * regardless (TCP has no replay; that loss is the documented
+    * contract). The one wrinkle of the latestOffset-before-parse
+    * ordering is a single post-restart batch whose end predates the
+    * rebase; planInputPartitions clamps it to the same documented
+    * empty replay. */
   override def deserializeOffset(json: String): Offset = {
-    val n = json.toLong
-    buffer.synchronized { if (n > trimmed + buffer.size) trimmed = n }
-    RowCountOffset(n)
+    val (n, epoch) = RowCountOffset.parse(json)
+    val foreign = !epoch.contains(instanceEpoch)
+    buffer.synchronized { if (foreign && n > trimmed) trimmed = n }
+    RowCountOffset(n, epoch.getOrElse(""))
   }
   override def latestOffset(): Offset =
-    buffer.synchronized(RowCountOffset(trimmed + buffer.size))
+    buffer.synchronized(RowCountOffset(trimmed + buffer.size, instanceEpoch))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[RowCountOffset].n,
       end.asInstanceOf[RowCountOffset].n)
     val rows = buffer.synchronized {
-      val taken = buffer.slice((s - trimmed).toInt, (e - trimmed).toInt).toArray
+      // A span predating a foreign-offset rebase (a replayed pending
+      // batch, or the one constructed-before-parse post-restart batch)
+      // lies partly or wholly below `trimmed` — clamp to the documented
+      // empty replay rather than throwing on a negative index.
+      val lo = math.max(0, (s - trimmed).toInt)
+      val hi = math.max(lo, (e - trimmed).toInt)
+      val taken = buffer.slice(lo, hi).toArray
       if (e > plannedEnd) { plannedEnd = e; buffer.notifyAll() }
       taken
     }
