@@ -123,6 +123,7 @@ object Bench {
       // this one's garbage.
       graft.operators.Dedup.invalidate()
       graft.operators.Trike.invalidate()
+      graft.operators.Graph.invalidate()
       spark.stop()
       System.gc()
     }

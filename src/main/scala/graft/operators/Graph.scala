@@ -39,10 +39,20 @@ object Graph {
   private[graft] def ckptRdds(df: DataFrame): Seq[RDD[_]] =
     df.queryExecution.logical.collect { case l: LogicalRDD => l.rdd }
 
+  // Try-wrapped like Dedup.invalidate: the retired blocks may belong
+  // to a session that has since been STOPPED (Bench recycles sessions
+  // per chunk; dedup_cluster's last round can be the previous chunk's
+  // session), and unpersist on a stopped context throws from the
+  // driver-endpoint lookup — which would fail the NEXT iterative query
+  // before it even builds, and leave `retired` stuck mid-release.
   private def releaseRetired(): Unit = synchronized {
-    retired.foreach(_.unpersist(blocking = false))
+    retired.foreach(r => scala.util.Try(r.unpersist(blocking = false)))
     retired = Nil
   }
+
+  /** Drop references to the last returned frame's blocks — for callers
+    * that stop the owning session (Bench's chunk recycle). */
+  def invalidate(): Unit = releaseRetired()
 
   /** Run `step` to a fixpoint: halts when `measure` (ONE action per
     * round — it is also what materializes the round's lazy checkpoint)

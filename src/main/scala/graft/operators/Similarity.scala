@@ -144,25 +144,35 @@ object Similarity {
   private val nprobe = 2
   private val centroidStride = 50
 
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val v = vecs(spark, dir)
-    val cents = v.filter(col("vec_id") % centroidStride === 0)
+  /** Every-50th-vector coarse-quantizer cells (deterministic seed). */
+  private def ivfCents(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir).filter(col("vec_id") % centroidStride === 0)
       .select((col("vec_id") / centroidStride).cast("long").as("cell"),
         col("v").as("centv"))
-    def nearestCells(df: DataFrame, keep: Int, idCol: String): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("d2"), col("cell"))
-      df.join(broadcast(cents))
-        .withColumn("d2", aggregate(
-          zip_with(col("v"), col("centv"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (s, x) => s + x))
-        .withColumn("cell_rank", row_number().over(w))
-        .filter(col("cell_rank") <= keep)
-        .drop("centv", "d2", "cell_rank")
-    }
-    val assigned = nearestCells(v, 1, "vec_id")
+
+  /** Each vector of `df` paired with its `keep` nearest cells
+    * (broadcast centroids + per-vector min): the inverted-file build
+    * (keep=1) and the probe step (keep=nprobe) share this — as do
+    * annIvf and the IVF-composed miners (hardNegMine). */
+  private def nearestCells(cents: DataFrame, df: DataFrame, keep: Int,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("d2"), col("cell"))
+    df.join(broadcast(cents))
+      .withColumn("d2", aggregate(
+        zip_with(col("v"), col("centv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (s, x) => s + x))
+      .withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") <= keep)
+      .drop("centv", "d2", "cell_rank")
+  }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val cents = ivfCents(spark, dir)
+    val assigned = nearestCells(cents, v, 1, "vec_id")
       .select(col("cell"), col("vec_id").as("neighbor_id"),
         col("v").as("cv"), col("norm").as("cn"))
-    val probes = nearestCells(v.filter(col("vec_id") < nQueries), nprobe, "vec_id")
+    val probes = nearestCells(cents, v.filter(col("vec_id") < nQueries), nprobe, "vec_id")
       .select(col("cell"), col("vec_id").as("query_id"),
         col("v").as("qv"), col("norm").as("qn"))
     val w = Window.partitionBy(col("query_id"))
@@ -682,9 +692,9 @@ object Similarity {
   // label — the hard negatives contrastive/embedding training feeds
   // next to each positive. Same bounded-query broadcast shape as
   // ann_bruteforce (the query set is small by contract; the corpus
-  // side streams); at scale the cosine scan swaps for the LSH/IVF
-  // index exactly as ann_retrieve does, but the mining semantics —
-  // top-k BY similarity AMONG label-mismatches — live here.
+  // side streams) — this is the EXACT baseline the index-composed
+  // miner (hard_neg_mine below) is measured against, exactly as
+  // ann_bruteforce anchors the ann_* tiers.
   def sampleHardNegatives(spark: SparkSession, dir: String): DataFrame = {
     val lab = Tables(spark, dir).embeddings.select(col("vec_id"), col("label"))
     val q = vecs(spark, dir).filter(col("vec_id") < nQueries)
@@ -716,6 +726,83 @@ object Similarity {
        |  SELECT query_id, neg_id, neg_label,
        |    (${dotSqlOf("q.qv", "c.cv")}) / (q.qn * c.cn) AS cos
        |  FROM q JOIN c ON q.q_label <> c.neg_label),
+       |ranked AS (
+       |  SELECT query_id, neg_id, neg_label, cos,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neg_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neg_id, neg_label,
+       |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp
+       |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
+  // ─── hard_neg_mine: IVF-composed hard-negative mining ───
+  // The SCALE path for negative mining: the same semantics as
+  // sample_hard_negatives (top-k by cosine among label-mismatches) but
+  // candidates come from the IVF index — each query probes its nprobe
+  // nearest cells and scores only those cells' vectors, so per-query
+  // work tracks cell occupancy (corpus/nCells) instead of the corpus.
+  // This is the composition the round-9 audit asked for: at 100 TB the
+  // bruteforce miner's corpus scan per mining batch is the dominant
+  // cost, while the inverted file is built once per corpus snapshot
+  // and amortized across every mining run, retrieval, and dedup pass
+  // that reads it. Labels ride a co-partitioned equijoin on vec_id
+  // (corpus-sized, never broadcast); the mined set's recall against
+  // the exact miner is asserted in DedupSimilaritySpec, mirroring
+  // ann_ivf vs ann_bruteforce.
+  def hardNegMine(spark: SparkSession, dir: String): DataFrame = {
+    val lab = Tables(spark, dir).embeddings.select(col("vec_id"), col("label"))
+    val v = vecs(spark, dir)
+    val cents = ivfCents(spark, dir)
+    val assigned = nearestCells(cents, v, 1, "vec_id")
+      .join(lab, Seq("vec_id"))
+      .select(col("cell"), col("vec_id").as("neg_id"),
+        col("v").as("cv"), col("norm").as("cn"), col("label").as("neg_label"))
+    val probes = nearestCells(cents, v.filter(col("vec_id") < nQueries), nprobe, "vec_id")
+      .join(lab, Seq("vec_id"))
+      .select(col("cell"), col("vec_id").as("query_id"),
+        col("v").as("qv"), col("norm").as("qn"), col("label").as("q_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neg_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("q_label") =!= col("neg_label"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neg_id"), col("neg_label"),
+        floor(col("cos") * 10000 + 0.5).cast("long").as("cos_bp"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val hardNegMineSql: String =
+    s"""WITH n AS (${vecsSql("vec_id")}),
+       |l AS (SELECT vec_id, label FROM embeddings),
+       |cents AS (
+       |  SELECT (vec_id // $centroidStride) AS cell, v AS centv
+       |  FROM n WHERE vec_id % $centroidStride = 0),
+       |ad AS (
+       |  SELECT n.vec_id, n.v, n.norm, c.cell,
+       |    (${dist2SqlOf("n.v", "c.centv")}) AS d2
+       |  FROM n, cents c),
+       |assigned AS (
+       |  SELECT a.cell, a.vec_id AS neg_id, a.v AS cv, a.norm AS cn,
+       |    l.label AS neg_label
+       |  FROM (SELECT *, row_number() OVER (
+       |          PARTITION BY vec_id ORDER BY d2, cell) AS r FROM ad) a
+       |  JOIN l ON a.vec_id = l.vec_id
+       |  WHERE a.r <= 1),
+       |probes AS (
+       |  SELECT p.cell, p.vec_id AS query_id, p.v AS qv, p.norm AS qn,
+       |    l.label AS q_label
+       |  FROM (SELECT *, row_number() OVER (
+       |          PARTITION BY vec_id ORDER BY d2, cell) AS r
+       |        FROM ad WHERE vec_id < $nQueries) p
+       |  JOIN l ON p.vec_id = l.vec_id
+       |  WHERE p.r <= $nprobe),
+       |scored AS (
+       |  SELECT p.query_id, a.neg_id, a.neg_label,
+       |    (${dotSqlOf("p.qv", "a.cv")}) / (p.qn * a.cn) AS cos
+       |  FROM probes p JOIN assigned a
+       |    ON p.cell = a.cell AND p.q_label <> a.neg_label),
        |ranked AS (
        |  SELECT query_id, neg_id, neg_label, cos,
        |    CAST(row_number() OVER (
@@ -779,6 +866,7 @@ object Similarity {
        |FROM ranked WHERE rank <= $diverseK ORDER BY query_id, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hard_neg_mine" -> hardNegMine,
     "sample_hard_negatives" -> sampleHardNegatives,
     "ann_diverse" -> annDiverse,
     "ann_hybrid_rrf" -> annHybridRrf,
@@ -792,6 +880,7 @@ object Similarity {
     "ann_retrieve" -> annRetrieve)
 
   val oracle: Map[String, String] = Map(
+    "hard_neg_mine" -> hardNegMineSql,
     "sample_hard_negatives" -> sampleHardNegativesSql,
     "ann_diverse" -> annDiverseSql,
     "ann_hybrid_rrf" -> annHybridRrfSql,

@@ -67,6 +67,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF ANN recall $recall")
   }
 
+  test("hard_neg_mine recalls the exact miner's negatives like ann_ivf recalls brute force") {
+    // The IVF-composed miner must surface a reasonable share of the
+    // negatives the exact (bruteforce-scan) miner finds — same anchor
+    // relationship as ann_ivf vs ann_bruteforce, same nprobe=2 bound.
+    import spark.implicits._
+    val exact = Similarity.sampleHardNegatives(spark, dir)
+      .select($"query_id", $"neg_id").as[(Long, Long)].collect().toSet
+    val mined = Similarity.hardNegMine(spark, dir)
+      .select($"query_id", $"neg_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(mined.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"IVF hard-negative recall $recall")
+    // Every mined negative must genuinely be a label mismatch.
+    val labels = Tables(spark, dir).embeddings
+      .select($"vec_id", $"label".cast("long")).as[(Long, Long)].collect().toMap
+    val rows = Similarity.hardNegMine(spark, dir)
+      .select($"query_id", $"neg_id").as[(Long, Long)].collect()
+    rows.foreach { case (q, neg) =>
+      assert(labels(q) != labels(neg), s"query $q mined same-label negative $neg")
+    }
+  }
+
   test("incremental dedup equals the full-batch pairs restricted to the delta") {
     import spark.implicits._
     val cutoff = math.floor(Tables(spark, dir).documents

@@ -140,6 +140,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("hard_neg_mine candidates come from cell equijoins, never a corpus scan") {
+    // The IVF-composed miner's whole point is that query x corpus work
+    // never appears: probes meet the inverted file on the cell key
+    // (label mismatch is a post-join filter on that equijoin). The only
+    // nested-loop allowed is the bounded centroid-assignment broadcast
+    // (corpus x |centroids|, BuildRight) — same contract as knn_join.
+    val p = plan(Similarity.hardNegMine(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      "hard_neg_mine must not build a cartesian product")
+    assert("Join \\[?cell".r.findFirstIn(p).isDefined,
+      s"candidate join must key on cell:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin BuildLeft"),
+      "only BuildRight broadcast of the tiny centroid frame is allowed")
+  }
+
   test("ev_concurrency's global prefix sum is two-level, not one global window") {
     // The only unpartitioned window may run over the days-sized carry
     // frame; the boundary-level cumsum must be partitioned by day.
