@@ -80,6 +80,11 @@ object MultiSocketSource {
     def maxRows: Int
     /** SO_KEEPALIVE as actually set on each accepted socket. */
     def acceptedKeepAlive: Seq[Boolean]
+    /** Reader threads currently inside readLoop — the graceful-drain
+      * observable: stop() must release readers parked on a full
+      * buffer, so this must reach 0 shortly after stop even when
+      * producers were blocked mid-send. */
+    def liveReaders: Int
   }
 
   /** Named-stream registry for specs: lets a test observe buffer
@@ -159,6 +164,7 @@ private[sources] class MultiSocketStream(port: Int, name: Option[String],
   private val instanceEpoch = java.util.UUID.randomUUID().toString
   private val seqGen = new AtomicLong(0L)
   @volatile private var stopped = false
+  private val readersIn = new AtomicLong(0L)
   private val conns =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
 
@@ -178,6 +184,7 @@ private[sources] class MultiSocketStream(port: Int, name: Option[String],
   // sockets are skipped.
   override def acceptedKeepAlive: Seq[Boolean] =
     conns.asScala.toSeq.flatMap(s => scala.util.Try(s.getKeepAlive).toOption)
+  override def liveReaders: Int = readersIn.get().toInt
 
   // The Ranch acceptor: one thread accepts, one reader thread per live
   // connection (connection counts are fleet-sized — tens, not
@@ -214,6 +221,7 @@ private[sources] class MultiSocketStream(port: Int, name: Option[String],
   acceptor.start()
 
   private def readLoop(sock: Socket, connId: String, ip: String): Unit = {
+    readersIn.incrementAndGet()
     val in = new BufferedReader(new java.io.InputStreamReader(
       sock.getInputStream, StandardCharsets.UTF_8))
     try {
@@ -237,6 +245,7 @@ private[sources] class MultiSocketStream(port: Int, name: Option[String],
     } catch { case _: Throwable => () } finally {
       conns.remove(sock)
       sock.close()
+      readersIn.decrementAndGet()
     }
   }
 
