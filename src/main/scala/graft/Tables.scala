@@ -10,13 +10,25 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), read as raw nanos
-    * (spark.sql.legacy.parquet.nanosAsLong — set by GraftSession at
-    * construction) and floor-converted to the native microsecond
-    * TimestampType (integer DIV, no double round-off). */
-  def events: DataFrame =
-    t("events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  /** events.ts normalized to the native microsecond TimestampType,
+    * adapting to whatever physical type the driver-generated parquet
+    * carries (the generator has changed it between rounds):
+    *  - TIMESTAMP(NANOS): read as raw nanos
+    *    (spark.sql.legacy.parquet.nanosAsLong, set by GraftSession)
+    *    and floor-converted with integer DIV — no double round-off;
+    *  - TIMESTAMP(MICROS) without tz: arrives as TIMESTAMP_NTZ; cast
+    *    to TimestampType (identity under the session's UTC zone);
+    *  - TIMESTAMP(MICROS) with tz: already TimestampType, no-op. */
+  def events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case LongType      => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
 
   def region: DataFrame = t("region")
   def nation: DataFrame = t("nation")
