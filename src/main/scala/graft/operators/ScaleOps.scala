@@ -171,6 +171,167 @@ object ScaleOps {
        |FROM z ORDER BY zval, o_orderkey""".stripMargin
   }
 
+  // ─── layout_prune: min/max data-skipping proof over the z-layout ───
+  // The read-side half of layout_zorder: a min/max file index (what
+  // parquet row-group stats / Iceberg manifests give a 100 TB table)
+  // over the SAME z-range files layout_zorder writes, probed with one
+  // band predicate per clustering dimension. Because the layout
+  // interleaved both dimensions, BOTH probes skip most files — the
+  // measurable claim behind z-ordering, stated per file: its stats,
+  // whether each probe must scan it, and the actual match counts
+  // (n_match_x > 0 ⇒ scan_x is the no-false-skip invariant,
+  // Round11OpsSpec). One bounded aggregate (≤1024 file rows); the
+  // index build is the only pass over the table.
+  private val pruneXLo = 64L; private val pruneXHi = 79L
+  private val pruneYLo = 32L; private val pruneYHi = 47L
+
+  def layoutPrune(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables(spark, dir).orders.select(
+      pmod(col("o_custkey"), lit(1L << zBits)).as("xd"),
+      pmod(expr("unix_timestamp(o_orderdate) DIV 86400"),
+        lit(1L << zBits)).as("yd"))
+    dims
+      .withColumn("file_id",
+        shiftrightunsigned(zInterleave(col("xd"), col("yd")), 6))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("xd")).as("min_xd"), max(col("xd")).as("max_xd"),
+        min(col("yd")).as("min_yd"), max(col("yd")).as("max_yd"),
+        sum(when(col("xd").between(pruneXLo, pruneXHi), 1L).otherwise(0L))
+          .as("n_match_x"),
+        sum(when(col("yd").between(pruneYLo, pruneYHi), 1L).otherwise(0L))
+          .as("n_match_y"))
+      .withColumn("scan_x",
+        col("min_xd") <= lit(pruneXHi) && col("max_xd") >= lit(pruneXLo))
+      .withColumn("scan_y",
+        col("min_yd") <= lit(pruneYHi) && col("max_yd") >= lit(pruneYLo))
+      .orderBy(col("file_id"))
+  }
+
+  val layoutPruneSql: String = {
+    val terms = (0 until zBits).map { i =>
+      s"(((xd >> $i) & 1) << ${2 * i}) | (((yd >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+    s"""WITH dims AS (
+       |  SELECT o_custkey % ${1L << zBits} AS xd,
+       |    (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) % ${1L << zBits} AS yd
+       |  FROM orders),
+       |f AS (SELECT xd, yd, CAST($terms AS BIGINT) >> 6 AS file_id FROM dims)
+       |SELECT file_id, count(*) AS n_rows,
+       |  min(xd) AS min_xd, max(xd) AS max_xd,
+       |  min(yd) AS min_yd, max(yd) AS max_yd,
+       |  CAST(sum(CASE WHEN xd BETWEEN $pruneXLo AND $pruneXHi THEN 1 ELSE 0 END) AS BIGINT) AS n_match_x,
+       |  CAST(sum(CASE WHEN yd BETWEEN $pruneYLo AND $pruneYHi THEN 1 ELSE 0 END) AS BIGINT) AS n_match_y,
+       |  (min(xd) <= $pruneXHi AND max(xd) >= $pruneXLo) AS scan_x,
+       |  (min(yd) <= $pruneYHi AND max(yd) >= $pruneYLo) AS scan_y
+       |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin
+  }
+
+  // ─── sketch_quantile: deterministic histogram order statistics ───
+  // Completes the sketch tier (cms = frequency, hll = distinct, bloom
+  // = membership): order statistics from a fixed 256-bin integer
+  // histogram instead of a full per-group sort. Two bounded passes —
+  // exact integer min/max/count per group (broadcast back), then a
+  // per-(group, bin) count whose state is ≤ 256 rows per group at ANY
+  // corpus size, mergeable map-side. The p50/p95/p99 estimate is the
+  // lower edge of the first bin whose cumulative count reaches
+  // ceil(q·n) — all integer, so DuckDB replays it exactly; the kth
+  // order statistic (computed honestly via a per-group sort, the thing
+  // the sketch REPLACES at 100 TB) rides along as the audit, with
+  // exact − est ∈ [0, bin width) the provable bound (Round11OpsSpec).
+  private val sqBins = 256L
+
+  def sketchQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, dir).events
+      .select(col("event_type"), col("event_id"), cents(col("value")).as("c"))
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"),
+        count(lit(1)).as("n"))
+    val hist = ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("bin", expr(s"((c - cmin) * $sqBins) DIV (cmax - cmin + 1)"))
+      .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("bc"))
+    val wcum = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("bc")).over(wcum))
+      .join(broadcast(bounds), Seq("event_type"))
+    val qs = Seq(50, 95, 99)
+    val estAggs = qs.map(q =>
+      min(when(col("cum") >= expr(s"(n * $q + 99) DIV 100"), col("bin")))
+        .as(s"bin_p$q"))
+    val est = cum.groupBy(col("event_type"), col("cmin"), col("cmax"), col("n"))
+      .agg(estAggs.head, estAggs.tail: _*)
+      .select(Seq(col("event_type"), col("n"),
+        expr(s"(cmax - cmin + 1 + ${sqBins - 1}) DIV $sqBins").as("bin_w")) ++
+        qs.map(q => expr(
+          s"cmin + (bin_p$q * (cmax - cmin + 1)) DIV $sqBins").as(s"est_p${q}_cents")): _*)
+    // The audit side: the true kth order statistic per group — the
+    // full sort the sketch replaces (partitioned window, unique
+    // tiebreak so both engines pick the same row).
+    val wrk = Window.partitionBy(col("event_type"))
+      .orderBy(col("c"), col("event_id"))
+    val ranked = ev.withColumn("rn", row_number().over(wrk))
+      .join(broadcast(bounds.select(col("event_type"), col("n"))),
+        Seq("event_type"))
+    val exactAggs = qs.map(q =>
+      min(when(col("rn") === expr(s"(n * $q + 99) DIV 100"), col("c")))
+        .as(s"exact_p${q}_cents"))
+    val exact = ranked.groupBy(col("event_type"))
+      .agg(exactAggs.head, exactAggs.tail: _*)
+    est.join(exact, Seq("event_type"))
+      .select(Seq(col("event_type"), col("n"), col("bin_w")) ++
+        qs.flatMap(q => Seq(col(s"est_p${q}_cents"), col(s"exact_p${q}_cents"))): _*)
+      .orderBy(col("event_type"))
+  }
+
+  val sketchQuantileSql: String = {
+    val qs = Seq(50, 95, 99)
+    val estCols = qs.map(q =>
+      s"""cmin + (min(CASE WHEN cum >= (n * $q + 99) // 100 THEN bin END)
+         |    * (cmax - cmin + 1)) // $sqBins AS est_p${q}_cents""".stripMargin)
+      .mkString(",\n  ")
+    val exactCols = qs.map(q =>
+      s"min(CASE WHEN rn = (n * $q + 99) // 100 THEN c END) AS exact_p${q}_cents")
+      .mkString(",\n  ")
+    val outCols = qs.map(q =>
+      s"e.est_p${q}_cents, x.exact_p${q}_cents").mkString(", ")
+    s"""WITH ev AS (
+       |  SELECT event_type, event_id,
+       |    ${Tables.centsSql("value")} AS c
+       |  FROM events),
+       |bounds AS (
+       |  SELECT event_type, min(c) AS cmin, max(c) AS cmax, count(*) AS n
+       |  FROM ev GROUP BY 1),
+       |hist AS (
+       |  SELECT e.event_type,
+       |    ((e.c - b.cmin) * $sqBins) // (b.cmax - b.cmin + 1) AS bin,
+       |    count(*) AS bc
+       |  FROM ev e JOIN bounds b USING (event_type) GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT h.event_type, h.bin, b.cmin, b.cmax, b.n,
+       |    sum(h.bc) OVER (PARTITION BY h.event_type ORDER BY h.bin
+       |                    ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM hist h JOIN bounds b USING (event_type)),
+       |est AS (
+       |  SELECT event_type, n,
+       |    (cmax - cmin + 1 + ${sqBins - 1}) // $sqBins AS bin_w,
+       |  $estCols
+       |  FROM cum GROUP BY event_type, cmin, cmax, n),
+       |ranked AS (
+       |  SELECT e.event_type, e.c, b.n,
+       |    row_number() OVER (PARTITION BY e.event_type
+       |                       ORDER BY e.c, e.event_id) AS rn
+       |  FROM ev e JOIN bounds b USING (event_type)),
+       |exact AS (
+       |  SELECT event_type,
+       |  $exactCols
+       |  FROM ranked GROUP BY 1)
+       |SELECT e.event_type, CAST(e.n AS BIGINT) AS n,
+       |  CAST(e.bin_w AS BIGINT) AS bin_w, $outCols
+       |FROM est e JOIN exact x USING (event_type)
+       |ORDER BY e.event_type""".stripMargin
+  }
+
   // ─── profile_table: per-column data-quality profile ───
   // The Deequ/Great-Expectations shape every ingestion run executes
   // before data is admitted: per column — null count, exact distinct
@@ -419,8 +580,233 @@ object ScaleOps {
        |FROM est ORDER BY user_id""".stripMargin
   }
 
+  // ─── sketch_hll: deterministic HyperLogLog build + error audit ───
+  // sketch_stats already demonstrates Spark's built-in HLL++ tier (no
+  // cross-engine oracle possible — sketch internals differ). This is
+  // the complementary move from the sketch_cms playbook: derive the
+  // ENTIRE sketch from md5, in integer math, so DuckDB replays the
+  // registers bit-for-bit and the oracle hashes the estimate AND its
+  // error. m=256 registers (first hex byte routes, next 32 hash bits
+  // give the leading-zero rank via string scan — no float log2 whose
+  // rounding could differ between libms); register sums are exact
+  // BIGINTs (2^(40−ρ) terms, ρ ≤ 33); α·m²/Σ2^−ρ evaluated as scaled
+  // integer divides. Per-(type, bucket) max is a bounded hash
+  // aggregate (≤ |types|·256 rows at ANY corpus size — the point of
+  // the sketch); map-side combine makes the shuffle a few KB at 100
+  // TB. Raw HLL regime only (no linear-counting small-range branch:
+  // it needs ln(), which is not reproducible cross-engine); the
+  // estimator bias below n ≈ 2.5·m is accepted and AUDITED by err_bp
+  // rather than hidden. err_bp keeps all divisions positive —
+  // truncating DIV and floor-// agree only on non-negatives.
+  private val hllM = 256
+  private val hllScale = 40 // registers as 2^(40−ρ): exact in BIGINT
+  private val hllAlphaPpm = 718272L // α_256 = 0.7213/(1+1.079/m), ×1e6
+  private val hllMm2Scaled = (hllM.toLong * hllM) << hllScale // m²·2^40
+
+  def sketchHll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events.select(col("event_type"), col("event_id"))
+    val parts = ev
+      .withColumn("h", md5(concat(lit("hll:"), col("event_id").cast("string"))))
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
+      .withColumn("vhex", substring(col("h"), 3, 8))
+      .withColumn("nz", length(regexp_extract(col("vhex"), "^(0*)", 1)))
+      .withColumn("rho", expr(
+        """CASE WHEN nz = 8 THEN 33
+          |     ELSE nz * 4 + 1 + CASE substring(vhex, nz + 1, 1)
+          |       WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+          |       WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+          |       WHEN '7' THEN 1 ELSE 0 END END""".stripMargin))
+    val regs = parts.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+    val est = regs.groupBy(col("event_type"))
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($hllScale - r AS INT))"))
+             .as("s_present"),
+           count(lit(1)).as("n_regs"))
+      .withColumn("hll_est", expr(
+        s"""($hllAlphaPpm * ($hllMm2Scaled DIV
+           |  (s_present + ($hllM - n_regs) * ${1L << hllScale}))) DIV 1000000"""
+          .stripMargin))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("event_id")).as("n_exact"))
+    exact.join(broadcast(est.select(col("event_type"), col("n_regs"), col("hll_est"))),
+        Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("hll_est"), col("n_regs"),
+        expr("(hll_est * 10000) DIV n_exact - 10000").as("err_bp"))
+      .orderBy(col("event_type"))
+  }
+
+  val sketchHllSql: String =
+    s"""WITH parts AS (
+       |  SELECT event_type,
+       |    CAST(('0x' || substr(h, 1, 2)) AS BIGINT) AS bucket,
+       |    substr(h, 3, 8) AS vhex,
+       |    LENGTH(regexp_extract(substr(h, 3, 8), '^(0*)', 1)) AS nz
+       |  FROM (SELECT event_type,
+       |          md5('hll:' || CAST(event_id AS VARCHAR)) AS h
+       |        FROM events)),
+       |rho AS (
+       |  SELECT event_type, bucket,
+       |    CASE WHEN nz = 8 THEN 33
+       |         ELSE nz * 4 + 1 + CASE substr(vhex, nz + 1, 1)
+       |           WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+       |           WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+       |           WHEN '7' THEN 1 ELSE 0 END END AS rho
+       |  FROM parts),
+       |regs AS (
+       |  SELECT event_type, bucket, max(rho) AS r FROM rho GROUP BY 1, 2),
+       |est AS (
+       |  SELECT event_type, count(*) AS n_regs,
+       |    CAST(($hllAlphaPpm * ($hllMm2Scaled //
+       |      (sum(CAST(1 AS BIGINT) << ($hllScale - r))
+       |       + ($hllM - count(*)) * ${1L << hllScale}))) // 1000000
+       |      AS BIGINT) AS hll_est
+       |  FROM regs GROUP BY 1),
+       |exact AS (
+       |  SELECT event_type, count(DISTINCT event_id) AS n_exact
+       |  FROM events GROUP BY 1)
+       |SELECT e.event_type, x.n_exact, e.hll_est, e.n_regs,
+       |  CAST((e.hll_est * 10000) // x.n_exact - 10000 AS BIGINT) AS err_bp
+       |FROM est e JOIN exact x USING (event_type)
+       |ORDER BY e.event_type""".stripMargin
+
+  // ─── sketch_kmv: K-minimum-values distinct + cross-source overlap ───
+  // The mergeable bounded-memory answer to "how big is each source's
+  // distinct content, and how much do sources overlap?" — the
+  // contamination dashboard at 100 TB, where mix_source_overlap's
+  // NEAR-dup matrix is complemented by this EXACT-content one. A KMV
+  // sketch is just the k smallest values of a uniform hash of the
+  // distinct set: est_distinct = (k−1)·2^52/v_k (52 hash bits keep
+  // (k−1)·2^52 inside BIGINT), and the k smallest of a pair's UNION
+  // sketch estimate Jaccard as |U_k ∩ A ∩ B|/|U_k| — all integer, so
+  // DuckDB replays it exactly, and exact hash-set figures ride along
+  // as the audit. Scale shape: the k-smallest selection is TWO-LEVEL —
+  // a per-(source, physical-partition) row_number over the
+  // hash-distinct rows keeps every sort bounded by partition size,
+  // then the global window only sees ≤ k·P candidate rows. (Which
+  // partition a row lands in doesn't affect the result: the union of
+  // local top-ks always contains the global top-k.) The pair frame is
+  // |sources|², built by broadcast; union re-rank input is ≤ 2k rows
+  // per pair.
+  private val kmvK = 128
+  private val kmvBits = 52
+
+  def sketchKmv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dv = Tables(spark, dir).documents
+      .select(col("source"),
+        conv(substring(md5(concat(lit("kmv:"), col("text"))), 1, 13), 16, 10)
+          .cast("long").as("v"))
+      .distinct()
+    val localTop = dv
+      .withColumn("pid", spark_partition_id())
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"), col("pid")).orderBy(col("v"))))
+      .filter(col("rn") <= kmvK).drop("rn", "pid")
+    val sk = localTop
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("v"))))
+      .filter(col("rn") <= kmvK).drop("rn")
+    val per = dv.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    val estd = sk.groupBy(col("source"))
+      .agg(max(col("v")).as("v_k"), count(lit(1)).as("k_sz"))
+      .withColumn("est_distinct", expr(
+        s"CASE WHEN k_sz < $kmvK THEN k_sz ELSE ${(kmvK - 1).toLong << kmvBits} DIV v_k END"))
+    val pairs = per.select(col("source").as("src_a"))
+      .join(broadcast(per.select(col("source").as("src_b"))),
+        col("src_a") < col("src_b"))
+    // Pair × sketch as an EQUIJOIN: explode each pair to its two member
+    // sources and join on source — never a nested loop over sketches.
+    val mem = pairs
+      .select(col("src_a"), col("src_b"),
+        explode(array(col("src_a"), col("src_b"))).as("source"))
+    val uni = broadcast(mem).join(sk, Seq("source"))
+      .groupBy(col("src_a"), col("src_b"), col("v"))
+      .agg(count(lit(1)).as("n_side"))
+    val topu = uni
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("v"))))
+      .filter(col("rn") <= kmvK)
+    val jac = topu.groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("u_sz"),
+        sum(when(col("n_side") === 2, 1L).otherwise(0L)).as("n_both"))
+    val inter = dv.as("x")
+      .join(dv.as("y"),
+        col("x.v") === col("y.v") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(broadcast(per.select(col("source").as("src_a"), col("n_exact").as("n_a"))), Seq("src_a"))
+      .join(broadcast(per.select(col("source").as("src_b"), col("n_exact").as("n_b"))), Seq("src_b"))
+      .join(broadcast(estd.select(col("source").as("src_a"), col("est_distinct").as("est_a"))), Seq("src_a"))
+      .join(broadcast(estd.select(col("source").as("src_b"), col("est_distinct").as("est_b"))), Seq("src_b"))
+      .join(broadcast(jac), Seq("src_a", "src_b"))
+      .join(broadcast(inter), Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("est_a"), col("est_b"), col("u_sz"), col("n_both"),
+        expr("(n_both * 10000) DIV u_sz").as("jacc_est_bp"),
+        expr("(COALESCE(n_inter, 0) * 10000) DIV (n_a + n_b - COALESCE(n_inter, 0))")
+          .as("jacc_exact_bp"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val sketchKmvSql: String =
+    s"""WITH dv AS (
+       |  SELECT DISTINCT source,
+       |    CAST(('0x' || substr(md5('kmv:' || text), 1, 13)) AS BIGINT) AS v
+       |  FROM documents),
+       |per AS (SELECT source, count(*) AS n_exact FROM dv GROUP BY 1),
+       |rk AS (
+       |  SELECT source, v,
+       |    row_number() OVER (PARTITION BY source ORDER BY v) AS rn
+       |  FROM dv),
+       |sk AS (SELECT source, v FROM rk WHERE rn <= $kmvK),
+       |estd AS (
+       |  SELECT source,
+       |    CAST(CASE WHEN count(*) < $kmvK THEN count(*)
+       |         ELSE ${(kmvK - 1).toLong << kmvBits} // max(v) END AS BIGINT)
+       |      AS est_distinct
+       |  FROM sk GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b
+       |  FROM per a JOIN per b ON a.source < b.source),
+       |uni AS (
+       |  SELECT p.src_a, p.src_b, s.v, count(*) AS n_side
+       |  FROM pairs p JOIN sk s ON s.source = p.src_a OR s.source = p.src_b
+       |  GROUP BY 1, 2, 3),
+       |topu AS (
+       |  SELECT src_a, src_b, v, n_side,
+       |    row_number() OVER (PARTITION BY src_a, src_b ORDER BY v) AS rn
+       |  FROM uni),
+       |jac AS (
+       |  SELECT src_a, src_b, count(*) AS u_sz,
+       |    CAST(sum(CASE WHEN n_side = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+       |  FROM topu WHERE rn <= $kmvK GROUP BY 1, 2),
+       |inter AS (
+       |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_inter
+       |  FROM dv x JOIN dv y ON x.v = y.v AND x.source < y.source
+       |  GROUP BY 1, 2)
+       |SELECT p.src_a, p.src_b, pa.n_exact AS n_a, pb.n_exact AS n_b,
+       |  ea.est_distinct AS est_a, eb.est_distinct AS est_b,
+       |  j.u_sz, j.n_both,
+       |  CAST((j.n_both * 10000) // j.u_sz AS BIGINT) AS jacc_est_bp,
+       |  CAST((COALESCE(i.n_inter, 0) * 10000) //
+       |       (pa.n_exact + pb.n_exact - COALESCE(i.n_inter, 0)) AS BIGINT)
+       |    AS jacc_exact_bp
+       |FROM pairs p
+       |JOIN per pa ON pa.source = p.src_a
+       |JOIN per pb ON pb.source = p.src_b
+       |JOIN estd ea ON ea.source = p.src_a
+       |JOIN estd eb ON eb.source = p.src_b
+       |JOIN jac j ON j.src_a = p.src_a AND j.src_b = p.src_b
+       |LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+       |ORDER BY p.src_a, p.src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_cms" -> sketchCms,
+    "sketch_hll" -> sketchHll,
+    "sketch_kmv" -> sketchKmv,
+    "sketch_quantile" -> sketchQuantile,
+    "layout_prune" -> layoutPrune,
     "filter_bloom" -> filterBloom,
     "shard_skew" -> shardSkew,
     "profile_table" -> profileTable,
@@ -433,6 +819,10 @@ object ScaleOps {
     * cross-engine reproducible (driver does the rows-only check). */
   val oracle: Map[String, String] = Map(
     "sketch_cms" -> sketchCmsSql,
+    "sketch_hll" -> sketchHllSql,
+    "sketch_kmv" -> sketchKmvSql,
+    "sketch_quantile" -> sketchQuantileSql,
+    "layout_prune" -> layoutPruneSql,
     "filter_bloom" -> filterBloomSql,
     "shard_skew" -> shardSkewSql,
     "profile_table" -> profileTableSql,
