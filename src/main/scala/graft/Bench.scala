@@ -80,9 +80,24 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
 
+    // CONTENTION TELEMETRY (the round-12 fix): round-11's bench showed
+    // 41 band-disjoint "regressions" up to 12× that turned out to be an
+    // oversubscribed machine, and nothing in the artifact could prove
+    // it either way. Now every timed iteration also records the JVM's
+    // process-CPU delta (com.sun.management.OperatingSystemMXBean): a
+    // query whose WALL time regresses while its CPU time holds steady
+    // did the same work but waited for the box — contention; a query
+    // whose CPU regresses with it genuinely runs a worse plan. Each
+    // query also samples the 1-minute system loadavg at its start. The
+    // JSON grows "cpu" (per-query median CPU sec) and "load" (per-query
+    // loadavg at start); tools/benchdiff.py uses both to refuse
+    // wall-only regressions whose CPU band overlaps.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results =
-      scala.collection.mutable.ArrayBuffer.empty[(String, Option[(Double, Double, Double)])]
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Option[(Double, Double, Double, Double, Double, Double, Double)])]
     chunks.foreach { chunk =>
       val spark = GraftSession.builder(cpus).getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
@@ -97,14 +112,18 @@ object Bench {
         // query timing — keep it out of the median, and stop iterating
         // on that query (it will fail identically again).
         val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val cpuSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val loadAtStart = osBean.getSystemLoadAverage
         var broken = false
         (1 to iters).foreach { _ =>
           if (!broken) {
             spark.catalog.clearCache()
+            val c0 = osBean.getProcessCpuTime
             val t0 = System.nanoTime()
             try {
               fn(spark, sfDir).write.format("noop").mode("overwrite").save()
               samples += (System.nanoTime() - t0) / 1e9
+              cpuSamples += (osBean.getProcessCpuTime - c0) / 1e9
             } catch { case e: Throwable =>
               broken = true
               if (!failed.contains(name)) failed += name
@@ -115,7 +134,9 @@ object Bench {
         // timings and the failed list are mutually exclusive: a broken
         // query's pre-failure samples are not a timing for the query.
         results += (name -> (if (broken || samples.isEmpty) None
-                             else Some((median(samples.toSeq), samples.min, samples.max))))
+                             else Some((median(samples.toSeq), samples.min, samples.max,
+                                        median(cpuSamples.toSeq), cpuSamples.min,
+                                        cpuSamples.max, loadAtStart))))
       }
       // Retire the chunk's session: drop fixture references into the
       // dying context, stop it, and nudge the collector so the next
@@ -129,20 +150,29 @@ object Bench {
     }
 
     val sorted = results.toSeq.sortBy(_._1)
-    val qs = sorted.collect { case (k, Some((m, _, _))) => "\"" + k + "\":" + m }
+    val qs = sorted.collect { case (k, Some((m, _, _, _, _, _, _))) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     // Run-to-run spread per query (min/max over the timed iterations):
     // local[32] medians swing ±70% on sub-second queries from
     // scheduler/GC luck alone (SURVEY §7), so a regression read off
     // one round's median is only actionable when it exceeds the
     // spread band. Extra key — consumers of "queries" are unaffected.
-    val spread = sorted.collect { case (k, Some((_, lo, hi))) =>
+    val spread = sorted.collect { case (k, Some((_, lo, hi, _, _, _, _))) =>
       "\"" + k + "\":[" + lo + "," + hi + "]"
+    }.mkString("{", ",", "}")
+    val cpu = sorted.collect { case (k, Some((_, _, _, cm, _, _, _))) =>
+      "\"" + k + "\":" + cm
+    }.mkString("{", ",", "}")
+    val cpuSpread = sorted.collect { case (k, Some((_, _, _, _, clo, chi, _))) =>
+      "\"" + k + "\":[" + clo + "," + chi + "]"
+    }.mkString("{", ",", "}")
+    val load = sorted.collect { case (k, Some((_, _, _, _, _, _, la))) =>
+      "\"" + k + "\":" + la
     }.mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = sorted.flatMap(_._2.map(_._1)).sum
     val mode = if (cold) "cold" else "warm"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$fj,"mode":"$mode","iters":$iters,"chunks":${chunks.size},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"cpu":$cpu,"cpu_spread":$cpuSpread,"load":$load,"failed":$fj,"mode":"$mode","iters":$iters,"chunks":${chunks.size},"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r{N}.json keeps only a tail-truncated copy of
     // stdout, which loses the front of the per-query map on a 150+

@@ -12,19 +12,34 @@ final case class Tables(spark: SparkSession, dir: String) {
 
   /** events.ts normalized to the native microsecond TimestampType,
     * adapting to whatever physical type the driver-generated parquet
-    * carries (the generator has changed it between rounds):
+    * carries (the generator has changed it TWICE between rounds):
     *  - TIMESTAMP(NANOS): read as raw nanos
-    *    (spark.sql.legacy.parquet.nanosAsLong, set by GraftSession)
-    *    and floor-converted with integer DIV — no double round-off;
+    *    (spark.sql.legacy.parquet.nanosAsLong, set by GraftSession);
     *  - TIMESTAMP(MICROS) without tz: arrives as TIMESTAMP_NTZ; cast
     *    to TimestampType (identity under the session's UTC zone);
-    *  - TIMESTAMP(MICROS) with tz: already TimestampType, no-op. */
+    *  - TIMESTAMP(MICROS) with tz: already TimestampType, no-op.
+    *
+    * A raw INT64 column is disambiguated by MAGNITUDE, not assumed to
+    * be nanos (the r11 ADVICE hazard: an unannotated-micros file
+    * silently divided by 1000): epoch seconds (~2·10⁹), millis
+    * (~2·10¹²), micros (~2·10¹⁵) and nanos (~2·10¹⁸) occupy disjoint
+    * decades for any instant between 1973 and 5138, so one codegen'd
+    * per-row comparison picks the right unit for every physical
+    * encoding the generator could emit — integer DIV throughout, no
+    * double round-off. (TablesTsSpec pins all four units + both
+    * timestamp physical types.) */
   def events: DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampType}
     val raw = t("events")
     raw.schema("ts").dataType match {
-      case LongType      => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case LongType => raw.withColumn("ts", expr(
+        """timestamp_micros(CASE
+          |  WHEN ts >= 100000000000000000 THEN ts DIV 1000
+          |  WHEN ts >= 100000000000000    THEN ts
+          |  WHEN ts >= 100000000000       THEN ts * 1000
+          |  ELSE                               ts * 1000000
+          |END)""".stripMargin))
       case TimestampType => raw
       case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
     }

@@ -236,9 +236,10 @@ object ScaleOps {
   // corpus size, mergeable map-side. The p50/p95/p99 estimate is the
   // lower edge of the first bin whose cumulative count reaches
   // ceil(q·n) — all integer, so DuckDB replays it exactly; the kth
-  // order statistic (computed honestly via a per-group sort, the thing
-  // the sketch REPLACES at 100 TB) rides along as the audit, with
-  // exact − est ∈ [0, bin width) the provable bound (Round11OpsSpec).
+  // order statistic rides along as the audit, computed on the bucket
+  // ledger (Ranks.groupedRank — no per-type full sort even for the
+  // audit), with exact − est ∈ [0, bin width) the provable bound
+  // (Round11OpsSpec "sketch_quantile audit bound").
   private val sqBins = 256L
 
   def sketchQuantile(spark: SparkSession, dir: String): DataFrame = {
@@ -265,14 +266,21 @@ object ScaleOps {
         expr(s"(cmax - cmin + 1 + ${sqBins - 1}) DIV $sqBins").as("bin_w")) ++
         qs.map(q => expr(
           s"cmin + (bin_p$q * (cmax - cmin + 1)) DIV $sqBins").as(s"est_p${q}_cents")): _*)
-    // The audit side: the true kth order statistic per group — the
-    // full sort the sketch replaces (partitioned window, unique
-    // tiebreak so both engines pick the same row).
-    val wrk = Window.partitionBy(col("event_type"))
-      .orderBy(col("c"), col("event_id"))
-    val ranked = ev.withColumn("rn", row_number().over(wrk))
-      .join(broadcast(bounds.select(col("event_type"), col("n"))),
-        Seq("event_type"))
+    // The audit side: the true kth order statistic per group. Round 12
+    // moved this off the per-type full-sort window (a 100 TB per-type
+    // sort — the thing the sketch exists to avoid) onto the SAME
+    // two-level bucket ledger the sketch uses: rank = count of earlier
+    // bins + row_number within the row's bin (Ranks.groupedRank), so
+    // per-task sort input is one bin (~n/256), the only unpartitioned
+    // state is the ≤256-rows-per-type ledger, and the ranks — hence
+    // the hash — are identical to the full sort's.
+    val ranked = Ranks.groupedRank(
+      ev.join(broadcast(bounds), Seq("event_type")),
+      grp = Seq("event_type"),
+      bucket = Seq(expr(s"((c - cmin) * $sqBins) DIV (cmax - cmin + 1)")),
+      sort = Seq(col("c"), col("event_id")),
+      rankName = "rn", totalName = "__ntot")
+      .drop("__ntot")
     val exactAggs = qs.map(q =>
       min(when(col("rn") === expr(s"(n * $q + 99) DIV 100"), col("c")))
         .as(s"exact_p${q}_cents"))
@@ -678,8 +686,13 @@ object ScaleOps {
   // distinct set: est_distinct = (k−1)·2^52/v_k (52 hash bits keep
   // (k−1)·2^52 inside BIGINT), and the k smallest of a pair's UNION
   // sketch estimate Jaccard as |U_k ∩ A ∩ B|/|U_k| — all integer, so
-  // DuckDB replays it exactly, and exact hash-set figures ride along
-  // as the audit. Scale shape: the k-smallest selection is TWO-LEVEL —
+  // DuckDB replays it exactly. The exact hash-set figures (per-source
+  // distinct counts, pairwise intersection) live in the SEPARATE
+  // `sketch_kmv_audit` query below: they are precisely the corpus-
+  // sized work the sketch replaces, so the shipped estimator plan
+  // contains neither (round-12 split; the audit stays oracled as a
+  // test-SF calibration harness, never run at corpus scale).
+  // Scale shape: the k-smallest selection is TWO-LEVEL —
   // a per-(source, physical-partition) row_number over the
   // hash-distinct rows keeps every sort bounded by partition size,
   // then the global window only sees ≤ k·P candidate rows. (Which
@@ -706,13 +719,15 @@ object ScaleOps {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("source")).orderBy(col("v"))))
       .filter(col("rn") <= kmvK).drop("rn")
-    val per = dv.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
     val estd = sk.groupBy(col("source"))
       .agg(max(col("v")).as("v_k"), count(lit(1)).as("k_sz"))
       .withColumn("est_distinct", expr(
         s"CASE WHEN k_sz < $kmvK THEN k_sz ELSE ${(kmvK - 1).toLong << kmvBits} DIV v_k END"))
-    val pairs = per.select(col("source").as("src_a"))
-      .join(broadcast(per.select(col("source").as("src_b"))),
+    // Pair universe from the sketch frame itself (|sources| rows) —
+    // the estimator never aggregates the corpus beyond the sketch.
+    val srcs = estd.select(col("source"))
+    val pairs = srcs.select(col("source").as("src_a"))
+      .join(broadcast(srcs.select(col("source").as("src_b"))),
         col("src_a") < col("src_b"))
     // Pair × sketch as an EQUIJOIN: explode each pair to its two member
     // sources and join on source — never a nested loop over sketches.
@@ -729,6 +744,33 @@ object ScaleOps {
     val jac = topu.groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("u_sz"),
         sum(when(col("n_side") === 2, 1L).otherwise(0L)).as("n_both"))
+    pairs
+      .join(broadcast(estd.select(col("source").as("src_a"), col("est_distinct").as("est_a"))), Seq("src_a"))
+      .join(broadcast(estd.select(col("source").as("src_b"), col("est_distinct").as("est_b"))), Seq("src_b"))
+      .join(broadcast(jac), Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"),
+        col("est_a"), col("est_b"), col("u_sz"), col("n_both"),
+        expr("(n_both * 10000) DIV u_sz").as("jacc_est_bp"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** The exact-side calibration audit the estimator used to bundle:
+    * per-source exact distinct counts and the pairwise exact
+    * intersection/Jaccard. This IS the corpus-sized work `sketch_kmv`
+    * replaces — a full distinct aggregate plus a value-keyed self-join
+    * — kept as its own oracled query so the gate can still measure the
+    * estimator's error at test SF while the shipped estimator plan
+    * stays sketch-only. Run this at sample scale, never per-corpus. */
+  def sketchKmvAudit(spark: SparkSession, dir: String): DataFrame = {
+    val dv = Tables(spark, dir).documents
+      .select(col("source"),
+        conv(substring(md5(concat(lit("kmv:"), col("text"))), 1, 13), 16, 10)
+          .cast("long").as("v"))
+      .distinct()
+    val per = dv.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    val pairs = per.select(col("source").as("src_a"))
+      .join(broadcast(per.select(col("source").as("src_b"))),
+        col("src_a") < col("src_b"))
     val inter = dv.as("x")
       .join(dv.as("y"),
         col("x.v") === col("y.v") && col("x.source") < col("y.source"))
@@ -737,13 +779,9 @@ object ScaleOps {
     pairs
       .join(broadcast(per.select(col("source").as("src_a"), col("n_exact").as("n_a"))), Seq("src_a"))
       .join(broadcast(per.select(col("source").as("src_b"), col("n_exact").as("n_b"))), Seq("src_b"))
-      .join(broadcast(estd.select(col("source").as("src_a"), col("est_distinct").as("est_a"))), Seq("src_a"))
-      .join(broadcast(estd.select(col("source").as("src_b"), col("est_distinct").as("est_b"))), Seq("src_b"))
-      .join(broadcast(jac), Seq("src_a", "src_b"))
       .join(broadcast(inter), Seq("src_a", "src_b"), "left")
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
-        col("est_a"), col("est_b"), col("u_sz"), col("n_both"),
-        expr("(n_both * 10000) DIV u_sz").as("jacc_est_bp"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
         expr("(COALESCE(n_inter, 0) * 10000) DIV (n_a + n_b - COALESCE(n_inter, 0))")
           .as("jacc_exact_bp"))
       .orderBy(col("src_a"), col("src_b"))
@@ -754,7 +792,6 @@ object ScaleOps {
        |  SELECT DISTINCT source,
        |    CAST(('0x' || substr(md5('kmv:' || text), 1, 13)) AS BIGINT) AS v
        |  FROM documents),
-       |per AS (SELECT source, count(*) AS n_exact FROM dv GROUP BY 1),
        |rk AS (
        |  SELECT source, v,
        |    row_number() OVER (PARTITION BY source ORDER BY v) AS rn
@@ -768,7 +805,7 @@ object ScaleOps {
        |  FROM sk GROUP BY 1),
        |pairs AS (
        |  SELECT a.source AS src_a, b.source AS src_b
-       |  FROM per a JOIN per b ON a.source < b.source),
+       |  FROM estd a JOIN estd b ON a.source < b.source),
        |uni AS (
        |  SELECT p.src_a, p.src_b, s.v, count(*) AS n_side
        |  FROM pairs p JOIN sk s ON s.source = p.src_a OR s.source = p.src_b
@@ -780,24 +817,38 @@ object ScaleOps {
        |jac AS (
        |  SELECT src_a, src_b, count(*) AS u_sz,
        |    CAST(sum(CASE WHEN n_side = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
-       |  FROM topu WHERE rn <= $kmvK GROUP BY 1, 2),
+       |  FROM topu WHERE rn <= $kmvK GROUP BY 1, 2)
+       |SELECT p.src_a, p.src_b,
+       |  ea.est_distinct AS est_a, eb.est_distinct AS est_b,
+       |  j.u_sz, j.n_both,
+       |  CAST((j.n_both * 10000) // j.u_sz AS BIGINT) AS jacc_est_bp
+       |FROM pairs p
+       |JOIN estd ea ON ea.source = p.src_a
+       |JOIN estd eb ON eb.source = p.src_b
+       |JOIN jac j ON j.src_a = p.src_a AND j.src_b = p.src_b
+       |ORDER BY p.src_a, p.src_b""".stripMargin
+
+  val sketchKmvAuditSql: String =
+    s"""WITH dv AS (
+       |  SELECT DISTINCT source,
+       |    CAST(('0x' || substr(md5('kmv:' || text), 1, 13)) AS BIGINT) AS v
+       |  FROM documents),
+       |per AS (SELECT source, count(*) AS n_exact FROM dv GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b
+       |  FROM per a JOIN per b ON a.source < b.source),
        |inter AS (
        |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_inter
        |  FROM dv x JOIN dv y ON x.v = y.v AND x.source < y.source
        |  GROUP BY 1, 2)
        |SELECT p.src_a, p.src_b, pa.n_exact AS n_a, pb.n_exact AS n_b,
-       |  ea.est_distinct AS est_a, eb.est_distinct AS est_b,
-       |  j.u_sz, j.n_both,
-       |  CAST((j.n_both * 10000) // j.u_sz AS BIGINT) AS jacc_est_bp,
+       |  CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
        |  CAST((COALESCE(i.n_inter, 0) * 10000) //
        |       (pa.n_exact + pb.n_exact - COALESCE(i.n_inter, 0)) AS BIGINT)
        |    AS jacc_exact_bp
        |FROM pairs p
        |JOIN per pa ON pa.source = p.src_a
        |JOIN per pb ON pb.source = p.src_b
-       |JOIN estd ea ON ea.source = p.src_a
-       |JOIN estd eb ON eb.source = p.src_b
-       |JOIN jac j ON j.src_a = p.src_a AND j.src_b = p.src_b
        |LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
        |ORDER BY p.src_a, p.src_b""".stripMargin
 
@@ -805,6 +856,7 @@ object ScaleOps {
     "sketch_cms" -> sketchCms,
     "sketch_hll" -> sketchHll,
     "sketch_kmv" -> sketchKmv,
+    "sketch_kmv_audit" -> sketchKmvAudit,
     "sketch_quantile" -> sketchQuantile,
     "layout_prune" -> layoutPrune,
     "filter_bloom" -> filterBloom,
@@ -821,6 +873,7 @@ object ScaleOps {
     "sketch_cms" -> sketchCmsSql,
     "sketch_hll" -> sketchHllSql,
     "sketch_kmv" -> sketchKmvSql,
+    "sketch_kmv_audit" -> sketchKmvAuditSql,
     "sketch_quantile" -> sketchQuantileSql,
     "layout_prune" -> layoutPruneSql,
     "filter_bloom" -> filterBloomSql,

@@ -137,18 +137,49 @@ object Similarity {
   }
 
   // ─── ann_ivf: coarse-quantizer cells, nprobe=2 ───
-  // Cells seeded from every 50th vector (deterministic coarse
-  // quantizer); every vector is assigned to its nearest centroid via a
+  // Cells seeded from a √n-sized deterministic sample (the round-12
+  // fix: the old every-50th-vector quantizer grew the centroid set —
+  // and therefore the broadcast and the n·(n/50) assignment cost —
+  // linearly with the corpus). Centroids are the ⌈√n⌉ vectors ranked
+  // first by md5(vec_id) — a uniform, order-independent sample both
+  // engines replay exactly (same init-only data-derived-model trick as
+  // ann_pq's codebooks). Cells then average √n vectors, so the
+  // broadcast is O(√n) (~16 MB at 10⁹ vectors), assignment is n·√n,
+  // and a query's nprobe cells hold ~2√n candidates — the standard IVF
+  // scaling. Every vector is assigned to its nearest centroid via a
   // broadcast join + per-vector min — the inverted file. A query
   // probes its 2 nearest cells and ranks only those cells' vectors.
   private val nprobe = 2
-  private val centroidStride = 50
 
-  /** Every-50th-vector coarse-quantizer cells (deterministic seed). */
-  private def ivfCents(spark: SparkSession, dir: String): DataFrame =
-    vecs(spark, dir).filter(col("vec_id") % centroidStride === 0)
-      .select((col("vec_id") / centroidStride).cast("long").as("cell"),
-        col("v").as("centv"))
+  /** Centroid count for an n-vector corpus: ⌈√n/2⌉, floored at 4 —
+    * the √n family (broadcast stays O(√n)) with cells of ~2√n, which
+    * keeps nprobe=2's candidate budget at the level the recall spec
+    * (DedupSimilaritySpec) anchors against brute force. */
+  private def ivfK(n: Long): Int =
+    math.max(4, math.ceil(math.sqrt(n.toDouble) / 2).toInt)
+
+  /** √n md5-sampled coarse-quantizer cells; `cell` is the centroid's
+    * own vec_id (an opaque, engine-agnostic cell label). The sort is
+    * TakeOrdered (O(n log k), no full-sort shuffle) and the result is
+    * k rows — broadcast-sized by construction. The count() that sizes
+    * k is a parquet-metadata aggregate, not a data scan. */
+  private def ivfCents(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables(spark, dir).embeddings.count()
+    vecs(spark, dir)
+      .withColumn("hkey", md5(col("vec_id").cast("string")))
+      .orderBy(col("hkey"), col("vec_id"))
+      .limit(ivfK(n))
+      .select(col("vec_id").as("cell"), col("v").as("centv"))
+  }
+
+  /** DuckDB twin of ivfCents — expects a preceding `n` CTE in vecsSql
+    * shape; shared by the ann_ivf / knn_join / hard_neg_mine oracles. */
+  private lazy val ivfCentsSql: String =
+    """cents AS (
+      |  SELECT vec_id AS cell, v AS centv FROM n
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      |  LIMIT greatest(4, CAST(ceil(sqrt(
+      |    (SELECT count(*) FROM embeddings)) / 2) AS BIGINT)))""".stripMargin
 
   /** Each vector of `df` paired with its `keep` nearest cells
     * (broadcast centroids + per-vector min): the inverted-file build
@@ -234,9 +265,7 @@ object Similarity {
 
   val annIvfSql: String =
     s"""WITH n AS (${vecsSql("vec_id")}),
-       |cents AS (
-       |  SELECT (vec_id // $centroidStride) AS cell, v AS centv
-       |  FROM n WHERE vec_id % $centroidStride = 0),
+       |$ivfCentsSql,
        |ad AS (
        |  SELECT n.vec_id, n.v, n.norm, c.cell,
        |    (${dist2SqlOf("n.v", "c.centv")}) AS d2
@@ -389,7 +418,7 @@ object Similarity {
   // sq-code domain, so every distance/score is an integer-valued
   // double and the group-by sum is order-independent. The codebook is
   // the first 16 vectors' coded subvectors (the same deterministic
-  // data-derived "model" trick as ann_ivf's strided centroids —
+  // data-derived "model" trick as ann_ivf's sampled centroids —
   // init-only k-means, broadcast as a 128-row frame, never collected).
   // Shortlist 10 per query by ADC score, exact-cosine rescore, top 3.
   private val pqSub = 8       // subspaces
@@ -512,16 +541,7 @@ object Similarity {
 
   def knnJoin(spark: SparkSession, dir: String): DataFrame = {
     val v = vecs(spark, dir)
-    val cents = v.filter(col("vec_id") % centroidStride === 0)
-      .select((col("vec_id") / centroidStride).cast("long").as("cell"),
-        col("v").as("centv"))
-    val aw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
-    val assigned = v.join(broadcast(cents))
-      .withColumn("d2", aggregate(
-        zip_with(col("v"), col("centv"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (s, x) => s + x))
-      .withColumn("r", row_number().over(aw))
-      .filter(col("r") === 1)
+    val assigned = nearestCells(ivfCents(spark, dir), v, 1, "vec_id")
       .select(col("cell"), col("vec_id"), col("v"), col("norm"))
     val left = assigned.select(col("cell"), col("vec_id"),
       col("v").as("lv"), col("norm").as("ln"))
@@ -541,9 +561,7 @@ object Similarity {
 
   val knnJoinSql: String =
     s"""WITH n AS (${vecsSql("vec_id")}),
-       |cents AS (
-       |  SELECT (vec_id // $centroidStride) AS cell, v AS centv
-       |  FROM n WHERE vec_id % $centroidStride = 0),
+       |$ivfCentsSql,
        |ad AS (
        |  SELECT n.vec_id, n.v, n.norm, c.cell,
        |    (${dist2SqlOf("n.v", "c.centv")}) AS d2
@@ -776,9 +794,7 @@ object Similarity {
   val hardNegMineSql: String =
     s"""WITH n AS (${vecsSql("vec_id")}),
        |l AS (SELECT vec_id, label FROM embeddings),
-       |cents AS (
-       |  SELECT (vec_id // $centroidStride) AS cell, v AS centv
-       |  FROM n WHERE vec_id % $centroidStride = 0),
+       |$ivfCentsSql,
        |ad AS (
        |  SELECT n.vec_id, n.v, n.norm, c.cell,
        |    (${dist2SqlOf("n.v", "c.centv")}) AS d2

@@ -78,8 +78,21 @@ object MultiSocketSource {
     /** Rows currently buffered (bounded by `maxBufferedRows`). */
     def bufferedRows: Int
     def maxRows: Int
+    /** Rows currently buffered PER CONNECTION — the queue-depth twin
+      * of the reference health checker's per-proxy mailbox size
+      * (health_checker.ex:60-72); HealthReporter.connectionHealth
+      * surfaces it as the `queue_depth` column. */
+    def bufferedByConn: Map[String, Int]
     /** SO_KEEPALIVE as actually set on each accepted socket. */
     def acceptedKeepAlive: Seq[Boolean]
+    /** SO_RCVBUF as actually set on each accepted socket (the
+      * reference sets buffer: 131_072, proxy.ex:78-83; the kernel may
+      * round up, so observers assert ≥). */
+    def acceptedRecvBuffer: Seq[Int]
+    /** SO_LINGER per accepted socket: 0 = linger on with zero
+      * timeout (reference linger: {true, 0} — close is an immediate
+      * RST, no TIME_WAIT pileup across a reconnecting fleet). */
+    def acceptedLinger: Seq[Int]
     /** Reader threads currently inside readLoop — the graceful-drain
       * observable: stop() must release readers parked on a full
       * buffer, so this must reach 0 shortly after stop even when
@@ -168,7 +181,15 @@ private[sources] class MultiSocketStream(port: Int, name: Option[String],
   private val conns =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
 
+  /** Receive-buffer size the reference configures per accepted socket
+    * (proxy.ex:78-83 `buffer: 131_072`). Also set on the LISTENER
+    * before bind: that is what sizes the TCP window the kernel
+    * advertises on accepted connections (per-socket sets after accept
+    * can no longer grow the negotiated window). */
+  private val recvBufferBytes = 131072
+
   private val server = new ServerSocket()
+  server.setReceiveBufferSize(recvBufferBytes)
   server.bind(new InetSocketAddress(port))
   name.foreach { n =>
     MultiSocketSource.boundPorts.put(n, Integer.valueOf(server.getLocalPort))
@@ -184,7 +205,13 @@ private[sources] class MultiSocketStream(port: Int, name: Option[String],
   // sockets are skipped.
   override def acceptedKeepAlive: Seq[Boolean] =
     conns.asScala.toSeq.flatMap(s => scala.util.Try(s.getKeepAlive).toOption)
+  override def acceptedRecvBuffer: Seq[Int] =
+    conns.asScala.toSeq.flatMap(s => scala.util.Try(s.getReceiveBufferSize).toOption)
+  override def acceptedLinger: Seq[Int] =
+    conns.asScala.toSeq.flatMap(s => scala.util.Try(s.getSoLinger).toOption)
   override def liveReaders: Int = readersIn.get().toInt
+  override def bufferedByConn: Map[String, Int] =
+    buffer.synchronized(buffer.groupBy(_._1).map { case (k, v) => k -> v.size })
 
   // The Ranch acceptor: one thread accepts, one reader thread per live
   // connection (connection counts are fleet-sized — tens, not
@@ -193,11 +220,17 @@ private[sources] class MultiSocketStream(port: Int, name: Option[String],
     while (!stopped) {
       try {
         val sock = server.accept()
-        // SO_KEEPALIVE, as the reference sets on every accepted socket
-        // (proxy.ex:81 `keepalive: true`): a silently half-open feed
-        // fails fast at the transport instead of surfacing minutes
-        // later as a stale session.
+        // Socket options as the reference sets on every accepted
+        // socket (proxy.ex:78-83 `keepalive: true, buffer: 131_072,
+        // linger: {true, 0}`): keepalive makes a silently half-open
+        // feed fail fast at the transport instead of surfacing minutes
+        // later as a stale session; the receive buffer sizes the flow-
+        // control window the back-pressure path fills; linger(0) makes
+        // close an immediate RST — no TIME_WAIT pileup when a fleet of
+        // producers reconnects.
         sock.setKeepAlive(true)
+        sock.setReceiveBufferSize(recvBufferBytes)
+        sock.setSoLinger(true, 0)
         conns.add(sock)
         val peer = sock.getRemoteSocketAddress.asInstanceOf[InetSocketAddress]
         val connId = s"${peer.getAddress.getHostAddress}:${peer.getPort}"

@@ -31,9 +31,20 @@ object HealthReporter {
     * with columns (connId, message, receiveTs): message/heartbeat/byte
     * counters plus first/last-seen epochs, updated every trigger.
     * Schema mirrors the batch health_rollup so dashboards can read
-    * either. Run with outputMode("update"). */
-  def connectionHealth(frames: DataFrame): DataFrame =
-    frames
+    * either. Run with outputMode("update").
+    *
+    * `probeName` (optional) names a registered graft-multisocket
+    * stream: each emitted row then also carries `queue_depth` — the
+    * connection's rows still sitting in the source buffer, the twin of
+    * the reference health checker logging each proxy's mailbox size
+    * (health_checker.ex:60-72). The lookup reads the driver-resident
+    * probe registry, which is where this dev/test source's buffer
+    * lives (the 100 TB ingest path is Kafka/Kinesis, not this source),
+    * and is re-evaluated every trigger so the depth tracks the live
+    * backlog. */
+  def connectionHealth(frames: DataFrame,
+      probeName: Option[String] = None): DataFrame = {
+    val base = frames
       .groupBy(col("connId").as("conn_id"))
       .agg(
         count(lit(1)).as("n_msgs"),
@@ -42,6 +53,14 @@ object HealthReporter {
         sum(length(col("message")).cast("long")).as("msg_bytes"),
         min(unix_timestamp(col("receiveTs"))).as("first_epoch"),
         max(unix_timestamp(col("receiveTs"))).as("last_epoch"))
+    probeName.fold(base) { n =>
+      val depth = udf { conn: String =>
+        Option(graft.sources.MultiSocketSource.activeStreams.get(n))
+          .map(_.bufferedByConn.getOrElse(conn, 0)).getOrElse(0)
+      }
+      base.withColumn("queue_depth", depth(col("conn_id")).cast("long"))
+    }
+  }
 }
 
 /** The listener half: publishes one line per completed micro-batch

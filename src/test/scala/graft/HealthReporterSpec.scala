@@ -72,4 +72,49 @@ class HealthReporterSpec extends AnyFunSuite {
         l.contains("stateRows=")),
       s"progress lines carry rows + state backlog; got $progress")
   }
+
+  test("connectionHealth surfaces per-connection queue depth from the source probe") {
+    // The reference health checker logs each proxy's mailbox size
+    // (health_checker.ex:60-72); here the per-connection buffered-row
+    // depth rides the health aggregate as `queue_depth`, read from the
+    // named stream's probe at every trigger. A deterministic probe
+    // stands in for the socket stream (the real probe's map is
+    // asserted against live sockets in MultiSocketSourceSpec).
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val probe = new graft.sources.MultiSocketSource.StreamProbe {
+      def bufferedRows: Int = 9
+      def maxRows: Int = 64
+      def bufferedByConn: Map[String, Int] = Map("conn-a" -> 7, "conn-c" -> 2)
+      def acceptedKeepAlive: Seq[Boolean] = Seq.empty
+      def acceptedRecvBuffer: Seq[Int] = Seq.empty
+      def acceptedLinger: Seq[Int] = Seq.empty
+      def liveReaders: Int = 2
+    }
+    graft.sources.MultiSocketSource.activeStreams.put("spechealthq", probe)
+    val input = MemoryStream[RawPacket]
+    val health = HealthReporter.connectionHealth(
+      OcsPipeline.frames(input.toDF()), probeName = Some("spechealthq"))
+    val query = health.writeStream
+      .outputMode("update")
+      .format("memory").queryName("conn_health_q")
+      .start()
+    try {
+      input.addData(
+        RawPacket("conn-a", "10.0.0.1", ts("2026-01-01 10:00:00"),
+          s"m1${EOT}", seq = 1),
+        RawPacket("conn-b", "10.0.0.2", ts("2026-01-01 10:00:05"),
+          s"b1${EOT}", seq = 2))
+      query.processAllAvailable()
+    } finally {
+      query.stop()
+      graft.sources.MultiSocketSource.activeStreams.remove("spechealthq")
+    }
+    val depths = spark.table("conn_health_q")
+      .select($"conn_id", $"queue_depth").as[(String, Long)]
+      .collect().toMap
+    assert(depths == Map("conn-a" -> 7L, "conn-b" -> 0L),
+      s"queue_depth from the probe (0 when the conn has no backlog): $depths")
+  }
 }

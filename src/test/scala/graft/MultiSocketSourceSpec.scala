@@ -203,10 +203,18 @@ class MultiSocketSourceSpec extends AnyFunSuite {
         assert(maxSeen <= 3 * cap, s"buffer exceeded its bound: $maxSeen > 3×$cap")
         val got = spark.table("msock_bp").collect().map(_.getString(0)).toSet
         assert(got == (1 to total).map(i => s"p$i$EOT").toSet, "no loss, no dupes")
-        // Keepalive is set on every accepted socket (while still open).
+        // Socket options per accepted socket (while still open), the
+        // reference's proxy.ex:78-83 triple: keepalive, 128 KiB
+        // receive buffer (kernel may round up — assert ≥), linger(0).
         val ka = probe.acceptedKeepAlive
         assert(ka.isEmpty || ka.forall(identity),
           s"accepted sockets must have SO_KEEPALIVE: $ka")
+        val rb = probe.acceptedRecvBuffer
+        assert(rb.isEmpty || rb.forall(_ >= 131072),
+          s"accepted sockets must carry a >=128KiB receive buffer: $rb")
+        val lg = probe.acceptedLinger
+        assert(lg.isEmpty || lg.forall(_ == 0),
+          s"accepted sockets must linger(true, 0): $lg")
       } finally c.close()
     } finally q.stop()
   }
@@ -244,6 +252,14 @@ class MultiSocketSourceSpec extends AnyFunSuite {
       while ((probe.liveReaders < 1 || probe.bufferedRows < cap) &&
           System.nanoTime() < until) Thread.sleep(20)
       assert(probe.liveReaders >= 1, "producer's reader thread never started")
+      // Queue depth per connection (the health checker's mailbox-size
+      // twin): one producer, so the per-conn map is a single entry
+      // keyed by the live connection, with a non-empty backlog while
+      // the reader is parked. (No exact-sum assert: the engine drains
+      // concurrently, and the two probe reads are separate locks.)
+      val depths = probe.bufferedByConn
+      assert(depths.size == 1, s"one producer => one queue: $depths")
+      assert(depths.values.head > 0, s"parked producer's queue non-empty: $depths")
       q.stop() // undrained stop while the reader is (or soon is) parked
       val exitBy = System.nanoTime() + 15e9.toLong
       while (probe.liveReaders > 0 && System.nanoTime() < exitBy)

@@ -155,6 +155,21 @@ class PlanShapeSpec extends AnyFunSuite {
       "only BuildRight broadcast of the tiny centroid frame is allowed")
   }
 
+  test("ann_ivf's coarse quantizer is a bounded TakeOrdered sample, not O(n) centroids") {
+    // The round-12 contract: the centroid set is ⌈√n/2⌉ md5-sampled
+    // vectors via TakeOrdered (no full-sort shuffle), so the broadcast
+    // side is O(√n) at any corpus size — the round-11 audit's O(n)
+    // strided quantizer must not come back.
+    val cnt = Tables(spark, dir).embeddings.count()
+    val k = math.max(4, math.ceil(math.sqrt(cnt.toDouble) / 2).toInt)
+    val p = plan(Similarity.annIvf(spark, dir))
+    assert(p.contains(s"TakeOrderedAndProject(limit=$k"),
+      s"centroids must be a k=$k TakeOrdered sample:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin BuildLeft"),
+      "only BuildRight broadcast of the bounded centroid frame is allowed")
+    assert(!p.contains("CartesianProduct"), "no corpus×corpus pair join")
+  }
+
   test("ev_concurrency's global prefix sum is two-level, not one global window") {
     // The only unpartitioned window may run over the days-sized carry
     // frame; the boundary-level cumsum must be partitioned by day.
@@ -308,7 +323,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "sample_curriculum" -> Pipeline.sampleCurriculum(spark, dir),
       "ev_rfm" -> Events.evRfm(spark, dir),
       "q36_decile_lift" -> RelationalExt.q36DecileLift(spark, dir),
-      "q34_percent_rank" -> RelationalExt.q34PercentRank(spark, dir))) {
+      "q34_percent_rank" -> RelationalExt.q34PercentRank(spark, dir),
+      // round 12: the audit-side order statistic must ride the bucket
+      // ledger too, never a per-type full-sort window (r11 VERDICT).
+      "sketch_quantile" -> ScaleOps.sketchQuantile(spark, dir))) {
       val p = plan(df)
       assert(!p.contains("ntile("), s"$name: ntile window survived the rewrite")
       p.linesIterator.filter(_.contains("row_number() windowspecdefinition"))

@@ -14,6 +14,15 @@ Each argument is a JSON file path, or GIT_REV:PATH (e.g.
 so comparing the current run against any prior round is one command:
 
     python3 tools/benchdiff.py e82b4ed:BENCH_FULL.json BENCH_FULL.json
+
+CONTENTION FILTER (round 12): when both artifacts carry per-query
+process-CPU bands ("cpu_spread", written by graft.Bench since r12), a
+wall-band regression whose CPU band still overlaps the old run's CPU
+band is reclassified CONTENDED — the query burned the same CPU but
+waited for the machine, so the plan did not regress. Only wall+CPU
+jointly-disjoint rows count as real regressions (exit 1). Artifacts
+without CPU bands fall back to wall-only classification, flagged as
+such in the header.
 """
 import json, subprocess, sys, os
 
@@ -41,16 +50,23 @@ def main():
     old, new = load(args[0]), load(args[1])
     oq, nq = old["queries"], new["queries"]
     osp, nsp = old.get("spread", {}), new.get("spread", {})
+    ocs, ncs = old.get("cpu_spread", {}), new.get("cpu_spread", {})
+    have_cpu = bool(ocs) and bool(ncs)
 
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
-    reg, imp, noise = [], [], []
+    reg, imp, noise, contended = [], [], [], []
     for k in sorted(set(oq) & set(nq)):
         o_lo, o_hi = osp.get(k, [oq[k], oq[k]])
         n_lo, n_hi = nsp.get(k, [nq[k], nq[k]])
         row = (k, oq[k], nq[k], nq[k] / oq[k] if oq[k] else float("inf"))
         if n_lo > o_hi:
-            reg.append(row)
+            # Wall bands disjoint upward. If CPU bands still overlap,
+            # the query did the same work and waited for the box.
+            if have_cpu and k in ocs and k in ncs and ncs[k][0] <= ocs[k][1]:
+                contended.append(row)
+            else:
+                reg.append(row)
         elif n_hi < o_lo:
             imp.append(row)
         else:
@@ -67,7 +83,12 @@ def main():
           f"mode={old.get('mode')} iters={old.get('iters')}")
     print(f"new: {args[1]}  total={new['value']:.1f}s  n={len(nq)}  "
           f"mode={new.get('mode')} iters={new.get('iters')}")
-    show(f"REGRESSIONS (bands disjoint upward): {len(reg)}", reg)
+    if not have_cpu:
+        print("(no CPU bands in one or both artifacts - wall-only "
+              "classification; contention cannot be ruled out)")
+    show(f"REGRESSIONS (wall AND cpu bands disjoint upward): {len(reg)}", reg)
+    show(f"contended (wall regressed, cpu steady - machine, not plan): "
+         f"{len(contended)}", contended)
     show(f"improvements (bands disjoint downward): {len(imp)}", imp)
     if show_all:
         show(f"within spread (noise): {len(noise)}", noise)
