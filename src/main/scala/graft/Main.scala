@@ -84,7 +84,8 @@ object Main {
     * connection per trigger), not by data volume. */
   def start(pkts: Dataset[RawPacket], cfg: Config,
     client: () => KeyedOrderedSink.PutClient,
-    publish: String => Unit = Console.err.println): StreamingQuery = {
+    publish: String => Unit =
+      m => graft.telemetry.Telemetry.info(m)): StreamingQuery = {
     val events = OcsPipeline.statefulCloudEvents(
       pkts.withWatermark("receiveTs", cfg.watermark), cfg.staleTimeoutMs)
     val puts = KeyedOrderedSink.orderedPuts(
@@ -120,11 +121,16 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val cfg = fromEnv()
+    // Backend selection from env, exactly the reference's truth table
+    // (runtime.exs:42-49): console always, Splunk-HEC spool iff
+    // GRAFT_SPLUNK_TOKEN, Sentry-like error capture iff
+    // GRAFT_SENTRY_DSN + GRAFT_SENTRY_ENV.
+    graft.telemetry.Telemetry.configure()
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.streams.addListener(new HealthListener())
-    Console.err.println(
+    graft.telemetry.Telemetry.info(
       s"Starting graft on source=${cfg.source} -> keyed ordered sink " +
         s"(checkpoint=${cfg.checkpointDir})")
     // In-memory put client: this container has no Kinesis endpoint

@@ -864,6 +864,97 @@ object Dedup {
        |    AS n_gross
        |FROM j""".stripMargin
 
+  // ─── dedup_substring: exact duplicated-SPAN detection ───
+  // Document-level dedup (exact/LSH above) misses the dominant failure
+  // mode in web corpora: distinct documents sharing long verbatim
+  // passages (licenses, boilerplate paragraphs, quoted articles). The
+  // span-level answer (the "deduplicating training data" suffix-array
+  // result, recast for a distributed engine): slide a W-token window
+  // over every document, fingerprint each span, and a span whose
+  // fingerprint appears in ≥2 DISTINCT documents is verbatim cross-
+  // document duplication. Per doc: span count, duplicated-span count,
+  // duplicated fraction (bp), and the longest CONSECUTIVE duplicated
+  // run (gaps-and-islands over duplicated positions — consecutive
+  // duplicated W-spans = one duplicated passage of run+W−1 tokens).
+  // Scale shape: the span index is linear in corpus tokens and keys
+  // every shuffle on an 8-byte span hash (distinct → map-side-
+  // combinable df count → equijoin back); the dup-hash frame is sized
+  // by true duplication, never |corpus|²; the islands window is
+  // partitioned per doc (input bounded by doc length). Within-doc
+  // repeats are text_repetition's job — df counts distinct docs, so a
+  // span repeated only inside one doc does not mark.
+  private val subW = 5
+
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir).documents
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("n_spans",
+        greatest(size(col("t")) - (subW - 1), lit(0)).cast("long"))
+    val spans = base
+      .filter(col("n_spans") > 0)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("t")) - subW),
+          i => concat_ws(" ",
+            (0 until subW).map(o => element_at(col("t"), i + o + 1)): _*))))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(concat(lit("sub:"), col("col"))), 1, 13), 16, 10)
+          .cast("long").as("h"))
+    val dupset = spans.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("h"))
+    val isl = spans.join(dupset, Seq("h"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val runs = isl.groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("rl"))
+    val agg = runs.groupBy(col("doc_id"))
+      .agg(sum(col("rl")).as("dup_spans"), max(col("rl")).as("dup_run"))
+    base.select(col("doc_id"), col("n_spans"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_run"), lit(0L)).as("max_dup_run"))
+      .withColumn("dup_bp", expr(
+        "CASE WHEN n_spans = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (n_dup_spans * 10000) DIV n_spans END"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupSubstringSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+       |  FROM documents),
+       |sp AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    CAST(('0x' || substr(md5('sub:' || w[i] || ' ' || w[i+1] || ' ' ||
+       |      w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]), 1, 13)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${subW - 2})) AS i
+       |        FROM tok)),
+       |dupset AS (
+       |  SELECT h FROM (SELECT DISTINCT h, doc_id FROM sp)
+       |  GROUP BY h HAVING count(*) >= 2),
+       |isl AS (
+       |  SELECT s.doc_id, s.pos,
+       |    s.pos - row_number() OVER (PARTITION BY s.doc_id ORDER BY s.pos)
+       |      AS grp
+       |  FROM sp s JOIN dupset USING (h)),
+       |runs AS (SELECT doc_id, grp, count(*) AS rl FROM isl GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(rl) AS BIGINT) AS n_dup_spans,
+       |    max(rl) AS max_dup_run
+       |  FROM runs GROUP BY 1)
+       |SELECT t.doc_id,
+       |  greatest(len(w) - ${subW - 1}, 0) AS n_spans,
+       |  COALESCE(a.n_dup_spans, 0) AS n_dup_spans,
+       |  COALESCE(a.max_dup_run, 0) AS max_dup_run,
+       |  CAST(CASE WHEN len(w) - ${subW - 1} <= 0 THEN 0
+       |       ELSE (COALESCE(a.n_dup_spans, 0) * 10000)
+       |            // (len(w) - ${subW - 1}) END AS BIGINT) AS dup_bp
+       |FROM tok t LEFT JOIN agg a USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
   // ─── dedup_keep_best: quality-aware canonical election ───
   // dedup_cluster elects the min-id doc as canonical — fine for a
   // stable identity, wrong for a training corpus, where you keep the
@@ -920,7 +1011,8 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_cluster" -> dedupCluster,
-    "dedup_incremental" -> dedupIncremental)
+    "dedup_incremental" -> dedupIncremental,
+    "dedup_substring" -> dedupSubstring)
 
   val oracle: Map[String, String] = Map(
     "dedup_keep_best" -> dedupKeepBestSql,
@@ -933,5 +1025,6 @@ object Dedup {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_cluster" -> dedupClusterSql,
-    "dedup_incremental" -> dedupIncrementalSql)
+    "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_substring" -> dedupSubstringSql)
 }

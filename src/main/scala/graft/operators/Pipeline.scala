@@ -531,6 +531,95 @@ object Pipeline {
   // before you pay for a full dedup. Pairs ride the shared LSH
   // fixture; the source tags join on the (already tiny) pair frame;
   // output is |sources|²-bounded.
+  // ─── mix_novelty: marginal-contribution curve via KMV prefix unions ───
+  // The data-acquisition question mix_source_overlap can't answer:
+  // "in ingestion order, how much NEW distinct content does each
+  // source add on top of everything before it?" Exact answer needs a
+  // cumulative distinct over the corpus per prefix — O(S·n). Sketch
+  // answer: per-source KMV sketches (k smallest 52-bit hashes of the
+  // distinct content set — the same hash/k as ScaleOps.sketch_kmv, so
+  // the two dashboards agree), then every PREFIX union is a union of
+  // ≤ S·k sketch values: est_cum(i) = (k−1)·2^52 / v_k of the prefix
+  // union (exact below k), and novelty(i) = est_cum(i) − est_cum(i−1).
+  // KMV unions are exact sketch algebra (the k smallest of a union of
+  // k-smallest sets IS the union's sketch), so the whole curve costs
+  // one corpus distinct + bounded-frame work. The k-smallest selection
+  // is the same two-level bound as sketch_kmv; prefix membership and
+  // the union rank ride broadcast frames of ≤ S·k rows. Monotone by
+  // construction (a prefix's v_k never increases when a source joins),
+  // so est_new ≥ 0. Integer arithmetic throughout — DuckDB replays
+  // the sketches bit-for-bit.
+  private val novK = 128
+  private val novBits = 52
+
+  def mixNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val dv = Tables(spark, dir).documents
+      .select(col("source"),
+        conv(substring(md5(concat(lit("kmv:"), col("text"))), 1, 13), 16, 10)
+          .cast("long").as("v"))
+      .distinct()
+    val localTop = dv
+      .withColumn("pid", spark_partition_id())
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"), col("pid")).orderBy(col("v"))))
+      .filter(col("rn") <= novK).drop("rn", "pid")
+    val sk = localTop
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("v"))))
+      .filter(col("rn") <= novK).drop("rn")
+    // Prefix membership in source-name order (the fixed ingestion
+    // order): member m belongs to every prefix anchored at s ≥ m.
+    val srcs = sk.select(col("source")).distinct()
+    val pref = srcs.select(col("source").as("anchor"))
+      .join(broadcast(srcs.select(col("source").as("member"))),
+        col("member") <= col("anchor"))
+    val rk = pref.groupBy(col("anchor")).agg(count(lit(1)).as("rnk"))
+    val uni = broadcast(pref)
+      .join(sk.withColumnRenamed("source", "member"), Seq("member"))
+      .groupBy(col("anchor"))
+      .agg(sort_array(collect_set(col("v"))).as("vs"))
+    val est = uni.join(broadcast(rk), Seq("anchor"))
+      .select(col("anchor"), col("rnk"),
+        expr(s"CASE WHEN size(vs) < $novK THEN CAST(size(vs) AS BIGINT) " +
+          s"ELSE ${(novK - 1).toLong << novBits} DIV element_at(vs, $novK) END")
+          .as("est_cum"))
+    est.as("a")
+      .join(broadcast(est.as("b")), col("a.rnk") === col("b.rnk") + 1, "left")
+      .select(col("a.anchor").as("source"), col("a.rnk").as("rnk"),
+        col("a.est_cum").as("est_cum"),
+        (col("a.est_cum") - coalesce(col("b.est_cum"), lit(0L))).as("est_new"))
+      .orderBy(col("rnk"))
+  }
+
+  val mixNoveltySql: String =
+    s"""WITH dv AS (
+       |  SELECT DISTINCT source,
+       |    CAST(('0x' || substr(md5('kmv:' || text), 1, 13)) AS BIGINT) AS v
+       |  FROM documents),
+       |rk0 AS (
+       |  SELECT source, v,
+       |    row_number() OVER (PARTITION BY source ORDER BY v) AS rn
+       |  FROM dv),
+       |sk AS (SELECT source, v FROM rk0 WHERE rn <= $novK),
+       |srcs AS (SELECT DISTINCT source FROM sk),
+       |pref AS (
+       |  SELECT a.source AS anchor, b.source AS member
+       |  FROM srcs a JOIN srcs b ON b.source <= a.source),
+       |rk AS (SELECT anchor, count(*) AS rnk FROM pref GROUP BY 1),
+       |uni AS (
+       |  SELECT p.anchor, list_sort(list(DISTINCT s.v)) AS vs
+       |  FROM pref p JOIN sk s ON s.source = p.member GROUP BY 1),
+       |est AS (
+       |  SELECT u.anchor, r.rnk,
+       |    CAST(CASE WHEN len(vs) < $novK THEN len(vs)
+       |         ELSE ${(novK - 1).toLong << novBits} // vs[$novK] END AS BIGINT)
+       |      AS est_cum
+       |  FROM uni u JOIN rk r USING (anchor))
+       |SELECT a.anchor AS source, a.rnk, a.est_cum,
+       |  CAST(a.est_cum - COALESCE(b.est_cum, 0) AS BIGINT) AS est_new
+       |FROM est a LEFT JOIN est b ON a.rnk = b.rnk + 1
+       |ORDER BY a.rnk""".stripMargin
+
   def mixSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.pairEdges(spark, dir).filter(col("src") < col("dst"))
     val srcs = Tables(spark, dir).documents.select(col("doc_id"), col("source"))
@@ -691,6 +780,7 @@ object Pipeline {
     "sample_epoch_order" -> sampleEpochOrder,
     "mix_waterfill" -> mixWaterfill,
     "mix_source_overlap" -> mixSourceOverlap,
+    "mix_novelty" -> mixNovelty,
     "mix_reweight" -> mixReweight,
     "sample_curriculum" -> sampleCurriculum,
     "mix_dedup_rate" -> mixDedupRate,
@@ -709,6 +799,7 @@ object Pipeline {
     "sample_epoch_order" -> sampleEpochOrderSql,
     "mix_waterfill" -> mixWaterfillSql,
     "mix_source_overlap" -> mixSourceOverlapSql,
+    "mix_novelty" -> mixNoveltySql,
     "mix_reweight" -> mixReweightSql,
     "sample_curriculum" -> sampleCurriculumSql,
     "mix_dedup_rate" -> mixDedupRateSql,

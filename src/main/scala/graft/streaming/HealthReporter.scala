@@ -65,10 +65,12 @@ object HealthReporter {
 
 /** The listener half: publishes one line per completed micro-batch
   * (plus start/termination markers), formatted like the reference's
-  * `health_check …` log lines. `publish` defaults to stderr; tests
-  * inject a collector. Register with
-  * `spark.streams.addListener(new HealthListener(...))`. */
-final class HealthListener(publish: String => Unit = Console.err.println)
+  * `health_check …` log lines. `publish` defaults to the structured
+  * [[graft.telemetry.Telemetry]] fan-out (console unless backends are
+  * configured — runtime.exs:42-49 twin); tests inject a collector.
+  * Register with `spark.streams.addListener(new HealthListener(...))`. */
+final class HealthListener(
+  publish: String => Unit = m => graft.telemetry.Telemetry.info(m))
   extends StreamingQueryListener {
 
   override def onQueryStarted(e: QueryStartedEvent): Unit =

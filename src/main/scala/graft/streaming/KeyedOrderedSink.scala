@@ -93,15 +93,31 @@ object KeyedOrderedSink {
         var currentKey: String = null
         var chain: Option[Long] = None
         var skip = 0L
+        var nPuts = 0L
+        // One structured line per (key, batch) run — the bounded twin
+        // of the reference logging each data event under a request_id
+        // (proxy.ex:152-207). Emitted executor-locally through the
+        // static Telemetry fan-out; debug level so production installs
+        // opt in by backend.
+        def flushRun(): Unit = if (currentKey != null) {
+          graft.telemetry.Telemetry.withRequestId {
+            graft.telemetry.Telemetry.debug(
+              s"put_run n=$nPuts last_seq=${chain.getOrElse(-1L)} batch=$batchId",
+              "conn" -> currentKey)
+          }
+          nPuts = 0L
+        }
         it.foreach { r =>
           val key = r.getString(0)
           if (key != currentKey) {
+            flushRun()
             currentKey = key
             chain = c.lastSequence(key)
             skip = c.putsInBatch(key, batchId)
           }
           if (skip > 0) skip -= 1 // already landed in a prior attempt
           else {
+            nPuts += 1
             // A throttled put retries IN PLACE with exponential backoff
             // — the chain must not advance past a record that never
             // landed, and later records of the key must not overtake
@@ -124,6 +140,7 @@ object KeyedOrderedSink {
             }
           }
         }
+        flushRun()
       }
   }
 }

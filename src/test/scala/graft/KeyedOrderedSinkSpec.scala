@@ -147,6 +147,36 @@ class KeyedOrderedSinkSpec extends AnyFunSuite {
     assert(seqA == seqA.sorted && seqA.distinct == seqA,
       "per-key sequence strictly increasing despite throttles")
   }
+
+  test("each (key, batch) run emits one put_run telemetry line with a request id") {
+    import spark.implicits._
+    val lines = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    graft.telemetry.Telemetry.install(Seq(
+      new graft.telemetry.Telemetry.ConsoleBackend(lines.add(_))))
+    try {
+      val sink = new KinesisLikeSink
+      KeyedOrderedSinkSpec.sharedSink = sink
+      val batch = Seq(
+        ("conn-a", "r1", ts("2026-01-01 10:00:00"), 0),
+        ("conn-a", "r2", ts("2026-01-01 10:00:01"), 0),
+        ("conn-b", "r3", ts("2026-01-01 10:00:02"), 0))
+        .toDF("partitionkey", "raw", "receiveTs", "pos")
+      KeyedOrderedSink.orderedPuts(() => KeyedOrderedSinkSpec.sharedSink,
+        keyCol = "partitionkey", dataCol = "raw",
+        orderCols = Seq("receiveTs", "pos"))(batch, 7L)
+      val runs = lines.toArray.map(_.toString).filter(_.contains("put_run"))
+      assert(runs.length === 2, "one run line per key in the batch")
+      val byConn = runs.map(l =>
+        l.split("conn=")(1).split(" ")(0) -> l).toMap
+      assert(byConn("conn-a").contains("n=2 "))
+      assert(byConn("conn-b").contains("n=1 "))
+      assert(runs.forall(_.contains("batch=7")))
+      assert(runs.forall(_.contains("request_id=")),
+        "each run carries its own request id (proxy.ex:152 twin)")
+    } finally graft.telemetry.Telemetry.install(
+      Seq(new graft.telemetry.Telemetry.ConsoleBackend()))
+  }
 }
 
 object KeyedOrderedSinkSpec {

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Semantic invariants of the round-12 additions — properties the
+  * row-hash oracle can't state: dedup_substring's span accounting and
+  * its agreement with exact document dedup, mix_novelty's telescoping
+  * KMV prefix curve and its consistency with sketch_kmv, plus the
+  * plan shapes (equijoin candidate generation, broadcast bounded
+  * frames).
+  */
+class Round12OpsSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.test
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  // ─── dedup_substring ───
+
+  test("dedup_substring: one row per doc, counts internally consistent") {
+    val rows = Dedup.dedupSubstring(spark, dir).collect()
+    val nDocs = Tables(spark, dir).documents.count()
+    assert(rows.length.toLong == nDocs, "exactly one row per document")
+    rows.foreach { r =>
+      val (nSpans, nDup, maxRun, dupBp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nSpans >= 0 && nDup >= 0 && nDup <= nSpans,
+        "duplicated spans bounded by span count")
+      assert(maxRun <= nDup, "longest run bounded by duplicated count")
+      assert((nDup == 0) == (maxRun == 0), "run exists iff dups exist")
+      assert(dupBp >= 0 && dupBp <= 10000)
+      if (nSpans > 0) assert(dupBp == nDup * 10000 / nSpans)
+      else assert(dupBp == 0 && nDup == 0)
+    }
+  }
+
+  test("dedup_substring: known copies/passages score exactly on a crafted corpus") {
+    // The testdata generator produces only NEAR-dups (no byte-identical
+    // docs at any SF), so the exact semantics are pinned on a crafted
+    // documents table with known ground truth: a byte-identical pair,
+    // a pair sharing one embedded passage, and a unique doc.
+    import spark.implicits._
+    val pad = (i: Int) => (1 to 10).map(j => s"u${i}w$j").mkString(" ")
+    val passage = "the shared passage tokens run exactly nine long"  // 8 tokens
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s0"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s0"),
+      (3L, s"${pad(3)} $passage ${pad(33)}", "en", "s1"),
+      (4L, s"${pad(4)} $passage ${pad(44)}", "en", "s1"),
+      (5L, pad(5), "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sub").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val out = Dedup.dedupSubstring(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // byte-identical pair: every span duplicated, one unbroken run
+    for (id <- Seq(1L, 2L)) {
+      val (nSpans, nDup, maxRun, bp) = out(id)
+      assert(nSpans == 4 && nDup == 4 && maxRun == 4 && bp == 10000,
+        s"doc $id: exact copy must be 100% span-duplicated in one run")
+    }
+    // shared 8-token passage inside unique padding: exactly the 4
+    // all-inside-passage spans (8 − 5 + 1) duplicate, as ONE run —
+    // boundary spans mix unique padding so they must NOT mark
+    for (id <- Seq(3L, 4L)) {
+      val (nSpans, nDup, maxRun, bp) = out(id)
+      assert(nSpans == 24, s"doc $id: 28 tokens -> 24 spans")
+      assert(nDup == 4 && maxRun == 4,
+        s"doc $id: the embedded passage marks exactly its interior spans")
+      assert(bp == 4 * 10000 / 24)
+    }
+    // unique doc: clean
+    assert(out(5L) == ((6L, 0L, 0L, 0L)), "unique doc has zero dup spans")
+  }
+
+  test("dedup_substring: candidate generation is hash equijoin, no cartesian") {
+    val p = plan(Dedup.dedupSubstring(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "span dup detection must never build a cross product")
+    // the islands window ranks per doc, never unpartitioned
+    assert(!p.contains("windowspecdefinition(specifiedwindowframe")
+      || p.contains("windowspecdefinition(doc_id"), "islands window is per-doc")
+  }
+
+  // ─── mix_novelty ───
+
+  test("mix_novelty: one row per source, ranks contiguous, curve telescopes") {
+    val rows = Pipeline.mixNovelty(spark, dir).orderBy(col("rnk")).collect()
+    val nSrc = Tables(spark, dir).documents
+      .select(col("source")).distinct().count()
+    assert(rows.length.toLong == nSrc, "one row per source")
+    assert(rows.map(_.getLong(1)).toSeq == (1L to nSrc).toSeq,
+      "ranks are 1..S in source order")
+    assert(rows.map(_.getString(0)).toSeq ==
+      rows.map(_.getString(0)).sorted.toSeq,
+      "anchor order is source-name order")
+    // telescoping: est_new sums to the final cumulative estimate, and
+    // the first novelty IS the first source's estimate
+    assert(rows.map(_.getLong(3)).sum == rows.last.getLong(2))
+    assert(rows.head.getLong(3) == rows.head.getLong(2))
+    // KMV unions only grow: cumulative estimate is monotone, so every
+    // marginal contribution is non-negative
+    assert(rows.map(_.getLong(2)).toSeq ==
+      rows.map(_.getLong(2)).sorted.toSeq)
+    rows.foreach(r => assert(r.getLong(3) >= 0))
+  }
+
+  test("mix_novelty: first prefix agrees with sketch_kmv's per-source estimate") {
+    // Same hash ('kmv:'), same k — the rank-1 prefix is exactly that
+    // source's sketch_kmv estimate, tying the two dashboards together.
+    val first = Pipeline.mixNovelty(spark, dir)
+      .filter(col("rnk") === 1).collect().head
+    val kmvEst = ScaleOps.sketchKmv(spark, dir)
+      .select(col("src_a"), col("est_a"))
+      .union(ScaleOps.sketchKmv(spark, dir).select(col("src_b"), col("est_b")))
+      .filter(col("src_a") === first.getString(0))
+      .collect()
+    assume(kmvEst.nonEmpty, "first source appears in the kmv pair frame")
+    assert(kmvEst.head.getLong(1) == first.getLong(2),
+      "prefix-1 estimate == sketch_kmv per-source estimate")
+  }
+
+  test("mix_novelty: prefix frames broadcast, corpus never nested-loops") {
+    val p = plan(Pipeline.mixNovelty(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      "prefix expansion must never cross-join the corpus")
+    assert(p.contains("BroadcastExchange"),
+      "the ≤ S·k prefix/sketch frames ride broadcast joins")
+  }
+}
