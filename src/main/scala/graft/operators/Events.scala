@@ -1037,6 +1037,114 @@ object Events {
        |  count(*) AS n_events
        |FROM r GROUP BY 1, 2 ORDER BY bar, event_type""".stripMargin
 
+  // ─── ts_lttb: triangle-based series downsampling (dashboard tier) ───
+  // Largest-Triangle-Three-Buckets (Steinarsson 2013), the standard
+  // "plot a billion points" reduction: per series (event_type), fixed
+  // 6-hour buckets, keep ONE point per bucket — the one subtending the
+  // largest triangle against its neighbor buckets — plus the exact
+  // first and last points. Textbook LTTB chains each bucket's choice
+  // to the PREVIOUS bucket's selected point (inherently sequential);
+  // the distributed variant anchors BOTH sides on bucket averages —
+  // the same approximation the original paper evaluates as
+  // "LTTB-fixed" — so every bucket decides independently: one bounded
+  // summary frame (|types|·|buckets| rows) carries lag/lead anchor
+  // sums, broadcast-joins back to the events, and a per-(type, bucket)
+  // rank window picks the argmax. Determinism: the area is ONE
+  // fixed-shape double expression over integer sums (both engines
+  // evaluate identical IEEE ops), ties broken by (ts, event_id).
+  private val lttbSec = 6L * 3600
+
+  def tsLttb(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .withColumn("epoch", epochS(col("ts")))
+      .withColumn("vc", cents(col("value")))
+      .withColumn("b", (col("epoch") / lttbSec).cast("long") * lttbSec)
+      .select(col("event_type"), col("b"), col("ts"), col("event_id"),
+        col("epoch"), col("vc"))
+    val wb = Window.partitionBy(col("event_type")).orderBy(col("b"))
+    val summ = ev.groupBy(col("event_type"), col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("epoch")).as("sx"),
+        sum(col("vc")).as("sy"))
+      .withColumn("bi", row_number().over(wb))
+      .withColumn("nb", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("pn", lag(col("n"), 1).over(wb))
+      .withColumn("psx", lag(col("sx"), 1).over(wb))
+      .withColumn("psy", lag(col("sy"), 1).over(wb))
+      .withColumn("nn", lead(col("n"), 1).over(wb))
+      .withColumn("nsx", lead(col("sx"), 1).over(wb))
+      .withColumn("nsy", lead(col("sy"), 1).over(wb))
+      .drop("n", "sx", "sy")
+    val m = ev.join(broadcast(summ), Seq("event_type", "b"))
+    val wSel = Window.partitionBy(col("event_type"), col("b"))
+    def pick(df: DataFrame, kind: String,
+        order: Seq[Column]): DataFrame = df
+      .withColumn("rn", row_number().over(wSel.orderBy(order: _*)))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("b"), lit(kind).as("kind"),
+        col("event_id"), col("epoch"), col("vc"))
+    val area = abs(
+      (col("psx") / col("pn") - col("nsx") / col("nn"))
+        * (col("vc") - col("psy") / col("pn"))
+        - (col("psx") / col("pn") - col("epoch"))
+        * (col("nsy") / col("nn") - col("psy") / col("pn")))
+    val firsts = pick(m.filter(col("bi") === 1), "first",
+      Seq(col("ts"), col("event_id")))
+    val lasts = pick(m.filter(col("bi") === col("nb") && col("nb") > 1),
+      "last", Seq(col("ts").desc, col("event_id").desc))
+    val mids = pick(m.filter(col("bi") > 1 && col("bi") < col("nb"))
+        .withColumn("area", area), "lttb",
+      Seq(col("area").desc, col("ts"), col("event_id")))
+    firsts.unionByName(mids).unionByName(lasts)
+      .select(col("event_type"), col("b").as("bucket_epoch"), col("kind"),
+        col("event_id"), col("epoch").as("epoch_s"), col("vc").as("v_cents"))
+      .orderBy(col("event_type"), col("bucket_epoch"))
+  }
+
+  val tsLttbSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, ts, event_id,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+       |    ${Tables.centsSql("value")} AS vc,
+       |    CAST(floor(epoch(ts)) AS BIGINT) // $lttbSec * $lttbSec AS b
+       |  FROM events),
+       |s0 AS (
+       |  SELECT event_type, b, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(epoch) AS BIGINT) AS sx, CAST(sum(vc) AS BIGINT) AS sy
+       |  FROM ev GROUP BY 1, 2),
+       |summ AS (
+       |  SELECT event_type, b,
+       |    row_number() OVER w AS bi,
+       |    count(*) OVER (PARTITION BY event_type) AS nb,
+       |    lag(n) OVER w AS pn, lag(sx) OVER w AS psx, lag(sy) OVER w AS psy,
+       |    lead(n) OVER w AS nn, lead(sx) OVER w AS nsx, lead(sy) OVER w AS nsy
+       |  FROM s0 WINDOW w AS (PARTITION BY event_type ORDER BY b)),
+       |m AS (
+       |  SELECT e.*, s.bi, s.nb, s.pn, s.psx, s.psy, s.nn, s.nsx, s.nsy
+       |  FROM ev e JOIN summ s USING (event_type, b)),
+       |firsts AS (
+       |  SELECT event_type, b, 'first' AS kind, event_id, epoch, vc FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY event_type, b
+       |      ORDER BY ts, event_id) AS rn
+       |    FROM m WHERE bi = 1) WHERE rn = 1),
+       |lasts AS (
+       |  SELECT event_type, b, 'last' AS kind, event_id, epoch, vc FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY event_type, b
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM m WHERE bi = nb AND nb > 1) WHERE rn = 1),
+       |mids AS (
+       |  SELECT event_type, b, 'lttb' AS kind, event_id, epoch, vc FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY event_type, b
+       |      ORDER BY abs((psx / pn - nsx / nn) * (vc - psy / pn)
+       |          - (psx / pn - epoch) * (nsy / nn - psy / pn)) DESC,
+       |        ts, event_id) AS rn
+       |    FROM m WHERE bi > 1 AND bi < nb) WHERE rn = 1)
+       |SELECT event_type, b AS bucket_epoch, kind, event_id,
+       |  epoch AS epoch_s, vc AS v_cents
+       |FROM (SELECT * FROM firsts UNION ALL SELECT * FROM mids
+       |      UNION ALL SELECT * FROM lasts)
+       |ORDER BY event_type, bucket_epoch""".stripMargin
+
   // ─── ev_outage: feed-silence (outage) window detection ───
   // The operational mirror of stale_session at the feed level: gaps
   // over 10 minutes between CONSECUTIVE events of a type are outage
@@ -1709,6 +1817,7 @@ object Events {
     "ev_rfm" -> evRfm,
     "ev_outage" -> evOutage,
     "ts_ohlc" -> tsOhlc,
+    "ts_lttb" -> tsLttb,
     "ev_histogram" -> evHistogram,
     "ev_new_users" -> evNewUsers,
     "ev_wau" -> evWau,
@@ -1745,6 +1854,7 @@ object Events {
     "ev_rfm" -> evRfmSql,
     "ev_outage" -> evOutageSql,
     "ts_ohlc" -> tsOhlcSql,
+    "ts_lttb" -> tsLttbSql,
     "ev_histogram" -> evHistogramSql,
     "ev_new_users" -> evNewUsersSql,
     "ev_wau" -> evWauSql,

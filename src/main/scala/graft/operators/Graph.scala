@@ -764,7 +764,97 @@ object Graph {
        |FROM c JOIN p USING (source) ORDER BY c.source, c.label""".stripMargin
   }
 
+  // ─── graph_modularity: partition quality of the label-prop communities ───
+  // Closes the community loop: label_prop assigns communities,
+  // modularity says whether that assignment beats chance — per
+  // community, Q_c = e_c/m − (d_c/2m)², the fraction of edges inside
+  // the community minus the expectation under the degree-preserving
+  // null model. Kept cross-engine exact the assortativity way: all
+  // sums are integers (m, e_c, d_c), the per-community numerator
+  // q_num = 4m·e_c − d_c² is exact BIGINT algebra (so its SIGN — the
+  // better/worse-than-chance verdict — is exact), and only the final
+  // bp rendering is ONE fixed-shape double division both engines
+  // evaluate identically. Scale shape: two linear prop rounds, degree
+  // and intra-edge counts are edge-keyed aggregates, the community
+  // frame is ≤ |labels| rows, and m rides a broadcast 1-row cross.
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir).documents
+      .select(col("doc_id").as("node"), col("source"))
+    val edges = Dedup.pairEdges(spark, dir)
+    val fin = propRound(edges,
+      propRound(edges, docs.select(col("node"), col("source").as("label"))))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+    val comm = fin.join(deg, Seq("node"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("deg"), lit(0L))).as("d_sum"))
+    val intra = edges.filter(col("src") < col("dst"))
+      .join(fin.select(col("node").as("src"), col("label").as("la")), Seq("src"))
+      .join(fin.select(col("node").as("dst"), col("label").as("lb")), Seq("dst"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la")).agg(count(lit(1)).as("e_intra"))
+      .select(col("la").as("label"), col("e_intra"))
+    val mrow = edges.filter(col("src") < col("dst"))
+      .agg(count(lit(1)).as("m"))
+    comm.join(intra, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"), col("d_sum"),
+        coalesce(col("e_intra"), lit(0L)).as("e_intra"))
+      .crossJoin(broadcast(mrow))
+      .withColumn("q_num",
+        lit(4L) * col("m") * col("e_intra") - col("d_sum") * col("d_sum"))
+      .withColumn("q_contrib_bp",
+        floor((col("q_num") * lit(10000L)).cast("double")
+          / (lit(4.0) * col("m") * col("m")) + lit(0.5)).cast("long"))
+      .select(col("label"), col("n_nodes"), col("e_intra"), col("d_sum"),
+        col("q_num"), col("q_contrib_bp"))
+      .orderBy(col("label"))
+  }
+
+  val graphModularitySql: String = {
+    def round(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT l.node, coalesce(nb.nlabel, l.label) AS label
+         |  FROM $prev l LEFT JOIN (
+         |    SELECT src AS node, label AS nlabel FROM (
+         |      SELECT src, label, row_number() OVER (PARTITION BY src
+         |        ORDER BY cnt DESC, label) AS rn
+         |      FROM (SELECT e.src, l2.label, count(*) AS cnt
+         |        FROM edges e JOIN $prev l2 ON e.dst = l2.node
+         |        GROUP BY e.src, l2.label))
+         |    WHERE rn = 1) nb USING (node))"""
+    s"""WITH ${Dedup.edgesCtes},
+       |l0 AS (SELECT doc_id AS node, source AS label FROM documents),
+       |${round("l0", "l1").stripMargin},
+       |${round("l1", "l2").stripMargin},
+       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |        FROM edges GROUP BY 1),
+       |comm AS (
+       |  SELECT l.label, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(COALESCE(d.deg, 0)) AS BIGINT) AS d_sum
+       |  FROM l2 l LEFT JOIN deg d USING (node) GROUP BY 1),
+       |intra AS (
+       |  SELECT la.label, CAST(count(*) AS BIGINT) AS e_intra
+       |  FROM edges e
+       |  JOIN l2 la ON e.src = la.node
+       |  JOIN l2 lb ON e.dst = lb.node
+       |  WHERE e.src < e.dst AND la.label = lb.label GROUP BY 1),
+       |mrow AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges
+       |         WHERE src < dst),
+       |pre AS (
+       |  SELECT c.label, c.n_nodes, COALESCE(i.e_intra, 0) AS e_intra,
+       |    c.d_sum,
+       |    4 * mrow.m * COALESCE(i.e_intra, 0) - c.d_sum * c.d_sum AS q_num,
+       |    mrow.m AS m
+       |  FROM comm c LEFT JOIN intra i USING (label), mrow)
+       |SELECT label, n_nodes, e_intra, d_sum, q_num,
+       |  CAST(floor(CAST(q_num * 10000 AS DOUBLE) / (4.0 * m * m) + 0.5)
+       |    AS BIGINT) AS q_contrib_bp
+       |FROM pre ORDER BY label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_modularity" -> graphModularity,
     "graph_label_prop" -> graphLabelProp,
     "graph_2hop" -> graph2hop,
     "graph_cc_hist" -> graphCcHist,
@@ -779,6 +869,7 @@ object Graph {
     "graph_pagerank" -> graphPagerank)
 
   val oracle: Map[String, String] = Map(
+    "graph_modularity" -> graphModularitySql,
     "graph_label_prop" -> graphLabelPropSql,
     "graph_2hop" -> graph2hopSql,
     "graph_cc_hist" -> graphCcHistSql,

@@ -526,6 +526,166 @@ object Similarity {
        |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp, pq_score
        |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
+  // ─── ann_ivf_pq: IVF cells × PQ codes (the faiss IndexIVFPQ shape) ───
+  // The production composition the two tiers above exist for: the
+  // coarse quantizer restricts a query's scan to its nprobe cells
+  // (~2√n candidates instead of n), and WITHIN those cells scoring is
+  // the PQ asymmetric-distance table — 8 integer lookups per
+  // candidate, no per-pair float math — then the usual bounded
+  // shortlist gets the exact-cosine rescore. Memory story at 100 TB:
+  // the scan path touches only cell-assignment + 8-byte PQ codes, the
+  // full float vectors are read for the |queries|·shortlist rescore
+  // rows alone. Everything is the same deterministic machinery the
+  // oracles already replay (md5-sampled √n centroids, first-16
+  // codebooks in the integer SQ-code domain), so the composition
+  // stays bit-exact cross-engine.
+  //
+  // nprobe is doubled and the rescore shortlist tripled vs the
+  // single-tier scans: two lossy tiers stack, and the standard
+  // compensation (the faiss guidance for IVFPQ) is probing wider and
+  // rescoring deeper — both knobs cost bounded work (ADC lookups per
+  // candidate, |queries|·shortlist exact rescores) and together lift
+  // sf0.01 recall@3 vs brute force to 0.52, ABOVE either tier alone
+  // (IVF 0.33, PQ 0.38) — the Round12OpsSpec anchor.
+  private val ivfPqProbe = 2 * nprobe
+  // Wider exact-rescore shortlist than the single-tier scans: two
+  // lossy tiers stack, and the rescore stays |queries|·shortlist —
+  // the cheapest place in this plan to buy recall back.
+  private val ivfPqShortlist = 3 * sqShortlist
+
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val cents = ivfCents(spark, dir)
+    // inverted file + probe lists (the annIvf build, reused verbatim)
+    val assigned = nearestCells(cents, v, 1, "vec_id")
+      .select(col("cell"), col("vec_id").as("neighbor_id"))
+    val probes = nearestCells(cents, v.filter(col("vec_id") < nQueries),
+        ivfPqProbe, "vec_id")
+      .select(col("cell"), col("vec_id").as("query_id"))
+    // PQ encode (the annPq build): per-subspace codes vs the first-16
+    // codebook, all in the integer SQ-code domain.
+    val coded = v.withColumn("q",
+      transform(col("v"), x => floor(x * sqScale + 0.5).cast("double")))
+    val sub = coded.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(pqSub - 1)),
+        s => slice(col("q"), s * pqDim + 1, lit(pqDim)))).as(Seq("s", "sq")))
+    val cb = sub.filter(col("vec_id") < pqK)
+      .select(col("s"), col("vec_id").as("k"), col("sq").as("cq"))
+    val d2 = aggregate(zip_with(col("sq"), col("cq"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (s, x) => s + x)
+    val enc = sub.join(broadcast(cb), Seq("s"))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("k"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("s"), col("k"))
+    val qadc = sub.filter(col("vec_id") < nQueries)
+      .join(broadcast(cb), Seq("s"))
+      .select(col("vec_id").as("query_id"), col("s"), col("k"),
+        dot(col("sq"), col("cq")).as("qd"))
+    // candidate pairs from the probed cells ONLY, then ADC-score them:
+    // the scan volume is Σ|probed cell| per query, never the corpus.
+    val cand = probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_score").desc, col("neighbor_id"))
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val vx = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val vy = v.select(col("vec_id").as("neighbor_id"),
+      col("v").as("cv"), col("norm").as("cn"))
+    cand.join(enc, Seq("neighbor_id"))
+      .join(broadcast(qadc), Seq("query_id", "s", "k"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("cell"))
+      .agg(sum(col("qd")).cast("long").as("pq_score"))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= ivfPqShortlist)
+      .join(broadcast(vx), Seq("query_id"))
+      .join(vy, Seq("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(we).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cell"),
+        floor(col("cos") * 10000 + 0.5).cast("long").as("cos_bp"),
+        col("pq_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  lazy val annIvfPqSql: String =
+    s"""WITH n AS (
+       |  ${vecsSql("vec_id").replace("\n", "\n  ")}
+       |),
+       |$ivfCentsSql,
+       |ad AS (
+       |  SELECT n.vec_id, c.cell,
+       |    (${dist2SqlOf("n.v", "c.centv")}) AS d2
+       |  FROM n, cents c),
+       |assigned AS (
+       |  SELECT cell, vec_id AS neighbor_id FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, cell) AS r FROM ad)
+       |  WHERE r <= 1),
+       |probes AS (
+       |  SELECT cell, vec_id AS query_id FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, cell) AS r
+       |    FROM ad WHERE vec_id < $nQueries)
+       |  WHERE r <= $ivfPqProbe),
+       |cv AS (
+       |  SELECT vec_id, v, norm,
+       |    list_transform(v, x -> CAST(floor(x * $sqScale + 0.5) AS DOUBLE)) AS q
+       |  FROM n),
+       |sub AS (
+       |  SELECT vec_id, CAST(r.range AS BIGINT) AS s,
+       |    q[CAST(r.range * $pqDim + 1 AS BIGINT) :
+       |      CAST(r.range * $pqDim + $pqDim AS BIGINT)] AS sq
+       |  FROM cv, range(0, $pqSub) r),
+       |cb AS (
+       |  SELECT s, vec_id AS k, sq AS cq FROM sub WHERE vec_id < $pqK),
+       |enc AS (
+       |  SELECT vec_id AS neighbor_id, s, k FROM (
+       |    SELECT su.vec_id, su.s, cb.k, row_number() OVER (
+       |      PARTITION BY su.vec_id, su.s
+       |      ORDER BY ${dist2SqlOf("su.sq", "cb.cq").replace("\n", "\n      ")}, cb.k) AS rn
+       |    FROM sub su JOIN cb ON cb.s = su.s)
+       |  WHERE rn = 1),
+       |qadc AS (
+       |  SELECT su.vec_id AS query_id, su.s, cb.k,
+       |    ${dotSqlOf("su.sq", "cb.cq").replace("\n", "\n    ")} AS qd
+       |  FROM sub su JOIN cb ON cb.s = su.s WHERE su.vec_id < $nQueries),
+       |cand AS (
+       |  SELECT p.query_id, a.neighbor_id, p.cell
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell
+       |  WHERE p.query_id <> a.neighbor_id),
+       |score AS (
+       |  SELECT c.query_id, c.neighbor_id, c.cell,
+       |    CAST(sum(qa.qd) AS BIGINT) AS pq_score
+       |  FROM cand c
+       |  JOIN enc e ON e.neighbor_id = c.neighbor_id
+       |  JOIN qadc qa ON qa.query_id = c.query_id AND qa.s = e.s AND qa.k = e.k
+       |  GROUP BY 1, 2, 3),
+       |short AS (
+       |  SELECT query_id, neighbor_id, cell, pq_score FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY pq_score DESC, neighbor_id) AS arank
+       |    FROM score)
+       |  WHERE arank <= $ivfPqShortlist),
+       |exact AS (
+       |  SELECT s.query_id, s.neighbor_id, s.cell, s.pq_score,
+       |    ${dotSqlOf("q.v", "c.v").replace("\n", "\n    ")} / (q.norm * c.norm) AS cos
+       |  FROM short s
+       |  JOIN n q ON q.vec_id = s.query_id
+       |  JOIN n c ON c.vec_id = s.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cell, pq_score, cos,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM exact)
+       |SELECT query_id, rank, neighbor_id, cell,
+       |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp, pq_score
+       |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
   // ─── knn_join: cell-blocked k-NN self-join (the kNN-graph pass) ───
   // EVERY vector gets its 2 nearest within-cell neighbors — the
   // kNN-graph construction that feeds diversity filtering and
@@ -893,6 +1053,7 @@ object Similarity {
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "ann_ivf_pq" -> annIvfPq,
     "ann_retrieve" -> annRetrieve)
 
   val oracle: Map[String, String] = Map(
@@ -907,5 +1068,6 @@ object Similarity {
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
+    "ann_ivf_pq" -> annIvfPqSql,
     "ann_retrieve" -> annRetrieveSql)
 }

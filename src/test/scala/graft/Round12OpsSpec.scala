@@ -134,4 +134,105 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"),
       "the ≤ S·k prefix/sketch frames ride broadcast joins")
   }
+
+  // ─── ann_ivf_pq ───
+
+  test("ann_ivf_pq: composed recall beats both single tiers (sf0.01)") {
+    val dir01 = "/root/testdata/sf0.01"
+    val rows = Similarity.annIvfPq(spark, dir01).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq,
+        "ranks are 1..k per query")
+      assert(rs.length <= 3)
+    }
+    val exact = Similarity.annBruteforce(spark, dir01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .count(exact.contains).toDouble / exact.size
+    val composed = rows.map(r => (r.getLong(0), r.getLong(2)))
+      .count(exact.contains).toDouble / exact.size
+    // wider probe + deeper rescore must lift the composition ABOVE
+    // either lossy tier alone — the point of composing them
+    assert(composed >= 0.45, f"IVF+PQ recall $composed%.2f collapsed")
+    assert(composed >= recallOf(Similarity.annIvf(spark, dir01)),
+      "composition at least matches plain IVF")
+    assert(composed >= recallOf(Similarity.annPq(spark, dir01)),
+      "composition at least matches plain PQ")
+  }
+
+  test("ann_ivf_pq: ADC scan is cell-restricted, tables broadcast") {
+    val p = plan(Similarity.annIvfPq(spark, dir))
+    // the only nested-loop is the bounded-broadcast centroid cross
+    // (the annIvf shape); candidates themselves ride cell equijoins
+    assert(!p.contains("CartesianProduct"),
+      "no unbounded cross product anywhere")
+    assert(p.contains("BroadcastExchange"),
+      "centroids/ADC tables ride broadcasts")
+  }
+
+  // ─── graph_modularity ───
+
+  test("graph_modularity: accounting identities + partition quality") {
+    val rows = Graph.graphModularity(spark, dir).collect()
+    val nDocs = Tables(spark, dir).documents.count()
+    assert(rows.map(_.getLong(1)).sum == nDocs,
+      "communities partition the doc set")
+    // recover m from any intra-edge-bearing row: q_num = 4m·e_c − d_c²
+    val r0 = rows.find(_.getLong(2) > 0).get
+    val m = (r0.getLong(4) + r0.getLong(3) * r0.getLong(3)) / (4 * r0.getLong(2))
+    assert(rows.map(_.getLong(2)).sum <= m,
+      "intra-community edges bounded by total edges")
+    assert(rows.map(_.getLong(3)).sum == 2 * m,
+      "degrees sum to 2m (handshake)")
+    rows.foreach { r =>
+      assert(r.getLong(4) == 4 * m * r.getLong(2) - r.getLong(3) * r.getLong(3),
+        "q_num is the exact integer identity")
+    }
+    // label-prop communities over a near-dup graph must beat chance
+    val qTotalBp = rows.map(_.getLong(5)).sum
+    assert(qTotalBp > 0, s"modularity ${qTotalBp}bp not above chance")
+    assert(qTotalBp <= 10000, "Q cannot exceed 1")
+  }
+
+  // ─── ts_lttb ───
+
+  test("ts_lttb: one point per non-empty bucket, endpoints exact") {
+    import org.apache.spark.sql.functions.{col => c}
+    val rows = Events.tsLttb(spark, dir).collect()
+    val ev = Tables(spark, dir).events
+      .select(c("event_type"), c("ts"), c("event_id")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val bucketsPerType = ev.groupBy(_._1).map { case (t, es) =>
+      t -> es.map(e => e._2.getTime / 1000 / (6 * 3600)).distinct.size
+    }
+    // exactly one selected point per non-empty (type, bucket)
+    val perType = rows.groupBy(_.getString(0))
+    perType.foreach { case (t, rs) =>
+      assert(rs.length == bucketsPerType(t),
+        s"$t: one row per non-empty bucket")
+      assert(rs.map(_.getLong(1)).distinct.length == rs.length,
+        s"$t: bucket keys unique")
+      // endpooints: globally earliest event is the 'first' pick,
+      // globally latest the 'last' pick
+      val es = ev.filter(_._1 == t)
+      val firstEv = es.minBy(e => (e._2.getTime, e._3))._3
+      val lastEv = es.maxBy(e => (e._2.getTime, e._3))._3
+      assert(rs.find(_.getString(2) == "first").get.getLong(3) == firstEv)
+      assert(rs.find(_.getString(2) == "last").get.getLong(3) == lastEv)
+      val kinds = rs.map(_.getString(2))
+      assert(kinds.count(_ == "first") == 1 && kinds.count(_ == "last") == 1
+        && kinds.count(_ == "lttb") == rs.length - 2)
+    }
+    // every selected point is a real event
+    val ids = ev.map(_._3).toSet
+    rows.foreach(r => assert(ids.contains(r.getLong(3))))
+  }
+
+  test("ts_lttb: summary frame broadcasts; rank windows bucket-partitioned") {
+    val p = plan(Events.tsLttb(spark, dir))
+    assert(p.contains("BroadcastExchange"),
+      "the bounded (type, bucket) anchor frame broadcasts onto events")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
