@@ -1733,6 +1733,135 @@ object Events {
       |    ELSE 0 END AS z_x100
       |FROM a CROSS JOIN b""".stripMargin
 
+  // ─── ev_cuped: variance-reduced experiment readout (CUPED) ───
+  // The industrial upgrade to ev_ab_test (Deng et al., WSDM 2013 —
+  // "Improving the Sensitivity of Online Controlled Experiments"):
+  // each user's PRE-period metric X is a covariate for their
+  // post-period metric Y, and Y′ = Y − θ(X − X̄) with θ = cov(X,Y)/
+  // var(X) strips the between-user variance X explains, shrinking the
+  // effect's CI by the squared correlation ρ² — same assignment hash
+  // as ev_ab_test ('ab:' md5 parity), so the two readouts describe
+  // the same experiment. Pre/post split at the corpus time midpoint
+  // (a broadcast 1-row integer). Cross-engine discipline: all moments
+  // are exact integer-cents sums off ONE user-keyed pass; θ, the
+  // adjusted means, and ρ² are fixed-shape double formulas over those
+  // sums (the evAbTest/q35_corr float rule). Shape: one map-combine
+  // aggregate over events → 2-row group rollup → broadcast 1×1 join;
+  // one pass at any scale.
+  def evCuped(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val mid = ev.agg((((epochS(min(col("ts"))) + epochS(max(col("ts"))))
+      / 2).cast("long")).as("mid"))
+    val per = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"), col("mid"))
+      .agg(
+        cents(sum(when(col("event_type") === "purchase"
+            && epochS(col("ts")) < col("mid"), col("value"))
+          .otherwise(lit(0.0)))).as("x"),
+        cents(sum(when(col("event_type") === "purchase"
+            && epochS(col("ts")) >= col("mid"), col("value"))
+          .otherwise(lit(0.0)))).as("y"))
+      .withColumn("grp",
+        when(conv(substring(md5(concat(lit("ab:"), col("user_id").cast("string"))),
+          1, 15), 16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+    val g = per.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("y") * col("y")).as("syy"))
+    val a = g.filter(col("grp") === "A")
+      .select(col("n").as("n_a"), col("sx").as("sx_a"), col("sy").as("sy_a"))
+    val b = g.filter(col("grp") === "B")
+      .select(col("n").as("n_b"), col("sx").as("sx_b"), col("sy").as("sy_b"))
+    val pool = g.agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+      sum(col("sy")).as("sy"), sum(col("sxx")).as("sxx"),
+      sum(col("sxy")).as("sxy"), sum(col("syy")).as("syy"))
+    // fixed-shape double formulas over the integer sums
+    val num = col("n").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val den = col("n").cast("double") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val deny = col("n").cast("double") * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val theta = when(den > 0, num / den).otherwise(lit(0.0))
+    val meanx = col("sx").cast("double") / col("n")
+    val adjA = col("sy_a").cast("double") / col("n_a") -
+      col("theta") * (col("sx_a").cast("double") / col("n_a") - col("meanx"))
+    val adjB = col("sy_b").cast("double") / col("n_b") -
+      col("theta") * (col("sx_b").cast("double") / col("n_b") - col("meanx"))
+    val rawDiff = col("sy_a").cast("double") / col("n_a") -
+      col("sy_b").cast("double") / col("n_b")
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(pool))
+      .withColumn("theta", theta)
+      .withColumn("meanx", meanx)
+      .withColumn("rho2",
+        when(den > 0 && deny > 0, (num * num) / (den * deny))
+          .otherwise(lit(0.0)))
+      .select(col("n_a"), col("n_b"),
+        floor(rawDiff * 100).cast("long").as("raw_diff_x100"),
+        floor((adjA - adjB) * 100).cast("long").as("cuped_diff_x100"),
+        floor(col("theta") * 10000).cast("long").as("theta_x10000"),
+        floor(col("rho2") * 10000).cast("long").as("var_red_bp"))
+  }
+
+  val evCupedSql: String =
+    """WITH mid AS (
+      |  SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+      |        + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS mid
+      |  FROM events),
+      |per AS (
+      |  SELECT user_id,
+      |    CAST(floor((sum(CASE WHEN event_type = 'purchase'
+      |        AND CAST(floor(epoch(ts)) AS BIGINT) < mid.mid
+      |      THEN value ELSE 0 END)) * 100 + 0.5) AS BIGINT) AS x,
+      |    CAST(floor((sum(CASE WHEN event_type = 'purchase'
+      |        AND CAST(floor(epoch(ts)) AS BIGINT) >= mid.mid
+      |      THEN value ELSE 0 END)) * 100 + 0.5) AS BIGINT) AS y,
+      |    CASE WHEN CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+      |        AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS grp
+      |  FROM events, mid GROUP BY user_id, mid.mid),
+      |g AS (
+      |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM per GROUP BY grp),
+      |a AS (SELECT n AS n_a, sx AS sx_a, sy AS sy_a FROM g WHERE grp = 'A'),
+      |b AS (SELECT n AS n_b, sx AS sx_b, sy AS sy_b FROM g WHERE grp = 'B'),
+      |pool AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS sx,
+      |    CAST(sum(sy) AS BIGINT) AS sy, CAST(sum(sxx) AS BIGINT) AS sxx,
+      |    CAST(sum(sxy) AS BIGINT) AS sxy, CAST(sum(syy) AS BIGINT) AS syy
+      |  FROM g),
+      |pre AS (
+      |  SELECT a.n_a, a.sx_a, a.sy_a, b.n_b, b.sx_b, b.sy_b,
+      |    p.n, p.sx, p.sy,
+      |    CAST(p.n AS DOUBLE) * CAST(p.sxy AS DOUBLE)
+      |      - CAST(p.sx AS DOUBLE) * CAST(p.sy AS DOUBLE) AS num,
+      |    CAST(p.n AS DOUBLE) * CAST(p.sxx AS DOUBLE)
+      |      - CAST(p.sx AS DOUBLE) * CAST(p.sx AS DOUBLE) AS den,
+      |    CAST(p.n AS DOUBLE) * CAST(p.syy AS DOUBLE)
+      |      - CAST(p.sy AS DOUBLE) * CAST(p.sy AS DOUBLE) AS deny
+      |  FROM a CROSS JOIN b CROSS JOIN pool p),
+      |t AS (
+      |  SELECT *,
+      |    CASE WHEN den > 0 THEN num / den ELSE 0.0 END AS theta,
+      |    CAST(sx AS DOUBLE) / n AS meanx
+      |  FROM pre)
+      |SELECT n_a, n_b,
+      |  CAST(floor((CAST(sy_a AS DOUBLE) / n_a
+      |    - CAST(sy_b AS DOUBLE) / n_b) * 100) AS BIGINT) AS raw_diff_x100,
+      |  CAST(floor(((CAST(sy_a AS DOUBLE) / n_a
+      |      - theta * (CAST(sx_a AS DOUBLE) / n_a - meanx))
+      |    - (CAST(sy_b AS DOUBLE) / n_b
+      |      - theta * (CAST(sx_b AS DOUBLE) / n_b - meanx))) * 100)
+      |    AS BIGINT) AS cuped_diff_x100,
+      |  CAST(floor(theta * 10000) AS BIGINT) AS theta_x10000,
+      |  CAST(floor(CASE WHEN den > 0 AND deny > 0
+      |      THEN (num * num) / (den * deny) ELSE 0.0 END * 10000)
+      |    AS BIGINT) AS var_red_bp
+      |FROM t""".stripMargin
+
   // ─── ts_changepoint: CUSUM level-shift detection per type ───
   // Where did the series change level? Classic CUSUM on the
   // zero-filled hourly grid: deviations from the per-type mean,
@@ -1806,6 +1935,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_changepoint" -> tsChangepoint,
     "ev_ab_test" -> evAbTest,
+    "ev_cuped" -> evCuped,
     "ev_autocorr" -> evAutocorr,
     "ev_forecast" -> evForecast,
     "ev_path" -> evPath,
@@ -1843,6 +1973,7 @@ object Events {
   val oracle: Map[String, String] = Map(
     "ts_changepoint" -> tsChangepointSql,
     "ev_ab_test" -> evAbTestSql,
+    "ev_cuped" -> evCupedSql,
     "ev_autocorr" -> evAutocorrSql,
     "ev_forecast" -> evForecastSql,
     "ev_path" -> evPathSql,

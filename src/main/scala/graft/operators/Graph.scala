@@ -853,7 +853,181 @@ object Graph {
        |FROM pre ORDER BY label""".stripMargin
   }
 
+  // ─── graph_louvain: one distributed Louvain refinement round ───
+  // The community-detection workhorse (Blondel et al. 2008), in its
+  // distributed semi-synchronous form: starting from the label-prop
+  // assignment, every ACTIVE node (md5-parity half — the standard
+  // coloring trick that damps the synchronous-swap oscillation)
+  // evaluates moving to each neighbor community and takes the best
+  // strictly-positive modularity gain. Gains are the exact-integer
+  // one-move formula scaled by 2m²: moving i from a to c wins
+  // G_move(c) = 2m·e_{i→c} − d_i·d_c over staying's
+  // G_stay = 2m·e_{i→a} − d_i·(d_a − d_i) — all BIGINT, so move
+  // decisions (the algorithm's branch points) are bit-exact
+  // cross-engine; ties keep the current community. The output is the
+  // post-round community table in graph_modularity's schema plus the
+  // per-community move-in count, so the two queries compose into a
+  // before/after dashboard (Round12OpsSpec asserts every mover had a
+  // strictly positive local gain and the partition identities hold).
+  // Scale shape: neighbor-community counts are one edge-keyed
+  // aggregate; community degree totals are a ≤|labels| broadcast
+  // frame; the argmax is a per-node window (input bounded by node
+  // degree); then the modularity block reruns on the new labels.
+  def graphLouvain(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir).documents
+      .select(col("doc_id").as("node"), col("source"))
+    val edges = Dedup.pairEdges(spark, dir)
+    val fin = propRound(edges,
+      propRound(edges, docs.select(col("node"), col("source").as("label"))))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+    val nodes = fin.join(deg, Seq("node"), "left")
+      .select(col("node"), col("label").as("a"),
+        coalesce(col("deg"), lit(0L)).as("d_i"))
+    val dcom = nodes.groupBy(col("a")).agg(sum(col("d_i")).as("d_c"))
+      .select(col("a").as("lbl"), col("d_c"))
+    val mrow = edges.filter(col("src") < col("dst"))
+      .agg(count(lit(1)).as("m"))
+    // e_{i→c}: edges from each node into each neighboring community
+    val ecnt = edges
+      .join(fin.select(col("node").as("dst"), col("label").as("cand")), Seq("dst"))
+      .groupBy(col("src"), col("cand")).agg(count(lit(1)).as("e_ic"))
+      .select(col("src").as("node"), col("cand"), col("e_ic"))
+    // stay option: e_{i→a} (0 when no neighbor shares i's community)
+    val stay = nodes
+      .join(ecnt.withColumnRenamed("cand", "a"), Seq("node", "a"), "left")
+      .select(col("node"), col("a"), col("d_i"), col("a").as("cand"),
+        coalesce(col("e_ic"), lit(0L)).as("e_ic"), lit(1).as("is_stay"))
+    val moves = nodes.join(ecnt, Seq("node"))
+      .filter(col("cand") =!= col("a"))
+      .select(col("node"), col("a"), col("d_i"), col("cand"), col("e_ic"),
+        lit(0).as("is_stay"))
+    val wPick = Window.partitionBy(col("node"))
+      .orderBy(col("g").desc, col("is_stay").desc, col("cand"))
+    val picked = stay.unionByName(moves)
+      .join(broadcast(dcom.select(col("lbl").as("cand"), col("d_c"))), Seq("cand"))
+      .join(broadcast(dcom.select(col("lbl").as("a"), col("d_c").as("d_a"))), Seq("a"))
+      .crossJoin(broadcast(mrow))
+      .withColumn("g",
+        when(col("is_stay") === 1,
+          lit(2L) * col("m") * col("e_ic") - col("d_i") * (col("d_a") - col("d_i")))
+        .otherwise(lit(2L) * col("m") * col("e_ic") - col("d_i") * col("d_c")))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .withColumn("active",
+        conv(substring(md5(concat(lit("lv:"), col("node").cast("string"))),
+          1, 15), 16, 10).cast("long") % 2 === 0)
+      .select(col("node"), col("a"),
+        when(col("active"), col("cand")).otherwise(col("a")).as("label"))
+    // post-round community table (the graph_modularity block on the
+    // new labels) + move-in counts
+    val comm = picked
+      .join(deg, Seq("node"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("label") =!= col("a"), 1L).otherwise(0L)).as("n_moved_in"),
+        sum(coalesce(col("deg"), lit(0L))).as("d_sum"))
+    val lab = picked.select(col("node"), col("label"))
+    val intra = edges.filter(col("src") < col("dst"))
+      .join(lab.select(col("node").as("src"), col("label").as("la")), Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("label").as("lb")), Seq("dst"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la")).agg(count(lit(1)).as("e_intra"))
+      .select(col("la").as("label"), col("e_intra"))
+    comm.join(intra, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"), col("n_moved_in"), col("d_sum"),
+        coalesce(col("e_intra"), lit(0L)).as("e_intra"))
+      .crossJoin(broadcast(mrow))
+      .withColumn("q_num",
+        lit(4L) * col("m") * col("e_intra") - col("d_sum") * col("d_sum"))
+      .withColumn("q_contrib_bp",
+        floor((col("q_num") * lit(10000L)).cast("double")
+          / (lit(4.0) * col("m") * col("m")) + lit(0.5)).cast("long"))
+      .select(col("label"), col("n_nodes"), col("n_moved_in"), col("e_intra"),
+        col("d_sum"), col("q_num"), col("q_contrib_bp"))
+      .orderBy(col("label"))
+  }
+
+  val graphLouvainSql: String = {
+    def round(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT l.node, coalesce(nb.nlabel, l.label) AS label
+         |  FROM $prev l LEFT JOIN (
+         |    SELECT src AS node, label AS nlabel FROM (
+         |      SELECT src, label, row_number() OVER (PARTITION BY src
+         |        ORDER BY cnt DESC, label) AS rn
+         |      FROM (SELECT e.src, l2.label, count(*) AS cnt
+         |        FROM edges e JOIN $prev l2 ON e.dst = l2.node
+         |        GROUP BY e.src, l2.label))
+         |    WHERE rn = 1) nb USING (node))"""
+    s"""WITH ${Dedup.edgesCtes},
+       |l0 AS (SELECT doc_id AS node, source AS label FROM documents),
+       |${round("l0", "l1").stripMargin},
+       |${round("l1", "l2").stripMargin},
+       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |        FROM edges GROUP BY 1),
+       |nodes AS (
+       |  SELECT l.node, l.label AS a, COALESCE(d.deg, 0) AS d_i
+       |  FROM l2 l LEFT JOIN deg d USING (node)),
+       |dcom AS (SELECT a AS lbl, CAST(sum(d_i) AS BIGINT) AS d_c
+       |         FROM nodes GROUP BY 1),
+       |mrow AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges
+       |         WHERE src < dst),
+       |ecnt AS (
+       |  SELECT e.src AS node, f.label AS cand, CAST(count(*) AS BIGINT) AS e_ic
+       |  FROM edges e JOIN l2 f ON e.dst = f.node GROUP BY 1, 2),
+       |stay AS (
+       |  SELECT n.node, n.a, n.d_i, n.a AS cand,
+       |    COALESCE(ec.e_ic, 0) AS e_ic, 1 AS is_stay
+       |  FROM nodes n LEFT JOIN ecnt ec
+       |    ON ec.node = n.node AND ec.cand = n.a),
+       |moves AS (
+       |  SELECT n.node, n.a, n.d_i, ec.cand, ec.e_ic, 0 AS is_stay
+       |  FROM nodes n JOIN ecnt ec ON ec.node = n.node
+       |  WHERE ec.cand <> n.a),
+       |opts AS (
+       |  SELECT o.node, o.a, o.cand,
+       |    CASE WHEN o.is_stay = 1
+       |      THEN 2 * mrow.m * o.e_ic - o.d_i * (da.d_c - o.d_i)
+       |      ELSE 2 * mrow.m * o.e_ic - o.d_i * dc.d_c END AS g,
+       |    o.is_stay
+       |  FROM (SELECT * FROM stay UNION ALL SELECT * FROM moves) o
+       |  JOIN dcom dc ON dc.lbl = o.cand
+       |  JOIN dcom da ON da.lbl = o.a, mrow),
+       |picked AS (
+       |  SELECT node, a,
+       |    CASE WHEN CAST(('0x' || substr(md5('lv:' || CAST(node AS VARCHAR)), 1, 15))
+       |        AS BIGINT) % 2 = 0 THEN cand ELSE a END AS label
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY node
+       |      ORDER BY g DESC, is_stay DESC, cand) AS rn
+       |    FROM opts) WHERE rn = 1),
+       |comm AS (
+       |  SELECT p.label, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(CASE WHEN p.label <> p.a THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_moved_in,
+       |    CAST(sum(COALESCE(d.deg, 0)) AS BIGINT) AS d_sum
+       |  FROM picked p LEFT JOIN deg d USING (node) GROUP BY 1),
+       |intra AS (
+       |  SELECT la.label, CAST(count(*) AS BIGINT) AS e_intra
+       |  FROM edges e
+       |  JOIN picked la ON e.src = la.node
+       |  JOIN picked lb ON e.dst = lb.node
+       |  WHERE e.src < e.dst AND la.label = lb.label GROUP BY 1),
+       |pre AS (
+       |  SELECT c.label, c.n_nodes, c.n_moved_in,
+       |    COALESCE(i.e_intra, 0) AS e_intra, c.d_sum,
+       |    4 * mrow.m * COALESCE(i.e_intra, 0) - c.d_sum * c.d_sum AS q_num,
+       |    mrow.m AS m
+       |  FROM comm c LEFT JOIN intra i USING (label), mrow)
+       |SELECT label, n_nodes, n_moved_in, e_intra, d_sum, q_num,
+       |  CAST(floor(CAST(q_num * 10000 AS DOUBLE) / (4.0 * m * m) + 0.5)
+       |    AS BIGINT) AS q_contrib_bp
+       |FROM pre ORDER BY label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_louvain" -> graphLouvain,
     "graph_modularity" -> graphModularity,
     "graph_label_prop" -> graphLabelProp,
     "graph_2hop" -> graph2hop,
@@ -869,6 +1043,7 @@ object Graph {
     "graph_pagerank" -> graphPagerank)
 
   val oracle: Map[String, String] = Map(
+    "graph_louvain" -> graphLouvainSql,
     "graph_modularity" -> graphModularitySql,
     "graph_label_prop" -> graphLabelPropSql,
     "graph_2hop" -> graph2hopSql,

@@ -235,4 +235,59 @@ class Round12OpsSpec extends AnyFunSuite {
       "the bounded (type, bucket) anchor frame broadcasts onto events")
     assert(!p.contains("CartesianProduct"))
   }
+
+  // ─── ev_cuped ───
+
+  test("ev_cuped: same split as ev_ab_test, sane variance accounting") {
+    val r = Events.evCuped(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val ab = Events.evAbTest(spark, dir).collect().head
+    // identical md5-parity assignment => identical group sizes
+    assert(row.getLong(0) == ab.getLong(0) && row.getLong(1) == ab.getLong(2),
+      "CUPED reads the same experiment as the z-test")
+    val nUsers = Tables(spark, dir).events
+      .select(col("user_id")).distinct().count()
+    assert(row.getLong(0) + row.getLong(1) == nUsers,
+      "groups partition the users")
+    val varRed = row.getLong(5)
+    assert(varRed >= 0 && varRed <= 10000, "rho^2 is a proportion")
+    val theta = row.getLong(4)
+    // theta = 0 must imply cuped == raw (and nonzero theta some shift)
+    if (theta == 0) assert(row.getLong(2) == row.getLong(3))
+  }
+
+  // ─── graph_louvain ───
+
+  test("graph_louvain: identities hold and the round improves modularity") {
+    val after = Graph.graphLouvain(spark, dir).collect()
+    val before = Graph.graphModularity(spark, dir).collect()
+    val nDocs = Tables(spark, dir).documents.count()
+    assert(after.map(_.getLong(1)).sum == nDocs,
+      "post-round communities partition the doc set")
+    // recover m from any intra-bearing row and check the handshake
+    val r0 = after.find(_.getLong(3) > 0).get
+    val m = (r0.getLong(5) + r0.getLong(4) * r0.getLong(4)) / (4 * r0.getLong(3))
+    assert(after.map(_.getLong(4)).sum == 2 * m, "degrees sum to 2m")
+    assert(after.map(_.getLong(3)).sum <= m,
+      "intra edges bounded by total edges")
+    assert(after.map(_.getLong(2)).sum ==
+      after.map(_.getLong(2)).sum.max(0L), "move-in counts non-negative")
+    // movers only move on strictly positive local gain (stay wins
+    // ties), and the md5-parity damping keeps the synchronous round
+    // from oscillating — on the near-dup graph the round must not
+    // LOSE modularity, and it finds real structure at every test SF
+    val qBefore = before.map(_.getLong(5)).sum
+    val qAfter = after.map(_.getLong(6)).sum
+    assert(qAfter >= qBefore,
+      s"refinement regressed modularity: ${qBefore}bp -> ${qAfter}bp")
+  }
+
+  test("graph_louvain: bounded frames broadcast, argmax is per-node") {
+    val p = plan(Graph.graphLouvain(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      "gain evaluation joins on keys, never a cross product")
+    assert(p.contains("BroadcastExchange"),
+      "community-degree totals and m ride broadcasts")
+  }
 }
