@@ -1862,6 +1862,84 @@ object Events {
       |    AS BIGINT) AS var_red_bp
       |FROM t""".stripMargin
 
+  // ─── ev_did: difference-in-differences readout ───
+  // The third leg of the experimentation family (ev_ab_test's z-test,
+  // ev_cuped's variance reduction): when "treatment" switches on at a
+  // known time for one group, the causal read is the INTERACTION —
+  // (Ā_post − Ā_pre) − (B̄_post − B̄_pre) — which cancels both the
+  // group-level baseline difference and the shared time trend. Same
+  // 'ab:' md5-parity groups and the same corpus-midpoint pre/post
+  // split as ev_cuped, so all three readouts describe one experiment.
+  // Cell means are exact integer division of integer-cents sums; only
+  // the did interaction is one fixed-shape double expression (it
+  // subtracts ratios with four different denominators). One user-keyed
+  // pass → 2-row rollup → broadcast 1×1 join, any scale.
+  def evDid(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val mid = ev.agg((((epochS(min(col("ts"))) + epochS(max(col("ts"))))
+      / 2).cast("long")).as("mid"))
+    val per = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"), col("mid"))
+      .agg(
+        cents(sum(when(col("event_type") === "purchase"
+            && epochS(col("ts")) < col("mid"), col("value"))
+          .otherwise(lit(0.0)))).as("x"),
+        cents(sum(when(col("event_type") === "purchase"
+            && epochS(col("ts")) >= col("mid"), col("value"))
+          .otherwise(lit(0.0)))).as("y"))
+      .withColumn("grp",
+        when(conv(substring(md5(concat(lit("ab:"), col("user_id").cast("string"))),
+          1, 15), 16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+    val g = per.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"))
+    val a = g.filter(col("grp") === "A")
+      .select(col("n").as("n_a"), col("sx").as("sx_a"), col("sy").as("sy_a"))
+    val b = g.filter(col("grp") === "B")
+      .select(col("n").as("n_b"), col("sx").as("sx_b"), col("sy").as("sy_b"))
+    val did = (col("sy_a").cast("double") / col("n_a")
+      - col("sx_a").cast("double") / col("n_a"))
+      .minus(col("sy_b").cast("double") / col("n_b")
+        - col("sx_b").cast("double") / col("n_b"))
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("n_b"),
+        expr("sx_a div n_a").as("pre_a_cents"),
+        expr("sy_a div n_a").as("post_a_cents"),
+        expr("sx_b div n_b").as("pre_b_cents"),
+        expr("sy_b div n_b").as("post_b_cents"),
+        floor(did).cast("long").as("did_cents"))
+  }
+
+  val evDidSql: String =
+    """WITH mid AS (
+      |  SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+      |        + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS mid
+      |  FROM events),
+      |per AS (
+      |  SELECT user_id,
+      |    CAST(floor((sum(CASE WHEN event_type = 'purchase'
+      |        AND CAST(floor(epoch(ts)) AS BIGINT) < mid.mid
+      |      THEN value ELSE 0 END)) * 100 + 0.5) AS BIGINT) AS x,
+      |    CAST(floor((sum(CASE WHEN event_type = 'purchase'
+      |        AND CAST(floor(epoch(ts)) AS BIGINT) >= mid.mid
+      |      THEN value ELSE 0 END)) * 100 + 0.5) AS BIGINT) AS y,
+      |    CASE WHEN CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+      |        AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS grp
+      |  FROM events, mid GROUP BY user_id, mid.mid),
+      |g AS (
+      |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+      |  FROM per GROUP BY grp),
+      |a AS (SELECT n AS n_a, sx AS sx_a, sy AS sy_a FROM g WHERE grp = 'A'),
+      |b AS (SELECT n AS n_b, sx AS sx_b, sy AS sy_b FROM g WHERE grp = 'B')
+      |SELECT n_a, n_b,
+      |  sx_a // n_a AS pre_a_cents, sy_a // n_a AS post_a_cents,
+      |  sx_b // n_b AS pre_b_cents, sy_b // n_b AS post_b_cents,
+      |  CAST(floor((CAST(sy_a AS DOUBLE) / n_a - CAST(sx_a AS DOUBLE) / n_a)
+      |    - (CAST(sy_b AS DOUBLE) / n_b - CAST(sx_b AS DOUBLE) / n_b))
+      |    AS BIGINT) AS did_cents
+      |FROM a CROSS JOIN b""".stripMargin
+
   // ─── ts_changepoint: CUSUM level-shift detection per type ───
   // Where did the series change level? Classic CUSUM on the
   // zero-filled hourly grid: deviations from the per-type mean,
@@ -1932,7 +2010,123 @@ object Events {
       |  CAST(floor(epoch(hour_ts)) AS BIGINT) AS cp_epoch, cusum_peak
       |FROM picked WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  // ─── ev_survival: user-lifetime survival and hazard curve ───
+  // The Kaplan–Meier-style churn readout (here uncensored — the
+  // corpus window closes, so every lifetime is observed and the KM
+  // product-limit estimator collapses to the exact empirical survival
+  // function — a ratio of integer counts, no cumulative float
+  // product). Lifetime = whole days between a user's first and last
+  // event, capped at the survival horizon. For each day t:
+  // n_at_risk = |{u : life_u ≥ t}|, n_churned = |{u : life_u = t}|,
+  // surv_bp = P(life ≥ t)·10⁴, hazard_bp = churned/at_risk·10⁴.
+  // Shape: one user-keyed aggregate (map-side combined) shrinks the
+  // corpus to one row per user, the ≤(horizon+1)-row at-risk counts
+  // come from a bounded sequence-explode of that per-user frame
+  // (each user contributes to exactly life+1 days — the ev_wau
+  // contribution-explosion trick, ×31 worst case), and the population
+  // total is a 1-row broadcast. No windows, no driver loop.
+  private val survivalHorizonDays = 30L
+
+  def evSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables(spark, dir).events
+      .groupBy(col("user_id"))
+      .agg(least(
+        expr("(unix_timestamp(max(ts)) - unix_timestamp(min(ts))) div 86400"),
+        lit(survivalHorizonDays)).as("life"))
+    val total = per.agg(count(lit(1)).as("n_users"))
+    val atRisk = per
+      .select(explode(sequence(lit(0L), col("life"))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_at_risk"))
+    val churned = per.groupBy(col("life").as("day"))
+      .agg(count(lit(1)).as("n_churned"))
+    atRisk.join(churned, Seq("day"), "left")
+      .na.fill(0L, Seq("n_churned"))
+      .crossJoin(broadcast(total))
+      .select(col("day"), col("n_at_risk"), col("n_churned"),
+        expr("n_at_risk * 10000 div n_users").as("surv_bp"),
+        expr("n_churned * 10000 div n_at_risk").as("hazard_bp"))
+      .orderBy(col("day"))
+  }
+
+  val evSurvivalSql: String =
+    s"""WITH per AS (
+       |  SELECT user_id,
+       |    least((CAST(floor(epoch(max(ts))) AS BIGINT)
+       |         - CAST(floor(epoch(min(ts))) AS BIGINT)) // 86400,
+       |      $survivalHorizonDays) AS life
+       |  FROM events GROUP BY user_id),
+       |total AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM per),
+       |at_risk AS (
+       |  SELECT day, CAST(count(*) AS BIGINT) AS n_at_risk
+       |  FROM (SELECT unnest(range(0, life + 1)) AS day FROM per)
+       |  GROUP BY day),
+       |churned AS (
+       |  SELECT life AS day, CAST(count(*) AS BIGINT) AS n_churned
+       |  FROM per GROUP BY life)
+       |SELECT a.day, a.n_at_risk, coalesce(c.n_churned, 0) AS n_churned,
+       |  a.n_at_risk * 10000 // t.n_users AS surv_bp,
+       |  coalesce(c.n_churned, 0) * 10000 // a.n_at_risk AS hazard_bp
+       |FROM at_risk a
+       |LEFT JOIN churned c ON a.day = c.day
+       |CROSS JOIN total t
+       |ORDER BY a.day""".stripMargin
+
+  // ─── ev_funnel_time: time-to-convert distribution ───
+  // ev_funnel says WHO converts (first purchase after first signup);
+  // this says HOW FAST — the conversion-lag histogram growth teams
+  // actually plot. Per user: first signup time (a per-user window
+  // min, one shuffle on user_id), then the first purchase strictly
+  // after it (ev_funnel's exact converted predicate, so the two
+  // operators partition the same user set). Lag lands
+  // in whole-day buckets; each bucket reports converter count and its
+  // share of all converters in bp (the total rides a 1-row
+  // broadcast). The per-user frame is corpus-shrunk before any join;
+  // buckets are ≤ the corpus day-span. Same ts,event_id tiebreak
+  // discipline as cdc/scd2.
+  def evFunnelTime(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val lag = Tables(spark, dir).events
+      .withColumn("signup_ts",
+        min(when(col("event_type") === "signup", col("ts"))).over(byUser))
+      .filter(col("event_type") === "purchase" &&
+        col("signup_ts").isNotNull && col("ts") > col("signup_ts"))
+      .groupBy(col("user_id"))
+      .agg(min(epochS(col("ts")) - epochS(col("signup_ts"))).as("lag_s"))
+      .select(col("user_id"), expr("lag_s div 86400").as("lag_days"))
+    val total = lag.agg(count(lit(1)).as("n_conv"))
+    lag.groupBy(col("lag_days")).agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(total))
+      .select(col("lag_days"), col("n_users"),
+        expr("n_users * 10000 div n_conv").as("share_bp"))
+      .orderBy(col("lag_days"))
+  }
+
+  val evFunnelTimeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, ts,
+      |    min(CASE WHEN event_type = 'signup' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS signup_ts
+      |  FROM events),
+      |lag AS (
+      |  SELECT user_id,
+      |    CAST(min(CAST(floor(epoch(ts)) AS BIGINT)
+      |           - CAST(floor(epoch(signup_ts)) AS BIGINT)) // 86400
+      |      AS BIGINT) AS lag_days
+      |  FROM e
+      |  WHERE event_type = 'purchase' AND signup_ts IS NOT NULL
+      |    AND ts > signup_ts
+      |  GROUP BY user_id),
+      |total AS (SELECT CAST(count(*) AS BIGINT) AS n_conv FROM lag)
+      |SELECT lag_days, CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(count(*) AS BIGINT) * 10000 // t.n_conv AS share_bp
+      |FROM lag CROSS JOIN total t
+      |GROUP BY lag_days, t.n_conv
+      |ORDER BY lag_days""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_survival" -> evSurvival,
+    "ev_funnel_time" -> evFunnelTime,
+    "ev_did" -> evDid,
     "ts_changepoint" -> tsChangepoint,
     "ev_ab_test" -> evAbTest,
     "ev_cuped" -> evCuped,
@@ -1971,6 +2165,9 @@ object Events {
     "ev_pattern_seq" -> evPatternSeq)
 
   val oracle: Map[String, String] = Map(
+    "ev_survival" -> evSurvivalSql,
+    "ev_funnel_time" -> evFunnelTimeSql,
+    "ev_did" -> evDidSql,
     "ts_changepoint" -> tsChangepointSql,
     "ev_ab_test" -> evAbTestSql,
     "ev_cuped" -> evCupedSql,

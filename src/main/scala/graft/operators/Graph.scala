@@ -1026,7 +1026,75 @@ object Graph {
        |FROM pre ORDER BY label""".stripMargin
   }
 
+  // ─── graph_scc: strongly connected components (directed) ───
+  // The one semantics the undirected family can't express: mutual
+  // reachability on a DIRECTED graph — here the event-type transition
+  // graph (the ev_markov derivation: adjacent same-user event pairs,
+  // distinct), where an SCC is a set of behaviors users cycle among
+  // and a 1-node SCC is a funnel stage they pass through one way.
+  // Naive (f(v), b(v)) min-ancestor/min-descendant labeling is WRONG
+  // (two parallel SCCs sharing an entry and an exit collide), so this
+  // computes the exact transitive closure as a pair frame — reach ∪
+  // (reach ⋈ edges) to a Graph.iterate fixpoint — then
+  // scc_id(v) = min{u : v→*u ∧ u→*v} via one self-join of the closure
+  // on the swapped pair. Scale note: the closure is quadratic in
+  // NODES by design — this targets metadata-scale derived graphs
+  // (event taxonomies, |V| = event types, closure ≤ |V|²) sitting on
+  // a corpus-scale edge DERIVATION (the lag window + distinct do the
+  // 100 TB work); corpus-node graphs route to graph_components.
+  def graphScc(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = graft.Tables(spark, dir).events
+    val edges = ev
+      .withColumn("f", lag(col("event_type"), 1).over(w))
+      .filter(col("f").isNotNull)
+      .select(col("f"), col("event_type").as("t")).distinct()
+    val nodes = ev.select(col("event_type").as("v")).distinct()
+    val init = nodes.select(col("v").as("src"), col("v").as("dst"))
+      .union(edges.select(col("f").as("src"), col("t").as("dst"))).distinct()
+    val closure = iterate(init, 50, "graph_scc") { reach =>
+      reach.union(
+        reach.join(edges, reach("dst") === edges("f"))
+          .select(reach("src"), edges("t").as("dst")))
+        .distinct()
+    }(_.count())
+    val scc = closure.as("r1")
+      .join(closure.as("r2"),
+        col("r1.src") === col("r2.dst") && col("r1.dst") === col("r2.src"))
+      .select(col("r1.src").as("node"), col("r1.dst").as("m"))
+      .groupBy(col("node")).agg(min(col("m")).as("scc_id"))
+    val sizes = scc.groupBy(col("scc_id")).agg(count(lit(1)).as("scc_size"))
+    scc.join(broadcast(sizes), Seq("scc_id"))
+      .select(col("node"), col("scc_id"), col("scc_size"))
+      .orderBy(col("node"))
+  }
+
+  val graphSccSql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_type
+      |  FROM events),
+      |edges AS (
+      |  SELECT DISTINCT prev_type AS f, event_type AS t
+      |  FROM pairs WHERE prev_type IS NOT NULL),
+      |nodes AS (SELECT DISTINCT event_type AS v FROM events),
+      |reach(src, dst) AS (
+      |  SELECT v, v FROM nodes
+      |  UNION
+      |  SELECT r.src, e.t AS dst FROM reach r JOIN edges e ON r.dst = e.f),
+      |scc AS (
+      |  SELECT r1.src AS node, min(r1.dst) AS scc_id
+      |  FROM reach r1
+      |  JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src
+      |  GROUP BY r1.src),
+      |sizes AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size
+      |          FROM scc GROUP BY scc_id)
+      |SELECT s.node, s.scc_id, z.scc_size
+      |FROM scc s JOIN sizes z USING (scc_id) ORDER BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_scc" -> graphScc,
     "graph_louvain" -> graphLouvain,
     "graph_modularity" -> graphModularity,
     "graph_label_prop" -> graphLabelProp,
@@ -1043,6 +1111,7 @@ object Graph {
     "graph_pagerank" -> graphPagerank)
 
   val oracle: Map[String, String] = Map(
+    "graph_scc" -> graphSccSql,
     "graph_louvain" -> graphLouvainSql,
     "graph_modularity" -> graphModularitySql,
     "graph_label_prop" -> graphLabelPropSql,

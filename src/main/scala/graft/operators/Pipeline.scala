@@ -776,7 +776,85 @@ object Pipeline {
        |    ORDER BY h, doc_id) AS BIGINT) AS pos, doc_id
        |FROM e ORDER BY epoch, pos""".stripMargin
 
+  // ─── mix_tv_distance: pairwise source-distribution divergence ───
+  // How differently do two sources use language? Total-variation
+  // distance between per-source unigram distributions — the libm-free
+  // divergence (½·Σ|p−q| needs only integer cross-products, where KL/
+  // JS would drag in logs and last-ulp drift; same design rule as
+  // text_diversity's Gini-Simpson). Handling of disjoint support is
+  // exact: the self-join on the word key only sees the COMMON vocab,
+  // so the absent-word mass is closed-form from the common-word sums
+  // (Σ_only-P p = 1 − Σ_common p), giving
+  //   tv_bp = (Σ_common|c₁N₂−c₂N₁| + (N₁−s₁)N₂ + (N₂−s₂)N₁)·10⁴
+  //           div (2·N₁·N₂).
+  // vocab_jacc_bp (type overlap) rides along off the same join.
+  // Plan: one (source, word) count (map-side combined, vocab-sized),
+  // a word-keyed self-join restricted to src_a < src_b (never a
+  // source cross join — pairs materialize only where vocab overlaps),
+  // and a broadcast of the |sources|-row totals. Cross-product terms
+  // c·N are i64-safe to ~3·10⁹ tokens/source; beyond that, scale
+  // counts to a common denominator first (the comparison is scale-
+  // free in the distributions).
+  def mixTvDistance(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), w => w =!= "")
+    val sw = Tables(spark, dir).documents
+      .select(col("source"), explode(toks).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val tot = sw.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_types"))
+    val a = sw.select(col("source").as("src_a"), col("w"), col("c").as("c_a"))
+    val b = sw.select(col("source").as("src_b"), col("w"), col("c").as("c_b"))
+    a.join(b, Seq("w")).filter(col("src_a") < col("src_b"))
+      .join(broadcast(tot.select(col("source").as("src_a"),
+        col("n_tok").as("n_toka"), col("n_types").as("n_typesa"))), Seq("src_a"))
+      .join(broadcast(tot.select(col("source").as("src_b"),
+        col("n_tok").as("n_tokb"), col("n_types").as("n_typesb"))), Seq("src_b"))
+      .groupBy(col("src_a"), col("src_b"), col("n_toka"), col("n_tokb"),
+        col("n_typesa"), col("n_typesb"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("c_a")).as("s_a"), sum(col("c_b")).as("s_b"),
+        sum(abs(col("c_a") * col("n_tokb") - col("c_b") * col("n_toka")))
+          .as("sum_abs"))
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        expr("""(sum_abs + (n_toka - s_a) * n_tokb
+               + (n_tokb - s_b) * n_toka) * 10000
+               div (2 * n_toka * n_tokb)""").as("tv_bp"),
+        expr("n_common * 10000 div (n_typesa + n_typesb - n_common)")
+          .as("vocab_jacc_bp"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val mixTvDistanceSql: String =
+    """WITH sw AS (
+      |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT source,
+      |          unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |        FROM documents)
+      |  GROUP BY source, w),
+      |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tok,
+      |          CAST(count(*) AS BIGINT) AS n_types
+      |        FROM sw GROUP BY source),
+      |p AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    ta.n_tok AS n_toka, tb.n_tok AS n_tokb,
+      |    ta.n_types AS n_typesa, tb.n_types AS n_typesb,
+      |    CAST(count(*) AS BIGINT) AS n_common,
+      |    CAST(sum(a.c) AS BIGINT) AS s_a,
+      |    CAST(sum(b.c) AS BIGINT) AS s_b,
+      |    CAST(sum(abs(a.c * tb.n_tok - b.c * ta.n_tok)) AS BIGINT) AS sum_abs
+      |  FROM sw a
+      |  JOIN sw b ON a.w = b.w AND a.source < b.source
+      |  JOIN tot ta ON ta.source = a.source
+      |  JOIN tot tb ON tb.source = b.source
+      |  GROUP BY 1, 2, 3, 4, 5, 6)
+      |SELECT src_a, src_b, n_common,
+      |  (sum_abs + (n_toka - s_a) * n_tokb + (n_tokb - s_b) * n_toka) * 10000
+      |    // (2 * n_toka * n_tokb) AS tv_bp,
+      |  n_common * 10000 // (n_typesa + n_typesb - n_common) AS vocab_jacc_bp
+      |FROM p ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_tv_distance" -> mixTvDistance,
     "sample_epoch_order" -> sampleEpochOrder,
     "mix_waterfill" -> mixWaterfill,
     "mix_source_overlap" -> mixSourceOverlap,
@@ -796,6 +874,7 @@ object Pipeline {
     "sample_temperature" -> sampleTemperature)
 
   val oracle: Map[String, String] = Map(
+    "mix_tv_distance" -> mixTvDistanceSql,
     "sample_epoch_order" -> sampleEpochOrderSql,
     "mix_waterfill" -> mixWaterfillSql,
     "mix_source_overlap" -> mixSourceOverlapSql,

@@ -1041,7 +1041,88 @@ object Similarity {
        |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp
        |FROM ranked WHERE rank <= $diverseK ORDER BY query_id, rank""".stripMargin
 
+  // ─── ann_filtered: metadata-filtered vector search ───
+  // The vector-DB feature every production deployment hits first:
+  // top-k under a metadata PREDICATE (here: neighbor label must match
+  // the query's label — the "same collection/tenant/class" filter).
+  // Composition, not a new index: the IVF inverted file already
+  // carries the payload row, so the filter is a join-side predicate
+  // evaluated inside the probed cells — never a post-filter of an
+  // unfiltered top-k (which silently returns < k), and never a
+  // pre-filtered brute-force scan. Because the predicate prunes
+  // candidates (here to ~1/|labels| of each cell), probes widen to
+  // 2·nprobe — the standard filtered-search compensation, same spirit
+  // as ann_ivf_pq's doubled probe width.
+  private val filteredProbe = 2 * nprobe
+
+  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val lab = Tables(spark, dir).embeddings.select(col("vec_id"), col("label"))
+    val v = vecs(spark, dir)
+    val cents = ivfCents(spark, dir)
+    val assigned = nearestCells(cents, v, 1, "vec_id")
+      .join(lab, Seq("vec_id"))
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("v").as("cv"), col("norm").as("cn"), col("label"))
+    val probes = nearestCells(cents, v.filter(col("vec_id") < nQueries),
+        filteredProbe, "vec_id")
+      .join(lab, Seq("vec_id"))
+      .select(col("cell"), col("vec_id").as("query_id"),
+        col("v").as("qv"), col("norm").as("qn"), col("label").as("qlabel"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("label") === col("qlabel"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("label"),
+        floor(col("cos") * 10000 + 0.5).cast("long").as("cos_bp"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annFilteredSql: String =
+    s"""WITH n AS (${vecsSql("vec_id")}),
+       |$ivfCentsSql,
+       |l AS (SELECT vec_id, label FROM embeddings),
+       |ad AS (
+       |  SELECT n.vec_id, n.v, n.norm, c.cell,
+       |    (${dist2SqlOf("n.v", "c.centv")}) AS d2
+       |  FROM n, cents c),
+       |assigned AS (
+       |  SELECT a.cell, a.vec_id AS neighbor_id, a.v AS cv, a.norm AS cn,
+       |    l.label
+       |  FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, cell) AS r FROM ad) a
+       |  JOIN l ON a.vec_id = l.vec_id
+       |  WHERE a.r <= 1),
+       |probes AS (
+       |  SELECT p.cell, p.vec_id AS query_id, p.v AS qv, p.norm AS qn,
+       |    l.label AS qlabel
+       |  FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, cell) AS r
+       |    FROM ad WHERE vec_id < $nQueries) p
+       |  JOIN l ON p.vec_id = l.vec_id
+       |  WHERE p.r <= $filteredProbe),
+       |scored AS (
+       |  SELECT p.query_id, a.neighbor_id, a.label,
+       |    (${dotSqlOf("p.qv", "a.cv")}) / (p.qn * a.cn) AS cos
+       |  FROM probes p JOIN assigned a
+       |    ON p.cell = a.cell AND p.query_id <> a.neighbor_id
+       |    AND a.label = p.qlabel),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, label, cos,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, label,
+       |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp
+       |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_filtered" -> annFiltered,
     "hard_neg_mine" -> hardNegMine,
     "sample_hard_negatives" -> sampleHardNegatives,
     "ann_diverse" -> annDiverse,
@@ -1057,6 +1138,7 @@ object Similarity {
     "ann_retrieve" -> annRetrieve)
 
   val oracle: Map[String, String] = Map(
+    "ann_filtered" -> annFilteredSql,
     "hard_neg_mine" -> hardNegMineSql,
     "sample_hard_negatives" -> sampleHardNegativesSql,
     "ann_diverse" -> annDiverseSql,

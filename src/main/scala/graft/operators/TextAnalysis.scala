@@ -863,7 +863,83 @@ object TextAnalysis {
        |FROM c JOIN a USING (actual_lang)
        |ORDER BY actual_lang, pred_lang""".stripMargin
 
+  // ─── text_lm_score: bigram-LM perplexity-proxy quality score ───
+  // The classic LM-based quality filter (CCNet/Gopher style: rank
+  // documents by how surprising a language model finds them) with a
+  // corpus-trained add-one-smoothed bigram model. Cross-engine float
+  // discipline: instead of −Σ log₂ p (libm, last-ulp divergence) each
+  // bigram's surprisal is QUANTIZED to whole bits via pure integer
+  // arithmetic — p(w₂|w₁) = (c₁₂+1)/(c₁+V), so surprisal_bits =
+  // ⌊log₂((c₁+V) div (c₁₂+1))⌋ = length(bin(q)) − 1, exact in both
+  // engines (`bin` renders the identical base-2 string). A doc's
+  // avg_bits_x100 is then a deterministic integer — high = unusual /
+  // low-quality text, low = fluent under the corpus model.
+  // Plan: one tokenized projection feeds (doc,bigram) instance counts
+  // (map-side combined, one shuffle on the bigram key), the model
+  // tables are vocabulary-sized aggregates off the same projection,
+  // and scoring is two key joins (bigram → c₁₂, first word → c₁)
+  // plus a 1-row broadcast V — no collect, no cross join, the corpus
+  // is read once. Self-scoring means every bigram exists in the
+  // model (c₁₂ ≥ 1); the +1 smoothing keeps the formula total for
+  // held-out scoring too.
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), w => w =!= "")
+    val base = docs(spark, dir).select(col("doc_id"), toks.as("t"))
+    val pairs = base
+      .select(col("doc_id"), explode(bigramArr(col("t"))).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("k"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val uni = base.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_x"))
+    val bi = pairs.groupBy(col("bigram")).agg(sum(col("k")).as("c_xy"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    pairs
+      .join(bi, Seq("bigram"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("bits",
+        length(bin(expr("(c_x + v) div (c_xy + 1)"))) - lit(1))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("bits")).as("sum_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+        expr("sum_bits * 100 div n_bigrams").as("avg_bits_x100"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textLmScoreSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS k,
+      |    string_split(bigram, ' ')[1] AS w1
+      |  FROM (SELECT doc_id,
+      |          unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))])
+      |            AS bigram
+      |        FROM base)
+      |  GROUP BY doc_id, bigram),
+      |uni AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS c_x
+      |  FROM (SELECT unnest(t) AS w FROM base) GROUP BY w),
+      |bi AS (SELECT bigram, CAST(sum(k) AS BIGINT) AS c_xy
+      |       FROM pairs GROUP BY bigram),
+      |vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+      |scored AS (
+      |  SELECT p.doc_id, p.k,
+      |    length(bin((u.c_x + vocab.v) // (b.c_xy + 1))) - 1 AS bits
+      |  FROM pairs p
+      |  JOIN bi b USING (bigram)
+      |  JOIN uni u ON p.w1 = u.w
+      |  CROSS JOIN vocab)
+      |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(k * bits) AS BIGINT) AS sum_bits,
+      |  CAST(sum(k * bits) AS BIGINT) * 100 // CAST(sum(k) AS BIGINT)
+      |    AS avg_bits_x100
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> textLmScore,
     "text_lang_confusion" -> textLangConfusion,
     "text_bpe_pairs" -> textBpePairs,
     "text_boilerplate" -> textBoilerplate,
@@ -884,6 +960,7 @@ object TextAnalysis {
     "text_ngram_top" -> textNgramTop)
 
   val oracle: Map[String, String] = Map(
+    "text_lm_score" -> textLmScoreSql,
     "text_lang_confusion" -> textLangConfusionSql,
     "text_bpe_pairs" -> textBpePairsSql,
     "text_boilerplate" -> textBoilerplateSql,

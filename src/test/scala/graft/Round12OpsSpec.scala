@@ -290,4 +290,207 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"),
       "community-degree totals and m ride broadcasts")
   }
+
+  // ─── text_lm_score ───
+
+  test("text_lm_score: one row per multi-token doc, quantized surprisal sane") {
+    val rows = TextAnalysis.textLmScore(spark, dir).collect()
+    val multi = Tables(spark, dir).documents
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(rows.length.toLong == multi,
+      "every doc with at least one bigram is scored")
+    rows.foreach { r =>
+      val (n, sum, avg) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n >= 1 && sum >= 0, "bigram count and surprisal non-negative")
+      assert(avg == sum * 100 / n, "average is the exact integer formula")
+    }
+    // a corpus model scoring its own corpus has finite surprisal
+    // everywhere (add-one smoothing + every bigram observed)
+    assert(rows.map(_.getLong(3)).max < 10000,
+      "self-scored docs stay well under 100 bits/bigram")
+  }
+
+  test("text_lm_score: repeated text scores lower than shuffled-vocab text") {
+    // The LM must prefer text whose bigrams it has seen often: a
+    // corpus of many identical docs + one doc of the same words in a
+    // rare order scores the common doc lower (= more fluent).
+    import spark.implicits._
+    val common = (1 to 9).map(i => (i.toLong, "a b c d e f", "en", "s0"))
+    val rare = Seq((10L, "f e d c b a", "en", "s0"))
+    val docs = (common ++ rare).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.textLmScore(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) < out(10L),
+      s"frequent word order must score lower: ${out(1L)} vs ${out(10L)}")
+  }
+
+  // ─── mix_tv_distance ───
+
+  test("mix_tv_distance: all source pairs, bounds, self-consistency") {
+    val rows = Pipeline.mixTvDistance(spark, dir).collect()
+    val nSrc = Tables(spark, dir).documents
+      .select(col("source")).distinct().count()
+    // test corpora share common words across every source pair, so
+    // the word-keyed join covers all C(S,2) pairs
+    assert(rows.length.toLong == nSrc * (nSrc - 1) / 2,
+      "one row per unordered source pair")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs are ordered src_a < src_b")
+      assert(r.getLong(2) >= 1, "common vocab non-empty")
+      val tv = r.getLong(3)
+      val jc = r.getLong(4)
+      assert(tv >= 0 && tv <= 10000, s"tv_bp in [0,10000]: $tv")
+      assert(jc >= 0 && jc <= 10000, s"vocab_jacc_bp in [0,10000]: $jc")
+    }
+  }
+
+  test("mix_tv_distance: identical sources at distance 0, disjoint near 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z x y", "en", "sA"), (2L, "x y z x y", "en", "sB"),
+      (3L, "p q r shared", "en", "sC"), (4L, "shared u v w", "en", "sD"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tv").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Pipeline.mixTvDistance(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(out(("sA", "sB")) == 0, "identical distributions at TV 0")
+    // sC/sD share one of four tokens each: TV = 1 - 1/4 = 7500bp
+    assert(out(("sC", "sD")) == 7500,
+      s"one shared quarter-mass token -> 7500bp, got ${out(("sC", "sD"))}")
+  }
+
+  // ─── ev_survival ───
+
+  test("ev_survival: monotone at-risk curve, exact accounting") {
+    val rows = Events.evSurvival(spark, dir).orderBy(col("day")).collect()
+    assert(rows.nonEmpty)
+    val nUsers = Tables(spark, dir).events
+      .select(col("user_id")).distinct().count()
+    assert(rows.head.getLong(0) == 0L && rows.head.getLong(1) == nUsers,
+      "day 0 has the whole population at risk")
+    assert(rows.map(_.getLong(2)).sum == nUsers,
+      "every user churns exactly once (uncensored window)")
+    val atRisk = rows.map(_.getLong(1))
+    assert(atRisk.zip(atRisk.tail).forall { case (a, b) => b <= a },
+      "at-risk counts are non-increasing")
+    rows.zip(rows.tail).foreach { case (cur, nxt) =>
+      assert(nxt.getLong(1) == cur.getLong(1) - cur.getLong(2),
+        "at-risk tomorrow = at-risk today - churned today")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 10000)
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 10000)
+    }
+  }
+
+  // ─── ev_funnel_time ───
+
+  test("ev_funnel_time: lag histogram partitions the ev_funnel converters") {
+    val rows = Events.evFunnelTime(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0, "conversion lag is non-negative")
+      assert(r.getLong(1) >= 1)
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 10000)
+    }
+    // total converters here = ev_funnel's converted-user count (same
+    // signup-then-purchase semantics, different readout)
+    val nConv = rows.map(_.getLong(1)).sum
+    val funnelConv = Events.evFunnel(spark, dir)
+      .filter(col("converted") === 1).count()
+    assert(nConv == funnelConv,
+      s"histogram covers exactly the converters: $nConv vs $funnelConv")
+  }
+
+  // ─── graph_scc ───
+
+  test("graph_scc: exact SCCs of a crafted directed graph") {
+    // Two 2-cycles bridged one-way plus a sink: {a,b} -> {c,d} -> e.
+    // The naive (min-ancestor, min-descendant) pair labeling would
+    // merge wrong nodes here; the closure must not.
+    import spark.implicits._
+    val now = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(now.getTime + s * 1000L)
+    // one user walks a->b->a->c->d->c->e; edges are adjacent pairs
+    val walk = Seq("a", "b", "a", "c", "d", "c", "e")
+    val ev = walk.zipWithIndex.map { case (t, i) =>
+      (i.toLong, at(i), 1L, t, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scc").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Graph.graphScc(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out("a") == (("a", 2L)) && out("b") == (("a", 2L)),
+      "first cycle is one SCC of size 2")
+    assert(out("c") == (("c", 2L)) && out("d") == (("c", 2L)),
+      "second cycle is one SCC of size 2")
+    assert(out("e") == (("e", 1L)), "sink is its own SCC")
+  }
+
+  // ─── ann_filtered ───
+
+  test("ann_filtered: every hit satisfies the predicate, ranks contiguous") {
+    val rows = Similarity.annFiltered(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val lab = Tables(spark, dir).embeddings.collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("label")).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (qid, hits) =>
+      assert(hits.map(_.getLong(1)).sorted.toSeq == (1L to hits.length).toSeq,
+        s"query $qid: ranks are 1..k")
+      hits.foreach { h =>
+        assert(h.getInt(3) == lab(qid),
+          s"query $qid: neighbor ${h.getLong(2)} violates the label filter")
+        assert(h.getLong(2) != qid, "self excluded")
+      }
+    }
+  }
+
+  test("ann_filtered: predicate evaluated in-cell, no cartesian, bounded broadcasts") {
+    // The only nested-loop joins allowed are the bounded centroid
+    // broadcasts inside nearestCells (the annIvf shape); the
+    // probe-to-inverted-file join itself must be a cell-keyed hash join.
+    val p = plan(Similarity.annFiltered(spark, dir))
+    assert(!p.contains("CartesianProduct"), "no cartesian product")
+    // Catalyst folds the label predicate INTO the join keys — the
+    // probe-to-file join must key on cell (with or without the label)
+    assert("""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[[^\]]*cell#"""
+      .r.findFirstIn(p).isDefined,
+      "probes meet the inverted file on the cell key")
+  }
+
+  // ─── ev_did ───
+
+  test("ev_did: interaction consistent with its cells, groups match ev_cuped") {
+    val r = Events.evDid(spark, dir).collect().head
+    val (nA, nB) = (r.getLong(0), r.getLong(1))
+    val users = Tables(spark, dir).events
+      .select(col("user_id")).distinct().count()
+    assert(nA + nB == users, "parity groups partition the users")
+    val cuped = Events.evCuped(spark, dir).collect().head
+    assert(nA == cuped.getLong(0) && nB == cuped.getLong(1),
+      "same md5-parity assignment as ev_cuped")
+    // the double-precision interaction must agree with the integer
+    // cell means up to their four floor-roundings
+    val cellDid = (r.getLong(3) - r.getLong(2)) - (r.getLong(5) - r.getLong(4))
+    assert(math.abs(r.getLong(6) - cellDid) <= 4,
+      s"did ${r.getLong(6)} vs cell-mean read $cellDid")
+  }
+
+  test("graph_scc: sf transition graph is one strongly connected block") {
+    // Generated user behavior cycles through all event types, so the
+    // type graph is strongly connected — and the derivation shuffles
+    // on user_id, not a cross product
+    val df = Graph.graphScc(spark, dir)
+    val rows = df.collect()
+    val nTypes = Tables(spark, dir).events
+      .select(col("event_type")).distinct().count()
+    assert(rows.length.toLong == nTypes, "one row per node")
+    assert(rows.map(_.getString(1)).distinct.length == 1,
+      "dense transition graph collapses to a single SCC")
+    assert(rows.forall(_.getLong(2) == nTypes))
+  }
 }
