@@ -852,7 +852,72 @@ object ScaleOps {
        |LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
        |ORDER BY p.src_a, p.src_b""".stripMargin
 
+  // ─── layout_compact: small-file compaction planner ───
+  // The table-maintenance decision every lake table needs (Delta
+  // OPTIMIZE / Iceberg rewriteDataFiles): given a manifest of file
+  // sizes, group small files into target-sized compaction bins. The
+  // "manifest" is the (source, lang) partition grid of the documents
+  // table with char mass as the size proxy — the same metadata-scale
+  // frame a real table's file listing is. Assignment is SORTED
+  // CUMULATIVE packing: files ordered by (size desc, key), running
+  // total, bin = ⌊(cum − size) / cap⌋ — deterministic (no greedy
+  // first-fit whose output depends on scan order), one pass, and
+  // within 2× of optimal bin count like any FFD-family packer. The
+  // capacity is relative (⅛ of total mass, floored at the largest
+  // file so no file straddles alone). Planning windows run on the
+  // MANIFEST (≤ |sources|·|langs| rows — the shard_skew bounded-frame
+  // pattern), never the corpus; the corpus is touched once by the
+  // sizing aggregate.
+  def layoutCompact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = Tables(spark, dir).documents
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("n_chars")).as("size_chars"),
+        count(lit(1)).as("n_docs"))
+    val all = Window.partitionBy(lit(1))
+    val ord = Window.partitionBy(lit(1))
+      .orderBy(col("size_chars").desc, col("source"), col("lang"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val planned = files
+      .withColumn("cap",
+        greatest(ceil(sum(col("size_chars")).over(all) / 8).cast("long"),
+          max(col("size_chars")).over(all)))
+      .withColumn("cum", sum(col("size_chars")).over(ord))
+      .withColumn("bin", expr("(cum - size_chars) div cap"))
+    val fills = planned.groupBy(col("bin"), col("cap"))
+      .agg(sum(col("size_chars")).as("bin_chars"))
+    planned.join(broadcast(fills), Seq("bin", "cap"))
+      .select(col("source"), col("lang"), col("size_chars"), col("n_docs"),
+        col("bin"), col("bin_chars"),
+        expr("bin_chars * 10000 div cap").as("fill_bp"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val layoutCompactSql: String =
+    """WITH files AS (
+      |  SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS size_chars,
+      |    CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY source, lang),
+      |planned AS (
+      |  SELECT source, lang, size_chars, n_docs,
+      |    greatest(CAST(ceil(sum(size_chars) OVER () / 8.0) AS BIGINT),
+      |      max(size_chars) OVER ()) AS cap,
+      |    CAST(sum(size_chars) OVER (ORDER BY size_chars DESC, source, lang
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM files),
+      |binned AS (
+      |  SELECT *, (cum - size_chars) // cap AS bin FROM planned),
+      |fills AS (
+      |  SELECT bin, cap, CAST(sum(size_chars) AS BIGINT) AS bin_chars
+      |  FROM binned GROUP BY bin, cap)
+      |SELECT b.source, b.lang, b.size_chars, b.n_docs, b.bin, f.bin_chars,
+      |  f.bin_chars * 10000 // b.cap AS fill_bp
+      |FROM binned b JOIN fills f ON b.bin = f.bin AND b.cap = f.cap
+      |ORDER BY b.source, b.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_compact" -> layoutCompact,
     "sketch_cms" -> sketchCms,
     "sketch_hll" -> sketchHll,
     "sketch_kmv" -> sketchKmv,
@@ -870,6 +935,7 @@ object ScaleOps {
   /** sketch_stats is deliberately absent: approximate sketches are not
     * cross-engine reproducible (driver does the rows-only check). */
   val oracle: Map[String, String] = Map(
+    "layout_compact" -> layoutCompactSql,
     "sketch_cms" -> sketchCmsSql,
     "sketch_hll" -> sketchHllSql,
     "sketch_kmv" -> sketchKmvSql,

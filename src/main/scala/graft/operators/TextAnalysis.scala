@@ -863,6 +863,112 @@ object TextAnalysis {
        |FROM c JOIN a USING (actual_lang)
        |ORDER BY actual_lang, pred_lang""".stripMargin
 
+  // ─── text_winnowing: winnowed fingerprint selection (MOSS) ───
+  // The winnowing algorithm (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+  // the MOSS plagiarism detector): hash every k-token span, slide a
+  // w-window over the span-hash sequence, keep the MINIMUM hash per
+  // window (rightmost on ties). Guarantees: any shared passage of
+  // ≥ w+k−1 tokens yields a shared selected fingerprint, and expected
+  // density is 2/(w+1) — a principled sub-sample of dedup_substring's
+  // full span index for when storing every span hash is too much.
+  // Cross-engine argmin discipline: (hash, rightmost-pos) packs into
+  // ONE BIGINT — h·2²³ + (2²³−1−pos) — so the window aggregate is a
+  // plain integer MIN both engines replay exactly (no struct-min or
+  // arg_min semantics to align). Shape: the span index is linear in
+  // corpus tokens; the min-window and the distinct both key per doc;
+  // the shared-fingerprint df is a map-side-combinable count on the
+  // 5-byte hash — never a pair join.
+  private val winK = 5   // tokens per span (dedup_substring's subW)
+  private val winW = 4   // spans per winnowing window
+  private val winPosBits = 23
+
+  def textWinnowing(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => w =!= "").as("t"))
+      .withColumn("n_spans",
+        greatest(size(col("t")) - (winK - 1), lit(0)).cast("long"))
+      .filter(col("n_spans") > 0)
+    val spans = base
+      .select(col("doc_id"), col("n_spans"),
+        posexplode(transform(sequence(lit(0), size(col("t")) - winK),
+          i => concat_ws(" ",
+            (0 until winK).map(o => element_at(col("t"), i + o + 1)): _*))))
+      .select(col("doc_id"), col("n_spans"), col("pos"),
+        conv(substring(md5(concat(lit("win:"), col("col"))), 1, 10), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("key",
+        col("h") * (1L << winPosBits) +
+          (lit((1L << winPosBits) - 1) - col("pos")))
+    // min key over each full w-window; short docs (< w spans) fall
+    // back to the doc-global min (the only window there is)
+    val wFrame = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, winW - 1)
+    val picked = spans
+      .withColumn("wmin", min(col("key")).over(wFrame))
+      .filter(col("pos") <= col("n_spans") - winW || col("pos") === 0)
+      .select(col("doc_id"), col("n_spans"), col("wmin"))
+      .distinct()
+      .withColumn("h", expr(s"wmin div ${1L << winPosBits}"))
+    val df = picked.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("docf"))
+    val shared = picked.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("docf") >= 2, 1L).otherwise(0L)).as("n_shared_fp"))
+    base.select(col("doc_id"), col("n_spans"))
+      .join(shared, Seq("doc_id"))
+      .select(col("doc_id"), col("n_spans"), col("n_fp"),
+        expr("n_fp * 10000 div n_spans").as("density_bp"),
+        col("n_shared_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textWinnowingSql: String = {
+    val scale = 1L << winPosBits
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, t,
+       |    greatest(CAST(len(t) - ${winK - 1} AS BIGINT), 0) AS n_spans
+       |  FROM tok WHERE len(t) >= $winK),
+       |spans AS (
+       |  SELECT doc_id, n_spans, i - 1 AS pos,
+       |    CAST(('0x' || substr(md5('win:' || t[i] || ' ' || t[i+1] || ' ' ||
+       |      t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]), 1, 10)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, n_spans, t,
+       |          unnest(range(1, len(t) - ${winK - 2})) AS i
+       |        FROM base)),
+       |keyed AS (
+       |  SELECT doc_id, n_spans, pos,
+       |    h * $scale + ($scale - 1 - pos) AS key
+       |  FROM spans),
+       |picked AS (
+       |  SELECT DISTINCT doc_id, n_spans, wmin
+       |  FROM (
+       |    SELECT doc_id, n_spans, pos,
+       |      min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN CURRENT ROW AND ${winW - 1} FOLLOWING) AS wmin
+       |    FROM keyed)
+       |  WHERE pos <= n_spans - $winW OR pos = 0),
+       |ph AS (SELECT doc_id, n_spans, wmin // $scale AS h FROM picked),
+       |df AS (
+       |  SELECT h, CAST(count(*) AS BIGINT) AS docf
+       |  FROM (SELECT DISTINCT h, doc_id FROM ph) GROUP BY h),
+       |shared AS (
+       |  SELECT ph.doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+       |    CAST(sum(CASE WHEN df.docf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_shared_fp
+       |  FROM ph JOIN df USING (h)
+       |  GROUP BY ph.doc_id)
+       |SELECT b.doc_id, b.n_spans, s.n_fp,
+       |  s.n_fp * 10000 // b.n_spans AS density_bp, s.n_shared_fp
+       |FROM base b JOIN shared s USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   // ─── text_lm_score: bigram-LM perplexity-proxy quality score ───
   // The classic LM-based quality filter (CCNet/Gopher style: rank
   // documents by how surprising a language model finds them) with a
@@ -939,6 +1045,7 @@ object TextAnalysis {
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnowing" -> textWinnowing,
     "text_lm_score" -> textLmScore,
     "text_lang_confusion" -> textLangConfusion,
     "text_bpe_pairs" -> textBpePairs,
@@ -960,6 +1067,7 @@ object TextAnalysis {
     "text_ngram_top" -> textNgramTop)
 
   val oracle: Map[String, String] = Map(
+    "text_winnowing" -> textWinnowingSql,
     "text_lm_score" -> textLmScoreSql,
     "text_lang_confusion" -> textLangConfusionSql,
     "text_bpe_pairs" -> textBpePairsSql,

@@ -431,6 +431,76 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(out("e") == (("e", 1L)), "sink is its own SCC")
   }
 
+  // ─── text_winnowing ───
+
+  test("text_winnowing: density bounds hold per doc") {
+    val rows = TextAnalysis.textWinnowing(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val w = 4
+    rows.foreach { r =>
+      val (nSpans, nFp, density, shared) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nFp >= 1 && nFp <= nSpans, "fingerprints bounded by spans")
+      assert(shared >= 0 && shared <= nFp)
+      assert(density == nFp * 10000 / nSpans)
+      // winnowing guarantee: every w-window contains a selected
+      // fingerprint, so gaps <= w and nFp >= ceil(nWindows / w)
+      if (nSpans >= w) {
+        val nWindows = nSpans - w + 1
+        assert(nFp >= (nWindows + w - 1) / w,
+          s"selection too sparse: $nFp of $nSpans spans")
+      }
+    }
+  }
+
+  test("text_winnowing: shared passage >= w+k-1 tokens guarantees a shared fingerprint") {
+    // The paper's detection guarantee, on the dedup_substring fixture:
+    // w=4 windows of k=5-token spans detect any shared run of
+    // >= w+k-1 = 8 tokens. Docs 3/4 share exactly an 8-token passage.
+    import spark.implicits._
+    val pad = (i: Int) => (1 to 10).map(j => s"u${i}w$j").mkString(" ")
+    val passage = "the shared passage tokens run exactly nine long"
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s0"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s0"),
+      (3L, s"${pad(3)} $passage ${pad(33)}", "en", "s1"),
+      (4L, s"${pad(4)} $passage ${pad(44)}", "en", "s1"),
+      (5L, pad(5), "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-win").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.textWinnowing(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    // identical docs share every fingerprint
+    assert(out(1L)._1 == out(1L)._2 && out(2L)._1 == out(2L)._2,
+      "exact copies share all fingerprints")
+    // the embedded 8-token passage must surface in both carriers
+    assert(out(3L)._2 >= 1 && out(4L)._2 >= 1,
+      "shared passage must yield a shared fingerprint")
+    assert(out(5L)._2 == 0, "unique doc shares nothing")
+  }
+
+  // ─── layout_compact ───
+
+  test("layout_compact: bins are contiguous, conservative, near-capacity") {
+    val rows = ScaleOps.layoutCompact(spark, dir).collect()
+    val total = rows.map(_.getLong(2)).sum
+    val bins = rows.map(r => r.getLong(4) -> r.getLong(5)).distinct
+    assert(bins.map(_._1).sorted.toSeq ==
+      (0L until bins.length).toSeq, "bin ids are contiguous from 0")
+    assert(bins.map(_._2).sum == total,
+      "bin masses partition the total char mass")
+    rows.foreach { r =>
+      // a straddling file can push a bin past cap, but never past 2x
+      assert(r.getLong(6) <= 20000,
+        s"bin ${r.getLong(4)} fill ${r.getLong(6)}bp exceeds the FFD bound")
+    }
+    // the plan actually compacts: fewer bins than files
+    assert(bins.length < rows.length,
+      "compaction must merge small files into fewer bins")
+  }
+
   // ─── ann_filtered ───
 
   test("ann_filtered: every hit satisfies the predicate, ranks contiguous") {
