@@ -1862,6 +1862,81 @@ object Events {
       |    AS BIGINT) AS var_red_bp
       |FROM t""".stripMargin
 
+  // ─── ev_power: experiment power / sample-size readout ───
+  // The question after every A/B readout: "was the experiment big
+  // enough?" Standard two-proportion power calculation at α=5% /
+  // power=80% (z constants 1.96 and 0.8416 as literals — fixed-shape
+  // doubles, no quantile function): per-arm required
+  // n = ⌈(z_α+z_β)²·(p_A(1−p_A)+p_B(1−p_B)) / δ²⌉ to re-detect the
+  // OBSERVED effect δ = p_A−p_B, plus powered = whether the arms
+  // already clear it. Same 'ab:' parity assignment as the rest of the
+  // experimentation family; same one-pass shape as ev_ab_test (user
+  // rollup → 2-row group → broadcast 1×1 join).
+  def evPower(spark: SparkSession, dir: String): DataFrame = {
+    val assign = Tables(spark, dir).events
+      .groupBy(col("user_id"))
+      .agg(cents(sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(lit(0.0)))).as("purchase_cents"))
+      .withColumn("converted",
+        when(col("purchase_cents") > 60000, 1L).otherwise(0L))
+      .withColumn("grp",
+        when(conv(substring(md5(concat(lit("ab:"), col("user_id").cast("string"))),
+          1, 15), 16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+    val s = assign.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    val a = s.filter(col("grp") === "A")
+      .select(col("n").as("n_a"), col("conv").as("conv_a"))
+    val b = s.filter(col("grp") === "B")
+      .select(col("n").as("n_b"), col("conv").as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val zsum2 = lit((1.96 + 0.8416) * (1.96 + 0.8416))
+    val s2 = pa * (lit(1.0) - pa) + pb * (lit(1.0) - pb)
+    val delta = pa - pb
+    val nReq = when(delta =!= 0.0,
+      ceil(zsum2 * s2 / (delta * delta)).cast("long")).otherwise(lit(0L))
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        floor(delta * 10000).cast("long").as("delta_bp"),
+        nReq.as("n_required"),
+        when(nReq > 0 && col("n_a") >= nReq && col("n_b") >= nReq, 1L)
+          .otherwise(lit(0L)).as("powered"))
+  }
+
+  val evPowerSql: String =
+    """WITH assign AS (
+      |  SELECT user_id,
+      |    CASE WHEN CAST(floor((sum(CASE WHEN event_type = 'purchase'
+      |        THEN value ELSE 0 END)) * 100 + 0.5) AS BIGINT) > 60000
+      |      THEN 1 ELSE 0 END AS converted,
+      |    CASE WHEN CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+      |        AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS grp
+      |  FROM events GROUP BY user_id),
+      |s AS (SELECT grp, count(*) AS n, CAST(sum(converted) AS BIGINT) AS conv
+      |      FROM assign GROUP BY grp),
+      |a AS (SELECT n AS n_a, conv AS conv_a FROM s WHERE grp = 'A'),
+      |b AS (SELECT n AS n_b, conv AS conv_b FROM s WHERE grp = 'B'),
+      |t AS (
+      |  SELECT n_a, conv_a, n_b, conv_b,
+      |    CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b
+      |      AS delta,
+      |    (CAST(conv_a AS DOUBLE) / n_a) * (1.0 - CAST(conv_a AS DOUBLE) / n_a)
+      |      + (CAST(conv_b AS DOUBLE) / n_b)
+      |        * (1.0 - CAST(conv_b AS DOUBLE) / n_b) AS s2
+      |  FROM a CROSS JOIN b),
+      |r AS (
+      |  SELECT n_a, conv_a, n_b, conv_b,
+      |    CAST(floor(delta * 10000) AS BIGINT) AS delta_bp,
+      |    CASE WHEN delta <> 0
+      |      THEN CAST(ceil((1.96 + 0.8416) * (1.96 + 0.8416) * s2
+      |        / (delta * delta)) AS BIGINT)
+      |      ELSE 0 END AS n_required
+      |  FROM t)
+      |SELECT n_a, conv_a, n_b, conv_b, delta_bp, n_required,
+      |  CAST(CASE WHEN n_required > 0 AND n_a >= n_required
+      |    AND n_b >= n_required THEN 1 ELSE 0 END AS BIGINT) AS powered
+      |FROM r""".stripMargin
+
   // ─── ev_did: difference-in-differences readout ───
   // The third leg of the experimentation family (ev_ab_test's z-test,
   // ev_cuped's variance reduction): when "treatment" switches on at a
@@ -2127,6 +2202,7 @@ object Events {
     "ev_survival" -> evSurvival,
     "ev_funnel_time" -> evFunnelTime,
     "ev_did" -> evDid,
+    "ev_power" -> evPower,
     "ts_changepoint" -> tsChangepoint,
     "ev_ab_test" -> evAbTest,
     "ev_cuped" -> evCuped,
@@ -2168,6 +2244,7 @@ object Events {
     "ev_survival" -> evSurvivalSql,
     "ev_funnel_time" -> evFunnelTimeSql,
     "ev_did" -> evDidSql,
+    "ev_power" -> evPowerSql,
     "ts_changepoint" -> tsChangepointSql,
     "ev_ab_test" -> evAbTestSql,
     "ev_cuped" -> evCupedSql,

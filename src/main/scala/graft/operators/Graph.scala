@@ -1093,7 +1093,109 @@ object Graph {
       |SELECT s.node, s.scc_id, z.scc_size
       |FROM scc s JOIN sizes z USING (scc_id) ORDER BY node""".stripMargin
 
+  // ─── graph_condense: condensation DAG of the SCCs ───
+  // The quotient graph graph_scc implies: contract each SCC to one
+  // node, keep distinct cross-SCC edges, and read the acyclic level
+  // structure (level = longest path from any source SCC — the "how
+  // deep into the flow is this behavior cluster" axis a funnel
+  // analysis wants). Levels by iterated relaxation to a Graph.iterate
+  // fixpoint — level(v) ← max(level(v), level(pred)+1) — which
+  // terminates because the condensation is a DAG by construction
+  // (same closure-frame scale posture as graph_scc: quadratic in
+  // metadata-scale NODES, corpus touched once by the edge
+  // derivation). Output: one row per SCC with its level, member
+  // count, and quotient out-degree.
+  def graphCondense(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = graft.Tables(spark, dir).events
+    val edges = ev
+      .withColumn("f", lag(col("event_type"), 1).over(w))
+      .filter(col("f").isNotNull)
+      .select(col("f"), col("event_type").as("t")).distinct()
+    val scc = graphScc(spark, dir)
+      .select(col("node"), col("scc_id"), col("scc_size"))
+    val qEdges = edges
+      .join(scc.select(col("node").as("f"), col("scc_id").as("src")), Seq("f"))
+      .join(scc.select(col("node").as("t"), col("scc_id").as("dst")), Seq("t"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    // longest-path relaxation on the ≤|V|-row quotient frame. NOT
+    // Graph.iterate: a second iterate() here would retire graphScc's
+    // checkpoint blocks while `scc` still rests on them, and at this
+    // frame size lineage growth over ≤|V| rounds is trivial — a plain
+    // bounded loop is the right tool.
+    var levels = scc.select(col("scc_id")).distinct()
+      .withColumn("level", lit(0L))
+    var prevSum = -1L
+    var curSum = 0L
+    var rounds = 0
+    while (curSum != prevSum && rounds < 50) {
+      val relaxed = qEdges
+        .join(levels.select(col("scc_id").as("src"), col("level").as("plvl")),
+          Seq("src"))
+        .select(col("dst").as("scc_id"), (col("plvl") + 1).as("level"))
+      levels = levels.union(relaxed)
+        .groupBy(col("scc_id")).agg(max(col("level")).as("level"))
+      prevSum = curSum
+      curSum = levels.agg(coalesce(sum(col("level")), lit(0L)))
+        .collect()(0).getLong(0)
+      rounds += 1
+    }
+    require(curSum == prevSum,
+      "graph_condense: level relaxation did not converge (cyclic quotient?)")
+    val outDeg = qEdges.groupBy(col("src").as("scc_id"))
+      .agg(count(lit(1)).as("out_degree"))
+    scc.select(col("scc_id"), col("scc_size")).distinct()
+      .join(levels, Seq("scc_id"))
+      .join(outDeg, Seq("scc_id"), "left")
+      .na.fill(0L, Seq("out_degree"))
+      .select(col("scc_id"), col("level"), col("scc_size"), col("out_degree"))
+      .orderBy(col("scc_id"))
+  }
+
+  val graphCondenseSql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_type
+      |  FROM events),
+      |edges AS (
+      |  SELECT DISTINCT prev_type AS f, event_type AS t
+      |  FROM pairs WHERE prev_type IS NOT NULL),
+      |nodes AS (SELECT DISTINCT event_type AS v FROM events),
+      |reach(src, dst) AS (
+      |  SELECT v, v FROM nodes
+      |  UNION
+      |  SELECT r.src, e.t AS dst FROM reach r JOIN edges e ON r.dst = e.f),
+      |scc AS (
+      |  SELECT r1.src AS node, min(r1.dst) AS scc_id
+      |  FROM reach r1
+      |  JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src
+      |  GROUP BY r1.src),
+      |sizes AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size
+      |          FROM scc GROUP BY scc_id),
+      |qedges AS (
+      |  SELECT DISTINCT sf.scc_id AS src, st.scc_id AS dst
+      |  FROM edges e
+      |  JOIN scc sf ON sf.node = e.f
+      |  JOIN scc st ON st.node = e.t
+      |  WHERE sf.scc_id <> st.scc_id),
+      |walks(scc_id, d) AS (
+      |  SELECT scc_id, CAST(0 AS BIGINT) FROM sizes
+      |  UNION
+      |  SELECT q.dst, w.d + 1 FROM walks w JOIN qedges q ON w.scc_id = q.src),
+      |levels AS (SELECT scc_id, max(d) AS level FROM walks GROUP BY scc_id),
+      |outdeg AS (SELECT src AS scc_id, CAST(count(*) AS BIGINT) AS out_degree
+      |           FROM qedges GROUP BY src)
+      |SELECT s.scc_id, l.level, s.scc_size,
+      |  coalesce(o.out_degree, 0) AS out_degree
+      |FROM sizes s
+      |JOIN levels l USING (scc_id)
+      |LEFT JOIN outdeg o USING (scc_id)
+      |ORDER BY s.scc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_condense" -> graphCondense,
     "graph_scc" -> graphScc,
     "graph_louvain" -> graphLouvain,
     "graph_modularity" -> graphModularity,
@@ -1111,6 +1213,7 @@ object Graph {
     "graph_pagerank" -> graphPagerank)
 
   val oracle: Map[String, String] = Map(
+    "graph_condense" -> graphCondenseSql,
     "graph_scc" -> graphSccSql,
     "graph_louvain" -> graphLouvainSql,
     "graph_modularity" -> graphModularitySql,

@@ -776,6 +776,82 @@ object Pipeline {
        |    ORDER BY h, doc_id) AS BIGINT) AS pos, doc_id
        |FROM e ORDER BY epoch, pos""".stripMargin
 
+  // ─── sample_priority: weighted subset-sum sample (DLT) ───
+  // Priority sampling (Duffield–Lund–Thorup, JACM 2007): a fixed-k
+  // WEIGHTED sample that answers subset-sum queries nearly optimally.
+  // Each doc gets priority p = w/u with u uniform in (0,1]; keep the
+  // k highest priorities; with τ = the (k+1)th priority, Σ max(wᵢ, τ)
+  // over the sample is an unbiased estimate of Σw — the sketch that
+  // lets a 100 TB corpus answer "how many chars does this slice hold"
+  // from k rows. Determinism discipline: u comes from 48 md5 bits so
+  // p = w·2⁴⁸ div (h+1) is EXACT integer arithmetic in both engines
+  // (w ≤ ~10⁶ keeps w·2⁴⁸ inside i64); top-(k+1) is orderBy+limit
+  // (TakeOrdered — distributed partial top-k), and the rank window
+  // runs on k+1 rows (the text_zipf bounded-frame shape). The exact
+  // total rides a 1-row O(1) aggregate — an audit column, not a sort.
+  private val priK = 64
+  private val priScaleBits = 48
+
+  def samplePriority(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byP = Window.partitionBy(lit(1))
+      .orderBy(col("priority").desc, col("doc_id"))
+    val pri = Tables(spark, dir).documents
+      .select(col("doc_id"), col("n_chars").as("w_chars"))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("pri:"), col("doc_id").cast("string"))),
+          1, 12), 16, 10).cast("long"))
+      .withColumn("priority",
+        expr(s"w_chars * ${1L << priScaleBits} div (h + 1)"))
+      .orderBy(col("priority").desc, col("doc_id")).limit(priK + 1)
+      .withColumn("rank", row_number().over(byP).cast("long"))
+    val tau = pri.filter(col("rank") === priK + 1)
+      .select(col("priority").as("tau"))
+    val exact = Tables(spark, dir).documents
+      .agg(sum(col("n_chars")).as("exact_chars"))
+    val est = pri.filter(col("rank") <= priK)
+      .crossJoin(broadcast(tau))
+      .groupBy(col("tau"))
+      .agg(sum(greatest(col("w_chars"), col("tau"))).as("est_chars"))
+    pri.filter(col("rank") <= priK)
+      .crossJoin(broadcast(est))
+      .crossJoin(broadcast(exact))
+      .select(col("rank"), col("doc_id"), col("w_chars"), col("priority"),
+        col("tau"), col("est_chars"), col("exact_chars"),
+        expr("abs(est_chars - exact_chars) * 10000 div exact_chars")
+          .as("err_bp"))
+      .orderBy(col("rank"))
+  }
+
+  val samplePrioritySql: String = {
+    val scale = 1L << priScaleBits
+    s"""WITH pri AS (
+       |  SELECT doc_id, n_chars AS w_chars,
+       |    n_chars * $scale
+       |      // (CAST(('0x' || substr(md5('pri:' || CAST(doc_id AS VARCHAR)),
+       |           1, 12)) AS BIGINT) + 1) AS priority
+       |  FROM documents
+       |  ORDER BY priority DESC, doc_id LIMIT ${priK + 1}),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY priority DESC, doc_id)
+       |    AS BIGINT) AS rank
+       |  FROM pri),
+       |tau AS (SELECT priority AS tau FROM ranked WHERE rank = ${priK + 1}),
+       |exact AS (SELECT CAST(sum(n_chars) AS BIGINT) AS exact_chars
+       |          FROM documents),
+       |est AS (
+       |  SELECT t.tau, CAST(sum(greatest(r.w_chars, t.tau)) AS BIGINT)
+       |    AS est_chars
+       |  FROM ranked r CROSS JOIN tau t WHERE r.rank <= $priK
+       |  GROUP BY t.tau)
+       |SELECT r.rank, r.doc_id, r.w_chars, r.priority, e.tau, e.est_chars,
+       |  x.exact_chars,
+       |  abs(e.est_chars - x.exact_chars) * 10000 // x.exact_chars AS err_bp
+       |FROM ranked r CROSS JOIN est e CROSS JOIN exact x
+       |WHERE r.rank <= $priK
+       |ORDER BY r.rank""".stripMargin
+  }
+
   // ─── mix_tv_distance: pairwise source-distribution divergence ───
   // How differently do two sources use language? Total-variation
   // distance between per-source unigram distributions — the libm-free
@@ -854,6 +930,7 @@ object Pipeline {
       |FROM p ORDER BY src_a, src_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_priority" -> samplePriority,
     "mix_tv_distance" -> mixTvDistance,
     "sample_epoch_order" -> sampleEpochOrder,
     "mix_waterfill" -> mixWaterfill,
@@ -874,6 +951,7 @@ object Pipeline {
     "sample_temperature" -> sampleTemperature)
 
   val oracle: Map[String, String] = Map(
+    "sample_priority" -> samplePrioritySql,
     "mix_tv_distance" -> mixTvDistanceSql,
     "sample_epoch_order" -> sampleEpochOrderSql,
     "mix_waterfill" -> mixWaterfillSql,

@@ -852,6 +852,95 @@ object ScaleOps {
        |LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
        |ORDER BY p.src_a, p.src_b""".stripMargin
 
+  // ─── profile_corr: one-pass numeric correlation matrix ───
+  // Data profiling's pairwise view: Pearson correlation for EVERY
+  // pair of lineitem's numeric measures, from ONE ungrouped aggregate
+  // pass that collects the full exact-integer moment matrix (n, four
+  // sums, four squares, six cross products — all order-insensitive
+  // longs, the q35_corr discipline widened to a matrix). The pair
+  // readouts are fixed-shape double formulas over that single
+  // broadcast row: profiling k columns costs one corpus scan and
+  // O(k²) driver-free arithmetic, never k² passes. Measures are
+  // integerized first (quantity as-is, price floored, discount/tax in
+  // cents) so the moments are exact at any scale.
+  def profileCorr(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq(
+      "quantity" -> col("l_quantity").cast("long"),
+      "price" -> floor(col("l_extendedprice")).cast("long"),
+      "discount" -> floor(col("l_discount") * 100 + lit(0.5)).cast("long"),
+      "tax" -> floor(col("l_tax") * 100 + lit(0.5)).cast("long"))
+    val proj = Tables(spark, dir).lineitem
+      .select(cols.map { case (n, c) => c.as(n) }: _*)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      cols.map { case (n, _) => sum(col(n)).as(s"s_$n") } ++
+      (for {
+        (a, i) <- cols.map(_._1).zipWithIndex
+        (b, j) <- cols.map(_._1).zipWithIndex if i <= j
+      } yield sum(col(a) * col(b)).as(s"p_${a}_$b"))
+    val m = proj.agg(aggs.head, aggs.tail: _*)
+    // all six pair readouts project off the SAME one-row aggregate —
+    // an explode of literal structs, so the corpus is scanned once
+    // (never a per-pair union re-running the aggregate)
+    val pairStructs = for {
+      (a, i) <- cols.map(_._1).zipWithIndex
+      (b, j) <- cols.map(_._1).zipWithIndex if i < j
+    } yield {
+      val nd = col("n").cast("double")
+      val num = nd * col(s"p_${a}_$b") -
+        col(s"s_$a").cast("double") * col(s"s_$b")
+      val da = nd * col(s"p_${a}_$a") -
+        col(s"s_$a").cast("double") * col(s"s_$a")
+      val db = nd * col(s"p_${b}_$b") -
+        col(s"s_$b").cast("double") * col(s"s_$b")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("n").as("n"),
+        when(da > 0 && db > 0,
+          floor(num * 10000 / sqrt(da * db)).cast("long"))
+          .otherwise(lit(0L)).as("corr_bp"))
+    }
+    m.select(explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.n"), col("p.corr_bp"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  val profileCorrSql: String = {
+    val names = Seq("quantity", "price", "discount", "tax")
+    val pairSelects = (for {
+      (a, i) <- names.zipWithIndex
+      (b, j) <- names.zipWithIndex if i < j
+    } yield
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+         |  CASE WHEN (CAST(n AS DOUBLE) * p_${a}_$a
+         |        - CAST(s_$a AS DOUBLE) * s_$a) > 0
+         |    AND (CAST(n AS DOUBLE) * p_${b}_$b
+         |        - CAST(s_$b AS DOUBLE) * s_$b) > 0
+         |  THEN CAST(floor((CAST(n AS DOUBLE) * p_${a}_$b
+         |      - CAST(s_$a AS DOUBLE) * s_$b) * 10000
+         |    / sqrt((CAST(n AS DOUBLE) * p_${a}_$a
+         |        - CAST(s_$a AS DOUBLE) * s_$a)
+         |      * (CAST(n AS DOUBLE) * p_${b}_$b
+         |        - CAST(s_$b AS DOUBLE) * s_$b))) AS BIGINT)
+         |  ELSE 0 END AS corr_bp
+         |FROM m""".stripMargin).mkString("\nUNION ALL\n")
+    val sums = names.map(n => s"CAST(sum($n) AS BIGINT) AS s_$n").mkString(", ")
+    val prods = (for {
+      (a, i) <- names.zipWithIndex
+      (b, j) <- names.zipWithIndex if i <= j
+    } yield s"CAST(sum($a * $b) AS BIGINT) AS p_${a}_$b").mkString(",\n    ")
+    s"""WITH proj AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS quantity,
+       |    CAST(floor(l_extendedprice) AS BIGINT) AS price,
+       |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS discount,
+       |    CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax
+       |  FROM lineitem),
+       |m AS (
+       |  SELECT count(*) AS n, $sums,
+       |    $prods
+       |  FROM proj)
+       |SELECT * FROM (
+       |$pairSelects
+       |) ORDER BY col_a, col_b""".stripMargin
+  }
+
   // ─── layout_compact: small-file compaction planner ───
   // The table-maintenance decision every lake table needs (Delta
   // OPTIMIZE / Iceberg rewriteDataFiles): given a manifest of file
@@ -917,6 +1006,7 @@ object ScaleOps {
       |ORDER BY b.source, b.lang""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_corr" -> profileCorr,
     "layout_compact" -> layoutCompact,
     "sketch_cms" -> sketchCms,
     "sketch_hll" -> sketchHll,
@@ -935,6 +1025,7 @@ object ScaleOps {
   /** sketch_stats is deliberately absent: approximate sketches are not
     * cross-engine reproducible (driver does the rows-only check). */
   val oracle: Map[String, String] = Map(
+    "profile_corr" -> profileCorrSql,
     "layout_compact" -> layoutCompactSql,
     "sketch_cms" -> sketchCmsSql,
     "sketch_hll" -> sketchHllSql,

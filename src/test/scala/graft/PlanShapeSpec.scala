@@ -303,8 +303,11 @@ class PlanShapeSpec extends AnyFunSuite {
     //  - mix_waterfill: the water-fill level search over the |langs|
     //    frame (the corpus rollup above it is a hash aggregate);
     //  - text_zipf: ranks the 20-row TakeOrdered output (the top-k
-    //    itself is distributed — guarded by its own test above).
-    val boundedFrameRanks = Set("mix_apportion", "mix_waterfill", "text_zipf")
+    //    itself is distributed — guarded by its own test above);
+    //  - sample_priority: same shape — ranks the (k+1)-row TakeOrdered
+    //    priority sample, never the corpus.
+    val boundedFrameRanks =
+      Set("mix_apportion", "mix_waterfill", "text_zipf", "sample_priority")
     for ((name, fn) <- graft.SparkEntry.queries if !boundedFrameRanks(name)) {
       val p = plan(fn(spark, dir))
       assert(unpartitionedRankFn.findFirstIn(p).isEmpty,

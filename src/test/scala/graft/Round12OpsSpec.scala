@@ -431,6 +431,99 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(out("e") == (("e", 1L)), "sink is its own SCC")
   }
 
+  // ─── profile_corr ───
+
+  test("profile_corr: full pair grid off one aggregate pass") {
+    val rows = ScaleOps.profileCorr(spark, dir).collect()
+    assert(rows.length == 6, "C(4,2) measure pairs")
+    val n = rows.head.getLong(2)
+    val names = Seq("quantity", "price", "discount", "tax")
+    val expectPairs = (for {
+      (a, i) <- names.zipWithIndex; (b, j) <- names.zipWithIndex if i < j
+    } yield (a, b)).toSet
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet == expectPairs)
+    rows.foreach { r =>
+      assert(r.getLong(2) == n, "every pair reads the same single pass")
+      assert(math.abs(r.getLong(3)) <= 10000, "correlation within [-1, 1]")
+    }
+    // one corpus scan: exactly one scan node over lineitem in the plan
+    val p = plan(ScaleOps.profileCorr(spark, dir))
+    assert("lineitem".r.findAllIn(p).length <= 2,
+      "the moment matrix must not re-scan lineitem per pair")
+  }
+
+  // ─── sample_priority ───
+
+  test("sample_priority: DLT invariants — priorities, tau, estimator") {
+    val rows = Pipeline.samplePriority(spark, dir).orderBy(col("rank")).collect()
+    assert(rows.length == 64, "exactly k sampled docs")
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 64L).toSeq)
+    val pris = rows.map(_.getLong(3))
+    assert(pris.zip(pris.tail).forall { case (a, b) => a >= b },
+      "priorities non-increasing in rank")
+    val tau = rows.head.getLong(4)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2), "priority = w/u >= w for u <= 1")
+      assert(r.getLong(3) >= tau, "every sampled priority clears tau")
+    }
+    // estimator identity: est = sum(max(w, tau)) over the sample
+    val est = rows.map(r => math.max(r.getLong(2), tau)).sum
+    assert(est == rows.head.getLong(5), "estimator recomputes from the rows")
+    val exact = Tables(spark, dir).documents
+      .agg(sum(col("n_chars"))).collect().head.getLong(0)
+    assert(rows.head.getLong(6) == exact)
+    // k=64 of 500 docs: the subset-sum estimate lands within ~30%
+    assert(rows.head.getLong(7) <= 3000,
+      s"estimator error ${rows.head.getLong(7)}bp implausibly large")
+  }
+
+  // ─── ev_power ───
+
+  test("ev_power: consistent with ev_ab_test, sane sample-size math") {
+    val r = Events.evPower(spark, dir).collect().head
+    val ab = Events.evAbTest(spark, dir).collect().head
+    assert(r.getLong(0) == ab.getLong(0) && r.getLong(1) == ab.getLong(1) &&
+      r.getLong(2) == ab.getLong(2) && r.getLong(3) == ab.getLong(3),
+      "same arms and conversions as ev_ab_test")
+    val (deltaBp, nReq, powered) = (r.getLong(4), r.getLong(5), r.getLong(6))
+    if (deltaBp != 0) {
+      assert(nReq > 0, "nonzero observed effect needs a finite sample size")
+      val expected = if (r.getLong(0) >= nReq && r.getLong(2) >= nReq) 1L else 0L
+      assert(powered == expected, "powered flag recomputes from the row")
+    } else assert(nReq == 0 && powered == 0)
+  }
+
+  // ─── graph_condense ───
+
+  test("graph_condense: exact levels of a crafted three-SCC chain") {
+    // Reuse graph_scc's fixture: {a,b} -> {c,d} -> e condenses to a
+    // 3-node path with levels 0, 1, 2.
+    import spark.implicits._
+    val now = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(now.getTime + s * 1000L)
+    val walk = Seq("a", "b", "a", "c", "d", "c", "e")
+    val ev = walk.zipWithIndex.map { case (t, i) =>
+      (i.toLong, at(i), 1L, t, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cond").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Graph.graphCondense(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == Map(
+      "a" -> ((0L, 2L, 1L)),   // source SCC {a,b}: level 0, 1 out-edge
+      "c" -> ((1L, 2L, 1L)),   // middle SCC {c,d}
+      "e" -> ((2L, 1L, 0L))),  // sink singleton
+      s"condensation mismatch: $out")
+  }
+
+  test("graph_condense: sf transition graph condenses to one level-0 node") {
+    val rows = Graph.graphCondense(spark, dir).collect()
+    assert(rows.length == 1 && rows.head.getLong(1) == 0L &&
+      rows.head.getLong(3) == 0L,
+      "a single SCC has no quotient edges and sits at level 0")
+  }
+
   // ─── text_winnowing ───
 
   test("text_winnowing: density bounds hold per doc") {
