@@ -926,6 +926,128 @@ object Events {
       |SELECT day_epoch, count(DISTINCT user_id) AS wau
       |FROM contrib GROUP BY 1 ORDER BY day_epoch""".stripMargin
 
+  // ─── ev_stickiness: DAU/MAU engagement ratio per day ───
+  // The product-health number: what share of the trailing-28-day
+  // actives showed up TODAY. Same contribution-explosion discipline
+  // as ev_wau (the sliding COUNT DISTINCT that doesn't decompose):
+  // shrink to distinct (user, day) pairs once, each pair serves its
+  // ≤28 window-ends (bounded ×28 expand of the already-small pair
+  // set), and DAU joins MAU on the day key — reported only for days
+  // with activity, stickiness_bp = dau·10⁴ div mau.
+  def evStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables(spark, dir).events
+      .select(floor(epochS(date_trunc("day", col("ts"))) / 86400L).as("day"),
+        col("user_id"))
+      .distinct()
+    val dau = du.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val mau = du
+      .select(explode(sequence(col("day"), col("day") + 27)).as("day"),
+        col("user_id"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau, Seq("day"))
+      .select(col("day").as("day_epoch"), col("dau"), col("mau"),
+        expr("dau * 10000 div mau").as("stickiness_bp"))
+      .orderBy(col("day_epoch"))
+  }
+
+  val evStickinessSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT
+      |    CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS day,
+      |    user_id
+      |  FROM events),
+      |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY day),
+      |mau AS (
+      |  SELECT day, count(DISTINCT user_id) AS mau
+      |  FROM (SELECT unnest(generate_series(day, day + 27)) AS day, user_id
+      |        FROM du)
+      |  GROUP BY day)
+      |SELECT d.day AS day_epoch, d.dau, m.mau,
+      |  d.dau * 10000 // m.mau AS stickiness_bp
+      |FROM dau d JOIN mau m ON d.day = m.day
+      |ORDER BY day_epoch""".stripMargin
+
+  // ─── ts_sax: Symbolic Aggregate approXimation of the series ───
+  // SAX (Lin/Keogh et al., DMKD 2007): compress each event type's
+  // hourly series into PAA segments, z-normalize per type, emit one
+  // SYMBOL per segment from the quartile breakpoints (±0.6745, 0) —
+  // the discrete alphabet similarity search / motif discovery runs
+  // on. Determinism: segment mass is exact integer cents over the
+  // observed hours; mean/std per type are fixed-shape doubles over
+  // exact integer moments (the q35_corr rule); breakpoints are
+  // literals, so every symbol decision replays bit-for-bit. Shape:
+  // hour rollup (map-combining), segment rollup (÷4), a per-type
+  // 4-long moment frame broadcast back — no windows, no sort except
+  // the final presentation ORDER BY.
+  private val saxSegHours = 4
+
+  def tsSax(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        floor(epochS(col("ts")) / 3600L).as("hour"))
+      .agg(cents(sum(col("value"))).as("hc"))
+    val seg = hourly
+      .groupBy(col("event_type"),
+        expr(s"hour div $saxSegHours").as("segment"))
+      .agg(sum(col("hc")).as("paa_cents"), count(lit(1)).as("n_hours"))
+    val stats = seg.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_seg"), sum(col("paa_cents")).as("s1"),
+        sum(col("paa_cents") * col("paa_cents")).as("s2"))
+    val nd = col("n_seg").cast("double")
+    val mean = col("s1").cast("double") / nd
+    val variance = col("s2").cast("double") / nd - mean * mean
+    val z = (col("paa_cents").cast("double") - mean) /
+      sqrt(variance)
+    val symbol = when(variance <= 0.0, lit("c"))
+      .when(z < -0.6745, lit("a"))
+      .when(z < 0.0, lit("b"))
+      .when(z < 0.6745, lit("c"))
+      .otherwise(lit("d"))
+    seg.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("segment"), col("paa_cents"),
+        col("n_hours"), symbol.as("symbol"))
+      .orderBy(col("event_type"), col("segment"))
+  }
+
+  val tsSaxSql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+       |    ${Tables.centsSql("sum(value)")} AS hc
+       |  FROM events GROUP BY 1, 2),
+       |seg AS (
+       |  SELECT event_type, hour // $saxSegHours AS segment,
+       |    CAST(sum(hc) AS BIGINT) AS paa_cents,
+       |    CAST(count(*) AS BIGINT) AS n_hours
+       |  FROM hourly GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_seg,
+       |    CAST(sum(paa_cents) AS BIGINT) AS s1,
+       |    CAST(sum(paa_cents * paa_cents) AS BIGINT) AS s2
+       |  FROM seg GROUP BY event_type)
+       |SELECT g.event_type, g.segment, g.paa_cents, g.n_hours,
+       |  CASE
+       |    WHEN (CAST(s2 AS DOUBLE) / n_seg
+       |        - (CAST(s1 AS DOUBLE) / n_seg) * (CAST(s1 AS DOUBLE) / n_seg))
+       |      <= 0.0 THEN 'c'
+       |    WHEN (CAST(g.paa_cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n_seg)
+       |        / sqrt(CAST(s2 AS DOUBLE) / n_seg
+       |          - (CAST(s1 AS DOUBLE) / n_seg) * (CAST(s1 AS DOUBLE) / n_seg))
+       |      < -0.6745 THEN 'a'
+       |    WHEN (CAST(g.paa_cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n_seg)
+       |        / sqrt(CAST(s2 AS DOUBLE) / n_seg
+       |          - (CAST(s1 AS DOUBLE) / n_seg) * (CAST(s1 AS DOUBLE) / n_seg))
+       |      < 0.0 THEN 'b'
+       |    WHEN (CAST(g.paa_cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n_seg)
+       |        / sqrt(CAST(s2 AS DOUBLE) / n_seg
+       |          - (CAST(s1 AS DOUBLE) / n_seg) * (CAST(s1 AS DOUBLE) / n_seg))
+       |      < 0.6745 THEN 'c'
+       |    ELSE 'd' END AS symbol
+       |FROM seg g JOIN stats USING (event_type)
+       |ORDER BY g.event_type, g.segment""".stripMargin
+
   // ─── ev_histogram: per-type value distribution in fixed buckets ───
   // The profiling histogram: decade buckets of `value` per type.
   // Pure map-side bucketing then a (types × buckets)-bounded
@@ -2203,6 +2325,8 @@ object Events {
     "ev_funnel_time" -> evFunnelTime,
     "ev_did" -> evDid,
     "ev_power" -> evPower,
+    "ev_stickiness" -> evStickiness,
+    "ts_sax" -> tsSax,
     "ts_changepoint" -> tsChangepoint,
     "ev_ab_test" -> evAbTest,
     "ev_cuped" -> evCuped,
@@ -2245,6 +2369,8 @@ object Events {
     "ev_funnel_time" -> evFunnelTimeSql,
     "ev_did" -> evDidSql,
     "ev_power" -> evPowerSql,
+    "ev_stickiness" -> evStickinessSql,
+    "ts_sax" -> tsSaxSql,
     "ts_changepoint" -> tsChangepointSql,
     "ev_ab_test" -> evAbTestSql,
     "ev_cuped" -> evCupedSql,

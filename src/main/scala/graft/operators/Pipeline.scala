@@ -776,6 +776,45 @@ object Pipeline {
        |    ORDER BY h, doc_id) AS BIGINT) AS pos, doc_id
        |FROM e ORDER BY epoch, pos""".stripMargin
 
+  // ─── mix_ess: effective sample size of the reweighted corpus ───
+  // The diagnostic that tells you whether mix_reweight's importance
+  // weights are safe to train on: ESS = (Σw)²/Σw² — how many
+  // EFFECTIVE docs the weighted corpus is worth; ESS ≪ n means a few
+  // heavy languages dominate and the mixture knob is too aggressive
+  // (Kong 1992, the importance-sampling ESS). Weights are constant
+  // per language, so both sums collapse onto the ≤|langs| frame —
+  // Σw = Σ n_l·w_l, Σw² = Σ n_l·w_l² — exact integers at any corpus
+  // size (w in bp keeps n·w² inside i64 to ~10⁸ docs/lang; beyond,
+  // rescale bp → permille). ess_x100 and the efficiency ratio are
+  // pure integer division.
+  def mixEss(spark: SparkSession, dir: String): DataFrame =
+    mixReweight(spark, dir)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_docs") * col("weight_bp")).as("sw"),
+        sum(col("n_docs") * col("weight_bp") * col("weight_bp")).as("sw2"))
+      .select(col("n_docs"),
+        expr("sw * sw * 100 div sw2").as("ess_x100"),
+        // off ess_x100, not sw²·10⁴ — keeps the widest product at
+        // sw²·100 (i64-safe two SFs further out)
+        expr("(sw * sw * 100 div sw2) * 100 div n_docs").as("efficiency_bp"))
+
+  val mixEssSql: String =
+    """WITH pl AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+      |        count(*) AS n_langs FROM pl),
+      |w AS (
+      |  SELECT n_docs,
+      |    n_total * 10000 // (n_langs * n_docs) AS weight_bp
+      |  FROM pl CROSS JOIN t),
+      |s AS (
+      |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_docs * weight_bp) AS BIGINT) AS sw,
+      |    CAST(sum(n_docs * weight_bp * weight_bp) AS BIGINT) AS sw2
+      |  FROM w)
+      |SELECT n_docs, sw * sw * 100 // sw2 AS ess_x100,
+      |  (sw * sw * 100 // sw2) * 100 // n_docs AS efficiency_bp
+      |FROM s""".stripMargin
+
   // ─── sample_priority: weighted subset-sum sample (DLT) ───
   // Priority sampling (Duffield–Lund–Thorup, JACM 2007): a fixed-k
   // WEIGHTED sample that answers subset-sum queries nearly optimally.
@@ -930,6 +969,7 @@ object Pipeline {
       |FROM p ORDER BY src_a, src_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_ess" -> mixEss,
     "sample_priority" -> samplePriority,
     "mix_tv_distance" -> mixTvDistance,
     "sample_epoch_order" -> sampleEpochOrder,
@@ -951,6 +991,7 @@ object Pipeline {
     "sample_temperature" -> sampleTemperature)
 
   val oracle: Map[String, String] = Map(
+    "mix_ess" -> mixEssSql,
     "sample_priority" -> samplePrioritySql,
     "mix_tv_distance" -> mixTvDistanceSql,
     "sample_epoch_order" -> sampleEpochOrderSql,

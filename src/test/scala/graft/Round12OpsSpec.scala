@@ -431,6 +431,61 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(out("e") == (("e", 1L)), "sink is its own SCC")
   }
 
+  // ─── ev_stickiness ───
+
+  test("ev_stickiness: DAU bounded by MAU, ties to ev_wau's window family") {
+    val rows = Events.evStickiness(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= r.getLong(2),
+        "DAU is a subset of the trailing-28d actives")
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 10000)
+      assert(r.getLong(3) == r.getLong(1) * 10000 / r.getLong(2))
+    }
+    // the 28-day window dominates the 7-day one wherever both exist
+    val wau = Events.evWau(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      wau.get(r.getLong(0)).foreach(w =>
+        assert(r.getLong(2) >= w, s"day ${r.getLong(0)}: MAU below WAU"))
+    }
+  }
+
+  // ─── ts_sax ───
+
+  test("ts_sax: valid alphabet, both sides of the mean represented") {
+    val rows = Events.tsSax(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val alphabet = Set("a", "b", "c", "d")
+    rows.foreach(r => assert(alphabet(r.getString(4))))
+    rows.groupBy(_.getString(0)).foreach { case (tpe, segs) =>
+      assert(segs.map(_.getLong(1)).distinct.length == segs.length,
+        s"$tpe: one symbol per segment")
+      // any non-constant series has mass below AND above its mean
+      if (segs.map(_.getLong(2)).distinct.length > 1) {
+        val syms = segs.map(_.getString(4)).toSet
+        assert(syms.exists(Set("a", "b")) && syms.exists(Set("c", "d")),
+          s"$tpe: z-normalization must straddle the mean, got $syms")
+      }
+    }
+  }
+
+  // ─── mix_ess ───
+
+  test("mix_ess: recomputes from mix_reweight, bounded by n") {
+    val r = Pipeline.mixEss(spark, dir).collect().head
+    val rw = Pipeline.mixReweight(spark, dir).collect()
+    val n = rw.map(_.getLong(1)).sum
+    val sw = rw.map(x => x.getLong(1) * x.getLong(4)).sum
+    val sw2 = rw.map(x => x.getLong(1) * x.getLong(4) * x.getLong(4)).sum
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == sw * sw * 100 / sw2,
+      "ESS recomputes from the reweight frame")
+    assert(r.getLong(1) <= n * 100, "ESS cannot exceed the doc count")
+    assert(r.getLong(2) >= 1 && r.getLong(2) <= 10000,
+      "efficiency is a proper fraction of n")
+  }
+
   // ─── profile_corr ───
 
   test("profile_corr: full pair grid off one aggregate pass") {
