@@ -1093,6 +1093,101 @@ object Graph {
       |SELECT s.node, s.scc_id, z.scc_size
       |FROM scc s JOIN sizes z USING (scc_id) ORDER BY node""".stripMargin
 
+  // ─── graph_walk: deterministic weighted random walks ───
+  // The sampling primitive under node2vec/DeepWalk-style graph
+  // embeddings and personalized-PageRank estimation: from every node,
+  // W walks of L steps, each step choosing an out-edge with
+  // probability ∝ transition count. Determinism discipline: the
+  // "coin" for (walk, step, node) is md5-derived, and the weighted
+  // choice is an INTERVAL LOOKUP — out-edges carry [lo, hi) prefix-
+  // sum intervals (a window over the ≤|V| out-edges of one node), so
+  // x = h mod total selects exactly one edge via a join-side range
+  // predicate, no argmin or sampling state. Both engines replay every
+  // step bit-for-bit. Shape: the corpus builds the transition counts
+  // once (the ev_markov derivation); the walk frontier is
+  // (nodes × W) rows joined L times against the broadcast edge
+  // table — metadata-scale compute on a corpus-scale derivation, like
+  // graph_scc. Walks stop early at sinks (the join drops them).
+  private val walkW = 8
+  private val walkL = 4
+
+  def graphWalk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = graft.Tables(spark, dir).events
+      .withColumn("f", lag(col("event_type"), 1).over(w))
+      .filter(col("f").isNotNull)
+      .groupBy(col("f"), col("event_type").as("t"))
+      .agg(count(lit(1)).as("n"))
+    val byF = Window.partitionBy(col("f")).orderBy(col("t"))
+    val edges = counts
+      .withColumn("hi",
+        sum(col("n")).over(byF.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("lo", col("hi") - col("n"))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("f"))))
+    val starts = counts.select(col("f").as("node")).distinct()
+      .select(col("node").as("start_type"),
+        explode(array((0 until walkW).map(i => lit(i.toLong)): _*)).as("walk"),
+        col("node"))
+    var pos = starts
+    val stepVisits = (1 to walkL).map { s =>
+      val coin = conv(substring(md5(concat(lit("walk:"),
+        col("walk").cast("string"), lit(s":$s:"), pos("node"))), 1, 12),
+        16, 10).cast("long")
+      pos = pos.join(broadcast(edges), pos("node") === edges("f"))
+        .withColumn("x", coin % col("tot"))
+        .filter(col("lo") <= col("x") && col("x") < col("hi"))
+        .select(col("start_type"), col("walk"), col("t").as("node"))
+      pos
+    }
+    stepVisits.map(_.select(col("start_type"), col("node")))
+      .reduce(_.union(_))
+      .groupBy(col("start_type"), col("node"))
+      .agg(count(lit(1)).as("n_visits"))
+      .orderBy(col("start_type"), col("node"))
+  }
+
+  val graphWalkSql: String = {
+    // NOTE: no continuation line may START with "||" — the enclosing
+    // template's stripMargin would eat up to that pipe and corrupt
+    // the SQL (observed: '|(VARCHAR, STRING_LITERAL)' binder error).
+    def coin(s: Int): String =
+      s"(CAST(('0x' || substr(md5('walk:' || CAST(p.walk AS VARCHAR) || " +
+        s"':$s:' || p.node), 1, 12)) AS BIGINT) % e.tot)"
+    def step(s: Int, prev: String): String =
+      s"""p$s AS (
+         |  SELECT p.start_type, p.walk, e.t AS node
+         |  FROM $prev p JOIN edges e ON p.node = e.f
+         |   AND ${coin(s)} >= e.lo
+         |   AND ${coin(s)} < e.hi)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT user_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS prev_type
+       |  FROM events),
+       |counts AS (
+       |  SELECT prev_type AS f, event_type AS t, CAST(count(*) AS BIGINT) AS n
+       |  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT f, t, n,
+       |    CAST(sum(n) OVER (PARTITION BY f ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi,
+       |    CAST(sum(n) OVER (PARTITION BY f ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT)
+       |      AS lo,
+       |    CAST(sum(n) OVER (PARTITION BY f) AS BIGINT) AS tot
+       |  FROM counts),
+       |p0 AS (
+       |  SELECT node AS start_type, walk, node
+       |  FROM (SELECT DISTINCT f AS node FROM counts),
+       |    (SELECT CAST(unnest(range(0, $walkW)) AS BIGINT) AS walk)),
+       |${(1 to walkL).map(s => step(s, s"p${s - 1}")).mkString(",\n")}
+       |SELECT start_type, node, CAST(count(*) AS BIGINT) AS n_visits
+       |FROM (${(1 to walkL).map(s => s"SELECT start_type, node FROM p$s")
+          .mkString(" UNION ALL ")})
+       |GROUP BY start_type, node
+       |ORDER BY start_type, node""".stripMargin
+  }
+
   // ─── graph_condense: condensation DAG of the SCCs ───
   // The quotient graph graph_scc implies: contract each SCC to one
   // node, keep distinct cross-SCC edges, and read the acyclic level
@@ -1195,6 +1290,7 @@ object Graph {
       |ORDER BY s.scc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_walk" -> graphWalk,
     "graph_condense" -> graphCondense,
     "graph_scc" -> graphScc,
     "graph_louvain" -> graphLouvain,
@@ -1213,6 +1309,7 @@ object Graph {
     "graph_pagerank" -> graphPagerank)
 
   val oracle: Map[String, String] = Map(
+    "graph_walk" -> graphWalkSql,
     "graph_condense" -> graphCondenseSql,
     "graph_scc" -> graphSccSql,
     "graph_louvain" -> graphLouvainSql,

@@ -431,6 +431,55 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(out("e") == (("e", 1L)), "sink is its own SCC")
   }
 
+  // ─── graph_walk ───
+
+  test("graph_walk: full visit budget on a sink-free graph, closed node set") {
+    val rows = Graph.graphWalk(spark, dir).collect()
+    val types = Tables(spark, dir).events
+      .select(col("event_type")).distinct().collect()
+      .map(_.getString(0)).toSet
+    rows.foreach { r =>
+      assert(types(r.getString(0)) && types(r.getString(1)),
+        "walks stay on graph nodes")
+      assert(r.getLong(2) >= 1)
+    }
+    // the sf transition graph is strongly connected (graph_scc test),
+    // so no walk ever stops early: every start spends W*L = 32 visits
+    rows.groupBy(_.getString(0)).foreach { case (start, vs) =>
+      assert(vs.map(_.getLong(2)).sum == 8L * 4L,
+        s"$start: walks must spend the full visit budget")
+    }
+  }
+
+  test("graph_walk: weighted choice respects the interval partition") {
+    // Crafted sink-free triangle with asymmetric weights: a emits 1x
+    // to b and 3x to c; every step lands on a real out-neighbor and
+    // budgets stay exact.
+    import spark.implicits._
+    val now = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(now.getTime + s * 1000L)
+    // one user: a->b->a->c->a->c->a->c (edges a->b x1, a->c x3,
+    // b->a x1, c->a x3)
+    val walk = Seq("a", "b", "a", "c", "a", "c", "a", "c")
+    val ev = walk.zipWithIndex.map { case (t, i) =>
+      (i.toLong, at(i), 1L, t, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-walk").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = Graph.graphWalk(spark, tmp).collect()
+    val visited = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(visited.forall { case (s, n) =>
+      Set("a", "b", "c")(s) && Set("a", "b", "c")(n) })
+    rows.groupBy(_.getString(0)).foreach { case (start, vs) =>
+      assert(vs.map(_.getLong(2)).sum == 8L * 4L,
+        s"$start: sink-free graph spends the full budget")
+    }
+    // b and c only lead to a: from start b, half of all visits are a
+    val fromB = rows.filter(r => r.getString(0) == "b")
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(fromB("a") == 16L, "alternating walk from b hits a every 2nd step")
+  }
+
   // ─── ev_stickiness ───
 
   test("ev_stickiness: DAU bounded by MAU, ties to ev_wau's window family") {
