@@ -1048,6 +1048,59 @@ object Events {
        |FROM seg g JOIN stats USING (event_type)
        |ORDER BY g.event_type, g.segment""".stripMargin
 
+  // ─── ts_m4: M4 min/max/first/last series downsampling ───
+  // The OTHER canonical downsampler next to ts_lttb (Jugel et al.,
+  // VLDB 2014 — M4): per pixel bucket keep min, max, first, last —
+  // the four points that make the rendered line pixel-identical. LTTB
+  // preserves visual SHAPE, M4 preserves EXTREMES; a dashboard wants
+  // both. First/last are order statistics, not sums, so the exact
+  // shape is one (type, bucket)-partitioned window pass: row_number
+  // on micros+event_id (the total arrival order both engines agree
+  // on) against the partition count — rn=1 is first, rn=cnt is last —
+  // then a plain map-combining aggregate. No unpartitioned state;
+  // buckets are 6-hour pixels.
+  private val m4BucketS = 21600L
+
+  def tsM4(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir).events
+      .select(col("event_type"),
+        expr(s"unix_micros(ts) div ${m4BucketS * 1000000L}").as("bucket"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        cents(col("value")).as("c"))
+    val w = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("us"), col("event_id"))
+    val cw = Window.partitionBy(col("event_type"), col("bucket"))
+    base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("c")).as("min_cents"), max(col("c")).as("max_cents"),
+        max(when(col("rn") === 1, col("c"))).as("first_cents"),
+        max(when(col("rn") === col("cnt"), col("c"))).as("last_cents"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  val tsM4Sql: String =
+    s"""WITH base AS (
+       |  SELECT event_type,
+       |    epoch_us(ts) // ${m4BucketS * 1000000L} AS bucket,
+       |    epoch_us(ts) AS us, event_id,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+       |  FROM events),
+       |ranked AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY event_type, bucket
+       |      ORDER BY us, event_id) AS rn,
+       |    count(*) OVER (PARTITION BY event_type, bucket) AS cnt
+       |  FROM base)
+       |SELECT event_type, bucket, count(*) AS n,
+       |  min(c) AS min_cents, max(c) AS max_cents,
+       |  max(CASE WHEN rn = 1 THEN c END) AS first_cents,
+       |  max(CASE WHEN rn = cnt THEN c END) AS last_cents
+       |FROM ranked GROUP BY event_type, bucket
+       |ORDER BY event_type, bucket""".stripMargin
+
   // ─── ev_histogram: per-type value distribution in fixed buckets ───
   // The profiling histogram: decade buckets of `value` per type.
   // Pure map-side bucketing then a (types × buckets)-bounded
@@ -2327,6 +2380,7 @@ object Events {
     "ev_power" -> evPower,
     "ev_stickiness" -> evStickiness,
     "ts_sax" -> tsSax,
+    "ts_m4" -> tsM4,
     "ts_changepoint" -> tsChangepoint,
     "ev_ab_test" -> evAbTest,
     "ev_cuped" -> evCuped,
@@ -2371,6 +2425,7 @@ object Events {
     "ev_power" -> evPowerSql,
     "ev_stickiness" -> evStickinessSql,
     "ts_sax" -> tsSaxSql,
+    "ts_m4" -> tsM4Sql,
     "ts_changepoint" -> tsChangepointSql,
     "ev_ab_test" -> evAbTestSql,
     "ev_cuped" -> evCupedSql,

@@ -863,6 +863,100 @@ object TextAnalysis {
        |FROM c JOIN a USING (actual_lang)
        |ORDER BY actual_lang, pred_lang""".stripMargin
 
+  // ─── text_rake: RAKE keyword extraction ───
+  // Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate
+  // phrases are the maximal stopword-free token runs; each word
+  // scores deg(w)/freq(w) over the candidate corpus (deg = summed
+  // length of phrases containing w — favors words that live in long
+  // collocations); a phrase scores the sum of its word scores; top-3
+  // phrases per doc. Integer discipline: score_x100(w) = deg·100 div
+  // freq, phrase score = Σ integer word scores — ranking replays
+  // bit-for-bat cross-engine. Shape: phrase islands via the
+  // gaps-and-islands trick on the per-doc position stream (window
+  // partitioned by doc), word stats are vocabulary-sized map-combined
+  // aggregates joined back onto the exploded membership, and the
+  // top-3 is a per-doc window over each doc's own phrases.
+  private val rakeTopK = 3
+
+  def textRake(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    val toksAll = filter(split(col("text"), " "), w => w =!= "")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val byDocRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_x100").desc, col("phrase"))
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), posexplode(toksAll).as(Seq("pos", "w")))
+      .filter(!array_contains(stopArr, col("w")))
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+    // collect_list order is partition-dependent — sort (pos, w) structs
+    // so the phrase assembles in POSITION order deterministically
+    val phrases = tok.groupBy(col("doc_id"), col("grp"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("phrase"),
+        count(lit(1)).as("plen"))
+    val member = phrases
+      .select(col("doc_id"), col("grp"), col("plen"),
+        explode(split(col("phrase"), " ")).as("w"))
+    val wordStats = member.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("score_x100", expr("deg * 100 div freq"))
+    phrases
+      .join(member.join(wordStats, Seq("w"))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(sum(col("score_x100")).as("score_x100")),
+        Seq("doc_id", "grp"))
+      .withColumn("rank", row_number().over(byDocRank).cast("long"))
+      .filter(col("rank") <= rakeTopK)
+      .select(col("doc_id"), col("rank"), col("phrase"), col("plen"),
+        col("score_x100"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val textRakeSql: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, pos, w,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM (
+       |    SELECT doc_id, i AS pos, t[i + 1] AS w
+       |    FROM (SELECT doc_id,
+       |            list_filter(string_split(text, ' '), x -> x <> '') AS t,
+       |            unnest(range(0, len(list_filter(string_split(text, ' '),
+       |              x -> x <> '')))) AS i
+       |          FROM documents))
+       |  WHERE w NOT IN ($stopList)),
+       |phrases AS (
+       |  SELECT doc_id, grp,
+       |    string_agg(w, ' ' ORDER BY pos) AS phrase,
+       |    CAST(count(*) AS BIGINT) AS plen
+       |  FROM tok GROUP BY doc_id, grp),
+       |member AS (
+       |  SELECT doc_id, grp, plen, unnest(string_split(phrase, ' ')) AS w
+       |  FROM phrases),
+       |ws AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+       |    CAST(sum(plen) AS BIGINT) AS deg,
+       |    CAST(sum(plen) AS BIGINT) * 100 // CAST(count(*) AS BIGINT)
+       |      AS score_x100
+       |  FROM member GROUP BY w),
+       |ps AS (
+       |  SELECT m.doc_id, m.grp,
+       |    CAST(sum(ws.score_x100) AS BIGINT) AS score_x100
+       |  FROM member m JOIN ws USING (w)
+       |  GROUP BY m.doc_id, m.grp),
+       |ranked AS (
+       |  SELECT p.doc_id, p.phrase, p.plen, s.score_x100,
+       |    CAST(row_number() OVER (PARTITION BY p.doc_id
+       |      ORDER BY s.score_x100 DESC, p.phrase) AS BIGINT) AS rank
+       |  FROM phrases p JOIN ps s ON p.doc_id = s.doc_id AND p.grp = s.grp)
+       |SELECT doc_id, rank, phrase, plen, score_x100
+       |FROM ranked WHERE rank <= $rakeTopK
+       |ORDER BY doc_id, rank""".stripMargin
+  }
+
   // ─── text_winnowing: winnowed fingerprint selection (MOSS) ───
   // The winnowing algorithm (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
   // the MOSS plagiarism detector): hash every k-token span, slide a
@@ -1045,6 +1139,7 @@ object TextAnalysis {
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rake" -> textRake,
     "text_winnowing" -> textWinnowing,
     "text_lm_score" -> textLmScore,
     "text_lang_confusion" -> textLangConfusion,
@@ -1067,6 +1162,7 @@ object TextAnalysis {
     "text_ngram_top" -> textNgramTop)
 
   val oracle: Map[String, String] = Map(
+    "text_rake" -> textRakeSql,
     "text_winnowing" -> textWinnowingSql,
     "text_lm_score" -> textLmScoreSql,
     "text_lang_confusion" -> textLangConfusionSql,

@@ -431,6 +431,64 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(out("e") == (("e", 1L)), "sink is its own SCC")
   }
 
+  // ─── ts_m4 ───
+
+  test("ts_m4: per-bucket extremes bound the endpoints, counts partition") {
+    val rows = Events.tsM4(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mn, mx, f, l) = (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))
+      assert(n >= 1)
+      assert(mn <= mx)
+      assert(f >= mn && f <= mx, "first inside [min, max]")
+      assert(l >= mn && l <= mx, "last inside [min, max]")
+      if (n == 1) assert(mn == mx && f == l && f == mn)
+    }
+    val total = Tables(spark, dir).events.count()
+    assert(rows.map(_.getLong(2)).sum == total,
+      "buckets partition the event stream")
+  }
+
+  // ─── text_rake ───
+
+  test("text_rake: stopword-free phrases, contiguous per-doc ranks") {
+    val rows = TextAnalysis.textRake(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val stop = Set("the", "a", "of", "and", "to", "in")
+    rows.foreach { r =>
+      val words = r.getString(2).split(" ")
+      assert(words.nonEmpty && words.forall(w => !stop(w)),
+        s"phrase '${r.getString(2)}' leaks a stopword")
+      assert(words.length.toLong == r.getLong(3), "plen matches the phrase")
+      assert(r.getLong(4) >= 100,
+        "every member word scores deg/freq >= 1 by construction")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq,
+        s"doc $doc: ranks contiguous from 1")
+      assert(rs.length <= 3)
+    }
+  }
+
+  test("text_rake: longest collocation wins on a crafted corpus") {
+    // 'data quality gate' appears twice and as the longest run;
+    // RAKE's deg/freq scoring must rank it over the short fillers.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "data quality gate in the data quality gate of things", "en", "s0"),
+      (2L, "other words and data quality gate to follow", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rake").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.textRake(spark, tmp).collect()
+    val top1 = out.filter(r => r.getLong(1) == 1L)
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(top1(1L) == "data quality gate" && top1(2L) == "data quality gate",
+      s"RAKE must surface the repeated long collocation: $top1")
+  }
+
   // ─── graph_walk ───
 
   test("graph_walk: full visit budget on a sink-free graph, closed node set") {
