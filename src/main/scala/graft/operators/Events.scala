@@ -926,6 +926,89 @@ object Events {
       |SELECT day_epoch, count(DISTINCT user_id) AS wau
       |FROM contrib GROUP BY 1 ORDER BY day_epoch""".stripMargin
 
+  // ─── ev_funnel_steps: k-step ordered funnel with per-step rates ───
+  // The dashboard funnel: signup → click → purchase, each step's
+  // first qualifying event strictly AFTER the previous step's (the
+  // ev_funnel strict-order discipline extended to k steps). Step
+  // times chain through three window projections over ONE user_id
+  // partitioning — Catalyst reuses the single exchange, so the whole
+  // funnel costs one shuffle — then a user rollup and a 3-row
+  // readout exploded off the single aggregate row (the profile_corr
+  // one-pass trick): per-step users, step-over-step conv_bp, and
+  // overall_bp vs step 1.
+  def evFunnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val per = Tables(spark, dir).events
+      .withColumn("s1",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("s2",
+        min(when(col("event_type") === "click" && col("ts") > col("s1"),
+          col("ts"))).over(w))
+      .withColumn("s3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("s2"),
+          col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("s1")).as("s1"), max(col("s2")).as("s2"),
+        max(col("s3")).as("s3"))
+    val m = per.agg(count(col("s1")).as("n1"), count(col("s2")).as("n2"),
+      count(col("s3")).as("n3"))
+    def bp(n: String, d: String): String =
+      s"CASE WHEN $d > 0 THEN $n * 10000 div $d ELSE CAST(0 AS BIGINT) END"
+    m.select(explode(expr(
+        s"""array(
+           |  struct(CAST(1 AS BIGINT) AS step, 'signup' AS stage,
+           |    n1 AS n_users, CAST(10000 AS BIGINT) AS conv_bp,
+           |    CAST(10000 AS BIGINT) AS overall_bp),
+           |  struct(CAST(2 AS BIGINT) AS step, 'click' AS stage,
+           |    n2 AS n_users, ${bp("n2", "n1")} AS conv_bp,
+           |    ${bp("n2", "n1")} AS overall_bp),
+           |  struct(CAST(3 AS BIGINT) AS step, 'purchase' AS stage,
+           |    n3 AS n_users, ${bp("n3", "n2")} AS conv_bp,
+           |    ${bp("n3", "n1")} AS overall_bp))""".stripMargin)).as("p"))
+      .select(col("p.step"), col("p.stage"), col("p.n_users"),
+        col("p.conv_bp"), col("p.overall_bp"))
+      .orderBy(col("step"))
+  }
+
+  val evFunnelStepsSql: String = {
+    def bp(n: String, d: String): String =
+      s"CASE WHEN $d > 0 THEN $n * 10000 // $d ELSE 0 END"
+    s"""WITH e1 AS (
+       |  SELECT user_id, event_type, ts,
+       |    min(CASE WHEN event_type = 'signup' THEN ts END)
+       |      OVER (PARTITION BY user_id) AS s1
+       |  FROM events),
+       |e2 AS (
+       |  SELECT user_id, event_type, ts, s1,
+       |    min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
+       |      OVER (PARTITION BY user_id) AS s2
+       |  FROM e1),
+       |e3 AS (
+       |  SELECT user_id, s1, s2,
+       |    min(CASE WHEN event_type = 'purchase' AND ts > s2 THEN ts END)
+       |      OVER (PARTITION BY user_id) AS s3
+       |  FROM e2),
+       |per AS (
+       |  SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s3) AS s3
+       |  FROM e3 GROUP BY user_id),
+       |m AS (
+       |  SELECT CAST(count(s1) AS BIGINT) AS n1,
+       |    CAST(count(s2) AS BIGINT) AS n2,
+       |    CAST(count(s3) AS BIGINT) AS n3
+       |  FROM per)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS stage, n1 AS n_users,
+       |    CAST(10000 AS BIGINT) AS conv_bp, CAST(10000 AS BIGINT) AS overall_bp
+       |  FROM m
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), 'click', n2,
+       |    ${bp("n2", "n1")}, ${bp("n2", "n1")} FROM m
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT), 'purchase', n3,
+       |    ${bp("n3", "n2")}, ${bp("n3", "n1")} FROM m)
+       |ORDER BY step""".stripMargin
+  }
+
   // ─── ev_stickiness: DAU/MAU engagement ratio per day ───
   // The product-health number: what share of the trailing-28-day
   // actives showed up TODAY. Same contribution-explosion discipline
@@ -2379,6 +2462,7 @@ object Events {
     "ev_did" -> evDid,
     "ev_power" -> evPower,
     "ev_stickiness" -> evStickiness,
+    "ev_funnel_steps" -> evFunnelSteps,
     "ts_sax" -> tsSax,
     "ts_m4" -> tsM4,
     "ts_changepoint" -> tsChangepoint,
@@ -2424,6 +2508,7 @@ object Events {
     "ev_did" -> evDidSql,
     "ev_power" -> evPowerSql,
     "ev_stickiness" -> evStickinessSql,
+    "ev_funnel_steps" -> evFunnelStepsSql,
     "ts_sax" -> tsSaxSql,
     "ts_m4" -> tsM4Sql,
     "ts_changepoint" -> tsChangepointSql,

@@ -431,6 +431,30 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(out("e") == (("e", 1L)), "sink is its own SCC")
   }
 
+  // ─── ev_funnel_steps ───
+
+  test("ev_funnel_steps: monotone funnel, consistent with the 2-step ops") {
+    val rows = Events.evFunnelSteps(spark, dir).orderBy(col("step")).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getString(1)).toSeq == Seq("signup", "click", "purchase"))
+    val ns = rows.map(_.getLong(2))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), "funnel counts are monotone")
+    assert(rows(0).getLong(3) == 10000 && rows(0).getLong(4) == 10000)
+    assert(rows(1).getLong(3) == ns(1) * 10000 / ns(0))
+    assert(rows(2).getLong(3) == ns(2) * 10000 / ns(1))
+    assert(rows(2).getLong(4) == ns(2) * 10000 / ns(0))
+    // step 1 = users with a signup (ev_funnel's base population)
+    val nSignup = Events.evFunnel(spark, dir)
+      .filter(col("signup_epoch").isNotNull).count()
+    assert(ns(0) == nSignup, "step-1 base matches ev_funnel")
+  }
+
+  test("ev_funnel_steps: the chained step windows share one user shuffle") {
+    val p = plan(Events.evFunnelSteps(spark, dir))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n")
+  }
+
   // ─── ts_m4 ───
 
   test("ts_m4: per-bucket extremes bound the endpoints, counts partition") {
