@@ -1009,6 +1009,75 @@ object Events {
        |ORDER BY step""".stripMargin
   }
 
+  // ─── ev_markov_stationary: stationary distribution (power iteration) ───
+  // Where does user behavior SETTLE? The stationary distribution π of
+  // ev_markov's transition matrix, by k=8 rounds of power iteration.
+  // Cross-engine float discipline for iterated linear algebra: a
+  // float matrix-vector product SUMS in engine-dependent order, so
+  // the whole iteration runs in INTEGER bp — π'(t) = (Σ_f π(f)·
+  // p_bp(f→t)) div 10⁴ — every round exactly reproducible (the
+  // flooring leaks ≤|V| bp of mass per round, a documented bias, not
+  // nondeterminism). The matrix is the broadcast-sized |types|²
+  // frame; 8 joins over it are metadata-scale compute on the one
+  // corpus-scale lag-window derivation (the graph_walk posture).
+  private val statIters = 8
+
+  def evMarkovStationary(spark: SparkSession, dir: String): DataFrame = {
+    val trans = evMarkov(spark, dir)
+      .select(col("from_type"), col("to_type"), col("p_bp"))
+    val types = trans.select(col("from_type").as("event_type"))
+      .union(trans.select(col("to_type").as("event_type"))).distinct()
+    val n = types.agg(count(lit(1)).as("n"))
+    var v = types.crossJoin(broadcast(n))
+      .select(col("event_type"), expr("10000 div n").as("pi_bp"))
+    for (_ <- 1 to statIters) {
+      val stepped = v.join(trans, v("event_type") === trans("from_type"))
+        .groupBy(col("to_type"))
+        .agg((sum(col("pi_bp") * col("p_bp")) / 10000).cast("long")
+          .as("pi_next"))
+      v = types
+        .join(stepped, types("event_type") === stepped("to_type"), "left")
+        .select(col("event_type"),
+          coalesce(col("pi_next"), lit(0L)).as("pi_bp"))
+    }
+    v.orderBy(col("event_type"))
+  }
+
+  val evMarkovStationarySql: String = {
+    val step = (i: Int) =>
+      s"""v$i AS (
+         |  SELECT ty.event_type,
+         |    coalesce(s.pi_next, 0) AS pi_bp
+         |  FROM types ty LEFT JOIN (
+         |    SELECT t.to_type AS event_type,
+         |      CAST(sum(v.pi_bp * t.p_bp) // 10000 AS BIGINT) AS pi_next
+         |    FROM v${i - 1} v JOIN trans t ON v.event_type = t.from_type
+         |    GROUP BY t.to_type) s USING (event_type))""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT user_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS prev_type
+       |  FROM events),
+       |counts AS (
+       |  SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+       |  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |trans AS (
+       |  SELECT from_type, to_type,
+       |    CAST(floor(n * 10000.0 / sum(n) OVER (PARTITION BY from_type)
+       |      + 0.5) AS BIGINT) AS p_bp
+       |  FROM counts),
+       |types AS (
+       |  SELECT from_type AS event_type FROM trans
+       |  UNION SELECT to_type FROM trans),
+       |v0 AS (
+       |  SELECT event_type,
+       |    10000 // (SELECT count(*) FROM types) AS pi_bp
+       |  FROM types),
+       |${(1 to statIters).map(step).mkString(",\n")}
+       |SELECT event_type, pi_bp FROM v$statIters
+       |ORDER BY event_type""".stripMargin
+  }
+
   // ─── ev_stickiness: DAU/MAU engagement ratio per day ───
   // The product-health number: what share of the trailing-28-day
   // actives showed up TODAY. Same contribution-explosion discipline
@@ -2463,6 +2532,7 @@ object Events {
     "ev_power" -> evPower,
     "ev_stickiness" -> evStickiness,
     "ev_funnel_steps" -> evFunnelSteps,
+    "ev_markov_stationary" -> evMarkovStationary,
     "ts_sax" -> tsSax,
     "ts_m4" -> tsM4,
     "ts_changepoint" -> tsChangepoint,
@@ -2509,6 +2579,7 @@ object Events {
     "ev_power" -> evPowerSql,
     "ev_stickiness" -> evStickinessSql,
     "ev_funnel_steps" -> evFunnelStepsSql,
+    "ev_markov_stationary" -> evMarkovStationarySql,
     "ts_sax" -> tsSaxSql,
     "ts_m4" -> tsM4Sql,
     "ts_changepoint" -> tsChangepointSql,

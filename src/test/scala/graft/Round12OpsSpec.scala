@@ -431,6 +431,29 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(out("e") == (("e", 1L)), "sink is its own SCC")
   }
 
+  // ─── ev_markov_stationary ───
+
+  test("ev_markov_stationary: proper distribution, fixed under one more step") {
+    val pi = Events.evMarkovStationary(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val types = pi.keySet
+    pi.values.foreach(p => assert(p >= 0 && p <= 10000))
+    val mass = pi.values.sum
+    assert(mass <= 10000 && mass >= 10000 - 8L * types.size,
+      s"mass $mass outside the documented flooring leak envelope")
+    // applying one more integer power step moves nothing materially:
+    // the chain mixes geometrically and the integer map reaches (or
+    // oscillates within a few bp of) its fixed point by k=8
+    val trans = Events.evMarkov(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    types.foreach { t =>
+      val next = types.toSeq
+        .map(f => pi(f) * trans.getOrElse((f, t), 0L)).sum / 10000
+      assert(math.abs(next - pi(t)) <= 15,
+        s"$t: one more step moves ${pi(t)} -> $next")
+    }
+  }
+
   // ─── ev_funnel_steps ───
 
   test("ev_funnel_steps: monotone funnel, consistent with the 2-step ops") {
