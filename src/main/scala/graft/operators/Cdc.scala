@@ -324,7 +324,76 @@ object Cdc {
        |    AS horizon_epoch
        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ─── cdc_bitemporal: valid-time × transaction-time snapshots ───
+  // The modeling axis cdc_scd2 lacks: SCD2 tracks only TRANSACTION
+  // time (what the system recorded when); bitemporal state answers
+  // "as the system knew at tx time X, what was true at valid time V"
+  // — the reproducible-backfill/audit question (late-arriving facts
+  // change the answer at tx=now but not at tx=then). Valid time = ts
+  // (when the fact held); transaction time = event_id (the stream's
+  // commit order, the cdc tie-break axis). A 2×2 cut grid (50%/100%
+  // on each axis, cuts derived from one O(1) aggregate) is broadcast
+  // onto the changelog; each cell's state is latest-by-(ts,event_id)
+  // among rows within BOTH cuts — one window over (cell, user), a
+  // bounded 4× expansion of the one corpus scan.
+  def cdcBitemporal(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val cuts = ev.agg(max(col("event_id")).as("mx_id"),
+      epochS(min(col("ts"))).as("mn_e"), epochS(max(col("ts"))).as("mx_e"))
+    val cells = cuts.select(explode(array(
+      struct(lit(50L).as("tx_pct"), lit(50L).as("valid_pct"),
+        expr("mx_id div 2").as("tx_cut"),
+        expr("mn_e + (mx_e - mn_e) div 2").as("valid_cut")),
+      struct(lit(50L).as("tx_pct"), lit(100L).as("valid_pct"),
+        expr("mx_id div 2").as("tx_cut"), col("mx_e").as("valid_cut")),
+      struct(lit(100L).as("tx_pct"), lit(50L).as("valid_pct"),
+        col("mx_id").as("tx_cut"),
+        expr("mn_e + (mx_e - mn_e) div 2").as("valid_cut")),
+      struct(lit(100L).as("tx_pct"), lit(100L).as("valid_pct"),
+        col("mx_id").as("tx_cut"), col("mx_e").as("valid_cut")))).as("c"))
+      .select(col("c.*"))
+    val w = Window.partitionBy(col("tx_pct"), col("valid_pct"), col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.crossJoin(broadcast(cells))
+      .filter(col("event_id") <= col("tx_cut") &&
+        epochS(col("ts")) <= col("valid_cut"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("tx_pct"), col("valid_pct"), col("user_id"),
+        col("event_type").as("last_type"), epochS(col("ts")).as("last_epoch"),
+        cents(col("value")).as("last_value_cents"))
+      .orderBy(col("tx_pct"), col("valid_pct"), col("user_id"))
+  }
+
+  val cdcBitemporalSql: String =
+    """WITH cuts AS (
+      |  SELECT max(event_id) AS mx_id,
+      |    CAST(floor(epoch(min(ts))) AS BIGINT) AS mn_e,
+      |    CAST(floor(epoch(max(ts))) AS BIGINT) AS mx_e
+      |  FROM events),
+      |cells AS (
+      |  SELECT CAST(50 AS BIGINT) AS tx_pct, CAST(50 AS BIGINT) AS valid_pct,
+      |    mx_id // 2 AS tx_cut, mn_e + (mx_e - mn_e) // 2 AS valid_cut
+      |  FROM cuts
+      |  UNION ALL SELECT 50, 100, mx_id // 2, mx_e FROM cuts
+      |  UNION ALL SELECT 100, 50, mx_id, mn_e + (mx_e - mn_e) // 2 FROM cuts
+      |  UNION ALL SELECT 100, 100, mx_id, mx_e FROM cuts),
+      |ranked AS (
+      |  SELECT c.tx_pct, c.valid_pct, e.user_id, e.event_type, e.ts,
+      |    e.event_id, e.value,
+      |    row_number() OVER (PARTITION BY c.tx_pct, c.valid_pct, e.user_id
+      |      ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      |  FROM events e CROSS JOIN cells c
+      |  WHERE e.event_id <= c.tx_cut
+      |    AND CAST(floor(epoch(e.ts)) AS BIGINT) <= c.valid_cut)
+      |SELECT tx_pct, valid_pct, user_id, event_type AS last_type,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS last_epoch,
+      |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS last_value_cents
+      |FROM ranked WHERE rn = 1
+      |ORDER BY tx_pct, valid_pct, user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_bitemporal" -> cdcBitemporal,
     "cdc_compact" -> cdcCompact,
     "cdc_staleness" -> cdcStaleness,
     "cdc_diff" -> cdcDiff,
@@ -335,6 +404,7 @@ object Cdc {
     "cdc_scd2" -> cdcScd2)
 
   val oracle: Map[String, String] = Map(
+    "cdc_bitemporal" -> cdcBitemporalSql,
     "cdc_compact" -> cdcCompactSql,
     "cdc_staleness" -> cdcStalenessSql,
     "cdc_diff" -> cdcDiffSql,

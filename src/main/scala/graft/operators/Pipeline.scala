@@ -776,6 +776,84 @@ object Pipeline {
        |    ORDER BY h, doc_id) AS BIGINT) AS pos, doc_id
        |FROM e ORDER BY epoch, pos""".stripMargin
 
+  // ─── sample_strat_neyman: Neyman-optimal stratified allocation ───
+  // Stratified sampling's textbook answer to "how many samples per
+  // stratum": allocate ∝ N_h·S_h (Neyman 1934) — big AND internally
+  // varied strata get more budget, minimizing the estimator variance
+  // for a fixed total n. Per-language doc-length std comes from exact
+  // integer moments; the ONLY double is one fixed-shape per-stratum
+  // expression QUANTIZED immediately (w_h = ⌊N_h·S_h/100⌋), and the
+  // allocation itself is mix_apportion's integer Hamilton rounding
+  // over those integer weights — allocations sum to the budget
+  // exactly and hash-match cross-engine. One corpus aggregate to the
+  // |langs| frame; every window runs on that frame.
+  private val neymanBudget = 100L
+
+  def sampleStratNeyman(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    val byRem = Window.partitionBy(lit(1))
+      .orderBy(col("rem").desc, col("lang"))
+    val st = Tables(spark, dir).documents
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_h"), sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"))
+      .withColumn("var",
+        (col("s2").cast("double") / col("n_h")) -
+          (col("s1").cast("double") / col("n_h")) *
+          (col("s1").cast("double") / col("n_h")))
+      .withColumn("w",
+        floor(col("n_h").cast("double") * sqrt(col("var")) / 100).cast("long"))
+    st.withColumn("total", sum(col("w")).over(all))
+      .withColumn("quota_num", col("w") * neymanBudget)
+      .withColumn("base", expr("quota_num div total"))
+      .withColumn("rem", col("quota_num") - col("base") * col("total"))
+      .withColumn("leftover",
+        (lit(neymanBudget) - sum(col("base")).over(all)).cast("long"))
+      .withColumn("rk", row_number().over(byRem).cast("long"))
+      .select(col("lang"), col("n_h"),
+        floor(sqrt(col("var")) * 100).cast("long").as("std_x100"),
+        col("w").as("weight"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy(col("lang"))
+  }
+
+  val sampleStratNeymanSql: String =
+    s"""WITH st AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_h,
+       |    CAST(sum(n_chars) AS BIGINT) AS s1,
+       |    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+       |  FROM documents GROUP BY lang),
+       |wv AS (
+       |  SELECT lang, n_h,
+       |    CAST(s2 AS DOUBLE) / n_h
+       |      - (CAST(s1 AS DOUBLE) / n_h) * (CAST(s1 AS DOUBLE) / n_h)
+       |      AS var,
+       |    CAST(floor(CAST(n_h AS DOUBLE) * sqrt(CAST(s2 AS DOUBLE) / n_h
+       |      - (CAST(s1 AS DOUBLE) / n_h) * (CAST(s1 AS DOUBLE) / n_h))
+       |      / 100) AS BIGINT) AS w
+       |  FROM st),
+       |q AS (
+       |  SELECT lang, n_h, var, w,
+       |    CAST(sum(w) OVER () AS BIGINT) AS total,
+       |    w * $neymanBudget AS quota_num
+       |  FROM wv),
+       |b AS (
+       |  SELECT *, CAST(quota_num // total AS BIGINT) AS base,
+       |    quota_num % total AS rem
+       |  FROM q),
+       |r AS (
+       |  SELECT *,
+       |    CAST($neymanBudget - sum(base) OVER () AS BIGINT) AS leftover,
+       |    row_number() OVER (ORDER BY rem DESC, lang) AS rk
+       |  FROM b)
+       |SELECT lang, n_h,
+       |  CAST(floor(sqrt(var) * 100) AS BIGINT) AS std_x100,
+       |  w AS weight,
+       |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+       |    AS alloc
+       |FROM r ORDER BY lang""".stripMargin
+
   // ─── mix_ess: effective sample size of the reweighted corpus ───
   // The diagnostic that tells you whether mix_reweight's importance
   // weights are safe to train on: ESS = (Σw)²/Σw² — how many
@@ -969,6 +1047,7 @@ object Pipeline {
       |FROM p ORDER BY src_a, src_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_strat_neyman" -> sampleStratNeyman,
     "mix_ess" -> mixEss,
     "sample_priority" -> samplePriority,
     "mix_tv_distance" -> mixTvDistance,
@@ -991,6 +1070,7 @@ object Pipeline {
     "sample_temperature" -> sampleTemperature)
 
   val oracle: Map[String, String] = Map(
+    "sample_strat_neyman" -> sampleStratNeymanSql,
     "mix_ess" -> mixEssSql,
     "sample_priority" -> samplePrioritySql,
     "mix_tv_distance" -> mixTvDistanceSql,

@@ -305,9 +305,11 @@ class PlanShapeSpec extends AnyFunSuite {
     //  - text_zipf: ranks the 20-row TakeOrdered output (the top-k
     //    itself is distributed — guarded by its own test above);
     //  - sample_priority: same shape — ranks the (k+1)-row TakeOrdered
-    //    priority sample, never the corpus.
-    val boundedFrameRanks =
-      Set("mix_apportion", "mix_waterfill", "text_zipf", "sample_priority")
+    //    priority sample, never the corpus;
+    //  - sample_strat_neyman: Hamilton remainder rank over the |langs|
+    //    frame (the mix_apportion shape).
+    val boundedFrameRanks = Set("mix_apportion", "mix_waterfill",
+      "text_zipf", "sample_priority", "sample_strat_neyman")
     for ((name, fn) <- graft.SparkEntry.queries if !boundedFrameRanks(name)) {
       val p = plan(fn(spark, dir))
       assert(unpartitionedRankFn.findFirstIn(p).isEmpty,

@@ -431,6 +431,58 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(out("e") == (("e", 1L)), "sink is its own SCC")
   }
 
+  // ─── cdc_bitemporal ───
+
+  test("cdc_bitemporal: the (100,100) cell is cdc_latest; cells nest") {
+    val rows = Cdc.cdcBitemporal(spark, dir).collect()
+    val cell = (tx: Long, v: Long) => rows
+      .filter(r => r.getLong(0) == tx && r.getLong(1) == v)
+      .map(r => r.getLong(2) -> (r.getString(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val full = cell(100L, 100L)
+    val latest = Cdc.cdcLatest(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(full == latest,
+      "full-knowledge full-validity state equals the compacted changelog")
+    // monotone knowledge: every user visible at (50, v) is visible at
+    // (100, v) — later tx cuts only ADD information
+    for (v <- Seq(50L, 100L)) {
+      val half = cell(50L, v)
+      assert(half.keySet.subsetOf(cell(100L, v).keySet),
+        s"valid=$v: users cannot disappear as tx knowledge grows")
+    }
+    // valid-time discipline: a valid_pct=50 cell never reports state
+    // from after the valid cut
+    val Array(mnE, mxE) = Tables(spark, dir).events
+      .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val validCut = mnE + (mxE - mnE) / 2
+    rows.filter(_.getLong(1) == 50L).foreach { r =>
+      assert(r.getLong(4) <= validCut,
+        s"user ${r.getLong(2)}: state ${r.getLong(4)} leaks past valid cut $validCut")
+    }
+  }
+
+  // ─── sample_strat_neyman ───
+
+  test("sample_strat_neyman: allocations sum to budget, follow N_h*S_h") {
+    val rows = Pipeline.sampleStratNeyman(spark, dir).collect()
+    assert(rows.map(_.getLong(4)).sum == 100L,
+      "Hamilton rounding lands exactly on the budget")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(2) >= 0 && r.getLong(3) >= 0)
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 100)
+    }
+    // heavier weight never gets a smaller allocation (Hamilton is
+    // monotone up to the +1 remainder seat)
+    val byW = rows.sortBy(_.getLong(3))
+    byW.zip(byW.tail).foreach { case (a, b) =>
+      assert(b.getLong(4) >= a.getLong(4) - 1,
+        s"${b.getString(0)} outweighs ${a.getString(0)} but allocates less")
+    }
+  }
+
   // ─── ev_markov_stationary ───
 
   test("ev_markov_stationary: proper distribution, fixed under one more step") {
