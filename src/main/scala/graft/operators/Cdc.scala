@@ -392,7 +392,45 @@ object Cdc {
       |FROM ranked WHERE rn = 1
       |ORDER BY tx_pct, valid_pct, user_id""".stripMargin
 
+  // ─── cdc_delete_vector: deletion-vector compaction planner ───
+  // The lakehouse maintenance decision (Iceberg v2 / Delta deletion
+  // vectors): merge-on-read keeps deletes as per-file bitmaps until
+  // a file's dead fraction makes scan-time filtering worse than a
+  // rewrite. File layout is simulated as l_orderkey div 1000 (the
+  // clustered-write shape); "deleted" rows are the returned lines
+  // (l_returnflag = 'R'). Per file: row/dead counts, live_bp, and
+  // the action — 'rewrite' past 30 % dead (the engines' default
+  // threshold neighborhood), 'keep-dv' when deletes exist but stay
+  // cheap, 'none' for clean files. ONE map-combining aggregate over
+  // the fact table; per-file math is exact integer.
+  def cdcDeleteVector(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(expr("l_orderkey div 1000").as("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_deleted"))
+      .select(col("file_id"), col("n_rows"), col("n_deleted"),
+        expr("(n_rows - n_deleted) * 10000 div n_rows").as("live_bp"),
+        when(col("n_deleted") * 10 > col("n_rows") * 3, "rewrite")
+          .when(col("n_deleted") > 0, "keep-dv")
+          .otherwise("none").as("action"))
+      .orderBy(col("file_id"))
+
+  val cdcDeleteVectorSql: String =
+    """WITH f AS (
+      |  SELECT l_orderkey // 1000 AS file_id,
+      |    CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_deleted
+      |  FROM lineitem GROUP BY 1)
+      |SELECT file_id, n_rows, n_deleted,
+      |  (n_rows - n_deleted) * 10000 // n_rows AS live_bp,
+      |  CASE WHEN n_deleted * 10 > n_rows * 3 THEN 'rewrite'
+      |       WHEN n_deleted > 0 THEN 'keep-dv'
+      |       ELSE 'none' END AS action
+      |FROM f ORDER BY file_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_delete_vector" -> cdcDeleteVector,
     "cdc_bitemporal" -> cdcBitemporal,
     "cdc_compact" -> cdcCompact,
     "cdc_staleness" -> cdcStaleness,
@@ -404,6 +442,7 @@ object Cdc {
     "cdc_scd2" -> cdcScd2)
 
   val oracle: Map[String, String] = Map(
+    "cdc_delete_vector" -> cdcDeleteVectorSql,
     "cdc_bitemporal" -> cdcBitemporalSql,
     "cdc_compact" -> cdcCompactSql,
     "cdc_staleness" -> cdcStalenessSql,

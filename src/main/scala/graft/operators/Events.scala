@@ -2525,7 +2525,260 @@ object Events {
       |GROUP BY lag_days, t.n_conv
       |ORDER BY lag_days""".stripMargin
 
+  // ─── ev_activity_gini: Lorenz deciles + Gini of user activity ───
+  // Concentration readout: how unequal is event volume across users?
+  // Feeds abuse triage (one user = 30 % of traffic) and sampling
+  // design (per-user caps). Per-user counts ranked ascending via
+  // Ranks.groupedRank (exact global rank, bucket ledger — a global
+  // ntile/sort would single-task at corpus scale), Gini from the
+  // rank identity G = Σ(2i−n−1)xᵢ / (n·Σxᵢ) in exact DECIMAL(38,0)
+  // (rank·count sums pass 2⁶³ near 10⁹ users), Lorenz curve as the
+  // per-decile cumulative share over the 10-row decile frame
+  // (bounded carry, not a data window). One corpus aggregate, one
+  // ledger rank, one 10-row rollup.
+  def evActivityGini(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir).events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val ranked = Ranks.groupedRank(counts, Nil,
+        Seq(col("cnt"), shiftright(col("user_id"), 18)),
+        Seq(col("cnt"), col("user_id")), "rk", "n_users")
+      .withColumn("decile",
+        Ranks.ntileFromRank(col("rk"), col("n_users"), 10))
+    val gini = ranked.agg(
+      sum(expr("CAST(cnt AS DECIMAL(38,0)) * rk")).as("s_rx"),
+      sum(col("cnt").cast("decimal(38,0)")).as("s_x"),
+      max(col("n_users")).as("n"))
+    val wCum = Window.partitionBy(lit(1)).orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users_dec"), sum(col("cnt")).as("events_dec"))
+      .withColumn("cum_events", sum(col("events_dec")).over(wCum))
+      .crossJoin(broadcast(gini))
+      .select(col("decile"), col("n_users_dec"), col("events_dec"),
+        expr("CAST(CAST(cum_events AS DECIMAL(38,0)) * 10000 div s_x AS BIGINT)")
+          .as("cum_share_bp"),
+        expr("CAST((2 * s_rx - (CAST(n AS DECIMAL(38,0)) + 1) * s_x) * 10000" +
+          " div (CAST(n AS DECIMAL(38,0)) * s_x) AS BIGINT)").as("gini_bp"))
+      .orderBy(col("decile"))
+  }
+
+  val evActivityGiniSql: String =
+    """WITH cnts AS (
+      |  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+      |rk AS (
+      |  SELECT user_id, cnt,
+      |    row_number() OVER (ORDER BY cnt, user_id) AS rk,
+      |    count(*) OVER () AS n,
+      |    ntile(10) OVER (ORDER BY cnt, user_id) AS decile
+      |  FROM cnts),
+      |g AS (
+      |  SELECT CAST(sum(CAST(cnt AS HUGEINT) * rk) AS HUGEINT) AS s_rx,
+      |    CAST(sum(cnt) AS HUGEINT) AS s_x,
+      |    CAST(max(n) AS HUGEINT) AS n
+      |  FROM rk),
+      |d AS (
+      |  SELECT decile, CAST(count(*) AS BIGINT) AS n_users_dec,
+      |    CAST(sum(cnt) AS BIGINT) AS events_dec
+      |  FROM rk GROUP BY decile)
+      |SELECT decile, n_users_dec, events_dec,
+      |  CAST(CAST(sum(events_dec) OVER (ORDER BY decile) AS HUGEINT)
+      |    * 10000 // g.s_x AS BIGINT) AS cum_share_bp,
+      |  CAST((2 * g.s_rx - (g.n + 1) * g.s_x) * 10000
+      |    // (g.n * g.s_x) AS BIGINT) AS gini_bp
+      |FROM d CROSS JOIN g ORDER BY decile""".stripMargin
+
+  // ─── ev_srm: sample-ratio-mismatch guardrail for the A/B split ───
+  // The first thing a trustworthy experiment platform checks before
+  // reading ANY metric: does the observed unit split match the
+  // designed 50/50? For a two-cell equal split the chi-square
+  // statistic collapses to (n_A − n_B)² / (n_A + n_B) — exact
+  // integer ×100 against the χ²₁ 95 % critical value 3.84. Same
+  // md5 "ab:" unit-hash as ev_ab_test, so this guards exactly the
+  // assignment that experiment reads. One distinct-user aggregate,
+  // a 2-row frame after that.
+  def evSrm(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables(spark, dir).events
+      .select(col("user_id")).distinct()
+      .withColumn("grp",
+        when(conv(substring(md5(concat(lit("ab:"), col("user_id").cast("string"))),
+          1, 15), 16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val a = s.filter(col("grp") === "A").select(col("n").as("n_a"))
+    val b = s.filter(col("grp") === "B").select(col("n").as("n_b"))
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("n_b"),
+        expr("(n_a - n_b) * (n_a - n_b) * 100 div (n_a + n_b)").as("chi2_x100"))
+      .withColumn("srm", col("chi2_x100") > 384L)
+  }
+
+  val evSrmSql: String =
+    """WITH u AS (
+      |  SELECT DISTINCT user_id FROM events),
+      |g AS (
+      |  SELECT CASE WHEN CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+      |    user_id
+      |  FROM u),
+      |s AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY grp)
+      |SELECT a.n AS n_a, b.n AS n_b,
+      |  (a.n - b.n) * (a.n - b.n) * 100 // (a.n + b.n) AS chi2_x100,
+      |  (a.n - b.n) * (a.n - b.n) * 100 // (a.n + b.n) > 384 AS srm
+      |FROM (SELECT n FROM s WHERE grp = 'A') a
+      |CROSS JOIN (SELECT n FROM s WHERE grp = 'B') b""".stripMargin
+
+  // ─── ev_session_hist: log₂ histogram of session lengths ───
+  // The distributional readout downstream of sessionization: how are
+  // visit lengths distributed (bin = ⌊log₂ n_events⌋ — engagement
+  // bands 1, 2-3, 4-7, 8-15… events)? Rides ev_sessionize's exact
+  // session rollup (one user-keyed shuffle + linear windows), then
+  // one bounded-cardinality aggregate; ⌊log₂⌋ via length(bin(n))−1,
+  // no libm (the text_lm_score trick). share_bp exact against the
+  // session total over the ≤64-row bin frame.
+  def evSessionHist(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    evSessionize(spark, dir)
+      .groupBy((length(bin(col("n_events"))) - 1).cast("long").as("len_bin"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+      .withColumn("share_bp",
+        Ranks.idiv(col("n_sessions") * 10000L, sum(col("n_sessions")).over(all)))
+      .orderBy(col("len_bin"))
+  }
+
+  // Rides evSessionizeSql VERBATIM as the inner derivation — any
+  // drift between the two sessionizations would silently change the
+  // histogram's ground truth.
+  val evSessionHistSql: String = {
+    s"""WITH sess AS (
+       |$evSessionizeSql),
+       |h AS (
+       |  SELECT CAST(length(bin(n_events)) - 1 AS BIGINT) AS len_bin,
+       |    CAST(count(*) AS BIGINT) AS n_sessions,
+       |    CAST(sum(n_events) AS BIGINT) AS n_events
+       |  FROM sess GROUP BY 1)
+       |SELECT len_bin, n_sessions, n_events,
+       |  CAST(n_sessions * 10000 // (sum(n_sessions) OVER ()) AS BIGINT)
+       |    AS share_bp
+       |FROM h ORDER BY len_bin""".stripMargin
+  }
+
+  // ─── ts_bollinger: rolling-band outliers on the hourly series ───
+  // Bollinger discipline (mean ± 2σ over a trailing 24-observation
+  // band) with ZERO floating point: the outlier test |x − s₁/m| >
+  // 2·√((m·s₂−s₁²)/m²) is squared into (x·m − s₁)² > 4·(m·s₂ − s₁²),
+  // exact in DECIMAL(38,0)/HUGEINT (hour-cents pass 2³¹ at corpus
+  // scale, so their squares need 128-bit). The rolling frame runs on
+  // the HOURLY ROLLUP partitioned by event_type — rows bounded by
+  // the data's time span, not its volume (the ev_autocorr posture);
+  // observed hours only, like ev_burstiness's documented shortcut.
+  // Warm-up rows (fewer than 8 observations in the band) report
+  // is_outlier = false rather than flagging on a 1-point "band".
+  def tsBollinger(spark: SparkSession, dir: String): DataFrame = {
+    val band = Window.partitionBy(col("event_type"))
+      .orderBy(col("hour")).rowsBetween(-23, 0)
+    Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        floor(epochS(col("ts")) / 3600L).as("hour"))
+      .agg(cents(sum(col("value"))).as("hc"))
+      .withColumn("m", count(lit(1)).over(band))
+      .withColumn("s1", sum(col("hc")).over(band))
+      .withColumn("s2", sum(expr("CAST(hc AS DECIMAL(38,0)) * hc")).over(band))
+      .select(col("hour").as("hour_epoch_h"), col("event_type"), col("hc"),
+        expr("s1 * 100 div m").as("mean_x100"),
+        (col("m") >= 8 &&
+          expr("(CAST(hc AS DECIMAL(38,0)) * m - s1) * (CAST(hc AS DECIMAL(38,0)) * m - s1)" +
+            " > 4 * (m * s2 - CAST(s1 AS DECIMAL(38,0)) * s1)")).as("is_outlier"))
+      .orderBy(col("event_type"), col("hour_epoch_h"))
+  }
+
+  val tsBollingerSql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type,
+       |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+       |    ${Tables.centsSql("sum(value)")} AS hc
+       |  FROM events GROUP BY 1, 2),
+       |b AS (
+       |  SELECT event_type, hour, hc,
+       |    count(*) OVER w AS m,
+       |    CAST(sum(hc) OVER w AS BIGINT) AS s1,
+       |    CAST(sum(CAST(hc AS HUGEINT) * hc) OVER w AS HUGEINT) AS s2
+       |  FROM hourly
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+       |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+       |SELECT hour AS hour_epoch_h, event_type, hc,
+       |  s1 * 100 // m AS mean_x100,
+       |  m >= 8 AND
+       |    (CAST(hc AS HUGEINT) * m - s1) * (CAST(hc AS HUGEINT) * m - s1)
+       |      > 4 * (m * s2 - CAST(s1 AS HUGEINT) * s1) AS is_outlier
+       |FROM b ORDER BY event_type, hour_epoch_h""".stripMargin
+
+  // ─── ev_lift: market-basket lift of event-type pairs ───
+  // Which behaviors co-occur beyond chance? Basket = (user, day);
+  // lift(a,b) = P(a∧b) / (P(a)·P(b)) in exact basis points. The
+  // basket set shrinks to distinct (user, day, type) FIRST — the
+  // self-join then fans out at most |types| rows per basket key, so
+  // pair volume is baskets·|types|², never events². Marginals and
+  // the basket total broadcast back. The distinct fixture is
+  // localCheckpointed once: three consumers (pairs ×2 sides via
+  // ReuseExchange, marginals, total) would otherwise each re-scan
+  // the corpus.
+  def evLift(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables(spark, dir).events
+      .select(col("user_id"),
+        floor(epochS(date_trunc("day", col("ts"))) / 86400L).as("day"),
+        col("event_type"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val total = b.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val marg = b.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val a = b.select(col("user_id"), col("day"), col("event_type").as("type_a"))
+    val c = b.select(col("user_id"), col("day"), col("event_type").as("type_b"))
+    a.join(c, Seq("user_id", "day"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(marg.select(col("event_type").as("type_a"), col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(marg.select(col("event_type").as("type_b"), col("n").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * n_baskets * 10000" +
+          " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("lift_bp"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val evLiftSql: String =
+    """WITH b AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS day,
+      |    event_type
+      |  FROM events),
+      |tot AS (
+      |  SELECT count(*) AS n_baskets
+      |  FROM (SELECT DISTINCT user_id, day FROM b)),
+      |m AS (SELECT event_type, count(*) AS n FROM b GROUP BY 1),
+      |p AS (
+      |  SELECT a.event_type AS type_a, c.event_type AS type_b,
+      |    CAST(count(*) AS BIGINT) AS n_ab
+      |  FROM b a JOIN b c
+      |    ON a.user_id = c.user_id AND a.day = c.day
+      |    AND a.event_type < c.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_ab,
+      |  CAST(CAST(n_ab AS HUGEINT) * t.n_baskets * 10000
+      |    // (CAST(ma.n AS HUGEINT) * mb.n) AS BIGINT) AS lift_bp
+      |FROM p
+      |JOIN m ma ON ma.event_type = p.type_a
+      |JOIN m mb ON mb.event_type = p.type_b
+      |CROSS JOIN tot t
+      |ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_activity_gini" -> evActivityGini,
+    "ev_lift" -> evLift,
+    "ts_bollinger" -> tsBollinger,
+    "ev_srm" -> evSrm,
+    "ev_session_hist" -> evSessionHist,
     "ev_survival" -> evSurvival,
     "ev_funnel_time" -> evFunnelTime,
     "ev_did" -> evDid,
@@ -2573,6 +2826,11 @@ object Events {
     "ev_pattern_seq" -> evPatternSeq)
 
   val oracle: Map[String, String] = Map(
+    "ev_activity_gini" -> evActivityGiniSql,
+    "ev_lift" -> evLiftSql,
+    "ts_bollinger" -> tsBollingerSql,
+    "ev_srm" -> evSrmSql,
+    "ev_session_hist" -> evSessionHistSql,
     "ev_survival" -> evSurvivalSql,
     "ev_funnel_time" -> evFunnelTimeSql,
     "ev_did" -> evDidSql,

@@ -1289,7 +1289,69 @@ object Graph {
       |LEFT JOIN outdeg o USING (scc_id)
       |ORDER BY s.scc_id""".stripMargin
 
+  // ─── graph_reciprocity: two-way rate of the transition graph ───
+  // For each behavior, how many of its out-transitions also flow
+  // back (a↔b loops = browse cycles; one-way edges = funnel stages)?
+  // Directed DISTINCT edge set (self-loops excluded — trivially
+  // reciprocal), reciprocal test via a left-semi self-join on the
+  // swapped pair: both sides are the same |types|²-bounded edge
+  // frame off one corpus-scale lag derivation, so the join is
+  // metadata-sized no matter the input volume. Global row appended
+  // under node='*ALL*' (whole-graph reciprocity, the Garlaschelli-
+  // Loffredo numerator) from the same two frames.
+  def graphReciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = graft.Tables(spark, dir).events
+      .withColumn("f", lag(col("event_type"), 1).over(w))
+      .filter(col("f").isNotNull && col("f") =!= col("event_type"))
+      .select(col("f"), col("event_type").as("t"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val recip = edges.join(
+      edges.select(col("t").as("f"), col("f").as("t")), Seq("f", "t"), "left_semi")
+    val perNode = edges.groupBy(col("f").as("node"))
+      .agg(count(lit(1)).as("n_out"))
+      .join(recip.groupBy(col("f").as("node"))
+        .agg(count(lit(1)).as("n_recip")), Seq("node"), "left")
+      .withColumn("n_recip", coalesce(col("n_recip"), lit(0L)))
+    val global = edges.agg(count(lit(1)).as("n_out"))
+      .crossJoin(recip.agg(count(lit(1)).as("n_recip")))
+      .select(lit("*ALL*").as("node"), col("n_out"), col("n_recip"))
+    perNode.select(col("node"), col("n_out"), col("n_recip"))
+      .union(global)
+      .select(col("node"), col("n_out"), col("n_recip"),
+        expr("n_recip * 10000 div n_out").as("recip_bp"))
+      .orderBy(col("node"))
+  }
+
+  val graphReciprocitySql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT f, t FROM (
+      |    SELECT lag(event_type) OVER (
+      |        PARTITION BY user_id ORDER BY ts, event_id) AS f,
+      |      event_type AS t
+      |    FROM events)
+      |  WHERE f IS NOT NULL AND f <> t),
+      |r AS (
+      |  SELECT e.f, e.t FROM e
+      |  WHERE EXISTS (SELECT 1 FROM e b WHERE b.f = e.t AND b.t = e.f)),
+      |pn AS (
+      |  SELECT o.node, o.n_out, coalesce(rc.n_recip, 0) AS n_recip
+      |  FROM (SELECT f AS node, CAST(count(*) AS BIGINT) AS n_out
+      |        FROM e GROUP BY f) o
+      |  LEFT JOIN (SELECT f AS node, CAST(count(*) AS BIGINT) AS n_recip
+      |             FROM r GROUP BY f) rc USING (node)),
+      |gl AS (
+      |  SELECT '*ALL*' AS node,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_out,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_recip)
+      |SELECT node, n_out, n_recip,
+      |  n_recip * 10000 // n_out AS recip_bp
+      |FROM (SELECT * FROM pn UNION ALL SELECT * FROM gl)
+      |ORDER BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_reciprocity" -> graphReciprocity,
     "graph_walk" -> graphWalk,
     "graph_condense" -> graphCondense,
     "graph_scc" -> graphScc,
@@ -1309,6 +1371,7 @@ object Graph {
     "graph_pagerank" -> graphPagerank)
 
   val oracle: Map[String, String] = Map(
+    "graph_reciprocity" -> graphReciprocitySql,
     "graph_walk" -> graphWalkSql,
     "graph_condense" -> graphCondenseSql,
     "graph_scc" -> graphSccSql,

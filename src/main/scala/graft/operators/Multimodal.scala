@@ -221,7 +221,62 @@ object Multimodal {
        |    AS "offset"
        |FROM s ORDER BY shard, doc_id""".stripMargin
 
+  // ─── mm_tile_plan: ViT-style image tiling plan, pure columns ───
+  // The vision-model preprocessing shape: split each image into a
+  // grid of 256 px tiles (partial edge tiles clipped to the image
+  // bounds) so the decode stage downstream fetches exactly the tile
+  // rectangles it needs. Dimensions come from the SAME md5-seeded
+  // derivation as mm_decode_meta, but inline as codegen'd columns —
+  // no mapPartitions round-trip — so the plan is scan → project →
+  // bounded explode (≤ ⌈1920/256⌉·⌈1080/256⌉ = 40 tiles per image,
+  // a constant fan-out, never data-dependent blowup).
+  private val tilePx = 256
+
+  def mmTilePlan(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("payload")), 1, 15), 16, 10).cast("long")
+    blobs(spark, dir).toDF()
+      .select(col("doc_id"),
+        (h % 1920 + 1).cast("long").as("width"),
+        (shiftright(h, 11) % 1080 + 1).cast("long").as("height"))
+      .withColumn("tx", expr(s"(width + ${tilePx - 1}) div $tilePx"))
+      .withColumn("ty", expr(s"(height + ${tilePx - 1}) div $tilePx"))
+      .withColumn("tile", explode(sequence(lit(0L), col("tx") * col("ty") - 1)))
+      .select(col("doc_id"), col("width"), col("height"),
+        (col("tx") * col("ty")).as("n_tiles"),
+        (col("tile") % col("tx")).as("tile_x"),
+        expr("tile div tx").as("tile_y"),
+        (col("tile") % col("tx") * tilePx).as("x0"),
+        expr(s"tile div tx * $tilePx").as("y0"),
+        least(col("tile") % col("tx") * tilePx + tilePx, col("width")).as("x1"),
+        least(expr(s"tile div tx * $tilePx + $tilePx"), col("height")).as("y1"))
+      .orderBy(col("doc_id"), col("tile_y"), col("tile_x"))
+  }
+
+  val mmTilePlanSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    (h % 1920) + 1 AS width, ((h >> 11) % 1080) + 1 AS height
+       |  FROM (SELECT doc_id,
+       |      CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+       |    FROM documents)),
+       |g AS (
+       |  SELECT doc_id, width, height,
+       |    (width + ${tilePx - 1}) // $tilePx AS tx,
+       |    (height + ${tilePx - 1}) // $tilePx AS ty
+       |  FROM m),
+       |t AS (
+       |  SELECT doc_id, width, height, tx, ty,
+       |    unnest(range(0, tx * ty)) AS tile
+       |  FROM g)
+       |SELECT doc_id, width, height, tx * ty AS n_tiles,
+       |  tile % tx AS tile_x, tile // tx AS tile_y,
+       |  (tile % tx) * $tilePx AS x0, (tile // tx) * $tilePx AS y0,
+       |  least((tile % tx) * $tilePx + $tilePx, width) AS x1,
+       |  least((tile // tx) * $tilePx + $tilePx, height) AS y1
+       |FROM t ORDER BY doc_id, tile_y, tile_x""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_tile_plan" -> mmTilePlan,
     "mm_manifest" -> mmManifest,
     "mm_near_dup" -> mmNearDup,
     "mm_decode_meta" -> mmDecodeMeta,
@@ -254,6 +309,7 @@ object Multimodal {
        |FROM idx ORDER BY doc_id, sample_idx""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "mm_tile_plan" -> mmTilePlanSql,
     "mm_manifest" -> mmManifestSql,
     "mm_near_dup" -> mmNearDupSql,
     "mm_decode_meta" -> mmDecodeMetaSql,

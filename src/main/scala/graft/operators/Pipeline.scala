@@ -1046,7 +1046,122 @@ object Pipeline {
       |  n_common * 10000 // (n_typesa + n_typesb - n_common) AS vocab_jacc_bp
       |FROM p ORDER BY src_a, src_b""".stripMargin
 
+  // ─── sample_bootstrap: deterministic Poisson(1) bootstrap ───
+  // The map-reduce bootstrap (resampling-with-replacement does not
+  // distribute; per-row Poisson(1) weights do — Chamandy et al.,
+  // "Estimating Uncertainty for Massive Data Streams", Google 2012):
+  // each purchase row contributes w ~ Poisson(1) copies to each of
+  // B=32 replicates, w drawn by inverse-CDF over a 60-bit md5
+  // uniform — thresholds are precomputed integer literals (⌊cdf·2⁶⁰⌋,
+  // tail capped at 8), so BOTH engines replay every draw bit-for-bit
+  // with zero floats. The explode is a constant ×32 fan-out feeding
+  // a map-combining aggregate: ~the cost of 32 corpus scans batched
+  // into one, the documented price of uncertainty at scale. Output:
+  // per-replicate resample size and integer mean — the spread across
+  // the 32 rows IS the standard-error estimate.
+  private val bootB = 32
+  // ⌊P(Poisson(1) ≤ k)·2⁶⁰⌋ for k = 0..7.
+  private val bootCdf = Seq(424136118829305344L, 848272237658610688L,
+    1060340297073263360L, 1131029650211480960L, 1148701988496035328L,
+    1152236456152946176L, 1152825534095764608L, 1152909688087595776L)
+
+  private def poissonW(h: Column): Column =
+    bootCdf.zipWithIndex.foldRight(lit(8L): Column) {
+      case ((t, k), rest) => when(h < t, k.toLong).otherwise(rest)
+    }
+
+  def sampleBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), Relational.cents(col("value")).as("c"))
+    val h = conv(substring(md5(concat(lit("boot:"), col("b").cast("string"),
+      lit(":"), col("event_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    base
+      .withColumn("b", explode(sequence(lit(0L), lit(bootB - 1L))))
+      .withColumn("w", poissonW(h))
+      .groupBy(col("b").as("replicate"))
+      .agg(sum(col("w")).as("n_draws"),
+        sum(col("w") * col("c")).as("s_wc"))
+      .select(col("replicate"), col("n_draws"),
+        expr("s_wc * 100 div n_draws").as("mean_c100"))
+      .orderBy(col("replicate"))
+  }
+
+  val sampleBootstrapSql: String = {
+    val cases = bootCdf.zipWithIndex
+      .map { case (t, k) => s"WHEN h < $t THEN $k" }
+      .mkString(" ")
+    s"""WITH p AS (
+       |  SELECT event_id, ${Tables.centsSql("value")} AS c
+       |  FROM events WHERE event_type = 'purchase'),
+       |drawn AS (
+       |  SELECT b, c,
+       |    CASE $cases ELSE 8 END AS w
+       |  FROM (
+       |    SELECT event_id, c, b,
+       |      CAST(('0x' || substr(md5('boot:' || CAST(b AS VARCHAR) || ':'
+       |        || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |    FROM p, (SELECT unnest(range(0, $bootB)) AS b))),
+       |r AS (
+       |  SELECT b AS replicate, CAST(sum(w) AS BIGINT) AS n_draws,
+       |    CAST(sum(w * c) AS BIGINT) AS s_wc
+       |  FROM drawn GROUP BY b)
+       |SELECT replicate, n_draws, s_wc * 100 // n_draws AS mean_c100
+       |FROM r ORDER BY replicate""".stripMargin
+  }
+
+  // ─── mix_token_budget: per-source epoch/repetition accounting ───
+  // The pre-flight every mixture plan needs: if the training budget
+  // were split EQUALLY across sources (Hamilton-rounded, remainder
+  // to the first sources by name), how many epochs of each source
+  // does its share demand? epochs_bp > 10⁴ means the source repeats;
+  // over_repeat flags > 4 epochs (past the point where repeated data
+  // stops helping — Muennighoff et al. 2023, "Scaling Data-
+  // Constrained Language Models", arXiv:2305.16264). One corpus
+  // aggregate to per-source token sums; every window after that
+  // runs on the |sources| frame (bounded), so the plan is one
+  // shuffle + a metadata tail. All-integer arithmetic.
+  def mixTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    val byName = Window.partitionBy(lit(1)).orderBy(col("source"))
+    Tables(spark, dir).documents
+      .select(col("source"),
+        size(filter(split(col("text"), " "), w => w =!= ""))
+          .cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("tokens"))
+      .withColumn("k", count(lit(1)).over(all))
+      .withColumn("rk", row_number().over(byName).cast("long"))
+      .withColumn("alloc_tokens",
+        expr(s"$mixBudget div k") +
+          when(col("rk") <= lit(mixBudget) % col("k"), 1L).otherwise(0L))
+      .select(col("source"), col("tokens"), col("alloc_tokens"),
+        expr("alloc_tokens * 10000 div tokens").as("epochs_bp"))
+      .withColumn("over_repeat", (col("epochs_bp") > 40000L).cast("boolean"))
+      .orderBy(col("source"))
+  }
+
+  val mixTokenBudgetSql: String =
+    s"""WITH src AS (
+       |  SELECT source,
+       |    CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+       |      AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1),
+       |a AS (
+       |  SELECT source, tokens,
+       |    CAST($mixBudget // count(*) OVER ()
+       |      + CASE WHEN row_number() OVER (ORDER BY source)
+       |          <= $mixBudget % (count(*) OVER ()) THEN 1 ELSE 0 END
+       |      AS BIGINT) AS alloc_tokens
+       |  FROM src)
+       |SELECT source, tokens, alloc_tokens,
+       |  alloc_tokens * 10000 // tokens AS epochs_bp,
+       |  alloc_tokens * 10000 // tokens > 40000 AS over_repeat
+       |FROM a ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_bootstrap" -> sampleBootstrap,
+    "mix_token_budget" -> mixTokenBudget,
     "sample_strat_neyman" -> sampleStratNeyman,
     "mix_ess" -> mixEss,
     "sample_priority" -> samplePriority,
@@ -1070,6 +1185,8 @@ object Pipeline {
     "sample_temperature" -> sampleTemperature)
 
   val oracle: Map[String, String] = Map(
+    "sample_bootstrap" -> sampleBootstrapSql,
+    "mix_token_budget" -> mixTokenBudgetSql,
     "sample_strat_neyman" -> sampleStratNeymanSql,
     "mix_ess" -> mixEssSql,
     "sample_priority" -> samplePrioritySql,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Operators whose whole point is the 100 TB execution shape:
@@ -1005,7 +1006,68 @@ object ScaleOps {
       |FROM binned b JOIN fills f ON b.bin = f.bin AND b.cap = f.cap
       |ORDER BY b.source, b.lang""".stripMargin
 
+  // ─── profile_freq: top-k frequent values per categorical column ───
+  // profile_table's missing half: not just HOW MANY distincts a
+  // column has but WHICH values dominate — the skew early-warning
+  // (a 95 %-one-value join key salts or dies) and the enum-drift
+  // check. Each profiled column contributes one map-combining
+  // count aggregate (value cardinality = domain-bounded, so every
+  // post-aggregate frame is metadata-sized); the top-5 rank windows
+  // partition BY COLUMN over those bounded frames, never the data.
+  // share_bp exact against the table's row count.
+  def profileFreq(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def freq(df: DataFrame, table: String, cols: Seq[String]): DataFrame =
+      cols.map { c =>
+        df.groupBy(col(c).as("value"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(lit(table).as("table_name"), lit(c).as("column_name"),
+            col("value"), col("cnt"))
+      }.reduce(_ unionByName _)
+    val colFrame = Window.partitionBy(col("table_name"), col("column_name"))
+    val byCol = colFrame.orderBy(col("cnt").desc, col("value"))
+    freq(t.orders, "orders", Seq("o_orderstatus", "o_orderpriority"))
+      .unionByName(freq(t.lineitem, "lineitem",
+        Seq("l_returnflag", "l_linestatus")))
+      // n_rows = the column's count total — lazy, no driver action.
+      .withColumn("n_rows", sum(col("cnt")).over(colFrame))
+      .withColumn("rk", row_number().over(byCol).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("table_name"), col("column_name"), col("value"), col("rk"),
+        col("cnt"), expr("cnt * 10000 div n_rows").as("share_bp"))
+      .orderBy(col("table_name"), col("column_name"), col("rk"))
+  }
+
+  val profileFreqSql: String =
+    """WITH stacked AS (
+      |  SELECT 'orders' AS table_name, 'o_orderstatus' AS column_name,
+      |    o_orderstatus AS value FROM orders
+      |  UNION ALL
+      |  SELECT 'orders', 'o_orderpriority', o_orderpriority FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem', 'l_returnflag', l_returnflag FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem', 'l_linestatus', l_linestatus FROM lineitem),
+      |tot AS (
+      |  SELECT 'orders' AS table_name, count(*) AS n_rows FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem', count(*) FROM lineitem),
+      |counted AS (
+      |  SELECT table_name, column_name, value, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM stacked GROUP BY 1, 2, 3),
+      |ranked AS (
+      |  SELECT table_name, column_name, value, cnt,
+      |    row_number() OVER (PARTITION BY table_name, column_name
+      |      ORDER BY cnt DESC, value) AS rk
+      |  FROM counted)
+      |SELECT r.table_name, r.column_name, r.value, r.rk, r.cnt,
+      |  r.cnt * 10000 // t.n_rows AS share_bp
+      |FROM ranked r JOIN tot t USING (table_name)
+      |WHERE r.rk <= 5
+      |ORDER BY r.table_name, r.column_name, r.rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_freq" -> profileFreq,
     "profile_corr" -> profileCorr,
     "layout_compact" -> layoutCompact,
     "sketch_cms" -> sketchCms,
@@ -1025,6 +1087,7 @@ object ScaleOps {
   /** sketch_stats is deliberately absent: approximate sketches are not
     * cross-engine reproducible (driver does the rows-only check). */
   val oracle: Map[String, String] = Map(
+    "profile_freq" -> profileFreqSql,
     "profile_corr" -> profileCorrSql,
     "layout_compact" -> layoutCompactSql,
     "sketch_cms" -> sketchCmsSql,

@@ -308,8 +308,11 @@ class PlanShapeSpec extends AnyFunSuite {
     //    priority sample, never the corpus;
     //  - sample_strat_neyman: Hamilton remainder rank over the |langs|
     //    frame (the mix_apportion shape).
+    //  - mix_token_budget: Hamilton split rank over the |sources|
+    //    frame (the mix_apportion shape).
     val boundedFrameRanks = Set("mix_apportion", "mix_waterfill",
-      "text_zipf", "sample_priority", "sample_strat_neyman")
+      "text_zipf", "sample_priority", "sample_strat_neyman",
+      "mix_token_budget")
     for ((name, fn) <- graft.SparkEntry.queries if !boundedFrameRanks(name)) {
       val p = plan(fn(spark, dir))
       assert(unpartitionedRankFn.findFirstIn(p).isEmpty,

@@ -917,4 +917,260 @@ class Round12OpsSpec extends AnyFunSuite {
       "dense transition graph collapses to a single SCC")
     assert(rows.forall(_.getLong(2) == nTypes))
   }
+
+  // ─── ev_activity_gini ───
+
+  test("ev_activity_gini: Lorenz curve and Gini match a direct computation") {
+    val rows = Events.evActivityGini(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    // Direct recomputation from the per-user counts (sf0.001 is small).
+    val counts = Tables(spark, dir).events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (u, c) => (c, u) }
+    val n = counts.length.toLong
+    val sX = counts.map(_._2).sum
+    val sRx = counts.zipWithIndex
+      .map { case ((_, c), i) => BigInt(c) * (i + 1) }.sum
+    val expGini = ((2 * sRx - BigInt(n + 1) * sX) * 10000 /
+      (BigInt(n) * sX)).toLong
+    assert(rows.length == 10, "ten decile rows")
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L), "deciles 1..10")
+    assert(rows.map(_.getLong(1)).sum == n, "decile user counts partition users")
+    assert(rows.map(_.getLong(2)).sum == sX, "decile event sums partition events")
+    val cum = rows.map(_.getLong(3))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b },
+      "Lorenz curve monotone")
+    assert(cum.last == 10000L, "curve ends at full share")
+    assert(rows.forall(_.getLong(4) == expGini),
+      s"gini_bp ${rows.head.getLong(4)} != direct $expGini")
+    assert(expGini >= 0 && expGini < 10000)
+  }
+
+  // ─── ev_lift ───
+
+  test("ev_lift: identity vs recomputed marginals, pairs canonical") {
+    val rows = Events.evLift(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val baskets = Tables(spark, dir).events
+      .select(col("user_id"),
+        floor(unix_timestamp(date_trunc("day", col("ts"))) / 86400L).as("day"),
+        col("event_type"))
+      .distinct().collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(2)))
+    val nB = baskets.map(_._1).distinct.length.toLong
+    val marg = baskets.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    rows.foreach { r =>
+      val (a, b, nAb, lift) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+      assert(a < b, "pair keys canonical")
+      assert(nAb <= math.min(marg(a), marg(b)), "pair count bounded by marginals")
+      assert(lift == nAb * nB * 10000L / (marg(a) * marg(b)),
+        s"lift identity broken for ($a,$b)")
+    }
+  }
+
+  // ─── graph_reciprocity ───
+
+  test("graph_reciprocity: exact on a crafted one-way/two-way graph") {
+    // Walk a,b,a,c gives edges a->b, b->a, a->c: a has 2 out-edges of
+    // which 1 reciprocated; b has 1/1; c has no out-edges (no row).
+    import spark.implicits._
+    val now = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(now.getTime + s * 1000L)
+    val ev = Seq("a", "b", "a", "c").zipWithIndex.map { case (t, i) =>
+      (i.toLong, at(i), 1L, t, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-recip").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Graph.graphReciprocity(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(
+      "*ALL*" -> ((3L, 2L, 6666L)),
+      "a" -> ((2L, 1L, 5000L)),
+      "b" -> ((1L, 1L, 10000L))), s"reciprocity mismatch: $out")
+  }
+
+  test("graph_reciprocity: global row consistent with per-node rows") {
+    val rows = Graph.graphReciprocity(spark, dir).collect()
+    val (all, nodes) = rows.partition(_.getString(0) == "*ALL*")
+    assert(all.length == 1)
+    assert(all.head.getLong(1) == nodes.map(_.getLong(1)).sum,
+      "global out-degree = sum of per-node")
+    assert(all.head.getLong(2) == nodes.map(_.getLong(2)).sum,
+      "global reciprocal count = sum of per-node")
+    assert(all.head.getLong(2) % 2 == 0,
+      "reciprocal edges come in pairs")
+    assert(rows.forall(r => r.getLong(3) <= 10000L && r.getLong(3) >= 0L))
+  }
+
+  // ─── ts_bollinger ───
+
+  test("ts_bollinger: constant series never flags, a spike flags exactly once") {
+    import spark.implicits._
+    val now = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(h: Int) = new java.sql.Timestamp(now.getTime + h * 3600000L)
+    // 30 constant hours, then one 100x spike hour.
+    val ev = (0 until 31).map { h =>
+      (h.toLong, at(h), 1L, "load", if (h == 30) 100.0 else 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-boll").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = Events.tsBollinger(spark, tmp).collect()
+    assert(rows.length == 31, "one row per observed hour")
+    val outliers = rows.filter(_.getBoolean(4))
+    assert(outliers.length == 1 && outliers.head.getLong(2) == 10000L,
+      "only the spike hour flags")
+    // Constant-band mean is exact: 100 cents * 100 = 10000.
+    assert(rows.filter(!_.getBoolean(4)).forall(_.getLong(3) == 10000L))
+  }
+
+  test("ts_bollinger: one row per (type, hour), outliers need a warm band") {
+    val rows = Events.tsBollinger(spark, dir).collect()
+    val nHourly = Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 3600L).as("h"))
+      .count().count()
+    assert(rows.length.toLong == nHourly)
+    // Warm-up discipline: the first 7 rows of each type never flag.
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      rs.sortBy(_.getLong(0)).take(7).foreach(r => assert(!r.getBoolean(4)))
+    }
+  }
+
+  // ─── profile_freq ───
+
+  test("profile_freq: ranks contiguous, shares exact, domains fully covered") {
+    val rows = ScaleOps.profileFreq(spark, dir).collect()
+    val li = Tables(spark, dir).lineitem.count()
+    val ord = Tables(spark, dir).orders.count()
+    val byCol = rows.groupBy(r => (r.getString(0), r.getString(1)))
+    assert(byCol.keySet == Set(
+      ("orders", "o_orderstatus"), ("orders", "o_orderpriority"),
+      ("lineitem", "l_returnflag"), ("lineitem", "l_linestatus")))
+    byCol.foreach { case ((table, _), rs) =>
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to rs.length))
+      val cnts = sorted.map(_.getLong(4))
+      assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+        "counts non-increasing down the ranks")
+      val n = if (table == "orders") ord else li
+      // All four profiled domains have <= 5 values, so the top-5
+      // rows partition the table exactly.
+      assert(cnts.sum == n, "top-5 covers the whole domain here")
+      sorted.foreach(r => assert(r.getLong(5) == r.getLong(4) * 10000L / n))
+    }
+  }
+
+  // ─── cdc_delete_vector ───
+
+  test("cdc_delete_vector: files partition the table, actions match thresholds") {
+    val rows = Cdc.cdcDeleteVector(spark, dir).collect()
+    val li = Tables(spark, dir).lineitem.count()
+    assert(rows.map(_.getLong(1)).sum == li, "files partition the rows")
+    rows.foreach { r =>
+      val (nRows, nDel, liveBp, action) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      assert(nDel <= nRows)
+      assert(liveBp == (nRows - nDel) * 10000L / nRows)
+      val expected =
+        if (nDel * 10 > nRows * 3) "rewrite"
+        else if (nDel > 0) "keep-dv" else "none"
+      assert(action == expected)
+    }
+    assert(rows.exists(_.getString(4) == "rewrite") ||
+      rows.exists(_.getString(4) == "keep-dv"),
+      "returned lines exist at every SF, so deletes must appear")
+  }
+
+  // ─── mm_tile_plan ───
+
+  test("mm_tile_plan: tiles exactly partition every image's pixel grid") {
+    val rows = Multimodal.mmTilePlan(spark, dir).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    val nDocs = Tables(spark, dir).documents.count()
+    assert(byDoc.size.toLong == nDocs, "every image gets a plan")
+    byDoc.foreach { case (_, ts) =>
+      val (w, h, n) = (ts.head.getLong(1), ts.head.getLong(2), ts.head.getLong(3))
+      assert(ts.length.toLong == n, "n_tiles rows per image")
+      val area = ts.map(r => (r.getLong(8) - r.getLong(6)) *
+        (r.getLong(9) - r.getLong(7))).sum
+      assert(area == w * h, "tile areas sum to the image area")
+      ts.foreach { r =>
+        assert(r.getLong(6) >= 0 && r.getLong(6) < r.getLong(8) &&
+          r.getLong(8) <= w, "x bounds ordered and clipped")
+        assert(r.getLong(7) >= 0 && r.getLong(7) < r.getLong(9) &&
+          r.getLong(9) <= h, "y bounds ordered and clipped")
+      }
+      // Tile ids are dense over the grid.
+      assert(ts.map(r => (r.getLong(5), r.getLong(4))).toSet.size == ts.length)
+    }
+  }
+
+  // ─── ev_srm / ev_session_hist / sample_bootstrap ───
+
+  test("ev_srm: chi-square identity over the exact unit split") {
+    val r = Events.evSrm(spark, dir).collect()
+    assert(r.length == 1)
+    val (nA, nB, chi2, srm) =
+      (r.head.getLong(0), r.head.getLong(1), r.head.getLong(2), r.head.getBoolean(3))
+    val users = Tables(spark, dir).events
+      .select(col("user_id")).distinct().count()
+    assert(nA + nB == users, "split partitions the units")
+    assert(chi2 == (nA - nB) * (nA - nB) * 100 / (nA + nB))
+    assert(srm == (chi2 > 384L))
+    assert(!srm, "a healthy md5 hash split must not trip the guardrail")
+  }
+
+  test("ev_session_hist: exactly the histogram of ev_sessionize's lengths") {
+    val hist = Events.evSessionHist(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val lens = Events.evSessionize(spark, dir).collect().map(_.getLong(4))
+    val expect = lens.groupBy(n => 63 - java.lang.Long.numberOfLeadingZeros(n))
+      .map { case (b, xs) => b.toLong -> ((xs.length.toLong, xs.sum)) }
+    assert(hist.keySet == expect.keySet)
+    expect.foreach { case (b, (n, s)) =>
+      assert(hist(b)._1 == n && hist(b)._2 == s, s"bin $b mismatch")
+      assert(hist(b)._3 == n * 10000L / lens.length)
+    }
+  }
+
+  test("sample_bootstrap: 32 replicates, draws near n, means bounded") {
+    val rows = Pipeline.sampleBootstrap(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq.sorted == (0L until 32L))
+    val purch = Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .select(floor(col("value") * 100 + 0.5).cast("long")).collect()
+      .map(_.getLong(0))
+    val n = purch.length.toLong
+    rows.foreach { r =>
+      // Poisson(1) resample size concentrates at n (sd = sqrt(n)).
+      assert(math.abs(r.getLong(1) - n) < 6 * math.sqrt(n.toDouble) + 10,
+        s"replicate ${r.getLong(0)}: n_draws ${r.getLong(1)} vs $n")
+      assert(r.getLong(2) >= purch.min * 100 && r.getLong(2) <= purch.max * 100,
+        "replicate mean inside the support")
+    }
+    // The replicate spread is the SE of the mean — it must be small
+    // relative to the mean itself on thousands of draws.
+    val means = rows.map(_.getLong(2))
+    assert((means.max - means.min).toDouble / means.max < 0.2)
+  }
+
+  // ─── mix_token_budget ───
+
+  test("mix_token_budget: equal Hamilton split, exact epoch accounting") {
+    val rows = Pipeline.mixTokenBudget(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val allocs = rows.map(_.getLong(2))
+    assert(allocs.sum == 1000000L, "allocation exhausts the budget exactly")
+    assert(allocs.max - allocs.min <= 1L, "equal split up to Hamilton remainder")
+    rows.foreach { r =>
+      val (tokens, alloc, epochs, over) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert(tokens > 0)
+      assert(epochs == alloc * 10000L / tokens, "epoch identity")
+      assert(over == (epochs > 40000L), "over_repeat flags >4 epochs")
+    }
+  }
 }
