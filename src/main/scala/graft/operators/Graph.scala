@@ -1289,6 +1289,82 @@ object Graph {
       |LEFT JOIN outdeg o USING (scc_id)
       |ORDER BY s.scc_id""".stripMargin
 
+  // ─── graph_closeness: out-closeness centrality, exact distances ───
+  // Which behavior reaches the rest of the taxonomy fastest? Exact
+  // single-source shortest-path distances on the directed transition
+  // graph via min-plus relaxation to a Graph.iterate fixpoint —
+  // distance frame ≤ |V|² pairs (the graph_scc closure posture:
+  // metadata-scale node set on a corpus-scale edge derivation), one
+  // relaxation join + min-aggregate per round, per-round blocks
+  // released. Self-pairs enter at d=0 so cycles can never masquerade
+  // as self-distance; the readout keeps d>0 only. closeness_bp =
+  // n_reach·10⁴ div Σd (the Sabidussi inverse-farness, ×10⁴), 0 for
+  // sinks that reach nobody.
+  def graphCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = graft.Tables(spark, dir).events
+    val edges = ev
+      .withColumn("f", lag(col("event_type"), 1).over(w))
+      .filter(col("f").isNotNull && col("f") =!= col("event_type"))
+      .select(col("f"), col("event_type").as("t")).distinct()
+      .localCheckpoint(eager = false)
+    val nodes = ev.select(col("event_type").as("v")).distinct()
+      .localCheckpoint(eager = false)
+    val init = nodes.select(col("v").as("src"), col("v").as("dst"), lit(0L).as("d"))
+      .union(edges.select(col("f").as("src"), col("t").as("dst"), lit(1L).as("d")))
+      .groupBy(col("src"), col("dst")).agg(min(col("d")).as("d"))
+    val dist = iterate(init, 32, "graph_closeness") { cur =>
+      cur.union(
+        cur.join(edges, cur("dst") === edges("f"))
+          .select(cur("src"), edges("t").as("dst"), (cur("d") + 1L).as("d")))
+        .groupBy(col("src"), col("dst")).agg(min(col("d")).as("d"))
+    } { df =>
+      df.agg(count(lit(1)), sum(col("d"))).head.toSeq
+    }
+    val reach = dist.filter(col("d") > 0)
+      .groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("n_reach"), sum(col("d")).as("sum_d"))
+    nodes.join(reach, Seq("v"), "left")
+      .select(col("v").as("node"),
+        coalesce(col("n_reach"), lit(0L)).as("n_reach"),
+        coalesce(col("sum_d"), lit(0L)).as("sum_d"))
+      .withColumn("closeness_bp",
+        when(col("sum_d") > 0, expr("n_reach * 10000 div sum_d"))
+          .otherwise(lit(0L)))
+      .orderBy(col("node"))
+  }
+
+  val graphClosenessSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT f, t FROM (
+      |    SELECT lag(event_type) OVER (
+      |        PARTITION BY user_id ORDER BY ts, event_id) AS f,
+      |      event_type AS t
+      |    FROM events)
+      |  WHERE f IS NOT NULL AND f <> t),
+      |nodes AS (SELECT DISTINCT event_type AS v FROM events),
+      |nv AS (SELECT count(*) AS n FROM nodes),
+      |paths(src, dst, d) AS (
+      |  SELECT f, t, CAST(1 AS BIGINT) FROM e
+      |  UNION
+      |  SELECT p.src, e.t, p.d + 1
+      |  FROM paths p JOIN e ON p.dst = e.f, nv
+      |  WHERE p.d + 1 < nv.n),
+      |dist AS (
+      |  SELECT src, dst, min(d) AS d FROM paths
+      |  WHERE src <> dst GROUP BY src, dst),
+      |reach AS (
+      |  SELECT src AS v, CAST(count(*) AS BIGINT) AS n_reach,
+      |    CAST(sum(d) AS BIGINT) AS sum_d
+      |  FROM dist GROUP BY src)
+      |SELECT n.v AS node,
+      |  coalesce(r.n_reach, 0) AS n_reach,
+      |  coalesce(r.sum_d, 0) AS sum_d,
+      |  CASE WHEN coalesce(r.sum_d, 0) > 0
+      |    THEN r.n_reach * 10000 // r.sum_d ELSE 0 END AS closeness_bp
+      |FROM nodes n LEFT JOIN reach r USING (v)
+      |ORDER BY node""".stripMargin
+
   // ─── graph_reciprocity: two-way rate of the transition graph ───
   // For each behavior, how many of its out-transitions also flow
   // back (a↔b loops = browse cycles; one-way edges = funnel stages)?
@@ -1351,6 +1427,7 @@ object Graph {
       |ORDER BY node""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_closeness" -> graphCloseness,
     "graph_reciprocity" -> graphReciprocity,
     "graph_walk" -> graphWalk,
     "graph_condense" -> graphCondense,
@@ -1371,6 +1448,7 @@ object Graph {
     "graph_pagerank" -> graphPagerank)
 
   val oracle: Map[String, String] = Map(
+    "graph_closeness" -> graphClosenessSql,
     "graph_reciprocity" -> graphReciprocitySql,
     "graph_walk" -> graphWalkSql,
     "graph_condense" -> graphCondenseSql,

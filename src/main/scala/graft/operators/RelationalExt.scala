@@ -697,7 +697,78 @@ object RelationalExt {
       |FROM m JOIN m2 USING (c_mktsegment) JOIN o USING (c_mktsegment)
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ─── q38_asof_nearest: nearest-match asof join (both directions) ───
+  // The asof variant q16 can't express: the reference click for a
+  // purchase is the temporally NEAREST one, before OR after (sensor
+  // alignment, attribution windows symmetric around the act). Still
+  // ONE user-keyed shuffle feeding two bounded window carries over
+  // the same partitioning (backward max + forward min of click
+  // times); the winner is picked by exact gap comparison, backward
+  // on ties (the classic asof bias). No self-join, no range
+  // explosion — the 100 TB shape is identical to q16's.
+  def q38AsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .filter(col("event_type").isin("click", "purchase"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val back = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = byUser.rowsBetween(1, Window.unboundedFollowing)
+    val clickTs = when(col("event_type") === "click", col("ts"))
+    ev.withColumn("prev_click", epochS(max(clickTs).over(back)))
+      .withColumn("next_click", epochS(min(clickTs).over(fwd)))
+      .filter(col("event_type") === "purchase")
+      .withColumn("e", epochS(col("ts")))
+      .withColumn("gap_back", col("e") - col("prev_click"))
+      .withColumn("gap_fwd", col("next_click") - col("e"))
+      .select(col("event_id"), col("user_id"), col("e").as("purchase_epoch"),
+        when(col("gap_back").isNotNull &&
+            (col("gap_fwd").isNull || col("gap_back") <= col("gap_fwd")),
+            col("prev_click"))
+          .otherwise(col("next_click")).as("near_click_epoch"),
+        when(col("gap_back").isNotNull &&
+            (col("gap_fwd").isNull || col("gap_back") <= col("gap_fwd")),
+            col("gap_back"))
+          .otherwise(col("gap_fwd")).as("gap_s"),
+        when(col("gap_back").isNull && col("gap_fwd").isNull, lit("none"))
+          .when(col("gap_fwd").isNull || (col("gap_back").isNotNull &&
+            col("gap_back") <= col("gap_fwd")), lit("backward"))
+          .otherwise(lit("forward")).as("direction"))
+      .orderBy(col("event_id"))
+  }
+
+  val q38Sql: String =
+    """WITH w AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS e,
+      |    CAST(floor(epoch(max(CASE WHEN event_type = 'click' THEN ts END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)))
+      |      AS BIGINT) AS prev_click,
+      |    CAST(floor(epoch(min(CASE WHEN event_type = 'click' THEN ts END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)))
+      |      AS BIGINT) AS next_click
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |p AS (
+      |  SELECT event_id, user_id, e AS purchase_epoch,
+      |    e - prev_click AS gap_back, next_click - e AS gap_fwd,
+      |    prev_click, next_click
+      |  FROM w WHERE event_type = 'purchase')
+      |SELECT event_id, user_id, purchase_epoch,
+      |  CASE WHEN gap_back IS NOT NULL
+      |      AND (gap_fwd IS NULL OR gap_back <= gap_fwd)
+      |    THEN prev_click ELSE next_click END AS near_click_epoch,
+      |  CASE WHEN gap_back IS NOT NULL
+      |      AND (gap_fwd IS NULL OR gap_back <= gap_fwd)
+      |    THEN gap_back ELSE gap_fwd END AS gap_s,
+      |  CASE WHEN gap_back IS NULL AND gap_fwd IS NULL THEN 'none'
+      |    WHEN gap_fwd IS NULL OR (gap_back IS NOT NULL
+      |      AND gap_back <= gap_fwd) THEN 'backward'
+      |    ELSE 'forward' END AS direction
+      |FROM p ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_asof_nearest" -> q38AsofNearest,
     "q37_mad" -> q37Mad,
     "q36_decile_lift" -> q36DecileLift,
     "q35_corr" -> q35Corr,
@@ -719,6 +790,7 @@ object RelationalExt {
     "q26_unpivot" -> q26Unpivot)
 
   val oracle: Map[String, String] = Map(
+    "q38_asof_nearest" -> q38Sql,
     "q37_mad" -> q37Sql,
     "q36_decile_lift" -> q36DecileLiftSql,
     "q35_corr" -> q35Sql,

@@ -1108,6 +1108,75 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ─── graph_closeness ───
+
+  test("graph_closeness: exact on a crafted path graph") {
+    import spark.implicits._
+    val now = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(now.getTime + s * 1000L)
+    val ev = Seq("a", "b", "c").zipWithIndex.map { case (t, i) =>
+      (i.toLong, at(i), 1L, t, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-close").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Graph.graphCloseness(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(
+      "a" -> ((2L, 3L, 6666L)),  // d(a,b)=1, d(a,c)=2
+      "b" -> ((1L, 1L, 10000L)),
+      "c" -> ((0L, 0L, 0L))), s"closeness mismatch: $out")
+  }
+
+  test("graph_closeness: the sf transition graph reaches everywhere") {
+    val rows = Graph.graphCloseness(spark, dir).collect()
+    val n = rows.length.toLong
+    // graph_scc proves the sf type graph is one SCC, so every node
+    // reaches all n-1 others and sum_d >= n-1.
+    rows.foreach { r =>
+      assert(r.getLong(1) == n - 1, s"${r.getString(0)}: partial reach")
+      assert(r.getLong(2) >= n - 1)
+      assert(r.getLong(3) == r.getLong(1) * 10000L / r.getLong(2))
+    }
+  }
+
+  // ─── q38_asof_nearest ───
+
+  test("q38_asof_nearest: agrees with a direct per-user recomputation") {
+    val rows = RelationalExt.q38AsofNearest(spark, dir).collect()
+    val ev = Tables(spark, dir).events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("e"), col("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getTimestamp(4)))
+    val byUser = ev.groupBy(_._1)
+    val expect = byUser.values.flatMap { es =>
+      val sorted = es.sortBy(x => (x._5.getTime, x._2))
+      sorted.zipWithIndex.collect { case ((u, id, "purchase", e, _), i) =>
+        val back = sorted.take(i).filter(_._3 == "click").map(_._4).lastOption
+        val fwd = sorted.drop(i + 1).filter(_._3 == "click").map(_._4).headOption
+        val (near, gap, dirn) = (back, fwd) match {
+          case (None, None) => (null, null, "none")
+          case (Some(b), None) => (b: Any, (e - b): Any, "backward")
+          case (None, Some(f)) => (f: Any, (f - e): Any, "forward")
+          case (Some(b), Some(f)) =>
+            if (e - b <= f - e) (b: Any, (e - b): Any, "backward")
+            else (f: Any, (f - e): Any, "forward")
+        }
+        id -> ((near, gap, dirn))
+      }
+    }.toMap
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val got = (if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4), r.getString(5))
+      assert(got == expect(id), s"purchase $id: $got vs ${expect(id)}")
+    }
+  }
+
   // ─── ev_srm / ev_session_hist / sample_bootstrap ───
 
   test("ev_srm: chi-square identity over the exact unit split") {
