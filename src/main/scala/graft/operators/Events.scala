@@ -2587,6 +2587,80 @@ object Events {
       |    // (g.n * g.s_x) AS BIGINT) AS gini_bp
       |FROM d CROSS JOIN g ORDER BY decile""".stripMargin
 
+  // ─── ev_conversion_window: signup→purchase conversion by window ───
+  // The growth-funnel readout product teams quote: of the users who
+  // signed up, what share converted within 1 h / 24 h / 7 d? Per
+  // user: first signup (one user-partitioned window min, the
+  // ev_funnel_time discipline — never a per-user collect_list, whose
+  // state grows with power-user activity), first purchase strictly
+  // after it (filter + min on the SAME user partitioning, so the
+  // second aggregate reuses the exchange), then the per-user lag row
+  // fans out to the 3 window thresholds (constant ×3 explode of the
+  // already-per-user frame) and rolls up to 3 rows. Users whose
+  // first purchase precedes their signup count as signups, not
+  // conversions — the funnel is ordered.
+  private val convWindows = Seq(3600L, 86400L, 604800L)
+
+  def evConversionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val ev = Tables(spark, dir).events
+      .filter(col("event_type").isin("signup", "purchase"))
+      .withColumn("signup_e",
+        min(when(col("event_type") === "signup", epochS(col("ts")))).over(byUser))
+      .filter(col("signup_e").isNotNull)
+    val firstP = ev
+      .filter(col("event_type") === "purchase" &&
+        epochS(col("ts")) > col("signup_e"))
+      .groupBy(col("user_id"))
+      .agg(min(epochS(col("ts"))).as("first_purch_e"))
+    val perUser = ev.select(col("user_id"), col("signup_e")).distinct()
+      .join(firstP, Seq("user_id"), "left")
+    perUser
+      .withColumn("window_s",
+        explode(lit(convWindows.toArray)))
+      .groupBy(col("window_s"))
+      .agg(count(lit(1)).as("n_signups"),
+        sum(when(col("first_purch_e").isNotNull &&
+          col("first_purch_e") - col("signup_e") <= col("window_s"), 1L)
+          .otherwise(0L)).as("n_converted"))
+      .select(col("window_s"), col("n_signups"), col("n_converted"),
+        expr("n_converted * 10000 div n_signups").as("conv_bp"))
+      .orderBy(col("window_s"))
+  }
+
+  val evConversionWindowSql: String = {
+    val windows = convWindows.mkString(", ")
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+      |    min(CASE WHEN event_type = 'signup'
+      |      THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+      |      OVER (PARTITION BY user_id) AS signup_e
+      |  FROM events WHERE event_type IN ('signup', 'purchase')),
+      |s AS (
+      |  SELECT DISTINCT user_id, signup_e FROM e WHERE signup_e IS NOT NULL),
+      |fp AS (
+      |  SELECT user_id, min(ep) AS first_purch_e
+      |  FROM e
+      |  WHERE event_type = 'purchase' AND signup_e IS NOT NULL
+      |    AND ep > signup_e
+      |  GROUP BY user_id),
+      |lagged AS (
+      |  SELECT s.user_id, s.signup_e, fp.first_purch_e
+      |  FROM s LEFT JOIN fp USING (user_id)),
+      |x AS (
+      |  SELECT *, unnest([WINDOWS]) AS window_s FROM lagged)
+      |SELECT CAST(window_s AS BIGINT) AS window_s,
+      |  CAST(count(*) AS BIGINT) AS n_signups,
+      |  CAST(sum(CASE WHEN first_purch_e IS NOT NULL
+      |    AND first_purch_e - signup_e <= window_s THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_converted,
+      |  CAST(sum(CASE WHEN first_purch_e IS NOT NULL
+      |    AND first_purch_e - signup_e <= window_s THEN 1 ELSE 0 END)
+      |    AS BIGINT) * 10000 // count(*) AS conv_bp
+      |FROM x GROUP BY window_s ORDER BY window_s""".stripMargin
+      .replace("WINDOWS", windows)
+  }
+
   // ─── ev_srm: sample-ratio-mismatch guardrail for the A/B split ───
   // The first thing a trustworthy experiment platform checks before
   // reading ANY metric: does the observed unit split match the
@@ -2779,6 +2853,7 @@ object Events {
     "ts_bollinger" -> tsBollinger,
     "ev_srm" -> evSrm,
     "ev_session_hist" -> evSessionHist,
+    "ev_conversion_window" -> evConversionWindow,
     "ev_survival" -> evSurvival,
     "ev_funnel_time" -> evFunnelTime,
     "ev_did" -> evDid,
@@ -2831,6 +2906,7 @@ object Events {
     "ts_bollinger" -> tsBollingerSql,
     "ev_srm" -> evSrmSql,
     "ev_session_hist" -> evSessionHistSql,
+    "ev_conversion_window" -> evConversionWindowSql,
     "ev_survival" -> evSurvivalSql,
     "ev_funnel_time" -> evFunnelTimeSql,
     "ev_did" -> evDidSql,

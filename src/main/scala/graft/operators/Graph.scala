@@ -1300,7 +1300,12 @@ object Graph {
   // as self-distance; the readout keeps d>0 only. closeness_bp =
   // n_reach·10⁴ div Σd (the Sabidussi inverse-farness, ×10⁴), 0 for
   // sinks that reach nobody.
-  def graphCloseness(spark: SparkSession, dir: String): DataFrame = {
+  /** Nodes + exact positive shortest-path pairs (src, dst, d) of the
+    * transition graph — the shared frame under graph_closeness and
+    * graph_eccentricity. Self-pairs enter relaxation at d=0 (cycles
+    * can't masquerade as self-distance) and are dropped on return. */
+  private def transitionDistances(
+      spark: SparkSession, dir: String, opName: String): (DataFrame, DataFrame) = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val ev = graft.Tables(spark, dir).events
     val edges = ev
@@ -1313,7 +1318,7 @@ object Graph {
     val init = nodes.select(col("v").as("src"), col("v").as("dst"), lit(0L).as("d"))
       .union(edges.select(col("f").as("src"), col("t").as("dst"), lit(1L).as("d")))
       .groupBy(col("src"), col("dst")).agg(min(col("d")).as("d"))
-    val dist = iterate(init, 32, "graph_closeness") { cur =>
+    val dist = iterate(init, 32, opName) { cur =>
       cur.union(
         cur.join(edges, cur("dst") === edges("f"))
           .select(cur("src"), edges("t").as("dst"), (cur("d") + 1L).as("d")))
@@ -1321,7 +1326,12 @@ object Graph {
     } { df =>
       df.agg(count(lit(1)), sum(col("d"))).head.toSeq
     }
-    val reach = dist.filter(col("d") > 0)
+    (nodes, dist.filter(col("d") > 0))
+  }
+
+  def graphCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, dist) = transitionDistances(spark, dir, "graph_closeness")
+    val reach = dist
       .groupBy(col("src").as("v"))
       .agg(count(lit(1)).as("n_reach"), sum(col("d")).as("sum_d"))
     nodes.join(reach, Seq("v"), "left")
@@ -1364,6 +1374,69 @@ object Graph {
       |    THEN r.n_reach * 10000 // r.sum_d ELSE 0 END AS closeness_bp
       |FROM nodes n LEFT JOIN reach r USING (v)
       |ORDER BY node""".stripMargin
+
+  // ─── graph_eccentricity: per-node eccentricity, radius, diameter ───
+  // The other shape readout off the SAME distance frame as
+  // graph_closeness: a node's eccentricity is its farthest shortest
+  // path; the graph's radius/diameter are the min/max eccentricity
+  // among reaching nodes; center/periphery flags mark which
+  // behaviors sit at the taxonomy's core vs its rim. Everything
+  // after the relaxation runs on the ≤‖V‖ node frame.
+  def graphEccentricity(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, dist) = transitionDistances(spark, dir, "graph_eccentricity")
+    val all = Window.partitionBy(lit(1))
+    val ecc = dist.groupBy(col("src").as("v"))
+      .agg(max(col("d")).as("ecc"), count(lit(1)).as("n_reach"))
+    nodes.join(ecc, Seq("v"), "left")
+      .select(col("v").as("node"),
+        coalesce(col("ecc"), lit(0L)).as("ecc"),
+        coalesce(col("n_reach"), lit(0L)).as("n_reach"))
+      .withColumn("radius",
+        min(when(col("n_reach") > 0, col("ecc"))).over(all))
+      .withColumn("diameter", max(col("ecc")).over(all))
+      .select(col("node"), col("ecc"), col("n_reach"),
+        col("radius"), col("diameter"),
+        (col("n_reach") > 0 && col("ecc") === col("radius")).as("is_center"),
+        (col("n_reach") > 0 && col("ecc") === col("diameter")).as("is_periphery"))
+      .orderBy(col("node"))
+  }
+
+  val graphEccentricitySql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT f, t FROM (
+      |    SELECT lag(event_type) OVER (
+      |        PARTITION BY user_id ORDER BY ts, event_id) AS f,
+      |      event_type AS t
+      |    FROM events)
+      |  WHERE f IS NOT NULL AND f <> t),
+      |nodes AS (SELECT DISTINCT event_type AS v FROM events),
+      |nv AS (SELECT count(*) AS n FROM nodes),
+      |paths(src, dst, d) AS (
+      |  SELECT f, t, CAST(1 AS BIGINT) FROM e
+      |  UNION
+      |  SELECT p.src, e.t, p.d + 1
+      |  FROM paths p JOIN e ON p.dst = e.f, nv
+      |  WHERE p.d + 1 < nv.n),
+      |dist AS (
+      |  SELECT src, dst, min(d) AS d FROM paths
+      |  WHERE src <> dst GROUP BY src, dst),
+      |ec AS (
+      |  SELECT src AS v, CAST(max(d) AS BIGINT) AS ecc,
+      |    CAST(count(*) AS BIGINT) AS n_reach
+      |  FROM dist GROUP BY src),
+      |j AS (
+      |  SELECT n.v AS node, coalesce(ec.ecc, 0) AS ecc,
+      |    coalesce(ec.n_reach, 0) AS n_reach
+      |  FROM nodes n LEFT JOIN ec ON ec.v = n.v),
+      |g AS (
+      |  SELECT *,
+      |    min(CASE WHEN n_reach > 0 THEN ecc END) OVER () AS radius,
+      |    max(ecc) OVER () AS diameter
+      |  FROM j)
+      |SELECT node, ecc, n_reach, radius, diameter,
+      |  n_reach > 0 AND ecc = radius AS is_center,
+      |  n_reach > 0 AND ecc = diameter AS is_periphery
+      |FROM g ORDER BY node""".stripMargin
 
   // ─── graph_reciprocity: two-way rate of the transition graph ───
   // For each behavior, how many of its out-transitions also flow
@@ -1428,6 +1501,7 @@ object Graph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_closeness" -> graphCloseness,
+    "graph_eccentricity" -> graphEccentricity,
     "graph_reciprocity" -> graphReciprocity,
     "graph_walk" -> graphWalk,
     "graph_condense" -> graphCondense,
@@ -1449,6 +1523,7 @@ object Graph {
 
   val oracle: Map[String, String] = Map(
     "graph_closeness" -> graphClosenessSql,
+    "graph_eccentricity" -> graphEccentricitySql,
     "graph_reciprocity" -> graphReciprocitySql,
     "graph_walk" -> graphWalkSql,
     "graph_condense" -> graphCondenseSql,

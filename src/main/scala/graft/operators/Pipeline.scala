@@ -1046,6 +1046,90 @@ object Pipeline {
       |  n_common * 10000 // (n_typesa + n_typesb - n_common) AS vocab_jacc_bp
       |FROM p ORDER BY src_a, src_b""".stripMargin
 
+  // ─── mix_anneal: phased mixture annealing schedule ───
+  // The curriculum the big pretrains actually run: start at the
+  // corpus's NATURAL source mix and anneal linearly to UNIFORM over
+  // P+1 phases (up-weighting scarce high-value sources late, the
+  // data-mixing analogue of LR decay). Per (phase, source):
+  // weight = ((P−p)·natural + p·uniform)/P held as the exact integer
+  // fraction w_num/w_den (nat = tokens/total, uni = 1/k — common
+  // denominator total·k·P), then each phase's equal budget slice is
+  // Hamilton-rounded per source so every phase exhausts its slice
+  // EXACTLY. All frames after the one corpus rollup are |sources|- or
+  // |phases×sources|-bounded; the remainder rank partitions by phase.
+  private val annealPhases = 4 // interpolation steps; phases 0..4
+
+  def mixAnneal(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    val byPhase = Window.partitionBy(col("phase"))
+    val byRem = byPhase.orderBy(col("rem").desc, col("source"))
+    val perPhase = mixBudget / (annealPhases + 1)
+    Tables(spark, dir).documents
+      .select(col("source"),
+        size(filter(split(col("text"), " "), w => w =!= ""))
+          .cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("tokens"))
+      .withColumn("total", sum(col("tokens")).over(all))
+      .withColumn("k", count(lit(1)).over(all))
+      .withColumn("phase", explode(sequence(lit(0L), lit(annealPhases.toLong))))
+      // w = ((P-p)·tokens·k + p·total) / (total·k·P), exact integers.
+      .withColumn("w_num",
+        (lit(annealPhases.toLong) - col("phase")) * col("tokens") * col("k")
+          + col("phase") * col("total"))
+      .withColumn("w_den", col("total") * col("k") * annealPhases.toLong)
+      .withColumn("base", expr(s"$perPhase * w_num div w_den"))
+      .withColumn("rem", expr(s"$perPhase * w_num % w_den"))
+      .withColumn("leftover",
+        lit(perPhase) - sum(col("base")).over(byPhase))
+      .withColumn("rk", row_number().over(byRem).cast("long"))
+      .select(col("phase"), col("source"),
+        expr("w_num * 10000 div w_den").as("weight_bp"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+      .orderBy(col("phase"), col("source"))
+  }
+
+  val mixAnnealSql: String = {
+    val p = annealPhases
+    val perPhase = mixBudget / (p + 1)
+    s"""WITH src AS (
+       |  SELECT source,
+       |    CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+       |      AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1),
+       |g AS (
+       |  SELECT source, tokens,
+       |    sum(tokens) OVER () AS total, count(*) OVER () AS k
+       |  FROM src),
+       |ph AS (
+       |  SELECT source, tokens, total, k,
+       |    unnest(range(0, ${p + 1})) AS phase
+       |  FROM g),
+       |w AS (
+       |  SELECT phase, source,
+       |    CAST(($p - phase) * tokens * k + phase * total AS BIGINT) AS w_num,
+       |    CAST(total * k * $p AS BIGINT) AS w_den
+       |  FROM ph),
+       |b AS (
+       |  SELECT phase, source, w_num, w_den,
+       |    CAST($perPhase * w_num // w_den AS BIGINT) AS base,
+       |    CAST($perPhase * w_num % w_den AS BIGINT) AS rem
+       |  FROM w),
+       |r AS (
+       |  SELECT *,
+       |    CAST($perPhase - sum(base) OVER (PARTITION BY phase) AS BIGINT)
+       |      AS leftover,
+       |    row_number() OVER (PARTITION BY phase ORDER BY rem DESC, source)
+       |      AS rk
+       |  FROM b)
+       |SELECT phase, source,
+       |  CAST(w_num * 10000 // w_den AS BIGINT) AS weight_bp,
+       |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+       |    AS alloc_tokens
+       |FROM r ORDER BY phase, source""".stripMargin
+  }
+
   // ─── sample_bootstrap: deterministic Poisson(1) bootstrap ───
   // The map-reduce bootstrap (resampling-with-replacement does not
   // distribute; per-row Poisson(1) weights do — Chamandy et al.,
@@ -1160,6 +1244,7 @@ object Pipeline {
        |FROM a ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_anneal" -> mixAnneal,
     "sample_bootstrap" -> sampleBootstrap,
     "mix_token_budget" -> mixTokenBudget,
     "sample_strat_neyman" -> sampleStratNeyman,
@@ -1185,6 +1270,7 @@ object Pipeline {
     "sample_temperature" -> sampleTemperature)
 
   val oracle: Map[String, String] = Map(
+    "mix_anneal" -> mixAnnealSql,
     "sample_bootstrap" -> sampleBootstrapSql,
     "mix_token_budget" -> mixTokenBudgetSql,
     "sample_strat_neyman" -> sampleStratNeymanSql,

@@ -1108,6 +1108,106 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ─── mix_anneal ───
+
+  test("mix_anneal: natural->uniform interpolation, each phase exhausts its slice") {
+    val rows = Pipeline.mixAnneal(spark, dir).collect()
+    val byPhase = rows.groupBy(_.getLong(0))
+    assert(byPhase.keySet == (0L to 4L).toSet)
+    byPhase.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(3)).sum == 200000L,
+        "phase allocation exhausts the 200k slice exactly")
+    }
+    // Phase 4 is the uniform mix; phase 0 is the natural (token-share) mix.
+    val k = byPhase(0L).length
+    byPhase(4L).foreach { r =>
+      assert(r.getLong(2) == 10000L / k, "final phase is the uniform mix")
+    }
+    val toks = Tables(spark, dir).documents
+      .select(col("source"), size(filter(split(col("text"), " "),
+        w => w =!= "")).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("tokens"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = toks.values.sum
+    byPhase(0L).foreach { r =>
+      assert(r.getLong(2) == toks(r.getString(1)) * 10000L / total,
+        "first phase is the natural mix")
+    }
+    // Interpolation is monotone per source between its endpoints.
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val ws = rs.sortBy(_.getLong(0)).map(_.getLong(2))
+      val dir0 = (ws.last - ws.head).sign
+      ws.zip(ws.tail).foreach { case (a, b) =>
+        assert((b - a).sign == dir0 || b == a, "weights drift monotonically")
+      }
+    }
+  }
+
+  // ─── ev_conversion_window ───
+
+  test("ev_conversion_window: agrees with a direct recomputation") {
+    val rows = Events.evConversionWindow(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val ev = Tables(spark, dir).events
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perUser = ev.groupBy(_._1).flatMap { case (_, es) =>
+      val signup = es.filter(_._2 == "signup").map(_._3).minOption
+      signup.map { s =>
+        (s, es.filter(x => x._2 == "purchase" && x._3 > s).map(_._3).minOption)
+      }
+    }.toSeq
+    assert(rows.keySet == Set(3600L, 86400L, 604800L))
+    rows.foreach { case (w, (nS, nC, bp)) =>
+      assert(nS == perUser.length.toLong)
+      val expC = perUser.count { case (s, fp) => fp.exists(_ - s <= w) }.toLong
+      assert(nC == expC, s"window $w: $nC vs $expC")
+      assert(bp == nC * 10000L / nS)
+    }
+    // Monotone in the window width.
+    assert(rows(3600L)._2 <= rows(86400L)._2 &&
+      rows(86400L)._2 <= rows(604800L)._2)
+  }
+
+  // ─── graph_eccentricity ───
+
+  test("graph_eccentricity: exact on a crafted path graph") {
+    import spark.implicits._
+    val now = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(now.getTime + s * 1000L)
+    val ev = Seq("a", "b", "c").zipWithIndex.map { case (t, i) =>
+      (i.toLong, at(i), 1L, t, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ecc").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Graph.graphEccentricity(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5), r.getBoolean(6)))).toMap
+    assert(out == Map(
+      "a" -> ((2L, 2L, 1L, 2L, false, true)),  // rim: farthest reach 2
+      "b" -> ((1L, 1L, 1L, 2L, true, false)),  // center: radius 1
+      "c" -> ((0L, 0L, 1L, 2L, false, false))), // sink: no reach
+      s"eccentricity mismatch: $out")
+  }
+
+  test("graph_eccentricity: consistent with graph_closeness's frame") {
+    val ecc = Graph.graphEccentricity(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val close = Graph.graphCloseness(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(ecc.keySet == close.keySet)
+    ecc.foreach { case (v, (e, nR)) =>
+      val (nR2, sumD) = close(v)
+      assert(nR == nR2, s"$v: reach count differs between the two readouts")
+      // max distance bounded by sum and at least the average.
+      if (nR > 0) assert(e <= sumD && e * nR >= sumD)
+    }
+  }
+
   // ─── graph_closeness ───
 
   test("graph_closeness: exact on a crafted path graph") {
