@@ -776,6 +776,92 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  // ─── dedup_threshold_sweep: dup-rate curve over cosine cutoffs ───
+  // The calibration run before anyone picks dedup_embedding's 0.4:
+  // for each candidate cutoff, how many pairs fire and how many
+  // distinct documents get implicated? The LSH candidate set is
+  // cutoff-INDEPENDENT (bucket blocking, not score blocking), so the
+  // whole curve costs ONE candidate generation + exact-cosine pass —
+  // scored pairs localCheckpointed once, then a constant ×8 cutoff
+  // fan-out and two bounded rollups. Thresholds left-join the counts
+  // so a cutoff nothing reaches still reports 0 (the signal that the
+  // corpus is clean there).
+  private val sweepThresholds = Seq(2000L, 3000L, 4000L, 5000L,
+    6000L, 7000L, 8000L, 9000L)
+
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = Similarity.bucketIds(spark, dir)
+    val cand = b.as("a").join(b.as("b"),
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val va = vecs(spark, dir)
+      .select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+    val vb = vecs(spark, dir)
+      .select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
+    val pairs = cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .select(col("vec_a"), col("vec_b"),
+        floor(col("cos") * 10000 + 0.5).cast("long").as("cos_bp"))
+      .localCheckpoint(eager = false)
+    val hits = pairs
+      .withColumn("threshold_bp", explode(lit(sweepThresholds.toArray)))
+      .filter(col("cos_bp") >= col("threshold_bp"))
+    val pc = hits.groupBy(col("threshold_bp"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val dc = hits
+      .select(col("threshold_bp"),
+        explode(array(col("vec_a"), col("vec_b"))).as("vid"))
+      .distinct()
+      .groupBy(col("threshold_bp")).agg(count(lit(1)).as("n_docs_dupped"))
+    sweepThresholds.toDF("threshold_bp")
+      .join(pc, Seq("threshold_bp"), "left")
+      .join(dc, Seq("threshold_bp"), "left")
+      .select(col("threshold_bp"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_dupped"), lit(0L)).as("n_docs_dupped"))
+      .orderBy(col("threshold_bp"))
+  }
+
+  val dedupThresholdSweepSql: String =
+    s"""WITH n AS (${vecsSql("vec_id")}),
+       |${Similarity.lshBucketCtes},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |pairs AS (
+       |  SELECT c.vec_a, c.vec_b,
+       |    CAST(floor((${dotSqlOf("x.v", "y.v")}) / (x.norm * y.norm)
+       |      * 10000 + 0.5) AS BIGINT) AS cos_bp
+       |  FROM cand c JOIN n x ON c.vec_a = x.vec_id
+       |  JOIN n y ON c.vec_b = y.vec_id),
+       |thr AS (
+       |  SELECT CAST(unnest([${sweepThresholds.mkString(", ")}]) AS BIGINT)
+       |    AS threshold_bp),
+       |hits AS (
+       |  SELECT t.threshold_bp, p.vec_a, p.vec_b
+       |  FROM thr t JOIN pairs p ON p.cos_bp >= t.threshold_bp),
+       |pc AS (
+       |  SELECT threshold_bp, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM hits GROUP BY 1),
+       |dc AS (
+       |  SELECT threshold_bp, CAST(count(*) AS BIGINT) AS n_docs_dupped
+       |  FROM (
+       |    SELECT DISTINCT threshold_bp, vid FROM (
+       |      SELECT threshold_bp, unnest([vec_a, vec_b]) AS vid FROM hits))
+       |  GROUP BY 1)
+       |SELECT t.threshold_bp,
+       |  coalesce(pc.n_pairs, 0) AS n_pairs,
+       |  coalesce(dc.n_docs_dupped, 0) AS n_docs_dupped
+       |FROM thr t
+       |LEFT JOIN pc USING (threshold_bp)
+       |LEFT JOIN dc USING (threshold_bp)
+       |ORDER BY threshold_bp""".stripMargin
+
   // ─── dedup_containment: asymmetric (sub/superset) near-dup pairs ───
   // Jaccard misses one-sided duplication: a document EMBEDDED in a
   // much larger one scores low symmetric overlap but ~100%
@@ -1009,6 +1095,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_threshold_sweep" -> dedupThresholdSweep,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_cluster" -> dedupCluster,
     "dedup_incremental" -> dedupIncremental,
@@ -1023,6 +1110,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
+    "dedup_threshold_sweep" -> dedupThresholdSweepSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_cluster" -> dedupClusterSql,
     "dedup_incremental" -> dedupIncrementalSql,

@@ -779,6 +779,53 @@ object Similarity {
        |  ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
        |GROUP BY 1 ORDER BY bf.query_id""".stripMargin
 
+  // ─── ann_recall_curve: recall@j for j = 1..k, macro-averaged ───
+  // ann_recall's single number hides WHERE the index loses truth —
+  // recall@1 (the "did the top hit survive" number a RAG stack cares
+  // about) can be far below recall@k. One (query, neighbor)-keyed
+  // left join of the two top-k lists — each |queries|·k rows — then
+  // a constant ×k cutoff fan-out; a truth row at rank r counts as a
+  // hit at cutoff j iff the index ranked it ≤ j too. Macro recall
+  // (pool all queries' truth rows per cutoff) in exact bp.
+  def annRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val bf = annBruteforce(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("true_rank"))
+    val lsh = annLsh(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("lsh_rank"))
+    bf.join(lsh, Seq("query_id", "neighbor_id"), "left_outer")
+      .withColumn("k", explode(sequence(lit(1L), lit(topK.toLong))))
+      .filter(col("true_rank") <= col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("lsh_rank").isNotNull &&
+          col("lsh_rank") <= col("k"), 1L).otherwise(0L)).as("n_hit"))
+      .select(col("k"), col("n_true"), col("n_hit"),
+        expr("n_hit * 10000 div n_true").as("recall_bp"))
+      .orderBy(col("k"))
+  }
+
+  val annRecallCurveSql: String =
+    s"""WITH bf AS (
+       |  SELECT query_id, neighbor_id, rank AS true_rank
+       |  FROM (${annBruteforceSql})),
+       |lsh AS (
+       |  SELECT query_id, neighbor_id, rank AS lsh_rank
+       |  FROM (${annLshSql})),
+       |j AS (
+       |  SELECT bf.query_id, bf.true_rank, lsh.lsh_rank
+       |  FROM bf LEFT JOIN lsh
+       |    ON bf.query_id = lsh.query_id
+       |    AND bf.neighbor_id = lsh.neighbor_id),
+       |x AS (
+       |  SELECT *, unnest(range(1, ${topK + 1})) AS k FROM j)
+       |SELECT k, CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(sum(CASE WHEN lsh_rank IS NOT NULL AND lsh_rank <= k
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(sum(CASE WHEN lsh_rank IS NOT NULL AND lsh_rank <= k
+       |    THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*) AS recall_bp
+       |FROM x WHERE true_rank <= k
+       |GROUP BY k ORDER BY k""".stripMargin
+
   // ─── ann_hybrid_rrf: reciprocal-rank fusion of vector + lexical ───
   // Hybrid search, the production retrieval default: a dense
   // (embedding-cosine) ranking and a sparse/lexical (MinHash
@@ -1127,6 +1174,7 @@ object Similarity {
     "sample_hard_negatives" -> sampleHardNegatives,
     "ann_diverse" -> annDiverse,
     "ann_hybrid_rrf" -> annHybridRrf,
+    "ann_recall_curve" -> annRecallCurve,
     "ann_recall" -> annRecall,
     "knn_join" -> knnJoin,
     "ann_pq" -> annPq,
@@ -1143,6 +1191,7 @@ object Similarity {
     "sample_hard_negatives" -> sampleHardNegativesSql,
     "ann_diverse" -> annDiverseSql,
     "ann_hybrid_rrf" -> annHybridRrfSql,
+    "ann_recall_curve" -> annRecallCurveSql,
     "ann_recall" -> annRecallSql,
     "knn_join" -> knnJoinSql,
     "ann_pq" -> annPqSql,

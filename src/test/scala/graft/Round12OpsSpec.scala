@@ -1108,6 +1108,45 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ─── ann_recall_curve / dedup_threshold_sweep ───
+
+  test("ann_recall_curve: pooled truth counts, k=3 row matches ann_recall") {
+    val rows = Similarity.annRecallCurve(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    rows.foreach { case (k, (nTrue, nHit, bp)) =>
+      assert(nTrue == 20L * k, "every query contributes k truth rows")
+      assert(nHit <= nTrue)
+      assert(bp == nHit * 10000L / nTrue)
+    }
+    val aggRecall = Similarity.annRecall(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows(3L)._1 == aggRecall.map(_._1).sum,
+      "k=3 truth pool equals ann_recall's")
+    assert(rows(3L)._2 == aggRecall.map(_._2).sum,
+      "k=3 hits equal ann_recall's")
+  }
+
+  test("dedup_threshold_sweep: monotone curve, consistent with dedup_embedding") {
+    val rows = Dedup.dedupThresholdSweep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq ==
+      Seq(2000L, 3000L, 4000L, 5000L, 6000L, 7000L, 8000L, 9000L))
+    rows.zip(rows.tail).foreach { case ((_, p1, d1), (_, p2, d2)) =>
+      assert(p1 >= p2 && d1 >= d2, "tightening the cutoff never adds pairs")
+    }
+    rows.foreach { case (_, p, d) =>
+      assert(d <= 2 * p, "implicated docs bounded by pair endpoints")
+      assert(p == 0L || d >= 2L, "any pair implicates two docs")
+    }
+    // dedup_embedding ships cutoff 0.4; its pair count can differ from
+    // the bp-rounded sweep only on cos values straddling the rounding
+    // boundary, so the sweep@4000 row must dominate it.
+    val shipped = Dedup.dedupEmbedding(spark, dir).count()
+    assert(rows.find(_._1 == 4000L).get._2 >= shipped)
+  }
+
   // ─── mix_anneal ───
 
   test("mix_anneal: natural->uniform interpolation, each phase exhausts its slice") {
