@@ -2661,6 +2661,71 @@ object Events {
       .replace("WINDOWS", windows)
   }
 
+  // ─── ev_burn_rate: multiwindow SLO error-budget burn alerts ───
+  // The SRE alerting policy (Google SRE Workbook ch. 5, multiwindow
+  // multi-burn-rate): error ratio over a short AND a long trailing
+  // window, expressed as a multiple of the SLO's error budget —
+  // page when BOTH windows burn hot (fast outage, debounced by the
+  // long window), ticket on a sustained slow burn. Budget here is
+  // 5 % — scaled to the synthetic stream's ~20 % baseline error rate
+  // the way production scales 0.1 % to its own baseline: quiet hours
+  // burn ~4×, a page needs ≥ 72 % errors in BOTH windows, so a
+  // single-hour spike is debounced by the 6 h window exactly as the
+  // policy intends (Round12OpsSpec proves it on a crafted outage).
+  // Hourly rollup (map-combining), two bounded trailing frames on
+  // the span-bounded hourly grid, exact integer ratios:
+  // burn_x100 = err_bp·100 div budget_bp.
+  private val budgetBp = 500L
+  private val burnLongH = 6
+
+  def evBurnRate(spark: SparkSession, dir: String): DataFrame = {
+    val byHour = Window.partitionBy(lit(1)).orderBy(col("hour"))
+    val short = byHour.rowsBetween(0, 0)
+    val long = byHour.rowsBetween(-(burnLongH - 1), 0)
+    Tables(spark, dir).events
+      .groupBy(floor(epochS(col("ts")) / 3600L).as("hour"))
+      .agg(count(lit(1)).as("tot"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("err"))
+      .withColumn("tot_s", sum(col("tot")).over(short))
+      .withColumn("err_s", sum(col("err")).over(short))
+      .withColumn("tot_l", sum(col("tot")).over(long))
+      .withColumn("err_l", sum(col("err")).over(long))
+      .select(col("hour").as("hour_epoch_h"), col("tot"), col("err"),
+        expr(s"err_s * 10000 div tot_s * 100 div $budgetBp").as("burn_1h_x100"),
+        expr(s"err_l * 10000 div tot_l * 100 div $budgetBp").as("burn_6h_x100"))
+      .withColumn("page",
+        col("burn_1h_x100") >= 1440L && col("burn_6h_x100") >= 1440L)
+      .withColumn("ticket", col("burn_6h_x100") >= 600L)
+      .orderBy(col("hour_epoch_h"))
+  }
+
+  val evBurnRateSql: String =
+    s"""WITH hourly AS (
+       |  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+       |    CAST(count(*) AS BIGINT) AS tot,
+       |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS err
+       |  FROM events GROUP BY 1),
+       |w AS (
+       |  SELECT hour, tot, err,
+       |    CAST(sum(tot) OVER s AS BIGINT) AS tot_s,
+       |    CAST(sum(err) OVER s AS BIGINT) AS err_s,
+       |    CAST(sum(tot) OVER l AS BIGINT) AS tot_l,
+       |    CAST(sum(err) OVER l AS BIGINT) AS err_l
+       |  FROM hourly
+       |  WINDOW s AS (ORDER BY hour ROWS BETWEEN 0 PRECEDING AND CURRENT ROW),
+       |    l AS (ORDER BY hour
+       |      ROWS BETWEEN ${burnLongH - 1} PRECEDING AND CURRENT ROW)),
+       |b AS (
+       |  SELECT hour AS hour_epoch_h, tot, err,
+       |    err_s * 10000 // tot_s * 100 // $budgetBp AS burn_1h_x100,
+       |    err_l * 10000 // tot_l * 100 // $budgetBp AS burn_6h_x100
+       |  FROM w)
+       |SELECT hour_epoch_h, tot, err, burn_1h_x100, burn_6h_x100,
+       |  burn_1h_x100 >= 1440 AND burn_6h_x100 >= 1440 AS page,
+       |  burn_6h_x100 >= 600 AS ticket
+       |FROM b ORDER BY hour_epoch_h""".stripMargin
+
   // ─── ev_srm: sample-ratio-mismatch guardrail for the A/B split ───
   // The first thing a trustworthy experiment platform checks before
   // reading ANY metric: does the observed unit split match the
@@ -2854,6 +2919,7 @@ object Events {
     "ev_srm" -> evSrm,
     "ev_session_hist" -> evSessionHist,
     "ev_conversion_window" -> evConversionWindow,
+    "ev_burn_rate" -> evBurnRate,
     "ev_survival" -> evSurvival,
     "ev_funnel_time" -> evFunnelTime,
     "ev_did" -> evDid,
@@ -2907,6 +2973,7 @@ object Events {
     "ev_srm" -> evSrmSql,
     "ev_session_hist" -> evSessionHistSql,
     "ev_conversion_window" -> evConversionWindowSql,
+    "ev_burn_rate" -> evBurnRateSql,
     "ev_survival" -> evSurvivalSql,
     "ev_funnel_time" -> evFunnelTimeSql,
     "ev_did" -> evDidSql,

@@ -452,6 +452,86 @@ object ScaleOps {
        |    // sum(n_rows) OVER () AS BIGINT) AS dev_bp
        |FROM c ORDER BY shard""".stripMargin
 
+  // ─── shard_rebalance: minimum-movement shard leveling plan ───
+  // What an operator does AFTER shard_skew flags imbalance: the
+  // exact minimal set of (from, to, n_rows) transfers that levels
+  // every shard to its Hamilton-fair target. Hash shards have no
+  // row-contiguity constraint, so the true minimum moved is
+  // Σ surplus — achieved by pairing the SURPLUS runs against the
+  // DEFICIT runs on their cumulative axes: donor i (surplus sᵢ>0)
+  // occupies [cumS_{i-1}, cumSᵢ), receiver j (deficit dⱼ>0)
+  // occupies [cumD_{j-1}, cumDⱼ); move(i→j) = the interval overlap.
+  // Every overlap row moves exactly once, so Σ moves = Σ surplus =
+  // Σ deficit. All cumsums and the overlap join live on the
+  // ‖shards‖-bounded count frame; the corpus is touched once.
+  def shardRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    val byShard = all.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val counts = Tables(spark, dir).lineitem
+      .select((conv(substring(md5(concat(lit("shard:"),
+        col("l_orderkey").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % nSkewShards).as("shard"))
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_rows"))
+      .withColumn("total", sum(col("n_rows")).over(all))
+      .withColumn("target",
+        expr(s"total div $nSkewShards") +
+          when(col("shard") < pmod(col("total"), lit(nSkewShards.toLong)), 1L)
+            .otherwise(0L))
+      .localCheckpoint(eager = false)
+    val donor = counts.filter(col("n_rows") > col("target"))
+      .withColumn("s", col("n_rows") - col("target"))
+      .withColumn("s_hi", sum(col("s")).over(byShard))
+      .select(col("shard").as("from_shard"),
+        (col("s_hi") - col("s")).as("s_lo"), col("s_hi"))
+    val recv = counts.filter(col("n_rows") < col("target"))
+      .withColumn("d", col("target") - col("n_rows"))
+      .withColumn("d_hi", sum(col("d")).over(byShard))
+      .select(col("shard").as("to_shard"),
+        (col("d_hi") - col("d")).as("d_lo"), col("d_hi"))
+    donor.join(recv,
+        col("s_lo") < col("d_hi") && col("d_lo") < col("s_hi"))
+      .select(col("from_shard"), col("to_shard"),
+        (least(col("s_hi"), col("d_hi")) -
+          greatest(col("s_lo"), col("d_lo"))).as("n_moved"))
+      .filter(col("n_moved") > 0)
+      .orderBy(col("from_shard"), col("to_shard"))
+  }
+
+  val shardRebalanceSql: String =
+    s"""WITH s AS (
+       |  SELECT CAST(('0x' || substr(md5('shard:' || CAST(l_orderkey AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % $nSkewShards AS shard
+       |  FROM lineitem),
+       |c AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows FROM s GROUP BY 1),
+       |t AS (
+       |  SELECT shard, n_rows,
+       |    CAST(sum(n_rows) OVER () AS BIGINT) AS total
+       |  FROM c),
+       |g AS (
+       |  SELECT shard, n_rows,
+       |    CAST(total // $nSkewShards
+       |      + CASE WHEN shard < total % $nSkewShards THEN 1 ELSE 0 END
+       |      AS BIGINT) AS target
+       |  FROM t),
+       |donor AS (
+       |  SELECT shard AS from_shard,
+       |    CAST(sum(n_rows - target) OVER (ORDER BY shard)
+       |      - (n_rows - target) AS BIGINT) AS s_lo,
+       |    CAST(sum(n_rows - target) OVER (ORDER BY shard) AS BIGINT) AS s_hi
+       |  FROM g WHERE n_rows > target),
+       |recv AS (
+       |  SELECT shard AS to_shard,
+       |    CAST(sum(target - n_rows) OVER (ORDER BY shard)
+       |      - (target - n_rows) AS BIGINT) AS d_lo,
+       |    CAST(sum(target - n_rows) OVER (ORDER BY shard) AS BIGINT) AS d_hi
+       |  FROM g WHERE n_rows < target)
+       |SELECT from_shard, to_shard,
+       |  least(s_hi, d_hi) - greatest(s_lo, d_lo) AS n_moved
+       |FROM donor JOIN recv ON s_lo < d_hi AND d_lo < s_hi
+       |WHERE least(s_hi, d_hi) - greatest(s_lo, d_lo) > 0
+       |ORDER BY from_shard, to_shard""".stripMargin
+
   // ─── filter_bloom: deterministic Bloom-filter build + probe ───
   // The join pre-filter primitive: build an M=4096-position, K=3
   // Bloom filter over the custkeys of 'F'-status orders, probe every
@@ -1078,6 +1158,7 @@ object ScaleOps {
     "layout_prune" -> layoutPrune,
     "filter_bloom" -> filterBloom,
     "shard_skew" -> shardSkew,
+    "shard_rebalance" -> shardRebalance,
     "profile_table" -> profileTable,
     "q24_range_join" -> q24RangeJoin,
     "q25_skew_salt" -> q25SkewSalt,
@@ -1098,6 +1179,7 @@ object ScaleOps {
     "layout_prune" -> layoutPruneSql,
     "filter_bloom" -> filterBloomSql,
     "shard_skew" -> shardSkewSql,
+    "shard_rebalance" -> shardRebalanceSql,
     "profile_table" -> profileTableSql,
     "q24_range_join" -> q24Sql,
     "q25_skew_salt" -> q25Sql,

@@ -1108,6 +1108,80 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ─── shard_rebalance ───
+
+  test("shard_rebalance: moves level every shard to its Hamilton target") {
+    val moves = ScaleOps.shardRebalance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val counts = ScaleOps.shardSkew(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val n = counts.size.toLong
+    val target = counts.keys.map { s =>
+      s -> (total / n + (if (s < total % n) 1L else 0L))
+    }.toMap
+    moves.foreach { case (f, t, m) => assert(f != t && m > 0) }
+    counts.keys.foreach { s =>
+      val out = moves.filter(_._1 == s).map(_._3).sum
+      val in = moves.filter(_._2 == s).map(_._3).sum
+      assert(counts(s) - out + in == target(s),
+        s"shard $s not leveled: ${counts(s)} -$out +$in != ${target(s)}")
+    }
+    val surplus = counts.map { case (s, c) => math.max(0L, c - target(s)) }.sum
+    assert(moves.map(_._3).sum == surplus,
+      "total movement equals total surplus (minimal plan)")
+  }
+
+  // ─── ev_burn_rate ───
+
+  test("ev_burn_rate: multiwindow debounce on a crafted outage") {
+    import spark.implicits._
+    val now = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // 12 quiet hours (1 error in 10), then a 6-hour full outage.
+    val rows = (0 until 18).flatMap { h =>
+      (0 until 10).map { i =>
+        val t = if (h >= 12 || i == 0) "error" else "view"
+        ((h * 10 + i).toLong,
+          new java.sql.Timestamp(now.getTime + (h * 3600L + i) * 1000L),
+          1L, t, 0.0, "{}")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-burn").toString
+    rows.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Events.evBurnRate(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4),
+        r.getBoolean(5), r.getBoolean(6))))
+    val byHour = out.toMap
+    val h0 = out.map(_._1).min
+    // Quiet hours: burn_1h = 1000*100/500 = 200, never page/ticket
+    // until outage errors enter the 6h window.
+    (0 until 11).foreach { h =>
+      val (b1, _, page, _) = byHour(h0 + h)
+      assert(b1 == 200L && !page)
+    }
+    // Outage hour 12: short window hot (2000) but the long window
+    // still dilutes - multiwindow debounce holds the page.
+    assert(byHour(h0 + 12)._1 == 2000L && !byHour(h0 + 12)._3,
+      "single hot hour must not page")
+    // By hour 17 the 6h window is pure outage: both hot, page fires.
+    assert(byHour(h0 + 17)._1 == 2000L && byHour(h0 + 17)._2 == 2000L &&
+      byHour(h0 + 17)._3, "sustained outage must page")
+    // Ticket (6h burn >= 6x) precedes the page.
+    assert(out.filter(_._2._4).map(_._1).min < h0 + 17)
+  }
+
+  test("ev_burn_rate: identities hold on the sf stream, no page at baseline") {
+    val rows = Events.evBurnRate(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "errors bounded by total")
+      assert(r.getBoolean(5) ==
+        (r.getLong(3) >= 1440L && r.getLong(4) >= 1440L))
+      assert(r.getBoolean(6) == (r.getLong(4) >= 600L))
+    }
+    assert(!rows.exists(_.getBoolean(5)),
+      "the ~20% synthetic baseline never reaches a 72% double-window burn")
+  }
+
   // ─── ann_recall_curve / dedup_threshold_sweep ───
 
   test("ann_recall_curve: pooled truth counts, k=3 row matches ann_recall") {
