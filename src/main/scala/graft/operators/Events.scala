@@ -2661,6 +2661,143 @@ object Events {
       .replace("WINDOWS", windows)
   }
 
+  // ─── ev_cohort_ltv: cumulative value per user by signup cohort ───
+  // The LTV curve growth teams plot: users cohorted by signup week,
+  // cumulative purchase value per cohort member as the cohort ages.
+  // Cohort assignment is ONE user-keyed aggregate (first signup
+  // week); purchases join their user's cohort (co-partitioned on
+  // user_id), roll up to (cohort, age_week), and the running total
+  // carries over the span-bounded per-cohort age frame. ltv_c is
+  // exact integer division of cumulative cents by the FIXED cohort
+  // head-count (denominator never shifts mid-curve — the retention
+  // mistake this operator exists to avoid). Observed weeks only.
+  def evCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(expr("min(CAST(floor(unix_timestamp(ts) / 604800) AS BIGINT))")
+        .as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_users"))
+    val weekly = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        floor(epochS(col("ts")) / 604800L).as("week"),
+        col("value"))
+      .join(cohort, Seq("user_id"))
+      .filter(col("week") >= col("cohort_week"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("age_week"))
+      .agg(cents(sum(col("value"))).as("spend_cents"))
+    val byAge = Window.partitionBy(col("cohort_week")).orderBy(col("age_week"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    weekly.join(broadcast(sizes), Seq("cohort_week"))
+      .withColumn("cum_cents", sum(col("spend_cents")).over(byAge))
+      .select(col("cohort_week"), col("age_week"), col("n_users"),
+        col("spend_cents"), expr("cum_cents div n_users").as("ltv_c"))
+      .orderBy(col("cohort_week"), col("age_week"))
+  }
+
+  val evCohortLtvSql: String =
+    """WITH cohort AS (
+      |  SELECT user_id,
+      |    min(CAST(floor(epoch(ts) / 604800) AS BIGINT)) AS cohort_week
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |sizes AS (
+      |  SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+      |  FROM cohort GROUP BY 1),
+      |weekly AS (
+      |  SELECT c.cohort_week,
+      |    CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - c.cohort_week
+      |      AS age_week,
+      |    CAST(floor(sum(e.value) * 100 + 0.5) AS BIGINT) AS spend_cents
+      |  FROM events e JOIN cohort c USING (user_id)
+      |  WHERE e.event_type = 'purchase'
+      |    AND CAST(floor(epoch(e.ts) / 604800) AS BIGINT) >= c.cohort_week
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT w.cohort_week, w.age_week, s.n_users, w.spend_cents,
+      |    CAST(sum(w.spend_cents) OVER (PARTITION BY w.cohort_week
+      |      ORDER BY w.age_week
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_cents
+      |  FROM weekly w JOIN sizes s USING (cohort_week))
+      |SELECT cohort_week, age_week, n_users, spend_cents,
+      |  cum_cents // n_users AS ltv_c
+      |FROM cum ORDER BY cohort_week, age_week""".stripMargin
+
+  // ─── ts_seasonal_strength: hour-of-day variance decomposition ───
+  // "Is this series actually diurnal?" as ONE number per series: the
+  // share of hourly variance explained by time-of-day — the one-way
+  // ANOVA η² of the hour-of-day factor (Hyndman's seasonal-strength
+  // measure with the seasonal component as the hod group mean).
+  // Exactness discipline: group means are quantized ONCE to ×10⁴
+  // integers (documented ≤1e-4 relative bias), so both SSB and SST
+  // are pure 128-bit integer sums — no float accumulates across rows
+  // in engine-dependent order. Shapes: hourly rollup → 24-bucket hod
+  // rollup per type (bounded) → means broadcast back onto the hourly
+  // frame for the residual sum. strength_bp ∈ [0, 10⁴].
+  def tsSeasonalStrength(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        floor(epochS(col("ts")) / 3600L).as("hour"))
+      .agg(cents(sum(col("value"))).as("hc"))
+      .withColumn("hod", pmod(col("hour"), lit(24L)))
+      .localCheckpoint(eager = false)
+    val tot = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("hc")).as("s"))
+      .withColumn("mean_q", expr("s * 10000 div n"))
+    val hod = hourly.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n_h"), sum(col("hc")).as("s_h"))
+      .withColumn("mean_h_q", expr("s_h * 10000 div n_h"))
+    val ssb = hod.join(broadcast(tot.select(col("event_type"), col("mean_q"))),
+        Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("n_h * CAST(mean_h_q - mean_q AS DECIMAL(38,0))" +
+        " * (mean_h_q - mean_q)")).as("ssb"))
+    val sst = hourly.join(broadcast(tot), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("CAST(hc * 10000 - mean_q AS DECIMAL(38,0))" +
+        " * (hc * 10000 - mean_q)")).as("sst"),
+        max(col("n")).as("n"))
+    ssb.join(sst, Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        when(col("sst") > 0, expr("CAST(ssb * 10000 div sst AS BIGINT)"))
+          .otherwise(lit(0L)).as("strength_bp"))
+      .orderBy(col("event_type"))
+  }
+
+  val tsSeasonalStrengthSql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type,
+       |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+       |    ${Tables.centsSql("sum(value)")} AS hc
+       |  FROM events GROUP BY 1, 2),
+       |h AS (SELECT *, hour % 24 AS hod FROM hourly),
+       |tot AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(hc) AS BIGINT) AS s,
+       |    CAST(sum(hc) AS BIGINT) * 10000 // count(*) AS mean_q
+       |  FROM h GROUP BY 1),
+       |hod AS (
+       |  SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n_h,
+       |    CAST(sum(hc) AS BIGINT) * 10000 // count(*) AS mean_h_q
+       |  FROM h GROUP BY 1, 2),
+       |ssb AS (
+       |  SELECT hod.event_type,
+       |    sum(n_h * CAST(mean_h_q - t.mean_q AS HUGEINT)
+       |      * (mean_h_q - t.mean_q)) AS ssb
+       |  FROM hod JOIN tot t USING (event_type) GROUP BY 1),
+       |sst AS (
+       |  SELECT h.event_type,
+       |    sum(CAST(h.hc * 10000 - t.mean_q AS HUGEINT)
+       |      * (h.hc * 10000 - t.mean_q)) AS sst,
+       |    max(t.n) AS n
+       |  FROM h JOIN tot t USING (event_type) GROUP BY 1)
+       |SELECT event_type, n,
+       |  CASE WHEN sst > 0 THEN CAST(ssb * 10000 // sst AS BIGINT)
+       |    ELSE 0 END AS strength_bp
+       |FROM ssb JOIN sst USING (event_type)
+       |ORDER BY event_type""".stripMargin
+
   // ─── ev_burn_rate: multiwindow SLO error-budget burn alerts ───
   // The SRE alerting policy (Google SRE Workbook ch. 5, multiwindow
   // multi-burn-rate): error ratio over a short AND a long trailing
@@ -2920,6 +3057,8 @@ object Events {
     "ev_session_hist" -> evSessionHist,
     "ev_conversion_window" -> evConversionWindow,
     "ev_burn_rate" -> evBurnRate,
+    "ts_seasonal_strength" -> tsSeasonalStrength,
+    "ev_cohort_ltv" -> evCohortLtv,
     "ev_survival" -> evSurvival,
     "ev_funnel_time" -> evFunnelTime,
     "ev_did" -> evDid,
@@ -2974,6 +3113,8 @@ object Events {
     "ev_session_hist" -> evSessionHistSql,
     "ev_conversion_window" -> evConversionWindowSql,
     "ev_burn_rate" -> evBurnRateSql,
+    "ts_seasonal_strength" -> tsSeasonalStrengthSql,
+    "ev_cohort_ltv" -> evCohortLtvSql,
     "ev_survival" -> evSurvivalSql,
     "ev_funnel_time" -> evFunnelTimeSql,
     "ev_did" -> evDidSql,

@@ -221,6 +221,45 @@ object Multimodal {
        |    AS "offset"
        |FROM s ORDER BY shard, doc_id""".stripMargin
 
+  // ─── mm_audio_frames: overlapped framing plan (audio 25ms/10ms) ───
+  // The 1-D twin of mm_tile_plan: speech features window the signal
+  // into OVERLAPPING frames (classic 400-sample/160-hop ≈ 25 ms
+  // window, 10 ms hop) — mm_frame_sample's disjoint stride can't
+  // express the overlap. Full frames only (the torchaudio/Kaldi
+  // "snip edges" convention); per-frame offset + content md5 as pure
+  // codegen'd columns. Fan-out is len/hop — linear in media length,
+  // the honest cost of framing, and each row stays 64 B + hash, so
+  // the plan explodes metadata, never the waveform.
+  private val frameLen = 400
+  private val frameHop = 160
+
+  def mmAudioFrames(spark: SparkSession, dir: String): DataFrame =
+    blobs(spark, dir).toDF()
+      .withColumn("len", octet_length(col("payload")).cast("long"))
+      .filter(col("len") >= frameLen)
+      .withColumn("n_frames",
+        expr(s"(len - $frameLen) div $frameHop") + 1L)
+      .withColumn("frame_idx", explode(sequence(lit(0L), col("n_frames") - 1)))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * frameHop).as("offset"),
+        md5(expr(s"substring(payload, CAST(frame_idx * $frameHop + 1 AS INT), $frameLen)"))
+          .as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val mmAudioFramesSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text AS p, CAST(length(text) AS BIGINT) AS len
+       |  FROM documents WHERE length(text) >= $frameLen),
+       |f AS (
+       |  SELECT doc_id, p,
+       |    unnest(range(0, (len - $frameLen) // $frameHop + 1)) AS frame_idx
+       |  FROM d)
+       |SELECT doc_id, frame_idx,
+       |  frame_idx * $frameHop AS "offset",
+       |  md5(substring(p, CAST(frame_idx * $frameHop + 1 AS INTEGER), $frameLen))
+       |    AS frame_md5
+       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
   // ─── mm_tile_plan: ViT-style image tiling plan, pure columns ───
   // The vision-model preprocessing shape: split each image into a
   // grid of 256 px tiles (partial edge tiles clipped to the image
@@ -276,6 +315,7 @@ object Multimodal {
        |FROM t ORDER BY doc_id, tile_y, tile_x""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_frames" -> mmAudioFrames,
     "mm_tile_plan" -> mmTilePlan,
     "mm_manifest" -> mmManifest,
     "mm_near_dup" -> mmNearDup,
@@ -309,6 +349,7 @@ object Multimodal {
        |FROM idx ORDER BY doc_id, sample_idx""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "mm_audio_frames" -> mmAudioFramesSql,
     "mm_tile_plan" -> mmTilePlanSql,
     "mm_manifest" -> mmManifestSql,
     "mm_near_dup" -> mmNearDupSql,

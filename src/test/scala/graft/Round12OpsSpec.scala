@@ -1108,6 +1108,85 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ─── ts_seasonal_strength ───
+
+  test("ts_seasonal_strength: pure diurnal signal scores ~1, flat signal 0") {
+    import spark.implicits._
+    val now = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // 10 days hourly: 'diurnal' has value = f(hour-of-day) only;
+    // 'flat' is constant.
+    val ev = (0 until 240).flatMap { h =>
+      Seq((h.toLong * 2, new java.sql.Timestamp(now.getTime + h * 3600000L),
+          1L, "diurnal", 1.0 + (h % 24), "{}"),
+        (h.toLong * 2 + 1, new java.sql.Timestamp(now.getTime + h * 3600000L),
+          1L, "flat", 5.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-seas").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Events.tsSeasonalStrength(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("diurnal") >= 9990L,
+      s"pure hod signal must explain ~all variance: ${out("diurnal")}")
+    assert(out("flat") == 0L, "zero-variance series scores 0 by the guard")
+  }
+
+  test("ts_seasonal_strength: bounded on the sf stream") {
+    Events.tsSeasonalStrength(spark, dir).collect().foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 10000L)
+      assert(r.getLong(1) > 0L)
+    }
+  }
+
+  // ─── ev_cohort_ltv ───
+
+  test("ev_cohort_ltv: fixed denominator, running curve is monotone") {
+    val rows = Events.evCohortLtv(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val sizes = Tables(spark, dir).events
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(floor(unix_timestamp(col("ts")) / 604800L)).as("w"))
+      .groupBy(col("w")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (cw, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.foreach { r =>
+        assert(r.getLong(1) >= 0L, "age starts at the cohort week")
+        assert(r.getLong(2) == sizes(cw), "head-count is the signup cohort size")
+      }
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r.getLong(3)
+        assert(r.getLong(4) == cum / r.getLong(2), "ltv identity")
+      }
+      val ltvs = sorted.map(_.getLong(4))
+      assert(ltvs.zip(ltvs.tail).forall { case (a, b) => a <= b },
+        "nonnegative spend makes the curve monotone")
+    }
+  }
+
+  // ─── mm_audio_frames ───
+
+  test("mm_audio_frames: snip-edges frame arithmetic per payload") {
+    val rows = Multimodal.mmAudioFrames(spark, dir).collect()
+    val lens = Tables(spark, dir).documents
+      .select(col("doc_id"), length(col("text")).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet == lens.filter(_._2 >= 400).keys.toSet,
+      "exactly the payloads long enough for one full frame")
+    byDoc.foreach { case (id, fs) =>
+      val len = lens(id)
+      assert(fs.length.toLong == (len - 400) / 160 + 1, s"doc $id frame count")
+      val sorted = fs.sortBy(_.getLong(1))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) == i && r.getLong(2) == i * 160L)
+        assert(r.getString(3).length == 32)
+      }
+      assert(sorted.last.getLong(2) + 400 <= len, "last frame stays in bounds")
+    }
+  }
+
   // ─── shard_rebalance ───
 
   test("shard_rebalance: moves level every shard to its Hamilton target") {
