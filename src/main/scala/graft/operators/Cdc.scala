@@ -392,6 +392,42 @@ object Cdc {
       |FROM ranked WHERE rn = 1
       |ORDER BY tx_pct, valid_pct, user_id""".stripMargin
 
+  // ─── cdc_snapshot_chunks: watermark-chunked initial snapshot plan ───
+  // The DBLog/Debezium incremental-snapshot primitive (Andradyne &
+  // Gharachorloo, "DBLog: A Watermark Based Change-Data-Capture
+  // Framework", Netflix 2019): a consistent initial snapshot runs as
+  // a sequence of small KEY-RANGE CHUNKS interleaved with the live
+  // changelog, each chunk bracketed by watermarks. This computes the
+  // chunk plan: the distinct key set exact-ranked on the Ranks
+  // ledger (never a global sort), cut every `chunkKeys` ranks, per
+  // chunk the [lo, hi] key bracket the snapshot SELECT uses. The
+  // chunk table is what the driver walks; rows never move.
+  private val chunkKeys = 10L
+
+  def cdcSnapshotChunks(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables(spark, dir).events
+      .select(col("user_id")).distinct()
+    Ranks.groupedRank(keys, Nil, Seq(shiftright(col("user_id"), 8)),
+        Seq(col("user_id")), "rk", "n")
+      .withColumn("chunk_id", expr(s"(rk - 1) div $chunkKeys"))
+      .groupBy(col("chunk_id"))
+      .agg(min(col("user_id")).as("lo_key"),
+        max(col("user_id")).as("hi_key"),
+        count(lit(1)).as("n_keys"))
+      .orderBy(col("chunk_id"))
+  }
+
+  val cdcSnapshotChunksSql: String =
+    s"""WITH k AS (SELECT DISTINCT user_id FROM events),
+       |r AS (
+       |  SELECT user_id,
+       |    row_number() OVER (ORDER BY user_id) AS rk
+       |  FROM k)
+       |SELECT CAST((rk - 1) // $chunkKeys AS BIGINT) AS chunk_id,
+       |  min(user_id) AS lo_key, max(user_id) AS hi_key,
+       |  CAST(count(*) AS BIGINT) AS n_keys
+       |FROM r GROUP BY 1 ORDER BY chunk_id""".stripMargin
+
   // ─── cdc_delete_vector: deletion-vector compaction planner ───
   // The lakehouse maintenance decision (Iceberg v2 / Delta deletion
   // vectors): merge-on-read keeps deletes as per-file bitmaps until
@@ -430,6 +466,7 @@ object Cdc {
       |FROM f ORDER BY file_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_snapshot_chunks" -> cdcSnapshotChunks,
     "cdc_delete_vector" -> cdcDeleteVector,
     "cdc_bitemporal" -> cdcBitemporal,
     "cdc_compact" -> cdcCompact,
@@ -442,6 +479,7 @@ object Cdc {
     "cdc_scd2" -> cdcScd2)
 
   val oracle: Map[String, String] = Map(
+    "cdc_snapshot_chunks" -> cdcSnapshotChunksSql,
     "cdc_delete_vector" -> cdcDeleteVectorSql,
     "cdc_bitemporal" -> cdcBitemporalSql,
     "cdc_compact" -> cdcCompactSql,

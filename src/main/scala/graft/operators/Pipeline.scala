@@ -1046,6 +1046,47 @@ object Pipeline {
       |  n_common * 10000 // (n_typesa + n_typesb - n_common) AS vocab_jacc_bp
       |FROM p ORDER BY src_a, src_b""".stripMargin
 
+  // ─── sample_class_weights: inverse-frequency class weighting ───
+  // The class-imbalance standard (sklearn's "balanced" heuristic):
+  // weight(c) = N / (k·n_c), so rare classes up-weight exactly in
+  // proportion to their scarcity and the weighted class masses come
+  // out equal. Exact integer bp over the language label. The second
+  // column caps the count at 1000 effective samples before inverting
+  // — the integer-exact stand-in for effective-number weighting
+  // (Cui et al., CVPR 2019, motivates the cap: marginal samples stop
+  // adding information, so abundant classes shouldn't be punished
+  // without bound), keeping every output engine-exact where the
+  // β-geometric formula would float. One corpus aggregate;
+  // everything after runs on the ≤‖langs‖ frame.
+  def sampleClassWeights(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    Tables(spark, dir).documents
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("total", sum(col("n_docs")).over(all))
+      .withColumn("k", count(lit(1)).over(all))
+      .select(col("lang"), col("n_docs"),
+        expr("n_docs * 10000 div total").as("share_bp"),
+        expr("total * 10000 div (k * n_docs)").as("weight_bp"),
+        expr("total * 10000 div (k * least(n_docs, 1000))")
+          .as("weight_eff_bp"))
+      .orderBy(col("lang"))
+  }
+
+  val sampleClassWeightsSql: String =
+    """WITH c AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY lang),
+      |g AS (
+      |  SELECT lang, n_docs,
+      |    CAST(sum(n_docs) OVER () AS BIGINT) AS total,
+      |    CAST(count(*) OVER () AS BIGINT) AS k
+      |  FROM c)
+      |SELECT lang, n_docs,
+      |  n_docs * 10000 // total AS share_bp,
+      |  total * 10000 // (k * n_docs) AS weight_bp,
+      |  total * 10000 // (k * least(n_docs, 1000)) AS weight_eff_bp
+      |FROM g ORDER BY lang""".stripMargin
+
   // ─── mix_anneal: phased mixture annealing schedule ───
   // The curriculum the big pretrains actually run: start at the
   // corpus's NATURAL source mix and anneal linearly to UNIFORM over
@@ -1244,6 +1285,7 @@ object Pipeline {
        |FROM a ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_class_weights" -> sampleClassWeights,
     "mix_anneal" -> mixAnneal,
     "sample_bootstrap" -> sampleBootstrap,
     "mix_token_budget" -> mixTokenBudget,
@@ -1270,6 +1312,7 @@ object Pipeline {
     "sample_temperature" -> sampleTemperature)
 
   val oracle: Map[String, String] = Map(
+    "sample_class_weights" -> sampleClassWeightsSql,
     "mix_anneal" -> mixAnnealSql,
     "sample_bootstrap" -> sampleBootstrapSql,
     "mix_token_budget" -> mixTokenBudgetSql,

@@ -697,6 +697,78 @@ object RelationalExt {
       |FROM m JOIN m2 USING (c_mktsegment) JOIN o USING (c_mktsegment)
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ─── q40_percentile_cont: interpolated percentile, exact integers ───
+  // SQL's PERCENTILE_CONT without its float trap: position
+  // pos = p·(n−1) is held as the exact fraction (pNum·(n−1), pDen);
+  // the answer interpolates the two bracketing order statistics as
+  // lo·100 + (hi−lo)·100·rem div pDen — one integer division at the
+  // end, so both engines agree to the hundredth of a cent. Order
+  // statistics come off Ranks.groupedRank (bucket ledger; value ties
+  // broken by the unique (orderkey, linenumber) — adjacent equal
+  // values make the tie order irrelevant to interpolation). Both
+  // requested percentiles ride ONE ranked frame via a ×2 fan-out.
+  private val pctFractions = Seq((1L, 2L), (9L, 10L)) // median, p90
+
+  def q40PercentileCont(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Ranks.groupedRank(
+      Tables(spark, dir).lineitem
+        .select(col("l_returnflag"), cents(col("l_extendedprice")).as("x"),
+          col("l_orderkey"), col("l_linenumber")),
+      Seq("l_returnflag"), Seq(shiftright(col("x"), 12)),
+      Seq(col("x"), col("l_orderkey"), col("l_linenumber")), "rk", "n")
+    val pcts = pctFractions.map { case (num, den) =>
+      ranked
+        .withColumn("p_num", lit(num)).withColumn("p_den", lit(den))
+        .withColumn("k", expr("p_num * (n - 1) div p_den"))
+        .withColumn("rem", expr("p_num * (n - 1) % p_den"))
+        .filter(col("rk") - 1 === col("k") ||
+          (col("rk") - 1 === col("k") + 1 && col("rem") > 0))
+        .groupBy(col("l_returnflag"), col("p_num"), col("p_den"))
+        .agg(max(when(col("rk") - 1 === col("k"), col("x"))).as("lo"),
+          max(col("rem")).as("rem"), max(col("n")).as("n"),
+          coalesce(max(when(col("rk") - 1 === col("k") + 1, col("x"))),
+            max(when(col("rk") - 1 === col("k"), col("x")))).as("hi"))
+    }.reduce(_ unionByName _)
+    pcts.select(col("l_returnflag"),
+        expr("p_num * 100 div p_den").as("pct"), col("n"),
+        expr("lo * 100 + (hi - lo) * 100 * rem div p_den").as("value_x100"))
+      .orderBy(col("l_returnflag"), col("pct"))
+  }
+
+  val q40Sql: String = {
+    val branches = pctFractions.map { case (num, den) =>
+      s"SELECT *, CAST($num AS BIGINT) AS p_num, CAST($den AS BIGINT) AS p_den FROM r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH r AS (
+       |  SELECT l_returnflag,
+       |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x,
+       |    row_number() OVER (PARTITION BY l_returnflag
+       |      ORDER BY floor(l_extendedprice * 100 + 0.5),
+       |        l_orderkey, l_linenumber) AS rk,
+       |    count(*) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM lineitem),
+       |p AS (
+       |  $branches),
+       |b AS (
+       |  SELECT l_returnflag, p_num, p_den,
+       |    p_num * (n - 1) // p_den AS k,
+       |    p_num * (n - 1) % p_den AS rem, n, rk, x
+       |  FROM p
+       |  WHERE rk - 1 = p_num * (n - 1) // p_den
+       |    OR (rk - 1 = p_num * (n - 1) // p_den + 1
+       |        AND p_num * (n - 1) % p_den > 0)),
+       |g AS (
+       |  SELECT l_returnflag, p_num, p_den,
+       |    max(CASE WHEN rk - 1 = k THEN x END) AS lo,
+       |    coalesce(max(CASE WHEN rk - 1 = k + 1 THEN x END),
+       |      max(CASE WHEN rk - 1 = k THEN x END)) AS hi,
+       |    max(rem) AS rem, CAST(max(n) AS BIGINT) AS n
+       |  FROM b GROUP BY 1, 2, 3)
+       |SELECT l_returnflag, p_num * 100 // p_den AS pct, n,
+       |  lo * 100 + (hi - lo) * 100 * rem // p_den AS value_x100
+       |FROM g ORDER BY l_returnflag, pct""".stripMargin
+  }
+
   // ─── q38_asof_nearest: nearest-match asof join (both directions) ───
   // The asof variant q16 can't express: the reference click for a
   // purchase is the temporally NEAREST one, before OR after (sensor
@@ -768,6 +840,7 @@ object RelationalExt {
       |FROM p ORDER BY event_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_percentile_cont" -> q40PercentileCont,
     "q38_asof_nearest" -> q38AsofNearest,
     "q37_mad" -> q37Mad,
     "q36_decile_lift" -> q36DecileLift,
@@ -790,6 +863,7 @@ object RelationalExt {
     "q26_unpivot" -> q26Unpivot)
 
   val oracle: Map[String, String] = Map(
+    "q40_percentile_cont" -> q40Sql,
     "q38_asof_nearest" -> q38Sql,
     "q37_mad" -> q37Sql,
     "q36_decile_lift" -> q36DecileLiftSql,

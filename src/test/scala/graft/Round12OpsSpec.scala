@@ -1108,6 +1108,68 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ─── cdc_snapshot_chunks ───
+
+  test("cdc_snapshot_chunks: chunks bracket the key space exactly") {
+    val rows = Cdc.cdcSnapshotChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val nKeys = Tables(spark, dir).events
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_._4).sum == nKeys, "chunks partition the key set")
+    assert(rows.map(_._1).toSeq == rows.indices.map(_.toLong), "dense chunk ids")
+    rows.init.foreach { case (_, _, _, n) => assert(n == 10L) }
+    assert(rows.last._4 <= 10L)
+    rows.foreach { case (_, lo, hi, _) => assert(lo <= hi) }
+    rows.zip(rows.tail).foreach { case ((_, _, hi1, _), (_, lo2, _, _)) =>
+      assert(hi1 < lo2, "brackets are disjoint and ordered")
+    }
+  }
+
+  // ─── q40_percentile_cont ───
+
+  test("q40_percentile_cont: equals direct interpolation on sorted cents") {
+    val rows = RelationalExt.q40PercentileCont(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val data = Tables(spark, dir).lineitem
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sorted }
+    data.foreach { case (f, xs) =>
+      val n = xs.length.toLong
+      for ((num, den, pct) <- Seq((1L, 2L, 50L), (9L, 10L, 90L))) {
+        val k = num * (n - 1) / den
+        val rem = num * (n - 1) % den
+        val lo = xs(k.toInt)
+        val hi = if (rem > 0) xs(k.toInt + 1) else lo
+        val expect = lo * 100 + (hi - lo) * 100 * rem / den
+        assert(rows((f, pct)) == expect, s"flag $f p$pct")
+      }
+    }
+  }
+
+  // ─── sample_class_weights ───
+
+  test("sample_class_weights: balanced identities, rare classes up-weight") {
+    val rows = Pipeline.sampleClassWeights(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val total = rows.map(_._2).sum
+    val k = rows.length.toLong
+    rows.foreach { case (_, n, share, w, wEff) =>
+      assert(share == n * 10000L / total)
+      assert(w == total * 10000L / (k * n))
+      assert(wEff == total * 10000L / (k * math.min(n, 1000L)))
+      assert(wEff >= w, "capping the count never down-weights")
+    }
+    // Inverse-frequency: ordering of weights is the reverse of counts.
+    val sorted = rows.sortBy(_._2)
+    sorted.zip(sorted.tail).foreach { case ((_, n1, _, w1, _), (_, n2, _, w2, _)) =>
+      if (n1 < n2) assert(w1 >= w2)
+    }
+  }
+
   // ─── ts_seasonal_strength ───
 
   test("ts_seasonal_strength: pure diurnal signal scores ~1, flat signal 0") {
