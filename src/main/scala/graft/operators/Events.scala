@@ -2661,6 +2661,41 @@ object Events {
       .replace("WINDOWS", windows)
   }
 
+  // ─── ev_heatmap: day-of-week × hour-of-day load grid ───
+  // The ops-dashboard staple ev_seasonality's single hod axis can't
+  // draw: WHICH weekday-hour cells carry the traffic (maintenance
+  // windows, paging rosters, capacity plans all read this grid).
+  // dow derived arithmetically from the epoch day (epoch day 0 =
+  // Thursday = 4; dow 0 = Monday) so both engines agree without
+  // locale-dependent date functions. One map-combining aggregate to
+  // the ≤168-cell grid; share in exact bp against the total.
+  def evHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    Tables(spark, dir).events
+      .groupBy(
+        pmod(expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT) + 3"), lit(7L))
+          .as("dow"),
+        pmod(expr("unix_timestamp(ts) div 3600"), lit(24L)).as("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        cents(sum(col("value"))).as("value_cents"))
+      .withColumn("share_bp",
+        Ranks.idiv(col("n_events") * 10000L, sum(col("n_events")).over(all)))
+      .orderBy(col("dow"), col("hod"))
+  }
+
+  val evHeatmapSql: String =
+    s"""WITH g AS (
+       |  SELECT
+       |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 3) % 7 AS dow,
+       |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hod,
+       |    CAST(count(*) AS BIGINT) AS n_events,
+       |    ${Tables.centsSql("sum(value)")} AS value_cents
+       |  FROM events GROUP BY 1, 2)
+       |SELECT dow, hod, n_events, value_cents,
+       |  CAST(n_events * 10000 // (sum(n_events) OVER ()) AS BIGINT)
+       |    AS share_bp
+       |FROM g ORDER BY dow, hod""".stripMargin
+
   // ─── ev_cohort_ltv: cumulative value per user by signup cohort ───
   // The LTV curve growth teams plot: users cohorted by signup week,
   // cumulative purchase value per cohort member as the cohort ages.
@@ -3057,6 +3092,7 @@ object Events {
     "ev_session_hist" -> evSessionHist,
     "ev_conversion_window" -> evConversionWindow,
     "ev_burn_rate" -> evBurnRate,
+    "ev_heatmap" -> evHeatmap,
     "ts_seasonal_strength" -> tsSeasonalStrength,
     "ev_cohort_ltv" -> evCohortLtv,
     "ev_survival" -> evSurvival,
@@ -3113,6 +3149,7 @@ object Events {
     "ev_session_hist" -> evSessionHistSql,
     "ev_conversion_window" -> evConversionWindowSql,
     "ev_burn_rate" -> evBurnRateSql,
+    "ev_heatmap" -> evHeatmapSql,
     "ts_seasonal_strength" -> tsSeasonalStrengthSql,
     "ev_cohort_ltv" -> evCohortLtvSql,
     "ev_survival" -> evSurvivalSql,

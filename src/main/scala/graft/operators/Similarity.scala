@@ -779,6 +779,52 @@ object Similarity {
        |  ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
        |GROUP BY 1 ORDER BY bf.query_id""".stripMargin
 
+  // ─── ann_centroid_stats: IVF index-health occupancy readout ───
+  // The maintenance signal every IVF deployment watches: cell
+  // occupancy skew. A cell at many times its fair share turns every
+  // probe touching it into a near-linear scan (the recall/latency
+  // cliff), and empty cells mean wasted probes — either way the
+  // answer is "re-train the quantizer". One assignment pass (the
+  // SAME broadcast-centroid nearest-cell join ann_ivf serves from),
+  // then a ‖cells‖-bounded rollup: per-cell count, share, and load
+  // vs the fair share ×100 (load_x100 = n·k·100 div N).
+  def annCentroidStats(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    nearestCells(ivfCents(spark, dir), vecs(spark, dir), 1, "vec_id")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      .withColumn("total", sum(col("n_vecs")).over(all))
+      .withColumn("k", count(lit(1)).over(all))
+      .select(col("cell"), col("n_vecs"),
+        expr("n_vecs * 10000 div total").as("share_bp"),
+        expr("n_vecs * k * 100 div total").as("load_x100"))
+      .orderBy(col("cell"))
+  }
+
+  val annCentroidStatsSql: String =
+    s"""WITH n AS (${vecsSql("vec_id")}),
+       |$ivfCentsSql,
+       |ad AS (
+       |  SELECT n.vec_id, c.cell,
+       |    (${dist2SqlOf("n.v", "c.centv")}) AS d2
+       |  FROM n, cents c),
+       |assigned AS (
+       |  SELECT cell FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, cell) AS r FROM ad)
+       |  WHERE r = 1),
+       |occ AS (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+       |  FROM assigned GROUP BY cell),
+       |g AS (
+       |  SELECT cell, n_vecs,
+       |    CAST(sum(n_vecs) OVER () AS BIGINT) AS total,
+       |    CAST(count(*) OVER () AS BIGINT) AS k
+       |  FROM occ)
+       |SELECT cell, n_vecs,
+       |  n_vecs * 10000 // total AS share_bp,
+       |  n_vecs * k * 100 // total AS load_x100
+       |FROM g ORDER BY cell""".stripMargin
+
   // ─── ann_recall_curve: recall@j for j = 1..k, macro-averaged ───
   // ann_recall's single number hides WHERE the index loses truth —
   // recall@1 (the "did the top hit survive" number a RAG stack cares
@@ -1174,6 +1220,7 @@ object Similarity {
     "sample_hard_negatives" -> sampleHardNegatives,
     "ann_diverse" -> annDiverse,
     "ann_hybrid_rrf" -> annHybridRrf,
+    "ann_centroid_stats" -> annCentroidStats,
     "ann_recall_curve" -> annRecallCurve,
     "ann_recall" -> annRecall,
     "knn_join" -> knnJoin,
@@ -1191,6 +1238,7 @@ object Similarity {
     "sample_hard_negatives" -> sampleHardNegativesSql,
     "ann_diverse" -> annDiverseSql,
     "ann_hybrid_rrf" -> annHybridRrfSql,
+    "ann_centroid_stats" -> annCentroidStatsSql,
     "ann_recall_curve" -> annRecallCurveSql,
     "ann_recall" -> annRecallSql,
     "knn_join" -> knnJoinSql,

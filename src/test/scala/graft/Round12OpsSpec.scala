@@ -1108,6 +1108,45 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ─── ann_centroid_stats / ev_heatmap ───
+
+  test("ann_centroid_stats: occupancy partitions the corpus, load identity") {
+    val rows = Similarity.annCentroidStats(spark, dir).collect()
+    val nVecs = Tables(spark, dir).embeddings.count()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == nVecs, "every vector lands in exactly one cell")
+    val k = rows.length.toLong
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) * 10000L / total)
+      assert(r.getLong(3) == r.getLong(1) * k * 100L / total)
+    }
+    // A perfectly balanced index would read 100 everywhere; assert the
+    // average load is 100 by construction (k cells, fair share n/k).
+    assert(rows.map(_.getLong(3)).sum / k >= 50L,
+      "load normalization is per fair share")
+  }
+
+  test("ev_heatmap: grid partitions the stream, dow anchored to Monday") {
+    import spark.implicits._
+    // 2024-01-01 00:30 UTC was a Monday -> dow 0, hod 0.
+    val ev = Seq((1L, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:30:00Z")),
+      1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-heat").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val one = Events.evHeatmap(spark, tmp).collect()
+    assert(one.length == 1 && one.head.getLong(0) == 0L &&
+      one.head.getLong(1) == 0L, "epoch-arithmetic dow anchors to Monday")
+    val rows = Events.evHeatmap(spark, dir).collect()
+    assert(rows.map(_.getLong(2)).sum == Tables(spark, dir).events.count())
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 6)
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 23)
+    }
+    assert(rows.length <= 168)
+  }
+
   // ─── cdc_snapshot_chunks ───
 
   test("cdc_snapshot_chunks: chunks bracket the key space exactly") {
