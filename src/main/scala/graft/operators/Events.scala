@@ -2661,6 +2661,41 @@ object Events {
       .replace("WINDOWS", windows)
   }
 
+  // ─── ev_velocity_flags: trailing-window velocity rule (fraud ops) ───
+  // The rate-limit/fraud primitive: flag any event whose user fired
+  // ≥ 8 events in the trailing 24 h INCLUDING it — a sliding RANGE
+  // frame on the epoch axis (value-based, so sparse activity costs
+  // nothing; a ROWS frame would miscount under same-second ties).
+  // One user-keyed shuffle, per-partition linear frame scan; only
+  // the flagged tail (p99-calibrated threshold) is emitted, so the
+  // output is alert-sized, never corpus-sized.
+  private val velWindowS = 86400L
+  private val velThreshold = 8L
+
+  def evVelocityFlags(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("epoch"))
+      .rangeBetween(-(velWindowS - 1), 0)
+    Tables(spark, dir).events
+      .withColumn("epoch", epochS(col("ts")))
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .filter(col("n_24h") >= velThreshold)
+      .select(col("event_id"), col("user_id"), col("epoch"),
+        col("n_24h"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  val evVelocityFlagsSql: String =
+    s"""SELECT event_id, user_id, epoch, n_24h, event_type FROM (
+       |  SELECT event_id, user_id, event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+       |    count(*) OVER (PARTITION BY user_id
+       |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+       |      RANGE BETWEEN ${velWindowS - 1} PRECEDING AND CURRENT ROW)
+       |      AS n_24h
+       |  FROM events)
+       |WHERE n_24h >= $velThreshold
+       |ORDER BY event_id""".stripMargin
+
   // ─── ev_heatmap: day-of-week × hour-of-day load grid ───
   // The ops-dashboard staple ev_seasonality's single hod axis can't
   // draw: WHICH weekday-hour cells carry the traffic (maintenance
@@ -3093,6 +3128,7 @@ object Events {
     "ev_conversion_window" -> evConversionWindow,
     "ev_burn_rate" -> evBurnRate,
     "ev_heatmap" -> evHeatmap,
+    "ev_velocity_flags" -> evVelocityFlags,
     "ts_seasonal_strength" -> tsSeasonalStrength,
     "ev_cohort_ltv" -> evCohortLtv,
     "ev_survival" -> evSurvival,
@@ -3150,6 +3186,7 @@ object Events {
     "ev_conversion_window" -> evConversionWindowSql,
     "ev_burn_rate" -> evBurnRateSql,
     "ev_heatmap" -> evHeatmapSql,
+    "ev_velocity_flags" -> evVelocityFlagsSql,
     "ts_seasonal_strength" -> tsSeasonalStrengthSql,
     "ev_cohort_ltv" -> evCohortLtvSql,
     "ev_survival" -> evSurvivalSql,

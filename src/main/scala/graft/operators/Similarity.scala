@@ -779,6 +779,116 @@ object Similarity {
        |  ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
        |GROUP BY 1 ORDER BY bf.query_id""".stripMargin
 
+  // ─── ann_nprobe_curve: recall/cost tradeoff across probe widths ───
+  // THE IVF tuning decision: each extra probed cell buys recall and
+  // costs scanned candidates — this emits the whole curve from ONE
+  // assignment pass (queries keep their 4 nearest cells with the
+  // probe rank; widening nprobe is then a FILTER, not a re-run).
+  // Per nprobe 1..4: macro recall@k against the brute-force truth
+  // and the exact number of candidate pairs scanned — the two axes
+  // of the operating-point chart. Candidate scoring fans out ×probe
+  // width once; everything downstream is |queries|·k-bounded.
+  private val curveProbes = 4
+
+  def annNprobeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val cents = ivfCents(spark, dir)
+    val assigned = nearestCells(cents, v, 1, "vec_id")
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("v").as("cv"), col("norm").as("cn"))
+    // nearestCells drops the rank; re-derive keeping it as probe_rank.
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
+    val probes = v.filter(col("vec_id") < nQueries)
+      .join(broadcast(cents))
+      .withColumn("d2", aggregate(
+        zip_with(col("v"), col("centv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (s, x) => s + x))
+      .withColumn("probe_rank", row_number().over(wCell).cast("long"))
+      .filter(col("probe_rank") <= curveProbes)
+      .select(col("cell"), col("probe_rank"), col("vec_id").as("query_id"),
+        col("v").as("qv"), col("norm").as("qn"))
+    val cand = probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select(col("query_id"), col("neighbor_id"), col("probe_rank"), col("cos"))
+      .withColumn("nprobe", explode(sequence(lit(1L), lit(curveProbes.toLong))))
+      .filter(col("probe_rank") <= col("nprobe"))
+      .localCheckpoint(eager = false)
+    val scanned = cand.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_scanned"))
+    val wTop = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val top = cand
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= topK)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"),
+        lit(1L).as("hit"))
+    val bf = annBruteforce(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("nprobe", explode(sequence(lit(1L), lit(curveProbes.toLong))))
+    bf.join(top, Seq("nprobe", "query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .join(scanned, Seq("nprobe"))
+      .select(col("nprobe"), col("n_true"), col("n_hit"),
+        expr("n_hit * 10000 div n_true").as("recall_bp"), col("n_scanned"))
+      .orderBy(col("nprobe"))
+  }
+
+  val annNprobeCurveSql: String =
+    s"""WITH n AS (${vecsSql("vec_id")}),
+       |$ivfCentsSql,
+       |ad AS (
+       |  SELECT n.vec_id, n.v, n.norm, c.cell,
+       |    (${dist2SqlOf("n.v", "c.centv")}) AS d2
+       |  FROM n, cents c),
+       |assigned AS (
+       |  SELECT cell, vec_id AS neighbor_id, v AS cv, norm AS cn FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, cell) AS r FROM ad)
+       |  WHERE r = 1),
+       |probes AS (
+       |  SELECT cell, r AS probe_rank, vec_id AS query_id,
+       |    v AS qv, norm AS qn
+       |  FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, cell) AS r
+       |    FROM ad WHERE vec_id < $nQueries)
+       |  WHERE r <= $curveProbes),
+       |cand AS (
+       |  SELECT p.query_id, a.neighbor_id, p.probe_rank,
+       |    (${dotSqlOf("p.qv", "a.cv")}) / (p.qn * a.cn) AS cos,
+       |    x.nprobe
+       |  FROM probes p JOIN assigned a USING (cell)
+       |  CROSS JOIN (SELECT unnest(range(1, ${curveProbes + 1})) AS nprobe) x
+       |  WHERE p.query_id <> a.neighbor_id AND p.probe_rank <= x.nprobe),
+       |scanned AS (
+       |  SELECT nprobe, CAST(count(*) AS BIGINT) AS n_scanned
+       |  FROM cand GROUP BY 1),
+       |top AS (
+       |  SELECT nprobe, query_id, neighbor_id, 1 AS hit FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY nprobe, query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM cand)
+       |  WHERE rank <= $topK),
+       |bf AS (
+       |  SELECT b.query_id, b.neighbor_id, x.nprobe
+       |  FROM (SELECT query_id, neighbor_id FROM ($annBruteforceSql)) b
+       |  CROSS JOIN (SELECT unnest(range(1, ${curveProbes + 1})) AS nprobe) x),
+       |rec AS (
+       |  SELECT bf.nprobe, CAST(count(*) AS BIGINT) AS n_true,
+       |    CAST(coalesce(sum(top.hit), 0) AS BIGINT) AS n_hit
+       |  FROM bf LEFT JOIN top
+       |    ON bf.nprobe = top.nprobe AND bf.query_id = top.query_id
+       |    AND bf.neighbor_id = top.neighbor_id
+       |  GROUP BY 1)
+       |SELECT r.nprobe, r.n_true, r.n_hit,
+       |  r.n_hit * 10000 // r.n_true AS recall_bp, s.n_scanned
+       |FROM rec r JOIN scanned s USING (nprobe)
+       |ORDER BY nprobe""".stripMargin
+
   // ─── ann_centroid_stats: IVF index-health occupancy readout ───
   // The maintenance signal every IVF deployment watches: cell
   // occupancy skew. A cell at many times its fair share turns every
@@ -1220,6 +1330,7 @@ object Similarity {
     "sample_hard_negatives" -> sampleHardNegatives,
     "ann_diverse" -> annDiverse,
     "ann_hybrid_rrf" -> annHybridRrf,
+    "ann_nprobe_curve" -> annNprobeCurve,
     "ann_centroid_stats" -> annCentroidStats,
     "ann_recall_curve" -> annRecallCurve,
     "ann_recall" -> annRecall,
@@ -1238,6 +1349,7 @@ object Similarity {
     "sample_hard_negatives" -> sampleHardNegativesSql,
     "ann_diverse" -> annDiverseSql,
     "ann_hybrid_rrf" -> annHybridRrfSql,
+    "ann_nprobe_curve" -> annNprobeCurveSql,
     "ann_centroid_stats" -> annCentroidStatsSql,
     "ann_recall_curve" -> annRecallCurveSql,
     "ann_recall" -> annRecallSql,

@@ -1108,6 +1108,44 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ─── ann_nprobe_curve / ev_velocity_flags ───
+
+  test("ann_nprobe_curve: monotone tradeoff, nprobe=2 ties to ann_ivf") {
+    val rows = Similarity.annNprobeCurve(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L))
+    (1L to 3L).foreach { p =>
+      assert(rows(p)._2 <= rows(p + 1)._2, "recall never drops with wider probes")
+      assert(rows(p)._4 <= rows(p + 1)._4, "scanned candidates grow with probes")
+    }
+    rows.values.foreach { case (nTrue, nHit, bp, _) =>
+      assert(nTrue == 60L && nHit <= nTrue && bp == nHit * 10000L / nTrue)
+    }
+    // ann_ivf ships nprobe=2: its hits against brute force must equal
+    // the curve's nprobe=2 point.
+    val bf = Similarity.annBruteforce(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfHits = Similarity.annIvf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).count(bf.contains)
+    assert(rows(2L)._2 == ivfHits.toLong, "curve point 2 == shipped index recall")
+  }
+
+  test("ev_velocity_flags: equals a direct trailing-window recomputation") {
+    val rows = Events.evVelocityFlags(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = ev.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+      es.toSeq.map { case (id, _, e) =>
+        id -> es.count(x => x._3 > e - 86400L && x._3 <= e).toLong
+      }
+    }.filter(_._2 >= 8L).toMap
+    assert(rows == expect, s"${rows.size} flagged vs ${expect.size} expected")
+  }
+
   // ─── ann_centroid_stats / ev_heatmap ───
 
   test("ann_centroid_stats: occupancy partitions the corpus, load identity") {
