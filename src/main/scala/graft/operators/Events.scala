@@ -2661,6 +2661,65 @@ object Events {
       .replace("WINDOWS", windows)
   }
 
+  // ─── ev_mttr: reliability rollup — MTTR / MTBF / availability ───
+  // ev_outage lists the incidents; this is the number leadership
+  // reads: per stream, mean time to recover (mean outage gap), mean
+  // time between failures (uptime over incident count), and
+  // availability in bp — all from the SAME >600 s gap derivation
+  // (one user-free lag window per type, span-bounded), aggregated
+  // exactly in integer seconds. Streams with zero outages report
+  // availability 10⁴ and NULL-free sentinels (mttr 0, mtbf = span).
+  def evMttr(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir).events
+      .withColumn("epoch", epochS(col("ts")))
+      .withColumn("prev_epoch", lag(col("epoch"), 1).over(byType))
+      .withColumn("gap",
+        when(col("prev_epoch").isNotNull &&
+          col("epoch") - col("prev_epoch") > 600L,
+          col("epoch") - col("prev_epoch")))
+      .groupBy(col("event_type"))
+      .agg((max(col("epoch")) - min(col("epoch"))).as("span_s"),
+        count(col("gap")).as("n_outages"),
+        coalesce(sum(col("gap")), lit(0L)).as("downtime_s"))
+      .select(col("event_type"), col("span_s"), col("n_outages"),
+        col("downtime_s"),
+        when(col("n_outages") > 0,
+          expr("downtime_s div n_outages")).otherwise(0L).as("mttr_s"),
+        when(col("n_outages") > 0,
+          expr("(span_s - downtime_s) div n_outages"))
+          .otherwise(col("span_s")).as("mtbf_s"),
+        expr("(span_s - downtime_s) * 10000 div span_s").as("avail_bp"))
+      .orderBy(col("event_type"))
+  }
+
+  val evMttrSql: String =
+    """WITH l AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+      |    lag(CAST(floor(epoch(ts)) AS BIGINT))
+      |      OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_epoch
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |    CASE WHEN prev_epoch IS NOT NULL AND epoch - prev_epoch > 600
+      |      THEN epoch - prev_epoch END AS gap, epoch
+      |  FROM l),
+      |a AS (
+      |  SELECT event_type,
+      |    CAST(max(epoch) - min(epoch) AS BIGINT) AS span_s,
+      |    CAST(count(gap) AS BIGINT) AS n_outages,
+      |    CAST(coalesce(sum(gap), 0) AS BIGINT) AS downtime_s
+      |  FROM g GROUP BY 1)
+      |SELECT event_type, span_s, n_outages, downtime_s,
+      |  CASE WHEN n_outages > 0 THEN downtime_s // n_outages
+      |    ELSE 0 END AS mttr_s,
+      |  CASE WHEN n_outages > 0 THEN (span_s - downtime_s) // n_outages
+      |    ELSE span_s END AS mtbf_s,
+      |  (span_s - downtime_s) * 10000 // span_s AS avail_bp
+      |FROM a ORDER BY event_type""".stripMargin
+
   // ─── ev_velocity_flags: trailing-window velocity rule (fraud ops) ───
   // The rate-limit/fraud primitive: flag any event whose user fired
   // ≥ 8 events in the trailing 24 h INCLUDING it — a sliding RANGE
@@ -3129,6 +3188,7 @@ object Events {
     "ev_burn_rate" -> evBurnRate,
     "ev_heatmap" -> evHeatmap,
     "ev_velocity_flags" -> evVelocityFlags,
+    "ev_mttr" -> evMttr,
     "ts_seasonal_strength" -> tsSeasonalStrength,
     "ev_cohort_ltv" -> evCohortLtv,
     "ev_survival" -> evSurvival,
@@ -3187,6 +3247,7 @@ object Events {
     "ev_burn_rate" -> evBurnRateSql,
     "ev_heatmap" -> evHeatmapSql,
     "ev_velocity_flags" -> evVelocityFlagsSql,
+    "ev_mttr" -> evMttrSql,
     "ts_seasonal_strength" -> tsSeasonalStrengthSql,
     "ev_cohort_ltv" -> evCohortLtvSql,
     "ev_survival" -> evSurvivalSql,

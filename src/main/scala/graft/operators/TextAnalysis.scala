@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: language ID,
@@ -1138,7 +1139,67 @@ object TextAnalysis {
       |    AS avg_bits_x100
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ─── text_vocab_growth: Heaps-law vocabulary accumulation curve ───
+  // How fast does NEW vocabulary arrive as the corpus grows? The
+  // curve Heaps' law (V ∝ nᵝ) predicts sub-linear — a corpus whose
+  // vocabulary keeps growing linearly is full of noise/IDs, one that
+  // flatlines early is templated; either tail is a data-quality
+  // smell. Ingestion order is simulated by doc_id buckets of 50.
+  // The accumulation trick: a term contributes to vocabulary AT its
+  // FIRST bucket (min-per-term aggregate — one shuffle on the term),
+  // so "distinct so far" becomes a plain cumulative sum over the
+  // bounded bucket frame. Token totals ride the same bucket rollup.
+  private val vocabBucketDocs = 50L
+
+  def textVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(expr(s"doc_id div $vocabBucketDocs").as("bucket"),
+        explode(filter(split(col("text"), " "), w => w =!= "")).as("term"))
+      .localCheckpoint(eager = false)
+    val perBucket = toks.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val firstSeen = toks.groupBy(col("term"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_terms"))
+    val byBucket = Window.partitionBy(lit(1)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perBucket.join(firstSeen, Seq("bucket"), "left")
+      .withColumn("new_terms", coalesce(col("new_terms"), lit(0L)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(byBucket))
+      .withColumn("vocab", sum(col("new_terms")).over(byBucket))
+      .select(col("bucket"), col("n_tokens"), col("cum_tokens"),
+        col("new_terms"), col("vocab"))
+      .orderBy(col("bucket"))
+  }
+
+  val textVocabGrowthSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id // $vocabBucketDocs AS bucket,
+       |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+       |  FROM documents),
+       |pb AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+       |  FROM toks GROUP BY 1),
+       |fs AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS new_terms FROM (
+       |    SELECT term, min(bucket) AS bucket FROM toks GROUP BY term)
+       |  GROUP BY 1),
+       |j AS (
+       |  SELECT pb.bucket, pb.n_tokens,
+       |    coalesce(fs.new_terms, 0) AS new_terms
+       |  FROM pb LEFT JOIN fs USING (bucket))
+       |SELECT bucket, n_tokens,
+       |  CAST(sum(n_tokens) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_tokens,
+       |  new_terms,
+       |  CAST(sum(new_terms) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS vocab
+       |FROM j ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_growth" -> textVocabGrowth,
     "text_rake" -> textRake,
     "text_winnowing" -> textWinnowing,
     "text_lm_score" -> textLmScore,
@@ -1162,6 +1223,7 @@ object TextAnalysis {
     "text_ngram_top" -> textNgramTop)
 
   val oracle: Map[String, String] = Map(
+    "text_vocab_growth" -> textVocabGrowthSql,
     "text_rake" -> textRakeSql,
     "text_winnowing" -> textWinnowingSql,
     "text_lm_score" -> textLmScoreSql,

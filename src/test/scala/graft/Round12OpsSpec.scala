@@ -1108,6 +1108,41 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ─── ev_mttr / text_vocab_growth ───
+
+  test("ev_mttr: identities hold, incident counts tie to ev_outage") {
+    val rows = Events.evMttr(spark, dir).collect()
+    val outages = Events.evOutage(spark, dir).collect()
+      .groupBy(_.getString(0)).map { case (t, rs) => t -> rs.length.toLong }
+    rows.foreach { r =>
+      val (t, span, n, down, mttr, mtbf, avail) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(down <= span, "downtime bounded by observation span")
+      assert(n == outages.getOrElse(t, 0L), s"$t: incident count vs ev_outage")
+      if (n > 0) {
+        assert(mttr == down / n && mtbf == (span - down) / n)
+      } else assert(mttr == 0L && mtbf == span && down == 0L)
+      assert(avail == (span - down) * 10000L / span)
+    }
+  }
+
+  test("text_vocab_growth: telescoping totals, monotone curves") {
+    val out = TextAnalysis.textVocabGrowth(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    val docsDf = Tables(spark, dir).documents
+      .select(explode(filter(split(col("text"), " "), w => w =!= "")).as("t"))
+    val totTokens = docsDf.count()
+    val totVocab = docsDf.distinct().count()
+    assert(out.last.getLong(2) == totTokens, "cumulative tokens telescope")
+    assert(out.last.getLong(4) == totVocab, "final vocab = corpus distinct terms")
+    assert(out.map(_.getLong(3)).sum == totVocab, "every term counted once")
+    val cums = out.map(r => (r.getLong(2), r.getLong(4)))
+    cums.zip(cums.tail).foreach { case ((t1, v1), (t2, v2)) =>
+      assert(t1 < t2 && v1 <= v2, "both curves monotone")
+    }
+  }
+
   // ─── ann_nprobe_curve / ev_velocity_flags ───
 
   test("ann_nprobe_curve: monotone tradeoff, nprobe=2 ties to ann_ivf") {
