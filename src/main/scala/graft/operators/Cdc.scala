@@ -392,6 +392,59 @@ object Cdc {
       |FROM ranked WHERE rn = 1
       |ORDER BY tx_pct, valid_pct, user_id""".stripMargin
 
+  // ─── cdc_merge_stats: MERGE INTO outcome metrics ───
+  // The numbers a nightly merge job reports (and alerting watches
+  // for drift): how many keys were inserted, actually changed,
+  // touched-but-identical, or untouched. Same base/delta latest
+  // frames as cdc_merge, full-outer joined on the co-partitioned
+  // key; "identical" compares the PAYLOAD columns (type + value) —
+  // the arrival timestamp always advances, so including it would
+  // make the category unreachable; a delta write carrying the same
+  // payload is a no-op the merge can skip (write-amplification
+  // telemetry). Output is the ≤4-row category rollup, share in bp.
+  def cdcMergeStats(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    val ev = Tables(spark, dir).events
+    val base = latestPerUser(ev.filter(col("ts") < lit(cutoff)))
+      .withColumnRenamed("last_type", "b_type")
+      .withColumnRenamed("last_epoch", "b_epoch")
+      .withColumnRenamed("last_value_cents", "b_cents")
+    val delta = latestPerUser(ev.filter(col("ts") >= lit(cutoff)))
+      .withColumn("in_delta", lit(true))
+    base.join(delta, Seq("user_id"), "full_outer")
+      .withColumn("category",
+        when(col("in_delta").isNull, "untouched")
+          .when(col("b_type").isNull, "inserted")
+          .when(col("last_type") === col("b_type") &&
+            col("last_value_cents") === col("b_cents"), "identical")
+          .otherwise("updated"))
+      .groupBy(col("category")).agg(count(lit(1)).as("n_keys"))
+      .withColumn("share_bp",
+        Ranks.idiv(col("n_keys") * 10000L, sum(col("n_keys")).over(all)))
+      .orderBy(col("category"))
+  }
+
+  val cdcMergeStatsSql: String =
+    s"""WITH base AS (
+       |${latestSql(s"(SELECT * FROM events WHERE ts < TIMESTAMP '$cutoff')")}
+       |), delta AS (
+       |${latestSql(s"(SELECT * FROM events WHERE ts >= TIMESTAMP '$cutoff')")}
+       |),
+       |cat AS (
+       |  SELECT CASE
+       |    WHEN d.user_id IS NULL THEN 'untouched'
+       |    WHEN b.user_id IS NULL THEN 'inserted'
+       |    WHEN d.last_type = b.last_type
+       |      AND d.last_value_cents = b.last_value_cents THEN 'identical'
+       |    ELSE 'updated' END AS category
+       |  FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id),
+       |g AS (
+       |  SELECT category, CAST(count(*) AS BIGINT) AS n_keys
+       |  FROM cat GROUP BY 1)
+       |SELECT category, n_keys,
+       |  CAST(n_keys * 10000 // (sum(n_keys) OVER ()) AS BIGINT) AS share_bp
+       |FROM g ORDER BY category""".stripMargin
+
   // ─── cdc_snapshot_chunks: watermark-chunked initial snapshot plan ───
   // The DBLog/Debezium incremental-snapshot primitive (Andradyne &
   // Gharachorloo, "DBLog: A Watermark Based Change-Data-Capture
@@ -466,6 +519,7 @@ object Cdc {
       |FROM f ORDER BY file_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_merge_stats" -> cdcMergeStats,
     "cdc_snapshot_chunks" -> cdcSnapshotChunks,
     "cdc_delete_vector" -> cdcDeleteVector,
     "cdc_bitemporal" -> cdcBitemporal,
@@ -479,6 +533,7 @@ object Cdc {
     "cdc_scd2" -> cdcScd2)
 
   val oracle: Map[String, String] = Map(
+    "cdc_merge_stats" -> cdcMergeStatsSql,
     "cdc_snapshot_chunks" -> cdcSnapshotChunksSql,
     "cdc_delete_vector" -> cdcDeleteVectorSql,
     "cdc_bitemporal" -> cdcBitemporalSql,

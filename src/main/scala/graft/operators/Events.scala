@@ -2661,6 +2661,59 @@ object Events {
       .replace("WINDOWS", windows)
   }
 
+  // ─── ts_drawdown: maximum drawdown of the cumulative series ───
+  // The risk number for any cumulative metric (revenue, balance,
+  // budget): the deepest peak-to-trough fall of the running total.
+  // Two carries over the hourly rollup partitioned by type (running
+  // sum, then running max of it — both span-bounded linear frames),
+  // drawdown = peak − cum per hour, one rollup to the worst point.
+  // All exact cents; trough hour reported via min(struct) argmin
+  // (deterministic, no sort).
+  def tsDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        floor(epochS(col("ts")) / 3600L).as("hour"))
+      .agg(cents(sum(col("value"))).as("hc"))
+      .withColumn("cum", sum(col("hc")).over(byType))
+      .withColumn("peak", max(col("cum")).over(byType))
+      .withColumn("dd", col("peak") - col("cum"))
+      .groupBy(col("event_type"))
+      .agg(max(col("cum")).as("peak_cents"),
+        max(col("dd")).as("max_drawdown_cents"),
+        min(struct((col("dd") * -1).as("negdd"), col("hour")))
+          .getField("hour").as("trough_hour"),
+        sum(col("hc")).as("final_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val tsDrawdownSql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type,
+       |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+       |    ${Tables.centsSql("sum(value)")} AS hc
+       |  FROM events GROUP BY 1, 2),
+       |c1 AS (
+       |  SELECT event_type, hour, hc,
+       |    CAST(sum(hc) OVER (PARTITION BY event_type ORDER BY hour
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum
+       |  FROM hourly),
+       |c AS (
+       |  SELECT *,
+       |    CAST(max(cum) OVER (PARTITION BY event_type ORDER BY hour
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS peak
+       |  FROM c1)
+       |SELECT event_type,
+       |  CAST(max(cum) AS BIGINT) AS peak_cents,
+       |  CAST(max(peak - cum) AS BIGINT) AS max_drawdown_cents,
+       |  CAST(min(struct_pack(negdd := -(peak - cum), hour := hour)).hour
+       |    AS BIGINT) AS trough_hour,
+       |  CAST(sum(hc) AS BIGINT) AS final_cents
+       |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ─── ev_mttr: reliability rollup — MTTR / MTBF / availability ───
   // ev_outage lists the incidents; this is the number leadership
   // reads: per stream, mean time to recover (mean outage gap), mean
@@ -3189,6 +3242,7 @@ object Events {
     "ev_heatmap" -> evHeatmap,
     "ev_velocity_flags" -> evVelocityFlags,
     "ev_mttr" -> evMttr,
+    "ts_drawdown" -> tsDrawdown,
     "ts_seasonal_strength" -> tsSeasonalStrength,
     "ev_cohort_ltv" -> evCohortLtv,
     "ev_survival" -> evSurvival,
@@ -3248,6 +3302,7 @@ object Events {
     "ev_heatmap" -> evHeatmapSql,
     "ev_velocity_flags" -> evVelocityFlagsSql,
     "ev_mttr" -> evMttrSql,
+    "ts_drawdown" -> tsDrawdownSql,
     "ts_seasonal_strength" -> tsSeasonalStrengthSql,
     "ev_cohort_ltv" -> evCohortLtvSql,
     "ev_survival" -> evSurvivalSql,

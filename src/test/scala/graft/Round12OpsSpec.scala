@@ -1108,6 +1108,69 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ─── ts_drawdown / cdc_merge_stats ───
+
+  test("ts_drawdown: equals a direct peak-trough recomputation") {
+    val rows = Events.tsDrawdown(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val hourly = Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 3600L).as("h"))
+      .agg(floor(sum(col("value")) * 100 + 0.5).cast("long").as("hc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    hourly.groupBy(_._1).foreach { case (t, hs) =>
+      val sorted = hs.sortBy(_._2)
+      var cum = 0L; var peak = Long.MinValue
+      var trough = 0L; var bestDd = -1L
+      // argmin(struct(-dd, hour)): largest dd wins, earliest hour on
+      // ties — ascending hour order makes first-max the winner.
+      sorted.foreach { case (_, h, hc) =>
+        cum += hc; peak = math.max(peak, cum)
+        val dd = peak - cum
+        if (dd > bestDd) { bestDd = dd; trough = h }
+      }
+      val (peakC, maxDraw, troughHour, finalC) = rows(t)
+      assert(peakC == peak && maxDraw == bestDd && finalC == cum, s"type $t")
+      assert(troughHour == trough, s"type $t trough argmin")
+    }
+  }
+
+  test("cdc_merge_stats: all four categories exact on a crafted changelog") {
+    import spark.implicits._
+    def at(s: String) = java.sql.Timestamp.valueOf(s)
+    // cutoff is 2024-01-15: user 1 base-only, 2 delta-only (insert),
+    // 3 updated (payload changes), 4 identical (same type+value again).
+    val ev = Seq(
+      (1L, at("2024-01-10 00:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, at("2024-01-20 00:00:00"), 2L, "click", 2.0, "{}"),
+      (3L, at("2024-01-10 00:00:00"), 3L, "view", 3.0, "{}"),
+      (4L, at("2024-01-20 00:00:00"), 3L, "purchase", 9.0, "{}"),
+      (5L, at("2024-01-10 00:00:00"), 4L, "view", 4.0, "{}"),
+      (6L, at("2024-01-20 00:00:00"), 4L, "view", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ms").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Cdc.cdcMergeStats(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("untouched" -> 1L, "inserted" -> 1L,
+      "updated" -> 1L, "identical" -> 1L), s"categories: $out")
+  }
+
+  test("cdc_merge_stats: categories partition keys, tie to cdc_merge") {
+    val rows = Cdc.cdcMergeStats(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val users = Tables(spark, dir).events
+      .select(col("user_id")).distinct().count()
+    assert(rows.values.sum == users, "categories partition the key space")
+    val mergeSrc = Cdc.cdcMerge(spark, dir).collect()
+      .groupBy(_.getString(4)).map { case (s, rs) => s -> rs.length.toLong }
+    assert(rows.getOrElse("inserted", 0L) + rows.getOrElse("updated", 0L) +
+      rows.getOrElse("identical", 0L) == mergeSrc.getOrElse("delta", 0L),
+      "delta-side categories sum to cdc_merge's delta rows")
+    assert(rows.getOrElse("untouched", 0L) == mergeSrc.getOrElse("base", 0L))
+  }
+
   // ─── ev_mttr / text_vocab_growth ───
 
   test("ev_mttr: identities hold, incident counts tie to ev_outage") {
