@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Media blob row as it would arrive from a multimodal lakehouse table:
@@ -221,6 +222,72 @@ object Multimodal {
        |    AS "offset"
        |FROM s ORDER BY shard, doc_id""".stripMargin
 
+  // ─── mm_shot_plan: video shot segmentation over the frame stream ───
+  // The video twin of the tiling/framing plans: segment each clip
+  // into SHOTS by thresholding frame-to-frame content change. Frames
+  // are the stride-sampled 64-byte chunks (mm_frame_sample's grid);
+  // the change signal is the stubbed decoder's domain — here the
+  // Hamming-style distance between consecutive frames' md5-derived
+  // 60-bit fingerprints (≥ 20 differing bits = cut), which a real
+  // deployment swaps for a histogram/SSIM delta with the SAME
+  // plumbing: one (doc)-partitioned lag pass over the bounded frame
+  // explode, cumulative-sum shot ids, per-doc rollup.
+  private val shotCutBits = 20
+
+  def mmShotPlan(spark: SparkSession, dir: String): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("sample_idx"))
+    val frames = blobs(spark, dir).toDF()
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""CASE WHEN octet_length(payload) > 0 THEN transform(
+             |  sequence(0, int(ceil(octet_length(payload) / $chunkBytes.0)) - 1, $stride),
+             |  i -> substring(payload, i * $chunkBytes + 1, $chunkBytes))
+             |ELSE array() END""".stripMargin))
+          .as(Seq("sample_idx", "chunk")))
+      .withColumn("fp",
+        conv(substring(md5(col("chunk")), 1, 15), 16, 10).cast("long"))
+    frames
+      .withColumn("prev_fp", lag(col("fp"), 1).over(byDoc))
+      .withColumn("is_cut",
+        when(col("prev_fp").isNull, 1L)
+          .when(expr("bit_count(fp ^ prev_fp)") >= shotCutBits, 1L)
+          .otherwise(0L))
+      .withColumn("shot_id",
+        sum(col("is_cut")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"), max(col("shot_id")).as("n_shots"))
+      .withColumn("avg_shot_len_x100",
+        expr("n_frames * 100 div n_shots"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mmShotPlanSql: String =
+    s"""WITH idx AS (
+       |  SELECT doc_id, text AS p,
+       |    unnest(range(0, CAST(ceil(length(text) / $chunkBytes.0) AS BIGINT), $stride)) AS i
+       |  FROM documents WHERE length(text) > 0),
+       |fr AS (
+       |  SELECT doc_id, (i // $stride) AS sample_idx,
+       |    CAST(('0x' || substr(md5(substring(p, CAST(i * $chunkBytes + 1 AS INTEGER), $chunkBytes)), 1, 15))
+       |      AS BIGINT) AS fp
+       |  FROM idx),
+       |cuts AS (
+       |  SELECT doc_id, sample_idx, fp,
+       |    CASE WHEN lag(fp) OVER w IS NULL THEN 1
+       |      WHEN bit_count(xor(fp, lag(fp) OVER w)) >= $shotCutBits THEN 1
+       |      ELSE 0 END AS is_cut
+       |  FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY sample_idx)),
+       |shots AS (
+       |  SELECT doc_id,
+       |    CAST(sum(is_cut) OVER (PARTITION BY doc_id ORDER BY sample_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS shot_id
+       |  FROM cuts)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+       |  CAST(max(shot_id) AS BIGINT) AS n_shots,
+       |  count(*) * 100 // max(shot_id) AS avg_shot_len_x100
+       |FROM shots GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ─── mm_audio_frames: overlapped framing plan (audio 25ms/10ms) ───
   // The 1-D twin of mm_tile_plan: speech features window the signal
   // into OVERLAPPING frames (classic 400-sample/160-hop ≈ 25 ms
@@ -316,6 +383,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_audio_frames" -> mmAudioFrames,
+    "mm_shot_plan" -> mmShotPlan,
     "mm_tile_plan" -> mmTilePlan,
     "mm_manifest" -> mmManifest,
     "mm_near_dup" -> mmNearDup,
@@ -350,6 +418,7 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "mm_audio_frames" -> mmAudioFramesSql,
+    "mm_shot_plan" -> mmShotPlanSql,
     "mm_tile_plan" -> mmTilePlanSql,
     "mm_manifest" -> mmManifestSql,
     "mm_near_dup" -> mmNearDupSql,

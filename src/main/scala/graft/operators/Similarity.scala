@@ -779,6 +779,56 @@ object Similarity {
        |  ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
        |GROUP BY 1 ORDER BY bf.query_id""".stripMargin
 
+  // ─── ann_shard_fanout: scatter-gather cost of a sharded index ───
+  // Distributed ANN serves from S shards each owning a set of IVF
+  // cells; a query fans out to every shard its probed cells touch.
+  // This emits the design readout for S=4 cell-hashed shards: the
+  // distribution of shards-touched per query at the shipped nprobe
+  // (fanout 1 = single-shard fast path, fanout 4 = full scatter) —
+  // the number that decides cell→shard placement. One probe
+  // assignment (broadcast centroids), |queries|-bounded rollups.
+  private val fanoutShards = 4L
+
+  def annShardFanout(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    nearestCells(ivfCents(spark, dir),
+        vecs(spark, dir).filter(col("vec_id") < nQueries), nprobe, "vec_id")
+      .select(col("vec_id").as("query_id"),
+        pmod(col("cell"), lit(fanoutShards)).as("shard"))
+      .distinct()
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_shards"))
+      .groupBy(col("n_shards")).agg(count(lit(1)).as("n_queries"))
+      .withColumn("share_bp",
+        graft.operators.Ranks.idiv(col("n_queries") * 10000L,
+          sum(col("n_queries")).over(all)))
+      .orderBy(col("n_shards"))
+  }
+
+  val annShardFanoutSql: String =
+    s"""WITH n AS (${vecsSql("vec_id")}),
+       |$ivfCentsSql,
+       |ad AS (
+       |  SELECT n.vec_id, c.cell,
+       |    (${dist2SqlOf("n.v", "c.centv")}) AS d2
+       |  FROM n, cents c
+       |  WHERE n.vec_id < $nQueries),
+       |probes AS (
+       |  SELECT DISTINCT vec_id AS query_id, cell % $fanoutShards AS shard
+       |  FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, cell) AS r FROM ad)
+       |  WHERE r <= $nprobe),
+       |pq AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_shards
+       |  FROM probes GROUP BY 1),
+       |h AS (
+       |  SELECT n_shards, CAST(count(*) AS BIGINT) AS n_queries
+       |  FROM pq GROUP BY 1)
+       |SELECT n_shards, n_queries,
+       |  CAST(n_queries * 10000 // (sum(n_queries) OVER ()) AS BIGINT)
+       |    AS share_bp
+       |FROM h ORDER BY n_shards""".stripMargin
+
   // ─── ann_nprobe_curve: recall/cost tradeoff across probe widths ───
   // THE IVF tuning decision: each extra probed cell buys recall and
   // costs scanned candidates — this emits the whole curve from ONE
@@ -1331,6 +1381,7 @@ object Similarity {
     "ann_diverse" -> annDiverse,
     "ann_hybrid_rrf" -> annHybridRrf,
     "ann_nprobe_curve" -> annNprobeCurve,
+    "ann_shard_fanout" -> annShardFanout,
     "ann_centroid_stats" -> annCentroidStats,
     "ann_recall_curve" -> annRecallCurve,
     "ann_recall" -> annRecall,
@@ -1350,6 +1401,7 @@ object Similarity {
     "ann_diverse" -> annDiverseSql,
     "ann_hybrid_rrf" -> annHybridRrfSql,
     "ann_nprobe_curve" -> annNprobeCurveSql,
+    "ann_shard_fanout" -> annShardFanoutSql,
     "ann_centroid_stats" -> annCentroidStatsSql,
     "ann_recall_curve" -> annRecallCurveSql,
     "ann_recall" -> annRecallSql,

@@ -1139,6 +1139,54 @@ object TextAnalysis {
       |    AS avg_bits_x100
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ─── text_length_hist: token-length histogram (packing design) ───
+  // The distribution that picks a context length: ⌊log₂⌋ bins of
+  // per-doc token counts with document AND token shares plus the
+  // cumulative token coverage — "what fraction of corpus tokens live
+  // in docs ≤ 2ᵇ tokens" is exactly the sequence-packing / truncation
+  // budget question. One map-only token count, one ≤64-bin rollup,
+  // carries over the bounded bin frame. ⌊log₂⌋ via length(bin(n))−1,
+  // no libm.
+  def textLengthHist(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    val cum = all.orderBy(col("len_bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs(spark, dir)
+      .select(greatest(
+        size(filter(split(col("text"), " "), w => w =!= "")).cast("long"),
+        lit(1L)).as("n_tok"))
+      .groupBy((length(bin(col("n_tok"))) - 1).cast("long").as("len_bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("doc_share_bp",
+        Ranks.idiv(col("n_docs") * 10000L, sum(col("n_docs")).over(all)))
+      .withColumn("tok_share_bp",
+        Ranks.idiv(col("n_tokens") * 10000L, sum(col("n_tokens")).over(all)))
+      .withColumn("cum_tok_bp",
+        Ranks.idiv(sum(col("n_tokens")).over(cum) * 10000L,
+          sum(col("n_tokens")).over(all)))
+      .orderBy(col("len_bin"))
+  }
+
+  val textLengthHistSql: String =
+    """WITH t AS (
+      |  SELECT greatest(CAST(len(list_filter(string_split(text, ' '),
+      |    w -> w <> '')) AS BIGINT), 1) AS n_tok
+      |  FROM documents),
+      |h AS (
+      |  SELECT CAST(length(bin(n_tok)) - 1 AS BIGINT) AS len_bin,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      |  FROM t GROUP BY 1)
+      |SELECT len_bin, n_docs, n_tokens,
+      |  CAST(n_docs * 10000 // (sum(n_docs) OVER ()) AS BIGINT)
+      |    AS doc_share_bp,
+      |  CAST(n_tokens * 10000 // (sum(n_tokens) OVER ()) AS BIGINT)
+      |    AS tok_share_bp,
+      |  CAST(sum(n_tokens) OVER (ORDER BY len_bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000
+      |    // (sum(n_tokens) OVER ()) AS BIGINT) AS cum_tok_bp
+      |FROM h ORDER BY len_bin""".stripMargin
+
   // ─── text_vocab_growth: Heaps-law vocabulary accumulation curve ───
   // How fast does NEW vocabulary arrive as the corpus grows? The
   // curve Heaps' law (V ∝ nᵝ) predicts sub-linear — a corpus whose
@@ -1200,6 +1248,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_vocab_growth" -> textVocabGrowth,
+    "text_length_hist" -> textLengthHist,
     "text_rake" -> textRake,
     "text_winnowing" -> textWinnowing,
     "text_lm_score" -> textLmScore,
@@ -1224,6 +1273,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "text_vocab_growth" -> textVocabGrowthSql,
+    "text_length_hist" -> textLengthHistSql,
     "text_rake" -> textRakeSql,
     "text_winnowing" -> textWinnowingSql,
     "text_lm_score" -> textLmScoreSql,

@@ -1108,6 +1108,47 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ─── mm_shot_plan / ann_shard_fanout / text_length_hist ───
+
+  test("mm_shot_plan: shot counts bounded by frames, frame grid matches") {
+    val rows = Multimodal.mmShotPlan(spark, dir).collect()
+    val frames = Multimodal.mmFrameSample(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (d, fs) => d -> fs.length.toLong }
+    assert(rows.map(_.getLong(0)).toSet == frames.keySet)
+    rows.foreach { r =>
+      val (d, nF, nS, avg) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nF == frames(d), "rides mm_frame_sample's exact grid")
+      assert(nS >= 1 && nS <= nF, "between one shot and all-cuts")
+      assert(avg == nF * 100 / nS)
+    }
+  }
+
+  test("ann_shard_fanout: distribution over queries, fanout bounded by nprobe") {
+    val rows = Similarity.annShardFanout(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum == 20L, "every query accounted for")
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 1L && r.getLong(0) <= 2L,
+        "nprobe=2 probes touch at most 2 shards")
+      assert(r.getLong(2) == r.getLong(1) * 10000L / 20L)
+    }
+  }
+
+  test("text_length_hist: bins partition the corpus, coverage telescopes") {
+    val out = TextAnalysis.textLengthHist(spark, dir).collect()
+    val docs = Tables(spark, dir).documents
+      .select(greatest(size(filter(split(col("text"), " "),
+        w => w =!= "")).cast("long"), lit(1L)).as("n")).collect()
+      .map(_.getLong(0))
+    assert(out.map(_.getLong(1)).sum == docs.length.toLong)
+    assert(out.map(_.getLong(2)).sum == docs.sum)
+    val expBins = docs.groupBy(n => 63 - java.lang.Long.numberOfLeadingZeros(n))
+      .map { case (b, xs) => b.toLong -> xs.length.toLong }
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap == expBins)
+    assert(out.maxBy(_.getLong(0)).getLong(5) == 10000L,
+      "cumulative coverage ends at 100%")
+  }
+
   // ─── ts_drawdown / cdc_merge_stats ───
 
   test("ts_drawdown: equals a direct peak-trough recomputation") {
