@@ -2661,6 +2661,52 @@ object Events {
       .replace("WINDOWS", windows)
   }
 
+  // ─── ev_incidents: alert-collapse of sustained burn-rate tickets ───
+  // Alert fatigue is the failure mode of threshold alerting: one
+  // slow burn pages every hour for a day. This collapses
+  // ev_burn_rate's hourly ticket flags into INCIDENTS — maximal runs
+  // of consecutive flagged hours (gap ≤ 1 h) — via gaps-and-islands
+  // on the span-bounded hourly grid (lag + carry, the ev_islands
+  // shape): per incident the bracket, duration, and peak 6 h burn.
+  // The on-call surface shrinks from alert-hours to incidents — the
+  // dedup factor IS the fatigue metric.
+  def evIncidents(spark: SparkSession, dir: String): DataFrame = {
+    val byHour = Window.partitionBy(lit(1)).orderBy(col("hour_epoch_h"))
+    val flagged = evBurnRate(spark, dir).filter(col("ticket"))
+      .select(col("hour_epoch_h"), col("burn_6h_x100"))
+      .withColumn("prev_h", lag(col("hour_epoch_h"), 1).over(byHour))
+      .withColumn("is_new",
+        when(col("prev_h").isNull ||
+          col("hour_epoch_h") - col("prev_h") > 1, 1L).otherwise(0L))
+      .withColumn("incident_id",
+        sum(col("is_new")).over(byHour.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("incident_id"))
+      .agg(min(col("hour_epoch_h")).as("start_hour"),
+        max(col("hour_epoch_h")).as("end_hour"),
+        count(lit(1)).as("n_hours"),
+        max(col("burn_6h_x100")).as("peak_burn_x100"))
+      .orderBy(col("incident_id"))
+  }
+
+  lazy val evIncidentsSql: String =
+    s"""WITH br AS ($evBurnRateSql),
+       |f AS (
+       |  SELECT hour_epoch_h, burn_6h_x100,
+       |    lag(hour_epoch_h) OVER (ORDER BY hour_epoch_h) AS prev_h
+       |  FROM br WHERE ticket),
+       |inc AS (
+       |  SELECT hour_epoch_h, burn_6h_x100,
+       |    CAST(sum(CASE WHEN prev_h IS NULL OR hour_epoch_h - prev_h > 1
+       |      THEN 1 ELSE 0 END) OVER (ORDER BY hour_epoch_h
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS incident_id
+       |  FROM f)
+       |SELECT incident_id, min(hour_epoch_h) AS start_hour,
+       |  max(hour_epoch_h) AS end_hour,
+       |  CAST(count(*) AS BIGINT) AS n_hours,
+       |  max(burn_6h_x100) AS peak_burn_x100
+       |FROM inc GROUP BY 1 ORDER BY incident_id""".stripMargin
+
   // ─── ts_drawdown: maximum drawdown of the cumulative series ───
   // The risk number for any cumulative metric (revenue, balance,
   // budget): the deepest peak-to-trough fall of the running total.
@@ -3243,6 +3289,7 @@ object Events {
     "ev_velocity_flags" -> evVelocityFlags,
     "ev_mttr" -> evMttr,
     "ts_drawdown" -> tsDrawdown,
+    "ev_incidents" -> evIncidents,
     "ts_seasonal_strength" -> tsSeasonalStrength,
     "ev_cohort_ltv" -> evCohortLtv,
     "ev_survival" -> evSurvival,
@@ -3303,6 +3350,7 @@ object Events {
     "ev_velocity_flags" -> evVelocityFlagsSql,
     "ev_mttr" -> evMttrSql,
     "ts_drawdown" -> tsDrawdownSql,
+    "ev_incidents" -> evIncidentsSql,
     "ts_seasonal_strength" -> tsSeasonalStrengthSql,
     "ev_cohort_ltv" -> evCohortLtvSql,
     "ev_survival" -> evSurvivalSql,

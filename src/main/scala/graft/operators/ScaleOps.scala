@@ -452,6 +452,62 @@ object ScaleOps {
        |    // sum(n_rows) OVER () AS BIGINT) AS dev_bp
        |FROM c ORDER BY shard""".stripMargin
 
+  // ─── profile_drift: split-half distribution drift per column ───
+  // The Great-Expectations CI check between two slices of the same
+  // table (old batch vs new batch; here the deterministic l_orderkey
+  // parity split): per profiled column, mean (exact cents) and exact
+  // distinct count on each side, drift of the mean in bp of side A.
+  // A column whose drift_bp jumps is the schema-on-read alarm that
+  // fires BEFORE a model quietly degrades. One grouped aggregate per
+  // column branch (profile_table's union shape), all-integer except
+  // nothing — means are cents·100 div n, exact.
+  private val driftCols: Seq[(String, Column)] = Seq(
+    ("l_quantity", col("l_quantity")),
+    ("l_extendedprice", col("l_extendedprice")),
+    ("l_discount", col("l_discount")),
+    ("l_tax", col("l_tax")))
+
+  def profileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .withColumn("half", pmod(col("l_orderkey"), lit(2L)))
+    driftCols.map { case (name, c) =>
+      li.groupBy(col("half"))
+        .agg(count(lit(1)).as("n"), Relational.cents(sum(c)).as("s"),
+          countDistinct(c).as("nd"))
+        .groupBy()
+        .agg(
+          max(when(col("half") === 0, expr("s * 100 div n"))).as("mean_a_x100"),
+          max(when(col("half") === 1, expr("s * 100 div n"))).as("mean_b_x100"),
+          max(when(col("half") === 0, col("nd"))).as("nd_a"),
+          max(when(col("half") === 1, col("nd"))).as("nd_b"))
+        .select(lit(name).as("column_name"), col("mean_a_x100"),
+          col("mean_b_x100"),
+          expr("abs(mean_a_x100 - mean_b_x100) * 10000 div mean_a_x100")
+            .as("mean_drift_bp"),
+          col("nd_a"), col("nd_b"))
+    }.reduce(_ unionByName _).orderBy(col("column_name"))
+  }
+
+  val profileDriftSql: String = {
+    val branches = driftCols.map { case (name, _) =>
+      s"""SELECT '$name' AS column_name, mean_a_x100, mean_b_x100,
+         |  abs(mean_a_x100 - mean_b_x100) * 10000 // mean_a_x100
+         |    AS mean_drift_bp, nd_a, nd_b
+         |FROM (
+         |  SELECT
+         |    max(CASE WHEN half = 0 THEN s * 100 // n END) AS mean_a_x100,
+         |    max(CASE WHEN half = 1 THEN s * 100 // n END) AS mean_b_x100,
+         |    max(CASE WHEN half = 0 THEN nd END) AS nd_a,
+         |    max(CASE WHEN half = 1 THEN nd END) AS nd_b
+         |  FROM (
+         |    SELECT l_orderkey % 2 AS half, CAST(count(*) AS BIGINT) AS n,
+         |      ${Tables.centsSql(s"sum($name)")} AS s,
+         |      CAST(count(DISTINCT $name) AS BIGINT) AS nd
+         |    FROM lineitem GROUP BY 1))""".stripMargin
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   // ─── shard_rebalance: minimum-movement shard leveling plan ───
   // What an operator does AFTER shard_skew flags imbalance: the
   // exact minimal set of (from, to, n_rows) transfers that levels
@@ -1148,6 +1204,7 @@ object ScaleOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_freq" -> profileFreq,
+    "profile_drift" -> profileDrift,
     "profile_corr" -> profileCorr,
     "layout_compact" -> layoutCompact,
     "sketch_cms" -> sketchCms,
@@ -1169,6 +1226,7 @@ object ScaleOps {
     * cross-engine reproducible (driver does the rows-only check). */
   val oracle: Map[String, String] = Map(
     "profile_freq" -> profileFreqSql,
+    "profile_drift" -> profileDriftSql,
     "profile_corr" -> profileCorrSql,
     "layout_compact" -> layoutCompactSql,
     "sketch_cms" -> sketchCmsSql,

@@ -1108,6 +1108,47 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ─── profile_drift / ev_incidents ───
+
+  test("profile_drift: identities hold, parity split drifts little") {
+    val rows = ScaleOps.profileDrift(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    rows.foreach { r =>
+      val (ma, mb, drift) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(drift == math.abs(ma - mb) * 10000L / ma, "drift identity")
+      assert(drift < 500L,
+        s"${r.getString(0)}: a random parity split must not drift >5%")
+      assert(r.getLong(4) > 0 && r.getLong(5) > 0)
+    }
+  }
+
+  test("ev_incidents: maximal runs of ev_burn_rate's ticket hours") {
+    val tickets = Events.evBurnRate(spark, dir).collect()
+      .filter(_.getBoolean(6))
+      .map(r => (r.getLong(0), r.getLong(4))).sortBy(_._1)
+    val incidents = Events.evIncidents(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(incidents.map(_._4).sum == tickets.length.toLong,
+      "incident hours partition the ticket hours")
+    // Re-derive the runs directly.
+    val runs = tickets.foldLeft(List.empty[List[(Long, Long)]]) {
+      case (acc, t) => acc match {
+        case cur :: rest if t._1 - cur.head._1 <= 1 => (t :: cur) :: rest
+        case _ => List(t) :: acc
+      }
+    }.reverse.map(_.reverse)
+    assert(incidents.length == runs.length, "one incident per maximal run")
+    incidents.zip(runs).foreach { case ((_, s, e, n, peak), run) =>
+      assert(s == run.head._1 && e == run.last._1 && n == run.length.toLong)
+      assert(peak == run.map(_._2).max)
+    }
+    incidents.zip(incidents.tail).foreach { case ((_, _, e1, _, _), (_, s2, _, _, _)) =>
+      assert(s2 - e1 > 1, "adjacent incidents separated by a quiet hour")
+    }
+  }
+
   // ─── mm_shot_plan / ann_shard_fanout / text_length_hist ───
 
   test("mm_shot_plan: shot counts bounded by frames, frame grid matches") {
