@@ -2661,6 +2661,66 @@ object Events {
       .replace("WINDOWS", windows)
   }
 
+  // ─── ts_theil_sen: robust trend slope (median of pair slopes) ───
+  // OLS trend (q35's slope_ppm) breaks on one bad hour; Theil-Sen's
+  // median-of-pairwise-slopes estimator has a 29 % breakdown point —
+  // the robust answer to "is this series actually growing". Slopes
+  // are exact rationals quantized once (×10⁴ integer div); the pair
+  // frame is span²-bounded METADATA (hours², never events²) built by
+  // an hour-ordered self-join per type, and the median is the exact
+  // lower order statistic off Ranks.groupedRank — no per-type sort
+  // of anything data-sized.
+  def tsTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        floor(epochS(col("ts")) / 3600L).as("hour"))
+      .agg(cents(sum(col("value"))).as("hc"))
+      .localCheckpoint(eager = false)
+    val a = hourly.select(col("event_type").as("et"), col("hour").as("h1"),
+      col("hc").as("c1"))
+    val b = hourly.select(col("event_type").as("et2"), col("hour").as("h2"),
+      col("hc").as("c2"))
+    // h1 < h2 lives in the JOIN condition, and the divisor is still
+    // nullif-guarded: codegen can fuse the projection with the join's
+    // residual filter and ANSI mode then throws on the equal-hour
+    // pairs the filter is about to drop — nullif makes those evaluate
+    // to NULL instead, and no surviving row has h1 = h2.
+    val slopes = a.join(b, col("et") === col("et2") && col("h1") < col("h2"))
+      .select(col("et").as("event_type"),
+        expr("(c2 - c1) * 10000 div nullif(h2 - h1, 0)").as("slope"),
+        col("h1"), col("h2"))
+    Ranks.groupedRank(slopes, Seq("event_type"),
+        Seq(shiftright(col("slope"), 12)),
+        Seq(col("slope"), col("h1"), col("h2")), "rk", "n_pairs")
+      .filter(col("rk") === expr("(n_pairs + 1) div 2"))
+      .select(col("event_type"), col("n_pairs"),
+        col("slope").as("slope_med_x10000"))
+      .orderBy(col("event_type"))
+  }
+
+  val tsTheilSenSql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type,
+       |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+       |    ${Tables.centsSql("sum(value)")} AS hc
+       |  FROM events GROUP BY 1, 2),
+       |p AS (
+       |  SELECT a.event_type,
+       |    (b.hc - a.hc) * 10000 // (b.hour - a.hour) AS slope,
+       |    a.hour AS h1, b.hour AS h2
+       |  FROM hourly a JOIN hourly b
+       |    ON a.event_type = b.event_type AND a.hour < b.hour),
+       |r AS (
+       |  SELECT event_type, slope,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY slope, h1, h2) AS rk,
+       |    count(*) OVER (PARTITION BY event_type) AS n_pairs
+       |  FROM p)
+       |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  slope AS slope_med_x10000
+       |FROM r WHERE rk = (n_pairs + 1) // 2
+       |ORDER BY event_type""".stripMargin
+
   // ─── ev_incidents: alert-collapse of sustained burn-rate tickets ───
   // Alert fatigue is the failure mode of threshold alerting: one
   // slow burn pages every hour for a day. This collapses
@@ -3290,6 +3350,7 @@ object Events {
     "ev_mttr" -> evMttr,
     "ts_drawdown" -> tsDrawdown,
     "ev_incidents" -> evIncidents,
+    "ts_theil_sen" -> tsTheilSen,
     "ts_seasonal_strength" -> tsSeasonalStrength,
     "ev_cohort_ltv" -> evCohortLtv,
     "ev_survival" -> evSurvival,
@@ -3351,6 +3412,7 @@ object Events {
     "ev_mttr" -> evMttrSql,
     "ts_drawdown" -> tsDrawdownSql,
     "ev_incidents" -> evIncidentsSql,
+    "ts_theil_sen" -> tsTheilSenSql,
     "ts_seasonal_strength" -> tsSeasonalStrengthSql,
     "ev_cohort_ltv" -> evCohortLtvSql,
     "ev_survival" -> evSurvivalSql,

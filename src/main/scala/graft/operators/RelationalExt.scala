@@ -697,6 +697,45 @@ object RelationalExt {
       |FROM m JOIN m2 USING (c_mktsegment) JOIN o USING (c_mktsegment)
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ─── q41_paginate: stable keyset-style pagination per group ───
+  // The API-serving shape: page 2 (ranks 6–10) of each group's
+  // price-ranked items, with the total so clients can render page
+  // counts. Ranks come off Ranks.groupedRank (bucket ledger — a
+  // paginating service must NOT global-sort the corpus per request),
+  // tie-broken by the unique line key so page boundaries are stable
+  // across runs — the property offset pagination silently loses on
+  // ties and keyset pagination exists to restore.
+  private val pageSize = 5L
+  private val pageNo = 2L
+
+  def q41Paginate(spark: SparkSession, dir: String): DataFrame =
+    Ranks.groupedRank(
+      Tables(spark, dir).lineitem
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_extendedprice")).as("price_cents")),
+      Seq("l_returnflag"),
+      Seq(shiftright(-col("price_cents"), 12)),
+      Seq(-col("price_cents"), col("l_orderkey"), col("l_linenumber")),
+      "rk", "n_rows")
+      .filter(col("rk") > (pageNo - 1) * pageSize &&
+        col("rk") <= pageNo * pageSize)
+      .select(col("l_returnflag"), col("rk"), col("l_orderkey"),
+        col("l_linenumber"), col("price_cents"), col("n_rows"))
+      .orderBy(col("l_returnflag"), col("rk"))
+
+  val q41Sql: String =
+    s"""SELECT l_returnflag, rk, l_orderkey, l_linenumber, price_cents, n_rows
+       |FROM (
+       |  SELECT l_returnflag, l_orderkey, l_linenumber,
+       |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+       |    row_number() OVER (PARTITION BY l_returnflag
+       |      ORDER BY floor(l_extendedprice * 100 + 0.5) DESC,
+       |        l_orderkey, l_linenumber) AS rk,
+       |    count(*) OVER (PARTITION BY l_returnflag) AS n_rows
+       |  FROM lineitem)
+       |WHERE rk > ${(pageNo - 1) * pageSize} AND rk <= ${pageNo * pageSize}
+       |ORDER BY l_returnflag, rk""".stripMargin
+
   // ─── q40_percentile_cont: interpolated percentile, exact integers ───
   // SQL's PERCENTILE_CONT without its float trap: position
   // pos = p·(n−1) is held as the exact fraction (pNum·(n−1), pDen);
@@ -841,6 +880,7 @@ object RelationalExt {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_percentile_cont" -> q40PercentileCont,
+    "q41_paginate" -> q41Paginate,
     "q38_asof_nearest" -> q38AsofNearest,
     "q37_mad" -> q37Mad,
     "q36_decile_lift" -> q36DecileLift,
@@ -864,6 +904,7 @@ object RelationalExt {
 
   val oracle: Map[String, String] = Map(
     "q40_percentile_cont" -> q40Sql,
+    "q41_paginate" -> q41Sql,
     "q38_asof_nearest" -> q38Sql,
     "q37_mad" -> q37Sql,
     "q36_decile_lift" -> q36DecileLiftSql,

@@ -1108,6 +1108,51 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ─── q41_paginate / ts_theil_sen ───
+
+  test("q41_paginate: exactly page 2 of each group's stable ranking") {
+    val rows = RelationalExt.q41Paginate(spark, dir).collect()
+    val data = Tables(spark, dir).lineitem
+      .select(col("l_returnflag"), col("l_orderkey"),
+        col("l_linenumber").cast("long"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    data.groupBy(_._1).foreach { case (f, xs) =>
+      val page = xs.sortBy(x => (-x._4, x._2, x._3)).slice(5, 10)
+      val got = rows.filter(_.getString(0) == f).sortBy(_.getLong(1))
+      assert(got.length == page.length)
+      got.zip(page).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(g.getLong(1) == i + 6L, "ranks 6..10")
+        assert((g.getLong(2), g.getInt(3).toLong, g.getLong(4)) ==
+          ((e._2, e._3, e._4)), s"flag $f rank ${i + 6}")
+        assert(g.getLong(5) == xs.length.toLong, "total carried for page count")
+      }
+    }
+  }
+
+  test("ts_theil_sen: median pair slope equals a direct recomputation") {
+    val rows = Events.tsTheilSen(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val hourly = Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 3600L).as("h"))
+      .agg(floor(sum(col("value")) * 100 + 0.5).cast("long").as("hc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    hourly.groupBy(_._1).foreach { case (t, hs) =>
+      val pts = hs.map(x => (x._2, x._3)).sortBy(_._1)
+      val slopes = (for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield {
+        val num = (pts(j)._2 - pts(i)._2) * 10000L
+        num / (pts(j)._1 - pts(i)._1) // both engines truncate toward 0
+      }).sorted
+      val (nPairs, med) = rows(t)
+      assert(nPairs == slopes.length.toLong)
+      assert(med == slopes((slopes.length + 1) / 2 - 1),
+        s"type $t lower median")
+    }
+  }
+
   // ─── profile_drift / ev_incidents ───
 
   test("profile_drift: identities hold, parity split drifts little") {
