@@ -2661,6 +2661,67 @@ object Events {
       .replace("WINDOWS", windows)
   }
 
+  // ─── ev_lateness_hist: out-of-order arrival histogram ───
+  // THE number that sets a streaming watermark: how late do events
+  // actually arrive? Arrival order is the event_id sequence (the
+  // stream's commit order); an event is LATE by (max event-time seen
+  // before it) − (its own event-time) when positive. One per-user
+  // carry (running max over the arrival order — user-keyed, never a
+  // global single-partition scan), then a ⌊log₂⌋ histogram of
+  // lateness seconds with bin −1 = in-order; cum_bp read bottom-up
+  // IS the watermark-coverage curve ("a 2ᵇ-second watermark passes
+  // this share of events").
+  def evLatenessHist(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    val byArrival = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir).events
+      .withColumn("epoch", epochS(col("ts")))
+      .withColumn("late_s",
+        greatest(coalesce(max(col("epoch")).over(byArrival) - col("epoch"),
+          lit(0L)), lit(0L)))
+      .withColumn("late_bin",
+        when(col("late_s") === 0L, lit(-1L))
+          .otherwise((length(bin(col("late_s"))) - 1).cast("long")))
+      .groupBy(col("late_bin"))
+      .agg(count(lit(1)).as("n_events"), max(col("late_s")).as("max_late_s"))
+      .withColumn("share_bp",
+        Ranks.idiv(col("n_events") * 10000L, sum(col("n_events")).over(all)))
+      .withColumn("cum_bp",
+        Ranks.idiv(sum(col("n_events")).over(
+          all.orderBy(col("late_bin"))
+            .rowsBetween(Window.unboundedPreceding, 0)) * 10000L,
+          sum(col("n_events")).over(all)))
+      .orderBy(col("late_bin"))
+  }
+
+  val evLatenessHistSql: String =
+    """WITH l AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+      |    max(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+      |      PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+      |  FROM events),
+      |late AS (
+      |  SELECT greatest(coalesce(mx - epoch, 0), 0) AS late_s FROM l),
+      |b AS (
+      |  SELECT CASE WHEN late_s = 0 THEN -1
+      |    ELSE CAST(length(bin(late_s)) - 1 AS BIGINT) END AS late_bin,
+      |    late_s
+      |  FROM late),
+      |h AS (
+      |  SELECT late_bin, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(max(late_s) AS BIGINT) AS max_late_s
+      |  FROM b GROUP BY 1)
+      |SELECT late_bin, n_events, max_late_s,
+      |  CAST(n_events * 10000 // (sum(n_events) OVER ()) AS BIGINT)
+      |    AS share_bp,
+      |  CAST(sum(n_events) OVER (ORDER BY late_bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000
+      |    // (sum(n_events) OVER ()) AS BIGINT) AS cum_bp
+      |FROM h ORDER BY late_bin""".stripMargin
+
   // ─── ts_theil_sen: robust trend slope (median of pair slopes) ───
   // OLS trend (q35's slope_ppm) breaks on one bad hour; Theil-Sen's
   // median-of-pairwise-slopes estimator has a 29 % breakdown point —
@@ -3351,6 +3412,7 @@ object Events {
     "ts_drawdown" -> tsDrawdown,
     "ev_incidents" -> evIncidents,
     "ts_theil_sen" -> tsTheilSen,
+    "ev_lateness_hist" -> evLatenessHist,
     "ts_seasonal_strength" -> tsSeasonalStrength,
     "ev_cohort_ltv" -> evCohortLtv,
     "ev_survival" -> evSurvival,
@@ -3413,6 +3475,7 @@ object Events {
     "ts_drawdown" -> tsDrawdownSql,
     "ev_incidents" -> evIncidentsSql,
     "ts_theil_sen" -> tsTheilSenSql,
+    "ev_lateness_hist" -> evLatenessHistSql,
     "ts_seasonal_strength" -> tsSeasonalStrengthSql,
     "ev_cohort_ltv" -> evCohortLtvSql,
     "ev_survival" -> evSurvivalSql,

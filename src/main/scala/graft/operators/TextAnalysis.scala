@@ -1139,6 +1139,70 @@ object TextAnalysis {
       |    AS avg_bits_x100
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ─── text_source_quality: per-source quality scorecard ───
+  // The mixture-decision table: text_quality's per-doc signals
+  // rolled up BY SOURCE — which feeds get down-weighted (or cut) is
+  // decided on exactly these columns. Same integer-exact component
+  // derivation as text_quality (one map-only projection), one
+  // grouped aggregate; means are sum·100 div n, so every cell is
+  // engine-exact. Sorted worst-first by mean quality so the cut
+  // line reads top-down.
+  def textSourceQuality(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nWords = size(filter(words, _ =!= ""))
+    val nDistinct = size(array_distinct(filter(words, _ =!= "")))
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(words, w => array_contains(stopArr, w)))
+    def ratioBp(a: Column, b: Column): Column =
+      floor(a.cast("double") * 10000.0 / greatest(b, lit(1)) + lit(0.5)).cast("long")
+    docs(spark, dir)
+      .select(col("source"),
+        length(col("text")).cast("long").as("len_chars"),
+        nWords.cast("long").as("n_words"),
+        ratioBp(nDistinct, nWords).as("distinct_bp"),
+        ratioBp(nStop, nWords).as("stop_bp"))
+      .withColumn("quality_bp",
+        col("distinct_bp") - floor(col("stop_bp") / 2).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(len_chars) * 100 div count(1)").as("mean_chars_x100"),
+        expr("sum(n_words) * 100 div count(1)").as("mean_words_x100"),
+        expr("sum(distinct_bp) div count(1)").as("mean_distinct_bp"),
+        expr("sum(stop_bp) div count(1)").as("mean_stop_bp"),
+        expr("sum(quality_bp) div count(1)").as("mean_quality_bp"))
+      .orderBy(col("mean_quality_bp"), col("source"))
+  }
+
+  val textSourceQualitySql: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH comp AS (
+       |  SELECT source,
+       |    CAST(length(text) AS BIGINT) AS len_chars,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+       |      AS BIGINT) AS n_words,
+       |    CAST(floor(len(list_distinct(list_filter(string_split(text, ' '),
+       |        w -> w <> ''))) * 10000.0
+       |      / greatest(len(list_filter(string_split(text, ' '),
+       |        w -> w <> '')), 1) + 0.5) AS BIGINT) AS distinct_bp,
+       |    CAST(floor(len(list_filter(string_split(text, ' '),
+       |        w -> list_contains([$stopList], w))) * 10000.0
+       |      / greatest(len(list_filter(string_split(text, ' '),
+       |        w -> w <> '')), 1) + 0.5) AS BIGINT) AS stop_bp
+       |  FROM documents),
+       |q AS (
+       |  SELECT *,
+       |    distinct_bp - CAST(floor(stop_bp / 2) AS BIGINT) AS quality_bp
+       |  FROM comp)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len_chars) AS BIGINT) * 100 // count(*) AS mean_chars_x100,
+       |  CAST(sum(n_words) AS BIGINT) * 100 // count(*) AS mean_words_x100,
+       |  CAST(sum(distinct_bp) AS BIGINT) // count(*) AS mean_distinct_bp,
+       |  CAST(sum(stop_bp) AS BIGINT) // count(*) AS mean_stop_bp,
+       |  CAST(sum(quality_bp) AS BIGINT) // count(*) AS mean_quality_bp
+       |FROM q GROUP BY source
+       |ORDER BY mean_quality_bp, source""".stripMargin
+  }
+
   // ─── text_length_hist: token-length histogram (packing design) ───
   // The distribution that picks a context length: ⌊log₂⌋ bins of
   // per-doc token counts with document AND token shares plus the
@@ -1249,6 +1313,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_vocab_growth" -> textVocabGrowth,
     "text_length_hist" -> textLengthHist,
+    "text_source_quality" -> textSourceQuality,
     "text_rake" -> textRake,
     "text_winnowing" -> textWinnowing,
     "text_lm_score" -> textLmScore,
@@ -1274,6 +1339,7 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "text_vocab_growth" -> textVocabGrowthSql,
     "text_length_hist" -> textLengthHistSql,
+    "text_source_quality" -> textSourceQualitySql,
     "text_rake" -> textRakeSql,
     "text_winnowing" -> textWinnowingSql,
     "text_lm_score" -> textLmScoreSql,

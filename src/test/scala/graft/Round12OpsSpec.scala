@@ -1108,6 +1108,72 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ─── text_source_quality / ev_lateness_hist ───
+
+  test("text_source_quality: per-source means equal text_quality's rollup") {
+    val bySource = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = TextAnalysis.textQuality(spark, dir).collect()
+      .map(r => (bySource(r.getLong(0)), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(6)))
+    val rows = TextAnalysis.textSourceQuality(spark, dir).collect()
+    rows.foreach { r =>
+      val xs = perDoc.filter(_._1 == r.getString(0))
+      val n = xs.length.toLong
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == xs.map(_._2).sum * 100 / n, "mean chars")
+      assert(r.getLong(4) == xs.map(_._3).sum / n, "mean distinct_bp")
+      assert(r.getLong(5) == xs.map(_._4).sum / n, "mean stop_bp")
+      assert(r.getLong(6) == xs.map(_._5).sum / n, "mean quality_bp")
+    }
+    val qs = rows.map(_.getLong(6))
+    assert(qs.zip(qs.tail).forall { case (a, b) => a <= b }, "worst-first order")
+  }
+
+  test("ev_lateness_hist: bins partition events, coverage curve telescopes") {
+    val rows = Events.evLatenessHist(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(1)).sum == Tables(spark, dir).events.count())
+    val cum = rows.map(_.getLong(4))
+    assert(cum.last == 10000L && cum.zip(cum.tail).forall(p => p._1 <= p._2))
+    rows.foreach { r =>
+      val (bin, maxLate) = (r.getLong(0), r.getLong(2))
+      if (bin == -1L) assert(maxLate == 0L, "in-order bin has zero lateness")
+      else {
+        assert(maxLate >= (1L << bin.toInt) && maxLate < (1L << (bin.toInt + 1)),
+          s"bin $bin bounds its lateness range")
+      }
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("ev_lateness_hist: crafted late arrivals land in the right bins") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def at(s: Long) = new java.sql.Timestamp(base + s * 1000L)
+    // Arrival order (event_id): t=0, t=100, then a 70s-late event
+    // (t=30: late by 70 -> bin 6), then t=200, then a 5s-late event
+    // (t=195: bin 2), then an in-order t=300.
+    val ev = Seq(
+      (0L, at(0), 1L, "a", 0.0, "{}"),
+      (1L, at(100), 1L, "a", 0.0, "{}"),
+      (2L, at(30), 1L, "a", 0.0, "{}"),
+      (3L, at(200), 1L, "a", 0.0, "{}"),
+      (4L, at(195), 1L, "a", 0.0, "{}"),
+      (5L, at(300), 1L, "a", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-late").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Events.evLatenessHist(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      -1L -> ((4L, 0L)),  // four in-order arrivals
+      2L -> ((1L, 5L)),   // 5s late: floor(log2 5) = 2
+      6L -> ((1L, 70L))), // 70s late: floor(log2 70) = 6
+      s"lateness bins: $out")
+  }
+
   // ─── q41_paginate / ts_theil_sen ───
 
   test("q41_paginate: exactly page 2 of each group's stable ranking") {
