@@ -2661,6 +2661,56 @@ object Events {
       .replace("WINDOWS", windows)
   }
 
+  // ─── ev_audience_overlap: feature-audience Jaccard matrix ───
+  // "Do the users who do A also do B?" — the adoption-overlap matrix
+  // product reviews before bundling/retiring features. Shrink to
+  // distinct (type, user) FIRST (the ev_lift discipline), self-join
+  // on the user key (fan-out ≤ ‖types‖ per user), then exact Jaccard
+  // and conditional adoption bp per ordered pair from broadcast
+  // marginals. ‖types‖² output rows.
+  def evAudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val tu = Tables(spark, dir).events
+      .select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint(eager = false)
+    val marg = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val a = tu.select(col("event_type").as("type_a"), col("user_id"))
+    val b = tu.select(col("event_type").as("type_b"), col("user_id"))
+    a.join(b, Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(marg.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(marg.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        expr("n_both * 10000 div (n_a + n_b - n_both)").as("jaccard_bp"),
+        expr("n_both * 10000 div n_a").as("b_given_a_bp"),
+        expr("n_both * 10000 div n_b").as("a_given_b_bp"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val evAudienceOverlapSql: String =
+    """WITH tu AS (
+      |  SELECT DISTINCT event_type, user_id FROM events),
+      |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM tu GROUP BY 1),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(count(*) AS BIGINT) AS n_both
+      |  FROM tu a JOIN tu b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, ma.n AS n_a, mb.n AS n_b, n_both,
+      |  n_both * 10000 // (ma.n + mb.n - n_both) AS jaccard_bp,
+      |  n_both * 10000 // ma.n AS b_given_a_bp,
+      |  n_both * 10000 // mb.n AS a_given_b_bp
+      |FROM p
+      |JOIN m ma ON ma.event_type = p.type_a
+      |JOIN m mb ON mb.event_type = p.type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
   // ─── ev_lateness_hist: out-of-order arrival histogram ───
   // THE number that sets a streaming watermark: how late do events
   // actually arrive? Arrival order is the event_id sequence (the
@@ -3413,6 +3463,7 @@ object Events {
     "ev_incidents" -> evIncidents,
     "ts_theil_sen" -> tsTheilSen,
     "ev_lateness_hist" -> evLatenessHist,
+    "ev_audience_overlap" -> evAudienceOverlap,
     "ts_seasonal_strength" -> tsSeasonalStrength,
     "ev_cohort_ltv" -> evCohortLtv,
     "ev_survival" -> evSurvival,
@@ -3476,6 +3527,7 @@ object Events {
     "ev_incidents" -> evIncidentsSql,
     "ts_theil_sen" -> tsTheilSenSql,
     "ev_lateness_hist" -> evLatenessHistSql,
+    "ev_audience_overlap" -> evAudienceOverlapSql,
     "ts_seasonal_strength" -> tsSeasonalStrengthSql,
     "ev_cohort_ltv" -> evCohortLtvSql,
     "ev_survival" -> evSurvivalSql,

@@ -1108,6 +1108,30 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ─── ev_audience_overlap ───
+
+  test("ev_audience_overlap: identities vs recomputed audiences") {
+    val rows = Events.evAudienceOverlap(spark, dir).collect()
+    val tu = Tables(spark, dir).events
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val aud = tu.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    val types = aud.keys.toSeq.sorted
+    assert(rows.length == types.combinations(2).length,
+      "one row per unordered type pair")
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b)
+      val (sa, sb) = (aud(a), aud(b))
+      val both = (sa & sb).size.toLong
+      assert(r.getLong(2) == sa.size.toLong && r.getLong(3) == sb.size.toLong)
+      assert(r.getLong(4) == both)
+      assert(r.getLong(5) == both * 10000L / (sa.size + sb.size - both))
+      assert(r.getLong(6) == both * 10000L / sa.size)
+      assert(r.getLong(7) == both * 10000L / sb.size)
+    }
+  }
+
   // ─── text_source_quality / ev_lateness_hist ───
 
   test("text_source_quality: per-source means equal text_quality's rollup") {
