@@ -1046,6 +1046,65 @@ object Pipeline {
       |  n_common * 10000 // (n_typesa + n_typesb - n_common) AS vocab_jacc_bp
       |FROM p ORDER BY src_a, src_b""".stripMargin
 
+  // ─── mix_unique_tokens: dedup-aware token accounting per source ───
+  // Raw token counts LIE about a source's real contribution: a feed
+  // that is 30 % near-duplicates brings 30 % fewer unique tokens
+  // than its size claims, and every mixture weight computed on raw
+  // counts over-feeds it. Canonical docs come from dedup_cluster's
+  // exact LSH-component labels (non-clustered docs are their own
+  // canonicals); per source: raw vs unique tokens, the duplicated
+  // share, and the mixture-share shift (raw share − unique share,
+  // signed bp) that quantifies HOW WRONG a raw-count mixture is.
+  // The cluster frame joins on doc_id — co-partitioned, dwarfed by
+  // the corpus scan.
+  def mixUniqueTokens(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    val canon = Dedup.dedupCluster(spark, dir)
+      .select(col("doc_id"), col("is_canonical"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "), w => w =!= ""))
+          .cast("long").as("n_tok"))
+      .join(canon, Seq("doc_id"), "left")
+      .withColumn("keep", coalesce(col("is_canonical"), lit(true)))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("tokens_raw"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("tokens_unique"))
+      .withColumn("dup_bp",
+        expr("(tokens_raw - tokens_unique) * 10000 div tokens_raw"))
+      .withColumn("raw_total", sum(col("tokens_raw")).over(all))
+      .withColumn("uniq_total", sum(col("tokens_unique")).over(all))
+      .withColumn("share_shift_bp",
+        expr("tokens_raw * 10000 div raw_total" +
+          " - tokens_unique * 10000 div uniq_total"))
+      .drop("raw_total", "uniq_total")
+      .orderBy(col("source"))
+  }
+
+  val mixUniqueTokensSql: String =
+    s"""WITH RECURSIVE ${Dedup.ccReachCtes},
+       |clusters AS (
+       |  SELECT node AS doc_id, (node = MIN(x)) AS is_canonical
+       |  FROM reach GROUP BY node),
+       |toks AS (
+       |  SELECT d.source,
+       |    CAST(len(list_filter(string_split(d.text, ' '), w -> w <> ''))
+       |      AS BIGINT) AS n_tok,
+       |    coalesce(c.is_canonical, true) AS keep
+       |  FROM documents d LEFT JOIN clusters c USING (doc_id)),
+       |g AS (
+       |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS tokens_raw,
+       |    CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+       |      AS tokens_unique
+       |  FROM toks GROUP BY source)
+       |SELECT source, tokens_raw, tokens_unique,
+       |  (tokens_raw - tokens_unique) * 10000 // tokens_raw AS dup_bp,
+       |  CAST(tokens_raw * 10000 // CAST(sum(tokens_raw) OVER () AS BIGINT)
+       |    - tokens_unique * 10000
+       |      // CAST(sum(tokens_unique) OVER () AS BIGINT)
+       |    AS BIGINT) AS share_shift_bp
+       |FROM g ORDER BY source""".stripMargin
+
   // ─── sample_class_weights: inverse-frequency class weighting ───
   // The class-imbalance standard (sklearn's "balanced" heuristic):
   // weight(c) = N / (k·n_c), so rare classes up-weight exactly in
@@ -1286,6 +1345,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_class_weights" -> sampleClassWeights,
+    "mix_unique_tokens" -> mixUniqueTokens,
     "mix_anneal" -> mixAnneal,
     "sample_bootstrap" -> sampleBootstrap,
     "mix_token_budget" -> mixTokenBudget,
@@ -1313,6 +1373,7 @@ object Pipeline {
 
   val oracle: Map[String, String] = Map(
     "sample_class_weights" -> sampleClassWeightsSql,
+    "mix_unique_tokens" -> mixUniqueTokensSql,
     "mix_anneal" -> mixAnnealSql,
     "sample_bootstrap" -> sampleBootstrapSql,
     "mix_token_budget" -> mixTokenBudgetSql,

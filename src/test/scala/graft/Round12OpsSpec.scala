@@ -1108,6 +1108,33 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ─── mix_unique_tokens ───
+
+  test("mix_unique_tokens: ties to dedup_cluster's canonicals exactly") {
+    val rows = Pipeline.mixUniqueTokens(spark, dir).collect()
+    val dropped = Dedup.dedupCluster(spark, dir).collect()
+      .filter(!_.getBoolean(2)).map(_.getLong(0)).toSet
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "), w => w =!= "")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySource = docs.groupBy(_._2)
+    assert(rows.map(_.getString(0)).toSet == bySource.keySet)
+    val rawTotal = docs.map(_._3).sum
+    val uniqTotal = docs.filter(d => !dropped(d._1)).map(_._3).sum
+    rows.foreach { r =>
+      val xs = bySource(r.getString(0))
+      val raw = xs.map(_._3).sum
+      val uniq = xs.filter(d => !dropped(d._1)).map(_._3).sum
+      assert(r.getLong(1) == raw && r.getLong(2) == uniq)
+      assert(r.getLong(3) == (raw - uniq) * 10000L / raw)
+      assert(r.getLong(4) ==
+        raw * 10000L / rawTotal - uniq * 10000L / uniqTotal)
+    }
+    assert(rows.exists(_.getLong(3) > 0L),
+      "the sf corpus has near-dups, so some source must lose tokens")
+  }
+
   // ─── ev_audience_overlap ───
 
   test("ev_audience_overlap: identities vs recomputed audiences") {
