@@ -697,6 +697,30 @@ object RelationalExt {
       |FROM m JOIN m2 USING (c_mktsegment) JOIN o USING (c_mktsegment)
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ─── q42_string_agg: deterministic grouped string aggregation ───
+  // SQL's STRING_AGG / LISTAGG with the trap removed: collect_list's
+  // order is partition-arrival order (nondeterministic under
+  // shuffle), so the list is SORTED before joining — the only way a
+  // distributed string_agg can be reproducible. Per nation: the
+  // alphabetized supplier roster and its size; per-group payload is
+  // dimension-sized (suppliers per nation), never fact-sized.
+  def q42StringAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.supplier.join(broadcast(t.nation),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        concat_ws(",", sort_array(collect_list(col("s_name"))))
+          .as("roster"))
+      .orderBy(col("n_name"))
+  }
+
+  val q42Sql: String =
+    """SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |  string_agg(s.s_name, ',' ORDER BY s.s_name) AS roster
+      |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+
   // ─── q41_paginate: stable keyset-style pagination per group ───
   // The API-serving shape: page 2 (ranks 6–10) of each group's
   // price-ranked items, with the total so clients can render page
@@ -881,6 +905,7 @@ object RelationalExt {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_percentile_cont" -> q40PercentileCont,
     "q41_paginate" -> q41Paginate,
+    "q42_string_agg" -> q42StringAgg,
     "q38_asof_nearest" -> q38AsofNearest,
     "q37_mad" -> q37Mad,
     "q36_decile_lift" -> q36DecileLift,
@@ -905,6 +930,7 @@ object RelationalExt {
   val oracle: Map[String, String] = Map(
     "q40_percentile_cont" -> q40Sql,
     "q41_paginate" -> q41Sql,
+    "q42_string_agg" -> q42Sql,
     "q38_asof_nearest" -> q38Sql,
     "q37_mad" -> q37Sql,
     "q36_decile_lift" -> q36DecileLiftSql,

@@ -779,6 +779,50 @@ object Similarity {
        |  ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
        |GROUP BY 1 ORDER BY bf.query_id""".stripMargin
 
+  // ─── ann_dim_stats: per-dimension embedding diagnostics ───
+  // The pre-index health check: a dimension with ~zero variance is
+  // dead weight every distance computation pays for (PCA/SQ
+  // calibration reads exactly this table), and a dimension whose
+  // mean is far off zero breaks inner-product shortcuts. Components
+  // are quantized ONCE to ×10⁶ integers, so the per-dim moments are
+  // exact integer sums — no cross-row float accumulation (the
+  // ts_seasonal_strength discipline). posexplode fans each vector
+  // to its 64 dims (constant ×d), one map-combining rollup.
+  def annDimStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables(spark, dir).embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * 1000000.0).cast("long").as("q"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("s2"))
+      .select(col("dim"), col("n"),
+        expr("s1 div n").as("mean_u"),
+        // population variance ×10¹²: (n·Σq² − (Σq)²) div n² — exact
+        // integers end to end, one truncating division at the close.
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * s2" +
+          " - CAST(s1 AS DECIMAL(38,0)) * s1)" +
+          " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("var_u2"))
+      .orderBy(col("dim"))
+  }
+
+  val annDimStatsSql: String =
+    """WITH d AS (SELECT unnest(range(0, 64)) AS dim),
+      |e AS (
+      |  SELECT d.dim,
+      |    CAST(floor(CAST(emb.embedding[CAST(d.dim AS INTEGER) + 1] AS DOUBLE)
+      |      * 1000000.0) AS BIGINT) AS q
+      |  FROM embeddings emb, d),
+      |g AS (
+      |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(q) AS BIGINT) AS s1,
+      |    CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS s2
+      |  FROM e GROUP BY dim)
+      |SELECT dim, n, s1 // n AS mean_u,
+      |  CAST((CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+      |    // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_u2
+      |FROM g ORDER BY dim""".stripMargin
+
   // ─── ann_shard_fanout: scatter-gather cost of a sharded index ───
   // Distributed ANN serves from S shards each owning a set of IVF
   // cells; a query fans out to every shard its probed cells touch.
@@ -1382,6 +1426,7 @@ object Similarity {
     "ann_hybrid_rrf" -> annHybridRrf,
     "ann_nprobe_curve" -> annNprobeCurve,
     "ann_shard_fanout" -> annShardFanout,
+    "ann_dim_stats" -> annDimStats,
     "ann_centroid_stats" -> annCentroidStats,
     "ann_recall_curve" -> annRecallCurve,
     "ann_recall" -> annRecall,
@@ -1402,6 +1447,7 @@ object Similarity {
     "ann_hybrid_rrf" -> annHybridRrfSql,
     "ann_nprobe_curve" -> annNprobeCurveSql,
     "ann_shard_fanout" -> annShardFanoutSql,
+    "ann_dim_stats" -> annDimStatsSql,
     "ann_centroid_stats" -> annCentroidStatsSql,
     "ann_recall_curve" -> annRecallCurveSql,
     "ann_recall" -> annRecallSql,

@@ -1108,6 +1108,46 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ─── q42_string_agg / ann_dim_stats ───
+
+  test("q42_string_agg: sorted roster equals a direct recomputation") {
+    val rows = RelationalExt.q42StringAgg(spark, dir).collect()
+    val sup = Tables(spark, dir).supplier
+      .join(Tables(spark, dir).nation,
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("s_name")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = sup.groupBy(_._1).map { case (n, xs) =>
+      n -> ((xs.length.toLong, xs.map(_._2).sorted.mkString(",")))
+    }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (n, roster) = expect(r.getString(0))
+      assert(r.getLong(1) == n && r.getString(2) == roster, r.getString(0))
+    }
+  }
+
+  test("ann_dim_stats: exact quantized moments per dimension") {
+    val rows = Similarity.annDimStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.keySet == (0L until 64L).toSet)
+    val embs = Tables(spark, dir).embeddings
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    (0 until 64).foreach { d =>
+      val qs = embs.map(e => math.floor(e(d).toDouble * 1000000.0).toLong)
+      val n = qs.length.toLong
+      val s1 = qs.sum
+      val s2 = qs.map(q => BigInt(q) * q).sum
+      val (gn, mean, varU) = rows(d.toLong)
+      assert(gn == n)
+      assert(mean == s1 / n, s"dim $d mean")
+      assert(BigInt(varU) == (BigInt(n) * s2 - BigInt(s1) * s1) / (BigInt(n) * n),
+        s"dim $d variance")
+    }
+  }
+
   // ─── mix_unique_tokens ───
 
   test("mix_unique_tokens: ties to dedup_cluster's canonicals exactly") {
