@@ -2661,6 +2661,41 @@ object Events {
       .replace("WINDOWS", windows)
   }
 
+  // ─── ev_week_over_week: WoW growth per stream ───
+  // The Monday-dashboard number: this week's volume vs last week's,
+  // in signed bp. Weekly rollup (map-combining), one lag carry per
+  // type over the span-bounded week grid; first weeks report NULL
+  // growth (no denominator) rather than a fake 0. Exact integers —
+  // the subtraction-first form keeps the division single and
+  // truncation identical across engines.
+  def evWeekOverWeek(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("week"))
+    Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        floor(epochS(col("ts")) / 604800L).as("week"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("prev_n", lag(col("n_events"), 1).over(byType))
+      .select(col("event_type"), col("week"), col("n_events"), col("prev_n"),
+        when(col("prev_n").isNotNull,
+          expr("(n_events - prev_n) * 10000 div prev_n")).as("wow_bp"))
+      .orderBy(col("event_type"), col("week"))
+  }
+
+  val evWeekOverWeekSql: String =
+    """WITH w AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT *, lag(n_events) OVER (
+      |    PARTITION BY event_type ORDER BY week) AS prev_n
+      |  FROM w)
+      |SELECT event_type, week, n_events, prev_n,
+      |  CASE WHEN prev_n IS NOT NULL
+      |    THEN (n_events - prev_n) * 10000 // prev_n END AS wow_bp
+      |FROM l ORDER BY event_type, week""".stripMargin
+
   // ─── ev_audience_overlap: feature-audience Jaccard matrix ───
   // "Do the users who do A also do B?" — the adoption-overlap matrix
   // product reviews before bundling/retiring features. Shrink to
@@ -3464,6 +3499,7 @@ object Events {
     "ts_theil_sen" -> tsTheilSen,
     "ev_lateness_hist" -> evLatenessHist,
     "ev_audience_overlap" -> evAudienceOverlap,
+    "ev_week_over_week" -> evWeekOverWeek,
     "ts_seasonal_strength" -> tsSeasonalStrength,
     "ev_cohort_ltv" -> evCohortLtv,
     "ev_survival" -> evSurvival,
@@ -3528,6 +3564,7 @@ object Events {
     "ts_theil_sen" -> tsTheilSenSql,
     "ev_lateness_hist" -> evLatenessHistSql,
     "ev_audience_overlap" -> evAudienceOverlapSql,
+    "ev_week_over_week" -> evWeekOverWeekSql,
     "ts_seasonal_strength" -> tsSeasonalStrengthSql,
     "ev_cohort_ltv" -> evCohortLtvSql,
     "ev_survival" -> evSurvivalSql,

@@ -1046,6 +1046,51 @@ object Pipeline {
       |  n_common * 10000 // (n_typesa + n_typesb - n_common) AS vocab_jacc_bp
       |FROM p ORDER BY src_a, src_b""".stripMargin
 
+  // ─── split_leakage: near-dup contamination across split boundaries ───
+  // The eval-hygiene check the decontam family implies but rarely
+  // gets run per-split: a near-duplicate PAIR straddling train/test is
+  // leakage no matter how clean the exact-match split is. Joins
+  // dedup_minhash_lsh's candidate-verified pairs against split_hash's
+  // assignments (two doc_id-keyed joins, pair frame ≪ corpus),
+  // canonicalizes the split pair, and reports per-cell counts with
+  // the leakage flag — the off-diagonal share is the number an eval
+  // card must disclose.
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    val assign = splitHash(spark, dir).select(col("doc_id"), col("split"))
+    val pairs = Dedup.dedupMinhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    pairs
+      .join(assign.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+        Seq("doc_a"))
+      .join(assign.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+        Seq("doc_b"))
+      .groupBy(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("share_bp",
+        Ranks.idiv(col("n_pairs") * 10000L, sum(col("n_pairs")).over(all)))
+      .withColumn("is_leakage", col("split_lo") =!= col("split_hi"))
+      .orderBy(col("split_lo"), col("split_hi"))
+  }
+
+  lazy val splitLeakageSql: String =
+    s"""WITH pr AS (SELECT doc_a, doc_b FROM (${Dedup.dedupMinhashLshSql})),
+       |asg AS (SELECT doc_id, split FROM ($splitHashSql)),
+       |cells AS (
+       |  SELECT least(a.split, b.split) AS split_lo,
+       |    greatest(a.split, b.split) AS split_hi,
+       |    CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM pr
+       |  JOIN asg a ON a.doc_id = pr.doc_a
+       |  JOIN asg b ON b.doc_id = pr.doc_b
+       |  GROUP BY 1, 2)
+       |SELECT split_lo, split_hi, n_pairs,
+       |  CAST(n_pairs * 10000 // (sum(n_pairs) OVER ()) AS BIGINT)
+       |    AS share_bp,
+       |  split_lo <> split_hi AS is_leakage
+       |FROM cells ORDER BY split_lo, split_hi""".stripMargin
+
   // ─── mix_unique_tokens: dedup-aware token accounting per source ───
   // Raw token counts LIE about a source's real contribution: a feed
   // that is 30 % near-duplicates brings 30 % fewer unique tokens
@@ -1346,6 +1391,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_class_weights" -> sampleClassWeights,
     "mix_unique_tokens" -> mixUniqueTokens,
+    "split_leakage" -> splitLeakage,
     "mix_anneal" -> mixAnneal,
     "sample_bootstrap" -> sampleBootstrap,
     "mix_token_budget" -> mixTokenBudget,
@@ -1374,6 +1420,7 @@ object Pipeline {
   val oracle: Map[String, String] = Map(
     "sample_class_weights" -> sampleClassWeightsSql,
     "mix_unique_tokens" -> mixUniqueTokensSql,
+    "split_leakage" -> splitLeakageSql,
     "mix_anneal" -> mixAnnealSql,
     "sample_bootstrap" -> sampleBootstrapSql,
     "mix_token_budget" -> mixTokenBudgetSql,

@@ -1108,6 +1108,40 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ─── split_leakage / ev_week_over_week ───
+
+  test("split_leakage: cells partition the dup pairs, leakage flags exact") {
+    val rows = Pipeline.splitLeakage(spark, dir).collect()
+    val assign = Pipeline.splitHash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val pairs = Dedup.dedupMinhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_.getLong(2)).sum == pairs.length.toLong)
+    val expect = pairs.groupBy { case (a, b) =>
+      val (sa, sb) = (assign(a), assign(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.map { case (k, xs) => k -> xs.length.toLong }
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(expect(k) == r.getLong(2), s"cell $k")
+      assert(r.getBoolean(4) == (k._1 != k._2))
+    }
+  }
+
+  test("ev_week_over_week: growth identity, first weeks null") {
+    val rows = Events.evWeekOverWeek(spark, dir).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.head.isNullAt(3) && sorted.head.isNullAt(4),
+        "first week has no denominator")
+      sorted.zip(sorted.tail).foreach { case (prev, cur) =>
+        assert(cur.getLong(3) == prev.getLong(2), "prev_n chains")
+        assert(cur.getLong(4) ==
+          (cur.getLong(2) - cur.getLong(3)) * 10000L / cur.getLong(3))
+      }
+    }
+  }
+
   // ─── q42_string_agg / ann_dim_stats ───
 
   test("q42_string_agg: sorted roster equals a direct recomputation") {
