@@ -1830,6 +1830,65 @@ object Events {
       |    // ((n_hours - 1) * n_events) AS BIGINT) AS fano_bp
       |FROM s WHERE n_hours > 1 ORDER BY event_type""".stripMargin
 
+  // ─── ev_bot_score: per-user automation fingerprint ───
+  // The bot filter a training-data pipeline runs before any content
+  // from "users" is trusted: humans are bursty, scripts are
+  // metronomic. Per user off ONE user-keyed window pass: event count,
+  // inter-arrival mean, sustained rate, and a `regular` flag that is
+  // the all-integer CV test (ev_anomaly's discipline — no float ever
+  // decides membership): CV < ½ ⇔ 4n·(n·Σg² − (Σg)²) < (n−1)·(Σg)²,
+  // widened to DECIMAL(38,0)/HUGEINT since (Σg)² passes 10¹⁸ exactly
+  // in the 100 TB regime (ev_burstiness's load-bearing cast). Arrival
+  // order is (second, event_id) in BOTH engines — the lag and the
+  // oracle must tie-break identically. Gated to ≥ 5 gaps: a CV of
+  // two samples flags nothing but noise.
+  def evBotScore(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("e"), col("event_id"))
+    Tables(spark, dir).events
+      .select(col("user_id"), epochS(col("ts")).as("e"), col("event_id"))
+      .withColumn("gap", col("e") - lag(col("e"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("gap")).as("n_gaps"),
+        min(col("e")).as("e0"), max(col("e")).as("e1"),
+        sum(col("gap")).as("sg"),
+        sum(col("gap") * col("gap")).as("ss"))
+      .filter(col("n_gaps") >= 5)
+      .select(col("user_id"), col("n_events"),
+        expr("sg div n_gaps").as("mean_gap_s"),
+        (col("e1") - col("e0")).as("span_s"),
+        expr("n_events * 360000 div greatest(1, e1 - e0)").as("per_hour_x100"),
+        expr("CAST(4 AS DECIMAL(38,0)) * n_gaps" +
+          " * (CAST(n_gaps AS DECIMAL(38,0)) * ss" +
+          "    - CAST(sg AS DECIMAL(38,0)) * sg)" +
+          " < CAST(n_gaps - 1 AS DECIMAL(38,0)) * sg * sg").as("regular"))
+      .orderBy(col("user_id"))
+  }
+
+  val evBotScoreSql: String =
+    """WITH b AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e, event_id
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, e,
+      |    e - lag(e) OVER (PARTITION BY user_id ORDER BY e, event_id) AS gap
+      |  FROM b),
+      |s AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(count(gap) AS BIGINT) AS n_gaps,
+      |    min(e) AS e0, max(e) AS e1,
+      |    CAST(sum(gap) AS BIGINT) AS sg,
+      |    CAST(sum(gap * gap) AS BIGINT) AS ss
+      |  FROM g GROUP BY user_id)
+      |SELECT user_id, n_events, sg // n_gaps AS mean_gap_s,
+      |  e1 - e0 AS span_s,
+      |  n_events * 360000 // greatest(1, e1 - e0) AS per_hour_x100,
+      |  (CAST(4 AS HUGEINT) * n_gaps
+      |     * (CAST(n_gaps AS HUGEINT) * ss - CAST(sg AS HUGEINT) * sg)
+      |   < CAST(n_gaps - 1 AS HUGEINT) * sg * sg) AS regular
+      |FROM s WHERE n_gaps >= 5 ORDER BY user_id""".stripMargin
+
   // ─── ev_autocorr: lag-1 autocorrelation of the hourly series ───
   // Short-memory diagnosis: does a busy hour predict the next hour?
   // Computed on the ZERO-FILLED hourly grid (ts_fill's data-derived
@@ -3518,6 +3577,7 @@ object Events {
     "ev_forecast" -> evForecast,
     "ev_path" -> evPath,
     "ev_burstiness" -> evBurstiness,
+    "ev_bot_score" -> evBotScore,
     "ts_ema" -> tsEma,
     "ev_islands" -> evIslands,
     "ev_interarrival" -> evInterarrival,
@@ -3583,6 +3643,7 @@ object Events {
     "ev_forecast" -> evForecastSql,
     "ev_path" -> evPathSql,
     "ev_burstiness" -> evBurstinessSql,
+    "ev_bot_score" -> evBotScoreSql,
     "ts_ema" -> tsEmaSql,
     "ev_islands" -> evIslandsSql,
     "ev_interarrival" -> evInterarrivalSql,

@@ -1499,7 +1499,192 @@ object Graph {
       |FROM (SELECT * FROM pn UNION ALL SELECT * FROM gl)
       |ORDER BY node""".stripMargin
 
+  // ─── graph_coreness: full k-core decomposition via h-index rounds ───
+  // graph_kcore answers "is this node in the 2-core?"; coreness
+  // answers "how deep does every node sit?" — the full decomposition
+  // that ranks template hubs above chance pairings in one number.
+  // Algorithm: Lü et al. 2016 — iterate c(v) ← H({c(u): u∈N(v)})
+  // from c₀ = deg; the h-index fixpoint IS the coreness. Each round
+  // is one equijoin against the persisted edge frame + a
+  // degree-bounded per-node window (partitioned by the high-
+  // cardinality node key) + an aggregate — never a global sort, and
+  // state per round is the |V|-row score frame. Rounds run under
+  // iterateRounds' checkpoint-block hygiene; Round12OpsSpec asserts
+  // one more round is a fixpoint (the convergence guarantee) and
+  // pins a crafted triangle+pendant graph core-exact.
+  private val corenessRounds = 10
+
+  /** h-index iteration over a symmetric edge frame; returns
+    * (node, coreness, deg). Exposed for spec graphs. */
+  def coreness(edges: DataFrame, rounds: Int = corenessRounds): DataFrame = {
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val fin = iterateRounds(deg.select(col("node"), col("deg").as("c")),
+        rounds) { prev =>
+        hIndexRound(edges, prev)
+      }
+      val out = fin.join(deg, Seq("node"))
+        .select(col("node"), col("c").as("coreness"), col("deg"))
+        .localCheckpoint(eager = true)
+      synchronized {
+        retired.foreach(_.unpersist(blocking = false))
+        retired = ckptRdds(out)
+      }
+      out
+    } finally deg.unpersist(blocking = false)
+  }
+
+  /** One h-index refinement: c'(src) = max over neighbor ranks r
+    * (values desc) of min(r, value) — the h-index of the neighbor
+    * value multiset, tie-order-independent by construction. */
+  private[graft] def hIndexRound(edges: DataFrame, prev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("src")).orderBy(col("v").desc)
+    edges.join(prev, edges("dst") === prev("node"))
+      .select(col("src"), col("c").as("v"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .groupBy(col("src"))
+      .agg(max(least(col("r"), col("v"))).as("c"))
+      .select(col("src").as("node"), col("c"))
+  }
+
+  def graphCoreness(spark: SparkSession, dir: String): DataFrame =
+    coreness(Dedup.pairEdges(spark, dir)).orderBy(col("node"))
+
+  /** Spec access to the near-dup pair graph (pairEdges is
+    * operators-private). */
+  private[graft] def dupEdges(spark: SparkSession, dir: String): DataFrame =
+    Dedup.pairEdges(spark, dir)
+
+  val graphCorenessSql: String = {
+    val round = (i: Int) =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT src AS node, CAST(max(least(r, v)) AS BIGINT) AS c FROM (
+         |    SELECT e.src, p.c AS v,
+         |      row_number() OVER (PARTITION BY e.src ORDER BY p.c DESC) AS r
+         |    FROM edges e JOIN c${i - 1} p ON p.node = e.dst)
+         |  GROUP BY src)""".stripMargin
+    s"""WITH ${Dedup.edgesCtes},
+       |deg AS MATERIALIZED (
+       |  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |  FROM edges GROUP BY src),
+       |c0 AS (SELECT node, deg AS c FROM deg),
+       |${(1 to corenessRounds).map(round).mkString(",\n")}
+       |SELECT c.node, c.c AS coreness, d.deg
+       |FROM c$corenessRounds c JOIN deg d USING (node)
+       |ORDER BY c.node""".stripMargin
+  }
+
+  // ─── graph_hits: hubs & authorities on the user↔behavior graph ───
+  // Kleinberg's HITS on the bipartite engagement graph: users are
+  // hubs (who exercises the product broadly/heavily), event types are
+  // authorities (which behaviors the heavy users concentrate on) —
+  // the mutual-reinforcement ranking a plain count can't give,
+  // because an authority weighted by WHO does it separates power-user
+  // behaviors from drive-by noise. Cross-engine float discipline as
+  // ev_markov_stationary: matrix-vector products sum in engine-
+  // dependent order, so the whole iteration is INTEGER — raw scores
+  // are exact long sums of w·score, and each half-round renormalizes
+  // by the DIVISION-FIRST rule s·? → raw div max(1, Σraw div S),
+  // keeping every value ≤ ~2S with no long overflow (raw ≤ S·Σw).
+  // The edge frame is the (user, type, count) aggregate — corpus-
+  // shrunk once, then 4 rounds of metadata-scale joins against it.
+  // Output: top-20 hubs via global sort-limit (TakeOrdered — no
+  // full-sort shuffle) + all |types| authorities.
+  private val hitsRounds = 4
+  private val hitsScale = 100000000L // 10⁸ — score resolution
+
+  def graphHits(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.Tables(spark, dir).events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Per-round EAGER checkpoints are load-bearing: the normalizer
+    // aggregate re-embeds the raw-score subtree under the crossJoin,
+    // so an unbroken lineage doubles the plan every half-round (2¹⁶
+    // nodes by round 4 — analysis alone hangs). Checkpointing rawA/a/
+    // rawH/h keeps every round's plan constant-size; the frames are
+    // |types|- and |users|-rowed, so the materializations are noise.
+    val temps = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(eager = true)
+      temps ++= ckptRdds(c)
+      c
+    }
+    try {
+      var h = ckpt(edges.select(col("user_id")).distinct()
+        .withColumn("score", lit(hitsScale)))
+      var a: DataFrame = null
+      for (_ <- 1 to hitsRounds) {
+        val rawA = ckpt(edges.join(h, Seq("user_id"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("w") * col("score")).as("raw")))
+        val dA = rawA.agg(greatest(lit(1L),
+          expr(s"sum(raw) div $hitsScale")).as("d"))
+        a = ckpt(rawA.crossJoin(broadcast(dA))
+          .select(col("event_type"), expr("raw div d").as("score")))
+        val rawH = ckpt(edges.join(a, Seq("event_type"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("w") * col("score")).as("raw")))
+        val dH = rawH.agg(greatest(lit(1L),
+          expr(s"sum(raw) div $hitsScale")).as("d"))
+        h = ckpt(rawH.crossJoin(broadcast(dH))
+          .select(col("user_id"), expr("raw div d").as("score")))
+      }
+      val hubs = h
+        .select(lit("hub").as("kind"), col("user_id").cast("string").as("node"),
+          col("score"))
+        .orderBy(col("score").desc, col("node")).limit(20)
+      val auths = a
+        .select(lit("auth").as("kind"), col("event_type").as("node"), col("score"))
+      // Eager checkpoint (the 8 join rounds would otherwise re-run per
+      // downstream action), registered under the same one-result-alive
+      // block discipline as pagerank's.
+      val out = hubs.unionByName(auths)
+        .orderBy(col("kind"), col("score").desc, col("node"))
+        .localCheckpoint(eager = true)
+      // out is materialized: every per-round temp block is dead now.
+      temps.foreach(_.unpersist(blocking = false))
+      synchronized {
+        retired.foreach(_.unpersist(blocking = false))
+        retired = ckptRdds(out)
+      }
+      out
+    } finally edges.unpersist(blocking = false)
+  }
+
+  val graphHitsSql: String = {
+    val round = (i: Int) =>
+      s"""rawa$i AS (SELECT e.event_type, sum(e.w * h.score) AS raw
+         |  FROM e JOIN h${i - 1} h USING (user_id) GROUP BY e.event_type),
+         |a$i AS (SELECT event_type,
+         |  raw // greatest(1, (SELECT sum(raw) FROM rawa$i) // $hitsScale) AS score
+         |  FROM rawa$i),
+         |rawh$i AS (SELECT e.user_id, sum(e.w * a.score) AS raw
+         |  FROM e JOIN a$i a USING (event_type) GROUP BY e.user_id),
+         |h$i AS (SELECT user_id,
+         |  raw // greatest(1, (SELECT sum(raw) FROM rawh$i) // $hitsScale) AS score
+         |  FROM rawh$i)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS w
+       |  FROM events GROUP BY 1, 2),
+       |h0 AS (SELECT DISTINCT user_id, $hitsScale AS score FROM e),
+       |${(1 to hitsRounds).map(round).mkString(",\n")},
+       |hubs AS (
+       |  SELECT 'hub' AS kind, CAST(user_id AS VARCHAR) AS node,
+       |    CAST(score AS BIGINT) AS score
+       |  FROM h$hitsRounds ORDER BY score DESC, node LIMIT 20),
+       |auths AS (
+       |  SELECT 'auth' AS kind, event_type AS node, CAST(score AS BIGINT) AS score
+       |  FROM a$hitsRounds)
+       |SELECT * FROM (SELECT * FROM hubs UNION ALL SELECT * FROM auths)
+       |ORDER BY kind, score DESC, node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_coreness" -> graphCoreness,
+    "graph_hits" -> graphHits,
     "graph_closeness" -> graphCloseness,
     "graph_eccentricity" -> graphEccentricity,
     "graph_reciprocity" -> graphReciprocity,
@@ -1522,6 +1707,8 @@ object Graph {
     "graph_pagerank" -> graphPagerank)
 
   val oracle: Map[String, String] = Map(
+    "graph_coreness" -> graphCorenessSql,
+    "graph_hits" -> graphHitsSql,
     "graph_closeness" -> graphClosenessSql,
     "graph_eccentricity" -> graphEccentricitySql,
     "graph_reciprocity" -> graphReciprocitySql,

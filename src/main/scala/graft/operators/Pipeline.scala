@@ -158,6 +158,62 @@ object Pipeline {
        |    FROM documents)
        |) GROUP BY lang, chunk_id ORDER BY lang, chunk_id""".stripMargin
 
+  // ─── pack_efficiency: padding-waste sweep over context lengths ───
+  // The sizing study behind pack_chunks' 2048: for each candidate
+  // context length, what do the two packing schemes cost? Pad-to-ctx
+  // (one doc per sequence, ceil(t/ctx) sequences each — the naive
+  // fine-tuning layout) vs concat-packing (per-language streams cut
+  // at ctx — pack_chunks' scheme, ceil(Σt/ctx) per language).
+  // util_*_bp = useful tokens per slot, savings_bp = sequences
+  // avoided by packing. All integer off the per-doc token counts:
+  // two map-side-combined aggregates over the token projection and a
+  // constant ×4 context fan-out — nothing corpus-scale survives the
+  // first groupBy, at any SF.
+  private val packContexts = Seq(512L, 1024L, 2048L, 4096L)
+
+  def packEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables(spark, dir).documents
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("t"))
+    val ctx = packContexts.toDF("ctx")
+    val pad = toks.crossJoin(broadcast(ctx))
+      .groupBy(col("ctx"))
+      .agg(sum(expr("(t + ctx - 1) div ctx")).as("n_seq_pad"),
+        sum(col("t")).as("total_tokens"))
+    val packed = toks.groupBy(col("lang")).agg(sum(col("t")).as("lt"))
+      .crossJoin(broadcast(ctx))
+      .groupBy(col("ctx"))
+      .agg(sum(expr("(lt + ctx - 1) div ctx")).as("n_seq_packed"))
+    pad.join(packed, Seq("ctx"))
+      .select(col("ctx"), col("total_tokens"), col("n_seq_pad"),
+        col("n_seq_packed"),
+        expr("n_seq_pad * ctx - total_tokens").as("pad_tokens"),
+        expr("total_tokens * 10000 div (n_seq_pad * ctx)").as("util_pad_bp"),
+        expr("total_tokens * 10000 div (n_seq_packed * ctx)").as("util_packed_bp"),
+        expr("(n_seq_pad - n_seq_packed) * 10000 div n_seq_pad").as("savings_bp"))
+      .orderBy(col("ctx"))
+  }
+
+  val packEfficiencySql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+       |  FROM documents),
+       |ctx(ctx) AS (VALUES ${packContexts.map(c => s"($c::BIGINT)").mkString(", ")}),
+       |pad AS (
+       |  SELECT ctx, CAST(sum((t + ctx - 1) // ctx) AS BIGINT) AS n_seq_pad,
+       |    CAST(sum(t) AS BIGINT) AS total_tokens
+       |  FROM toks, ctx GROUP BY ctx),
+       |lt AS (SELECT lang, sum(t) AS lt FROM toks GROUP BY lang),
+       |packed AS (
+       |  SELECT ctx, CAST(sum((lt + ctx - 1) // ctx) AS BIGINT) AS n_seq_packed
+       |  FROM lt, ctx GROUP BY ctx)
+       |SELECT p.ctx, p.total_tokens, p.n_seq_pad, k.n_seq_packed,
+       |  p.n_seq_pad * p.ctx - p.total_tokens AS pad_tokens,
+       |  p.total_tokens * 10000 // (p.n_seq_pad * p.ctx) AS util_pad_bp,
+       |  p.total_tokens * 10000 // (k.n_seq_packed * p.ctx) AS util_packed_bp,
+       |  (p.n_seq_pad - k.n_seq_packed) * 10000 // p.n_seq_pad AS savings_bp
+       |FROM pad p JOIN packed k USING (ctx) ORDER BY p.ctx""".stripMargin
+
   // ─── doc_pipeline: clean → exact-dedup → per-language stats ───
   // The composed shape of a corpus build: length filter, exact dedup
   // on content hash keeping the smallest doc_id (window min — one
@@ -1414,6 +1470,7 @@ object Pipeline {
     "split_hash" -> splitHash,
     "sample_stratified" -> sampleStratified,
     "pack_chunks" -> packChunks,
+    "pack_efficiency" -> packEfficiency,
     "doc_pipeline" -> docPipeline,
     "sample_temperature" -> sampleTemperature)
 
@@ -1443,6 +1500,7 @@ object Pipeline {
     "split_hash" -> splitHashSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pack_chunks" -> packChunksSql,
+    "pack_efficiency" -> packEfficiencySql,
     "doc_pipeline" -> docPipelineSql,
     "sample_temperature" -> sampleTemperatureSql)
 }

@@ -902,7 +902,37 @@ object RelationalExt {
       |    ELSE 'forward' END AS direction
       |FROM p ORDER BY event_id""".stripMargin
 
+  // ─── q39_qualify: all rows of each key's latest partition ───
+  // The QUALIFY idiom that row_number can't express: keep EVERY order
+  // from each customer's most recent active year — dense_rank over
+  // the year (a non-unique order key) is 1 for all of them, where
+  // row_number would keep exactly one arbitrary survivor. This is the
+  // latest-snapshot-per-key read that CDC consumers run against
+  // partitioned tables; the window partitions on o_custkey (many
+  // groups, healthy shuffle key), never on a low-cardinality column.
+  def q39Qualify(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("yr").desc)
+    Tables(spark, dir).orders
+      .withColumn("yr", year(col("o_orderdate")).cast("long"))
+      .withColumn("dr", dense_rank().over(w))
+      .filter(col("dr") === 1)
+      .select(col("o_custkey"), col("yr"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q39Sql: String =
+    """SELECT o_custkey, yr, o_orderkey, price_cents FROM (
+      |  SELECT o_custkey,
+      |    CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderkey,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+      |    dense_rank() OVER (PARTITION BY o_custkey
+      |      ORDER BY year(o_orderdate) DESC) AS dr
+      |  FROM orders)
+      |WHERE dr = 1 ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_qualify" -> q39Qualify,
     "q40_percentile_cont" -> q40PercentileCont,
     "q41_paginate" -> q41Paginate,
     "q42_string_agg" -> q42StringAgg,
@@ -928,6 +958,7 @@ object RelationalExt {
     "q26_unpivot" -> q26Unpivot)
 
   val oracle: Map[String, String] = Map(
+    "q39_qualify" -> q39Sql,
     "q40_percentile_cont" -> q40Sql,
     "q41_paginate" -> q41Sql,
     "q42_string_agg" -> q42Sql,

@@ -228,6 +228,91 @@ object ScaleOps {
        |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin
   }
 
+  // ─── layout_advisor: which clustering layout should this table buy? ───
+  // The decision table ABOVE layout_zorder/layout_prune: before an
+  // operator pays for a rewrite, compare the three candidate layouts
+  // (sort-by-x, sort-by-y, z-order) under the SAME file budget (64
+  // value-range files each — range placement, no global sort) against
+  // the same two band probes, and report files/rows each layout
+  // forces every probe to scan. The expected shape — each linear
+  // layout wins its own dimension and loses the other badly, z-order
+  // is near-best on BOTH — is exactly the argument for paying the
+  // interleave, now stated as numbers (scan_bp = mean scanned-row
+  // fraction across the two probes). ONE corpus projection with a
+  // constant ×3 layout fan-out; everything after the first groupBy is
+  // ≤192 file rows.
+  def layoutAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dims = Tables(spark, dir).orders.select(
+        pmod(col("o_custkey"), lit(1L << zBits)).as("xd"),
+        pmod(expr("unix_timestamp(o_orderdate) DIV 86400"),
+          lit(1L << zBits)).as("yd"))
+      .withColumn("z", zInterleave(col("xd"), col("yd")))
+    val lay = Seq("linear_x", "linear_y", "zorder").toDF("layout")
+    dims.crossJoin(broadcast(lay))
+      .withColumn("file_id",
+        when(col("layout") === "linear_x", shiftrightunsigned(col("xd"), 2))
+          .when(col("layout") === "linear_y", shiftrightunsigned(col("yd"), 2))
+          .otherwise(shiftrightunsigned(col("z"), 2 * zBits - 6)))
+      .groupBy(col("layout"), col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("xd")).as("min_xd"), max(col("xd")).as("max_xd"),
+        min(col("yd")).as("min_yd"), max(col("yd")).as("max_yd"))
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("min_xd") <= pruneXHi && col("max_xd") >= pruneXLo,
+          1L).otherwise(0L)).as("files_x"),
+        sum(when(col("min_xd") <= pruneXHi && col("max_xd") >= pruneXLo,
+          col("n_rows")).otherwise(0L)).as("rows_x"),
+        sum(when(col("min_yd") <= pruneYHi && col("max_yd") >= pruneYLo,
+          1L).otherwise(0L)).as("files_y"),
+        sum(when(col("min_yd") <= pruneYHi && col("max_yd") >= pruneYLo,
+          col("n_rows")).otherwise(0L)).as("rows_y"),
+        sum(col("n_rows")).as("n_rows_total"))
+      .withColumn("scan_bp",
+        expr("(rows_x + rows_y) * 10000 div (2 * n_rows_total)"))
+      .orderBy(col("layout"))
+  }
+
+  val layoutAdvisorSql: String = {
+    val terms = (0 until zBits).map { i =>
+      s"(((xd >> $i) & 1) << ${2 * i}) | (((yd >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+    s"""WITH dims AS (
+       |  SELECT o_custkey % ${1L << zBits} AS xd,
+       |    (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) % ${1L << zBits} AS yd
+       |  FROM orders),
+       |d2 AS (SELECT xd, yd, CAST($terms AS BIGINT) AS z FROM dims),
+       |lay(layout) AS (VALUES ('linear_x'), ('linear_y'), ('zorder')),
+       |t AS (
+       |  SELECT l.layout, d.xd, d.yd,
+       |    CASE l.layout WHEN 'linear_x' THEN d.xd >> 2
+       |                  WHEN 'linear_y' THEN d.yd >> 2
+       |                  ELSE d.z >> ${2 * zBits - 6} END AS file_id
+       |  FROM d2 d, lay l),
+       |f AS (
+       |  SELECT layout, file_id, count(*) AS n_rows,
+       |    min(xd) AS min_xd, max(xd) AS max_xd,
+       |    min(yd) AS min_yd, max(yd) AS max_yd
+       |  FROM t GROUP BY 1, 2)
+       |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(CASE WHEN min_xd <= $pruneXHi AND max_xd >= $pruneXLo
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS files_x,
+       |  CAST(sum(CASE WHEN min_xd <= $pruneXHi AND max_xd >= $pruneXLo
+       |    THEN n_rows ELSE 0 END) AS BIGINT) AS rows_x,
+       |  CAST(sum(CASE WHEN min_yd <= $pruneYHi AND max_yd >= $pruneYLo
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS files_y,
+       |  CAST(sum(CASE WHEN min_yd <= $pruneYHi AND max_yd >= $pruneYLo
+       |    THEN n_rows ELSE 0 END) AS BIGINT) AS rows_y,
+       |  CAST(sum(n_rows) AS BIGINT) AS n_rows_total,
+       |  CAST((sum(CASE WHEN min_xd <= $pruneXHi AND max_xd >= $pruneXLo
+       |      THEN n_rows ELSE 0 END)
+       |    + sum(CASE WHEN min_yd <= $pruneYHi AND max_yd >= $pruneYLo
+       |      THEN n_rows ELSE 0 END)) * 10000
+       |    // (2 * sum(n_rows)) AS BIGINT) AS scan_bp
+       |FROM f GROUP BY layout ORDER BY layout""".stripMargin
+  }
+
   // ─── sketch_quantile: deterministic histogram order statistics ───
   // Completes the sketch tier (cms = frequency, hll = distinct, bloom
   // = membership): order statistics from a fixed 256-bin integer
@@ -1213,6 +1298,7 @@ object ScaleOps {
     "sketch_kmv_audit" -> sketchKmvAudit,
     "sketch_quantile" -> sketchQuantile,
     "layout_prune" -> layoutPrune,
+    "layout_advisor" -> layoutAdvisor,
     "filter_bloom" -> filterBloom,
     "shard_skew" -> shardSkew,
     "shard_rebalance" -> shardRebalance,
@@ -1235,6 +1321,7 @@ object ScaleOps {
     "sketch_kmv_audit" -> sketchKmvAuditSql,
     "sketch_quantile" -> sketchQuantileSql,
     "layout_prune" -> layoutPruneSql,
+    "layout_advisor" -> layoutAdvisorSql,
     "filter_bloom" -> filterBloomSql,
     "shard_skew" -> shardSkewSql,
     "shard_rebalance" -> shardRebalanceSql,

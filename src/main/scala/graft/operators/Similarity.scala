@@ -324,6 +324,63 @@ object Similarity {
        |FROM hits h JOIN documents d ON d.doc_id = h.neighbor_id
        |ORDER BY h.query_id, h.rank""".stripMargin
 
+  // ─── ann_range_search: radius query around each probe vector ───
+  // The "everything within cosine ≥ τ" API (faiss range_search):
+  // unlike annLsh's fixed top-k, the result-set size is data-driven —
+  // the caller wants ALL neighbors above the floor (dedup candidates
+  // for one incoming document, near-claim retrieval, abuse-cluster
+  // expansion). Same seed-42 LSH blocking index as annLsh, so
+  // candidate volume tracks bucket occupancy, never the corpus, and
+  // the DuckDB twin replays the blocking bit-exactly. A per-query
+  // n_hits column rides a window over the (tiny) post-threshold hit
+  // set — the saturation signal: a probe whose hit count approaches
+  // its candidate budget needs more tables/bits, not a bigger k.
+  private val rangeTau = 0.3
+
+  def annRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val b = bucketIds(spark, dir)
+    val q = b.filter(col("vec_id") < nQueries)
+      .select(col("table"), col("bucket"), col("vec_id").as("query_id"))
+    val c = b.select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"))
+    val cand = q.join(c, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val vq = vecs(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val vc = vecs(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("norm").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+    cand.join(broadcast(vq), Seq("query_id"))
+      .join(vc, Seq("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .filter(col("cos") >= rangeTau)
+      .withColumn("n_hits", count(lit(1)).over(w))
+      .select(col("query_id"), col("neighbor_id"),
+        floor(col("cos") * 10000 + 0.5).cast("long").as("cos_bp"), col("n_hits"))
+      .orderBy(col("query_id"), col("cos_bp").desc, col("neighbor_id"))
+  }
+
+  val annRangeSearchSql: String =
+    s"""WITH n AS (${vecsSql("vec_id")}),
+       |$lshBucketCtes,
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM buckets q JOIN buckets c
+       |    ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |    AND q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
+       |hits AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    (${dotSqlOf("x.v", "y.v")}) / (x.norm * y.norm) AS cos
+       |  FROM cand
+       |    JOIN n x ON cand.query_id = x.vec_id
+       |    JOIN n y ON cand.neighbor_id = y.vec_id
+       |  WHERE (${dotSqlOf("x.v", "y.v")}) / (x.norm * y.norm) >= $rangeTau)
+       |SELECT query_id, neighbor_id,
+       |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp,
+       |  count(*) OVER (PARTITION BY query_id) AS n_hits
+       |FROM hits ORDER BY query_id, cos_bp DESC, neighbor_id""".stripMargin
+
   // ─── ann_sq: int8 scalar quantization + exact rescore ───
   // The SQ tier (faiss IndexScalarQuantizer shape): embeddings are
   // unit-norm, so a FIXED symmetric scale maps each component to a
@@ -1418,7 +1475,75 @@ object Similarity {
        |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp
        |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
+  // ─── sample_kcenter: Gonzalez greedy k-center coreset ───
+  // The diversity-first subset selection behind coreset distillation
+  // and eval-set seeding: pick the md5-min vector, then k−1 times the
+  // point FARTHEST from everything chosen so far (a 2-approximation
+  // of the optimal k-center cover — Gonzalez 1985). Each round is one
+  // broadcast of the single new center + a map-side least() over the
+  // running min-distance column + a TakeOrdered argmax — k passes,
+  // zero shuffles of the corpus, and the distance fold is the same
+  // ascending-index sum both engines replay. r2_e6 logs the covering
+  // radius² at each pick: the radius curve IS the coverage report
+  // (how much of embedding space the first k exemplars span).
+  private val kcenterK = 8
+
+  def sampleKcenter(spark: SparkSession, dir: String): DataFrame = {
+    val dist2 = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (s, x) => s + x)
+    val v = vecs(spark, dir).select(col("vec_id"), col("v"))
+    val seed = v.withColumn("hkey", md5(col("vec_id").cast("string")))
+      .orderBy(col("hkey"), col("vec_id")).limit(1)
+      .select(col("vec_id").as("center_id"), col("v").as("cv"))
+    var picks = seed.select(lit(0L).as("pick"), col("center_id"),
+      lit(0L).as("r2_e6"))
+    var state = v.crossJoin(broadcast(seed.select(col("cv"))))
+      .withColumn("d", dist2(col("v"), col("cv"))).drop("cv")
+    for (t <- 1 until kcenterK) {
+      val nxt = state.orderBy(col("d").desc, col("vec_id")).limit(1)
+        .select(col("vec_id").as("center_id"), col("v").as("cv"),
+          col("d").as("dmax"))
+        .localCheckpoint(eager = true) // 1 row; truncates the k-deep lineage
+      picks = picks.unionByName(nxt.select(lit(t.toLong).as("pick"),
+        col("center_id"),
+        floor(col("dmax") * 1e6 + 0.5).cast("long").as("r2_e6")))
+      state = state.crossJoin(broadcast(nxt.select(col("cv"))))
+        .withColumn("d", least(col("d"), dist2(col("v"), col("cv"))))
+        .drop("cv")
+    }
+    picks.select(col("pick"), col("center_id"), col("r2_e6"))
+      .orderBy(col("pick"))
+  }
+
+  val sampleKcenterSql: String = {
+    val round = (i: Int) =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT vec_id AS center_id, v AS cv, d AS dmax FROM m${i - 1}
+         |  ORDER BY d DESC, vec_id LIMIT 1),
+         |m$i AS (
+         |  SELECT m.vec_id, m.v,
+         |    least(m.d, ${dist2SqlOf("m.v", "s.cv")}) AS d
+         |  FROM m${i - 1} m, s$i s)""".stripMargin
+    s"""WITH n AS (${vecsSql("vec_id")}),
+       |s0 AS MATERIALIZED (
+       |  SELECT vec_id AS center_id, v AS cv FROM n
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+       |m0 AS (
+       |  SELECT n.vec_id, n.v, (${dist2SqlOf("n.v", "s.cv")}) AS d
+       |  FROM n, s0 s),
+       |${(1 until kcenterK).map(round).mkString(",\n")}
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS BIGINT) AS pick, center_id,
+       |    CAST(0 AS BIGINT) AS r2_e6 FROM s0
+       |  ${(1 until kcenterK).map(i =>
+             s"UNION ALL SELECT CAST($i AS BIGINT), center_id, " +
+             s"CAST(floor(dmax * 1e6 + 0.5) AS BIGINT) FROM s$i").mkString("\n  ")}
+       |) ORDER BY pick""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_kcenter" -> sampleKcenter,
     "ann_filtered" -> annFiltered,
     "hard_neg_mine" -> hardNegMine,
     "sample_hard_negatives" -> sampleHardNegatives,
@@ -1437,9 +1562,11 @@ object Similarity {
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "ann_ivf_pq" -> annIvfPq,
+    "ann_range_search" -> annRangeSearch,
     "ann_retrieve" -> annRetrieve)
 
   val oracle: Map[String, String] = Map(
+    "sample_kcenter" -> sampleKcenterSql,
     "ann_filtered" -> annFilteredSql,
     "hard_neg_mine" -> hardNegMineSql,
     "sample_hard_negatives" -> sampleHardNegativesSql,
@@ -1458,5 +1585,6 @@ object Similarity {
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
     "ann_ivf_pq" -> annIvfPqSql,
+    "ann_range_search" -> annRangeSearchSql,
     "ann_retrieve" -> annRetrieveSql)
 }

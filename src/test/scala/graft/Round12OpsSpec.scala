@@ -2089,4 +2089,201 @@ class Round12OpsSpec extends AnyFunSuite {
       assert(over == (epochs > 40000L), "over_repeat flags >4 epochs")
     }
   }
+
+  // ─── q39_qualify ───
+
+  test("q39_qualify: keeps exactly each customer's latest-year orders") {
+    val rows = RelationalExt.q39Qualify(spark, dir).collect()
+    val orders = Tables(spark, dir).orders
+      .select(col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_orderkey"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val latest = orders.groupBy(_._1).map { case (c, os) => c -> os.map(_._2).max }
+    rows.foreach { r =>
+      assert(r.getLong(1) == latest(r.getLong(0)),
+        s"customer ${r.getLong(0)}: row year is the latest year")
+    }
+    val expected = orders.filter { case (c, y, _) => y == latest(c) }
+      .map(o => (o._1, o._3)).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSet == expected,
+      "ALL latest-year orders survive (dense_rank ties), nothing else")
+  }
+
+  // ─── graph_hits ───
+
+  test("graph_hits: mutual reinforcement on a crafted bipartite graph") {
+    import spark.implicits._
+    val now = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(now.getTime + s * 1000L)
+    // user 1 is the heavy hub (6×x, 2×y); x is the consensus authority.
+    val evs = (Seq.fill(6)((1L, "x")) ++ Seq.fill(2)((1L, "y")) ++
+      Seq((2L, "x"), (3L, "y"))).zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, at(i), u, t, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hits").toString
+    evs.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = Graph.graphHits(spark, tmp).collect()
+    val hubs = rows.filter(_.getString(0) == "hub")
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val auths = rows.filter(_.getString(0) == "auth")
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(auths.keySet == Set("x", "y") && hubs.keySet == Set("1", "2", "3"))
+    assert(auths("x") > auths("y"), "consensus behavior out-ranks the minor one")
+    assert(hubs("1") > hubs("2") && hubs("1") > hubs("3"),
+      "the heavy user is the top hub")
+    assert(rows.forall(_.getLong(2) >= 0), "scores are non-negative")
+  }
+
+  test("graph_hits: sf output is bounded and normalized") {
+    val rows = Graph.graphHits(spark, dir).collect()
+    val hubs = rows.filter(_.getString(0) == "hub")
+    val auths = rows.filter(_.getString(0) == "auth")
+    assert(hubs.length <= 20, "hub side is the top-20 cut")
+    assert(auths.nonEmpty)
+    // Division-first renormalization keeps each half-round's total in
+    // the [S/2, 2S] band (d floors at most halve, never double).
+    val authSum = auths.map(_.getLong(2)).sum
+    assert(authSum >= 50000000L && authSum <= 200000000L,
+      s"authority mass near the 1e8 scale, got $authSum")
+  }
+
+  // ─── ann_range_search ───
+
+  test("ann_range_search: threshold semantics and hit accounting") {
+    val rows = Similarity.annRangeSearch(spark, dir).collect()
+    assert(rows.nonEmpty, "τ=0.3 fires on the synthetic embeddings")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 3000L - 1, s"cos_bp ${r.getLong(2)} above τ")
+    }
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.forall(_.getLong(3) == rs.length),
+        s"query $q: n_hits equals the group's row count")
+    }
+    // Same blocking index as ann_lsh: every top-k hit above τ must
+    // also be a range hit (range search is the un-truncated read).
+    val rangePairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    Similarity.annLsh(spark, dir).collect()
+      .filter(_.getLong(3) >= 3000L)
+      .foreach { r =>
+        assert(rangePairs.contains((r.getLong(0), r.getLong(2))),
+          s"lsh hit (${r.getLong(0)}, ${r.getLong(2)}) missing from range")
+      }
+  }
+
+  // ─── pack_efficiency ───
+
+  test("pack_efficiency: identities across the context sweep") {
+    val rows = Pipeline.packEfficiency(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(512L, 1024L, 2048L, 4096L))
+    val totals = rows.map(_.getLong(1)).distinct
+    assert(totals.length == 1, "total_tokens is context-independent")
+    rows.foreach { r =>
+      val (ctx, total, pad, packed) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(pad >= packed, "packing never needs more sequences")
+      assert(r.getLong(4) == pad * ctx - total, "pad_tokens identity")
+      assert(r.getLong(4) >= 0L)
+      assert(r.getLong(5) == total * 10000 / (pad * ctx), "util_pad identity")
+      assert(r.getLong(6) >= r.getLong(5), "packing utilizes at least as well")
+      assert(r.getLong(7) == (pad - packed) * 10000 / pad, "savings identity")
+    }
+    // More padding waste at longer contexts for the pad-to-ctx scheme.
+    val padTok = rows.map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(padTok(4096L) >= padTok(512L), "longer contexts pad more")
+  }
+
+  // ─── graph_coreness ───
+
+  test("graph_coreness: triangle+pendant is core-exact; h-index converged") {
+    import spark.implicits._
+    // triangle {1,2,3} (coreness 2) with pendant 4 on node 1 (coreness 1)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Graph.coreness(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((2L, 3L)) && out(2L) == ((2L, 2L)) &&
+      out(3L) == ((2L, 2L)), "triangle nodes sit in the 2-core")
+    assert(out(4L) == ((1L, 1L)), "pendant has coreness 1")
+    // Fixpoint on the real pair graph: one more h-index round is a no-op.
+    val real = Graph.dupEdges(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val c = Graph.coreness(real).select(col("node"),
+        col("coreness").as("c"))
+      val again = Graph.hIndexRound(real, c)
+        .select(col("node"), col("c").as("c2"))
+      assert(c.join(again, Seq("node"))
+        .filter(col("c") =!= col("c2")).count() == 0,
+        "corenessRounds reaches the h-index fixpoint at this SF")
+      // coreness never exceeds degree
+      Graph.coreness(real).collect().foreach { r =>
+        assert(r.getLong(1) <= r.getLong(2), "coreness ≤ degree")
+      }
+    } finally real.unpersist(blocking = false)
+  }
+
+  // ─── ev_bot_score ───
+
+  test("ev_bot_score: metronome flags, bursty human does not") {
+    import spark.implicits._
+    val now = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(now.getTime + s * 1000L)
+    // user 1: a script — exactly every 60 s. user 2: human — bursts
+    // with gaps 1,1,1,3600,1,1 (CV >> 1/2). Both have >= 5 gaps.
+    val script = (0 until 10).map(i => (i.toLong, at(i * 60), 1L, "click", 0.0, "{}"))
+    val humanGaps = Seq(0, 1, 2, 3, 3603, 3604, 3605)
+    val human = humanGaps.zipWithIndex.map { case (s, i) =>
+      ((100 + i).toLong, at(s), 2L, "click", 0.0, "{}")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bot").toString
+    (script ++ human).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = Events.evBotScore(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getBoolean(5), "the 60s metronome is flagged regular")
+    assert(!rows(2L).getBoolean(5), "the bursty human is not")
+    assert(rows(1L).getLong(2) == 60L, "mean gap exact")
+    assert(rows(1L).getLong(1) == 10L && rows(2L).getLong(1) == 7L)
+  }
+
+  // ─── layout_advisor ───
+
+  test("layout_advisor: each linear layout wins its own axis; zorder is balanced") {
+    val rows = ScaleOps.layoutAdvisor(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("linear_x", "linear_y", "zorder"))
+    rows.values.foreach { r =>
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= 64L, "file budget held")
+      assert(r.getLong(3) <= r.getLong(6) && r.getLong(5) <= r.getLong(6),
+        "scanned rows bounded by total")
+      assert(r.getLong(7) == (r.getLong(3) + r.getLong(5)) * 10000
+        / (2 * r.getLong(6)), "scan_bp identity")
+    }
+    // A layout clustered on one axis prunes that axis at least as
+    // well as the layout clustered on the other axis.
+    assert(rows("linear_x").getLong(3) <= rows("linear_y").getLong(3),
+      "x-sorted scans no more rows than y-sorted under the x probe")
+    assert(rows("linear_y").getLong(5) <= rows("linear_x").getLong(5),
+      "y-sorted scans no more rows than x-sorted under the y probe")
+    // z-order is never worse on a probe than the linear layout
+    // clustered on the OTHER axis (the whole point of interleaving).
+    assert(rows("zorder").getLong(3) <= rows("linear_y").getLong(3))
+    assert(rows("zorder").getLong(5) <= rows("linear_x").getLong(5))
+  }
+
+  // ─── sample_kcenter ───
+
+  test("sample_kcenter: radius curve is non-increasing and picks are maximal") {
+    val rows = Similarity.sampleKcenter(spark, dir).collect()
+    assert(rows.length == 8, "k = 8 picks")
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 8L), "pick order 0..7")
+    val radii = rows.drop(1).map(_.getLong(2))
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => b <= a },
+      "covering radius² never grows as centers are added")
+    assert(radii.head > 0L, "second pick is strictly away from the seed")
+    assert(rows.map(_.getLong(1)).distinct.length == 8,
+      "all centers distinct on this corpus")
+  }
 }
