@@ -300,6 +300,111 @@ object Dedup {
     }
   }
 
+  // ─── dedup_lsh_tuning: band/row operating points of the 64-perm sketch ───
+  // The calibration table behind the shipped 16×4 choice: regroup the
+  // SAME 64 minhashes into 32×2 / 16×4 / 8×8 bands and report each
+  // configuration's candidate volume, true-pair yield (est ≥ 0.5),
+  // precision and recall. The nesting is exact — a 2r-row band match
+  // implies both r-row halves match — so cand(8×8) ⊆ cand(16×4) ⊆
+  // cand(32×2) and the table IS the monotone precision/recall
+  // trade-off (spec-asserted). One pass over the checkpointed
+  // signature fixture with a ×56 band fan-out; similarity is scored
+  // once per DISTINCT pair (union across configs), never per config.
+  // Band keys are md5 over the comma-joined row values: the shipped
+  // 31-ary polynomial overflows a long at r=8, md5 never does.
+  private val tuneConfigs = Seq(32 -> 2, 16 -> 4, 8 -> 8)
+  private val tuneTauBp = 5000L
+
+  def dedupLshTuning(spark: SparkSession, dir: String): DataFrame = {
+    val (sigs, _) = minhashSigsAndCand(spark, dir)
+    def bandedCfg(b: Int, r: Int): DataFrame =
+      sigs.select(lit(s"b${b}r$r").as("config"), col("doc_id"),
+        posexplode(array((0 until b).map(i =>
+          md5(concat_ws(",", (0 until r).map(k => col(s"m${i * r + k}")): _*))): _*))
+          .as(Seq("band", "bh")))
+    val banded = tuneConfigs.map { case (b, r) => bandedCfg(b, r) }
+      .reduce(_ unionByName _)
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.config") === col("b.config") &&
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.config").as("config"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val sx = sigs.select(col("doc_id").as("xid") +:
+      (0 until nPerms).map(j => col(s"m$j").as(s"x$j")): _*)
+    val sy = sigs.select(col("doc_id").as("yid") +:
+      (0 until nPerms).map(j => col(s"m$j").as(s"y$j")): _*)
+    val est = cand.select(col("doc_a"), col("doc_b")).distinct()
+      .join(sx, col("doc_a") === col("xid"))
+      .join(sy, col("doc_b") === col("yid"))
+      .withColumn("est_bp",
+        floor((0 until nPerms)
+          .map(j => when(col(s"x$j") === col(s"y$j"), 1).otherwise(0))
+          .reduce(_ + _) * 10000.0 / nPerms + 0.5).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("est_bp"))
+      .localCheckpoint(eager = false)
+    val nTrueAll = est.filter(col("est_bp") >= tuneTauBp)
+      .agg(count(lit(1)).as("n_true_all"))
+    cand.join(est, Seq("doc_a", "doc_b"))
+      .groupBy(col("config"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("est_bp") >= tuneTauBp, 1L).otherwise(0L)).as("n_true"))
+      .crossJoin(broadcast(nTrueAll))
+      .select(col("config"), col("n_pairs"), col("n_true"), col("n_true_all"),
+        expr("n_true * 10000 div greatest(1, n_pairs)").as("precision_bp"),
+        expr("n_true * 10000 div greatest(1, n_true_all)").as("recall_bp"))
+      .orderBy(col("config"))
+  }
+
+  val dedupLshTuningSql: String = {
+    val minCols = (0 until nPerms).map { j =>
+      s"min((h * ${permCoef(j)._1} + ${permCoef(j)._2}) % $P31) AS m$j"
+    }.mkString(",\n    ")
+    val bandBranches = tuneConfigs.flatMap { case (b, r) =>
+      (0 until b).map { i =>
+        val cols = (0 until r).map(k => s"CAST(m${i * r + k} AS VARCHAR)")
+          .mkString(", ")
+        s"SELECT 'b${b}r$r' AS config, doc_id, $i AS band, md5(concat_ws(',', $cols)) AS bh FROM sigs"
+      }
+    }.mkString("\n  UNION ALL ")
+    val eqSum = (0 until nPerms)
+      .map(j => s"CASE WHEN x.m$j = y.m$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $docShinglesSql,
+       |srows AS (SELECT doc_id, unnest(sh) AS s FROM shdocs),
+       |hs AS (SELECT doc_id, ${h31Sql("s")} AS h FROM srows),
+       |sigs AS (SELECT doc_id,
+       |    $minCols
+       |  FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  $bandBranches),
+       |cand AS (
+       |  SELECT DISTINCT a.config, a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.config = b.config AND a.band = b.band AND a.bh = b.bh
+       |    AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(floor(($eqSum) * 10000.0 / $nPerms + 0.5) AS BIGINT) AS est_bp
+       |  FROM (SELECT DISTINCT doc_a, doc_b FROM cand) p
+       |    JOIN sigs x ON p.doc_a = x.doc_id
+       |    JOIN sigs y ON p.doc_b = y.doc_id),
+       |ta AS (SELECT CAST(count(*) AS BIGINT) AS n_true_all
+       |  FROM est WHERE est_bp >= $tuneTauBp)
+       |SELECT c.config, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN e.est_bp >= $tuneTauBp THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_true,
+       |  (SELECT n_true_all FROM ta) AS n_true_all,
+       |  CAST(sum(CASE WHEN e.est_bp >= $tuneTauBp THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 10000 // greatest(1, count(*)) AS precision_bp,
+       |  CAST(sum(CASE WHEN e.est_bp >= $tuneTauBp THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 10000 // greatest(1, (SELECT n_true_all FROM ta)) AS recall_bp
+       |FROM cand c JOIN est e USING (doc_a, doc_b)
+       |GROUP BY c.config ORDER BY c.config""".stripMargin
+  }
+
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val (sigs, cand) = minhashSigsAndCand(spark, dir)
     val sx = sigs.select(col("doc_id").as("xid") +:
@@ -1094,6 +1199,7 @@ object Dedup {
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_lsh_tuning" -> dedupLshTuning,
     "dedup_simhash" -> dedupSimhash,
     "dedup_threshold_sweep" -> dedupThresholdSweep,
     "dedup_embedding" -> dedupEmbedding,
@@ -1109,6 +1215,7 @@ object Dedup {
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_lsh_tuning" -> dedupLshTuningSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_threshold_sweep" -> dedupThresholdSweepSql,
     "dedup_embedding" -> dedupEmbeddingSql,

@@ -2224,6 +2224,33 @@ class Round12OpsSpec extends AnyFunSuite {
     } finally real.unpersist(blocking = false)
   }
 
+  // ─── dedup_lsh_tuning ───
+
+  test("dedup_lsh_tuning: candidate sets nest, precision/recall trade monotone") {
+    val rows = Dedup.dedupLshTuning(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("b32r2", "b16r4", "b8r8"))
+    // a 2r-row band match implies both r-row halves match → nesting
+    assert(rows("b8r8").getLong(1) <= rows("b16r4").getLong(1) &&
+      rows("b16r4").getLong(1) <= rows("b32r2").getLong(1),
+      "candidate volume grows as bands get shorter")
+    assert(rows("b8r8").getLong(2) <= rows("b16r4").getLong(2) &&
+      rows("b16r4").getLong(2) <= rows("b32r2").getLong(2),
+      "true-pair yield nests the same way")
+    rows.values.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "true pairs bounded by candidates")
+      assert(r.getLong(2) <= r.getLong(3), "yield bounded by union truth")
+      assert(r.getLong(4) == r.getLong(2) * 10000
+        / math.max(1L, r.getLong(1)), "precision identity")
+      assert(r.getLong(5) == r.getLong(2) * 10000
+        / math.max(1L, r.getLong(3)), "recall identity")
+    }
+    // the widest config sees every true pair in the union by nesting
+    assert(rows("b32r2").getLong(5) == 10000L ||
+      rows("b32r2").getLong(3) == 0L,
+      "b32r2 recall is 100% of the union truth (it contains the union)")
+  }
+
   // ─── ev_bot_score ───
 
   test("ev_bot_score: metronome flags, bursty human does not") {
