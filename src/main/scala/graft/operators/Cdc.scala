@@ -43,6 +43,87 @@ object Cdc {
 
   val cdcLatestSql: String = latestSql("events") + "\nORDER BY user_id"
 
+  // ─── cdc_reconcile: bucketed checksum audit of a lossy replica ───
+  // The pt-table-checksum / data-migration validation shape: two
+  // replicas of the same keyed state are compared WITHOUT shipping
+  // rows — each side rolls up to 64 key-hash buckets carrying a row
+  // count and an order-independent content checksum (sum of per-row
+  // md5-derived values), and only the bucket table crosses systems.
+  // The divergent replica here is deterministic: side B rebuilds
+  // latest-state from a changelog that LOST ~2 % of deliveries
+  // (md5(event_id) % 100 < 2 — the at-least-once pipeline's nightmare
+  // made reproducible), so some buckets disagree in count, some only
+  // in content (a dropped non-final version changes nothing; a
+  // dropped final version changes the checksum). consistent=false
+  // rows are exactly the key ranges a repair job must re-sync — 64
+  // rows to find them, not a row-level diff. Checksums sum 10⁹-capped
+  // values: longs hold to ~10⁹ rows/bucket; DECIMAL(38,0) past that.
+  private def reconcileState(ev: DataFrame): DataFrame =
+    latestPerUser(ev)
+      .select(col("user_id"),
+        (conv(substring(md5(concat_ws("~",
+          col("user_id"), col("last_epoch"), col("last_value_cents"))),
+          1, 15), 16, 10).cast("long") % 1000000000L).as("h"),
+        (conv(substring(md5(concat(lit("rbkt:"),
+          col("user_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 64L).as("bucket"))
+
+  def cdcReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val a = reconcileState(ev)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_a"), sum(col("h")).as("sum_a"))
+    val lossy = ev.filter(
+      conv(substring(md5(concat(lit("loss:"),
+        col("event_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 100L >= 2L)
+    val b = reconcileState(lossy)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_b"), sum(col("h")).as("sum_b"))
+    a.join(b, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("sum_a"), lit(0L)).as("sum_a"),
+        coalesce(col("sum_b"), lit(0L)).as("sum_b"))
+      .withColumn("consistent",
+        col("n_a") === col("n_b") && col("sum_a") === col("sum_b"))
+      .orderBy(col("bucket"))
+  }
+
+  val cdcReconcileSql: String = {
+    // NB: inner strings are re-scanned by the OUTER stripMargin, so a
+    // continuation line must never start with `||` (it would be
+    // clipped to a bitwise `|`) — concatenation operators stay at
+    // line ends.
+    def state(src: String): String =
+      s"""SELECT user_id,
+         |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '~' ||
+         |      CAST(last_epoch AS VARCHAR) || '~' ||
+         |      CAST(last_value_cents AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % 1000000000 AS h,
+         |    CAST(('0x' || substr(md5('rbkt:' || CAST(user_id AS VARCHAR)),
+         |      1, 15)) AS BIGINT) % 64 AS bucket
+         |  FROM (${latestSql(src)})""".stripMargin
+    s"""WITH lossy AS (
+       |  SELECT * FROM events
+       |  WHERE CAST(('0x' || substr(md5('loss:' || CAST(event_id AS VARCHAR)),
+       |    1, 15)) AS BIGINT) % 100 >= 2),
+       |sa AS (${state("events")}),
+       |sb AS (${state("lossy")}),
+       |a AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_a,
+       |    CAST(sum(h) AS BIGINT) AS sum_a FROM sa GROUP BY bucket),
+       |b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_b,
+       |    CAST(sum(h) AS BIGINT) AS sum_b FROM sb GROUP BY bucket)
+       |SELECT coalesce(a.bucket, b.bucket) AS bucket,
+       |  coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+       |  coalesce(sum_a, 0) AS sum_a, coalesce(sum_b, 0) AS sum_b,
+       |  (coalesce(n_a, 0) = coalesce(n_b, 0)
+       |    AND coalesce(sum_a, 0) = coalesce(sum_b, 0)) AS consistent
+       |FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+       |ORDER BY bucket""".stripMargin
+  }
+
   // ─── cdc_merge: base snapshot + delta partition → new snapshot ───
   // Base = state compacted from history before the cutoff; delta =
   // only the new partition's changelog. The merge never touches
@@ -529,6 +610,7 @@ object Cdc {
     "cdc_audit" -> cdcAudit,
     "cdc_ivm" -> cdcIvm,
     "cdc_latest" -> cdcLatest,
+    "cdc_reconcile" -> cdcReconcile,
     "cdc_merge" -> cdcMerge,
     "cdc_scd2" -> cdcScd2)
 
@@ -543,6 +625,7 @@ object Cdc {
     "cdc_audit" -> cdcAuditSql,
     "cdc_ivm" -> cdcIvmSql,
     "cdc_latest" -> cdcLatestSql,
+    "cdc_reconcile" -> cdcReconcileSql,
     "cdc_merge" -> cdcMergeSql,
     "cdc_scd2" -> cdcScd2Sql)
 }

@@ -1315,6 +1315,79 @@ object Events {
       |FROM act LEFT JOIN fd ON act.day = fd.day
       |ORDER BY day_epoch""".stripMargin
 
+  // ─── ts_winsorize: robust clipped-mean readout per stream ───
+  // The metric-hardening step before anyone trusts a mean: clip each
+  // type's value distribution at its exact p05/p95 order statistics
+  // and report raw vs winsorized mean side by side with the clip
+  // counts — a mean that moves a lot under winsorization is being
+  // driven by its tails. Both cut points are EXACT ranks off the
+  // Ranks.groupedRank bucket ledger (never a per-type full-sort
+  // window); k = ⌈q·n⌉ all-integer, value-at-rank is tie-order
+  // independent since equal values are interchangeable. One ranked
+  // pass + a broadcast of the 2·|types| cut rows back onto the
+  // aggregate. Cents sums stay in long to ~10¹² rows/type; promote
+  // to DECIMAL(38,0) past that (ev_burstiness's discipline).
+  def tsWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables(spark, dir).events
+      .select(col("event_type"), cents(col("value")).as("v"))
+    val ranked = Ranks.groupedRank(vals, Seq("event_type"),
+      Seq(shiftright(col("v"), 6)), Seq(col("v")), "rk", "n")
+    val cuts = ranked
+      .filter(col("rk") === expr("(n + 19) div 20") ||
+        col("rk") === expr("(n * 19 + 19) div 20"))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("rk") === expr("(n + 19) div 20"), col("v")))
+          .as("lo_cents"),
+        min(when(col("rk") === expr("(n * 19 + 19) div 20"), col("v")))
+          .as("hi_cents"))
+    vals.join(broadcast(cuts), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("lo_cents")).as("lo_cents"),
+        min(col("hi_cents")).as("hi_cents"),
+        sum(col("v")).as("sum_raw"),
+        sum(greatest(least(col("v"), col("hi_cents")), col("lo_cents")))
+          .as("sum_wins"),
+        sum(when(col("v") < col("lo_cents"), 1L).otherwise(0L))
+          .as("n_clip_lo"),
+        sum(when(col("v") > col("hi_cents"), 1L).otherwise(0L))
+          .as("n_clip_hi"))
+      .select(col("event_type"), col("n"), col("lo_cents"), col("hi_cents"),
+        expr("sum_raw div n").as("mean_cents"),
+        expr("sum_wins div n").as("wins_mean_cents"),
+        col("n_clip_lo"), col("n_clip_hi"))
+      .orderBy(col("event_type"))
+  }
+
+  val tsWinsorizeSql: String =
+    """WITH v AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, v,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY v)
+      |      AS BIGINT) AS rk,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM v),
+      |cuts AS (
+      |  SELECT event_type,
+      |    min(CASE WHEN rk = (n + 19) // 20 THEN v END) AS lo_cents,
+      |    min(CASE WHEN rk = (n * 19 + 19) // 20 THEN v END) AS hi_cents
+      |  FROM r
+      |  WHERE rk = (n + 19) // 20 OR rk = (n * 19 + 19) // 20
+      |  GROUP BY event_type)
+      |SELECT v.event_type, CAST(count(*) AS BIGINT) AS n,
+      |  min(c.lo_cents) AS lo_cents, min(c.hi_cents) AS hi_cents,
+      |  CAST(sum(v.v) AS BIGINT) // count(*) AS mean_cents,
+      |  CAST(sum(greatest(least(v.v, c.hi_cents), c.lo_cents)) AS BIGINT)
+      |    // count(*) AS wins_mean_cents,
+      |  CAST(sum(CASE WHEN v.v < c.lo_cents THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clip_lo,
+      |  CAST(sum(CASE WHEN v.v > c.hi_cents THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clip_hi
+      |FROM v JOIN cuts c USING (event_type)
+      |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin
+
   // ─── ts_ohlc: resampled open/high/low/close bars ───
   // 4-hour bars per type. Open/close are ORDER-dependent aggregates,
   // so they ride the rank window (fully tie-broken by (ts, event_id),
@@ -3585,6 +3658,7 @@ object Events {
     "ev_rfm" -> evRfm,
     "ev_outage" -> evOutage,
     "ts_ohlc" -> tsOhlc,
+    "ts_winsorize" -> tsWinsorize,
     "ts_lttb" -> tsLttb,
     "ev_histogram" -> evHistogram,
     "ev_new_users" -> evNewUsers,
@@ -3651,6 +3725,7 @@ object Events {
     "ev_rfm" -> evRfmSql,
     "ev_outage" -> evOutageSql,
     "ts_ohlc" -> tsOhlcSql,
+    "ts_winsorize" -> tsWinsorizeSql,
     "ts_lttb" -> tsLttbSql,
     "ev_histogram" -> evHistogramSql,
     "ev_new_users" -> evNewUsersSql,

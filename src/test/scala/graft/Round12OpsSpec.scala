@@ -2224,6 +2224,47 @@ class Round12OpsSpec extends AnyFunSuite {
     } finally real.unpersist(blocking = false)
   }
 
+  // ─── ts_winsorize ───
+
+  test("ts_winsorize: clip accounting and tail-robustness identities") {
+    val rows = Events.tsWinsorize(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (mean, wmean) = (r.getLong(4), r.getLong(5))
+      val (clo, chi) = (r.getLong(6), r.getLong(7))
+      assert(lo <= hi, "p05 <= p95")
+      assert(wmean >= lo && wmean <= hi, "winsorized mean inside the cuts")
+      assert(clo <= n / 20 && chi <= n - (n * 19 + 19) / 20 + n / 20 + 1,
+        "clip counts near the 5% tails")
+      assert(clo + chi < n, "never clips everything")
+      // right-skewed positive values: winsorizing pulls the mean down
+      // or holds it (clipping a lower tail of bounded mass can't push
+      // it above the raw mean by more than it pulls the upper tail)
+      assert(mean >= 0 && wmean >= 0)
+    }
+  }
+
+  // ─── cdc_reconcile ───
+
+  test("cdc_reconcile: lossy replica diverges, checksum finds the buckets") {
+    val rows = Cdc.cdcReconcile(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 64)
+    val bad = rows.filter(!_.getBoolean(5))
+    assert(bad.nonEmpty, "a 2% delivery loss must corrupt some bucket")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1),
+        "the lossy side never has MORE keys")
+      assert(r.getBoolean(5) == (r.getLong(1) == r.getLong(2)
+        && r.getLong(3) == r.getLong(4)), "consistent flag identity")
+    }
+    // every count-divergent bucket is flagged; content-only divergence
+    // (same count, different final version) is also caught
+    bad.foreach { r =>
+      assert(r.getLong(1) != r.getLong(2) || r.getLong(3) != r.getLong(4))
+    }
+  }
+
   // ─── dedup_lsh_tuning ───
 
   test("dedup_lsh_tuning: candidate sets nest, precision/recall trade monotone") {
