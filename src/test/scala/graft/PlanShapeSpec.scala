@@ -344,4 +344,32 @@ class PlanShapeSpec extends AnyFunSuite {
         }
     }
   }
+
+  test("ann_range_search blocks on LSH buckets, never a corpus pair scan") {
+    val p = plan(Similarity.annRangeSearch(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      "range search must not build a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range search must not nested-loop over the corpus")
+    assert(p.contains("BroadcastExchange"),
+      "the bounded query side must broadcast")
+  }
+
+  test("layout_advisor touches the orders corpus exactly once") {
+    val p = plan(ScaleOps.layoutAdvisor(spark, dir))
+    val scans = count(p, "Scan parquet[^\\n]*orders")
+    assert(scans == 1,
+      s"the ×3 layout fan-out must ride ONE scan, got $scans")
+  }
+
+  test("q39_qualify and ev_bot_score shuffle on their high-cardinality keys only") {
+    for ((name, df, cap) <- Seq(
+      ("q39_qualify", RelationalExt.q39Qualify(spark, dir), 1),
+      ("ev_bot_score", Events.evBotScore(spark, dir), 2))) {
+      val p = plan(df)
+      val n = count(p, "Exchange hashpartitioning")
+      assert(n <= cap, s"$name: expected <= $cap hash exchanges, got $n")
+      assert(!p.contains("CartesianProduct"), s"$name: no cartesian")
+    }
+  }
 }
