@@ -68,15 +68,25 @@ object Cdc {
           col("user_id").cast("string"))), 1, 15), 16, 10)
           .cast("long") % 64L).as("bucket"))
 
+  /** The deterministic ~2 % delivery-loss filter shared by the
+    * reconciliation and offset-gap audits: drop events whose
+    * md5("loss:"+event_id) bucket lands under 2/100. */
+  private def lossyOf(ev: DataFrame): DataFrame =
+    ev.filter(
+      conv(substring(md5(concat(lit("loss:"),
+        col("event_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 100L >= 2L)
+
+  private val lossySqlPred: String =
+    """CAST(('0x' || substr(md5('loss:' || CAST(event_id AS VARCHAR)),
+      |    1, 15)) AS BIGINT) % 100 >= 2""".stripMargin
+
   def cdcReconcile(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
     val a = reconcileState(ev)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_a"), sum(col("h")).as("sum_a"))
-    val lossy = ev.filter(
-      conv(substring(md5(concat(lit("loss:"),
-        col("event_id").cast("string"))), 1, 15), 16, 10)
-        .cast("long") % 100L >= 2L)
+    val lossy = lossyOf(ev)
     val b = reconcileState(lossy)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_b"), sum(col("h")).as("sum_b"))
@@ -90,6 +100,40 @@ object Cdc {
         col("n_a") === col("n_b") && col("sum_a") === col("sum_b"))
       .orderBy(col("bucket"))
   }
+
+  // ─── cdc_offset_gaps: which offset ranges did the replica drop? ───
+  // The Kafka-offset / DBLog-sequence gap audit that complements
+  // cdc_reconcile: instead of comparing states, scan the surviving
+  // changelog's GLOBAL id space in 1024-wide ranges and count the
+  // ids missing INSIDE each range's observed [lo, hi] span (ids are
+  // unique, so expected = hi−lo+1). On the same deterministic 2 %
+  // lossy stream the per-range missing_bp clusters around 200 —
+  // exactly the loss rate, localized to re-fetchable offset brackets.
+  // One map-combining aggregate to n/1024 metadata rows; ranges with
+  // no loss report 0, the healthy baseline the alert thresholds on.
+  def cdcOffsetGaps(spark: SparkSession, dir: String): DataFrame =
+    lossyOf(Tables(spark, dir).events)
+      .groupBy(shiftright(col("event_id"), 10).as("range_id"))
+      .agg(count(lit(1)).as("n_seen"),
+        min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+      .select(col("range_id"), col("n_seen"), col("lo"), col("hi"),
+        (col("hi") - col("lo") + 1 - col("n_seen")).as("n_missing"),
+        expr("(hi - lo + 1 - n_seen) * 10000 div (hi - lo + 1)")
+          .as("missing_bp"))
+      .orderBy(col("range_id"))
+
+  val cdcOffsetGapsSql: String =
+    s"""SELECT range_id, n_seen, lo, hi,
+       |  hi - lo + 1 - n_seen AS n_missing,
+       |  (hi - lo + 1 - n_seen) * 10000 // (hi - lo + 1) AS missing_bp
+       |FROM (
+       |  SELECT event_id >> 10 AS range_id,
+       |    CAST(count(*) AS BIGINT) AS n_seen,
+       |    min(event_id) AS lo, max(event_id) AS hi
+       |  FROM events
+       |  WHERE $lossySqlPred
+       |  GROUP BY 1)
+       |ORDER BY range_id""".stripMargin
 
   val cdcReconcileSql: String = {
     // NB: inner strings are re-scanned by the OUTER stripMargin, so a
@@ -611,6 +655,7 @@ object Cdc {
     "cdc_ivm" -> cdcIvm,
     "cdc_latest" -> cdcLatest,
     "cdc_reconcile" -> cdcReconcile,
+    "cdc_offset_gaps" -> cdcOffsetGaps,
     "cdc_merge" -> cdcMerge,
     "cdc_scd2" -> cdcScd2)
 
@@ -626,6 +671,7 @@ object Cdc {
     "cdc_ivm" -> cdcIvmSql,
     "cdc_latest" -> cdcLatestSql,
     "cdc_reconcile" -> cdcReconcileSql,
+    "cdc_offset_gaps" -> cdcOffsetGapsSql,
     "cdc_merge" -> cdcMergeSql,
     "cdc_scd2" -> cdcScd2Sql)
 }

@@ -1499,6 +1499,77 @@ object Graph {
       |FROM (SELECT * FROM pn UNION ALL SELECT * FROM gl)
       |ORDER BY node""".stripMargin
 
+  // ─── graph_rich_club: do the hubs club together? ───
+  // Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) over the
+  // near-dup pair graph: among nodes of degree > k, what fraction of
+  // possible edges exists? Rising φ(k) = template hubs densely
+  // cross-linked (one boilerplate family), flat φ(k) = independent
+  // duplicate clusters. The symmetric edge frame double-counts each
+  // undirected edge, so the count IS 2·E_k directly. Degrees join
+  // onto both endpoints, a constant ×|ks| fan-out on the pair-graph
+  // METADATA, and φ is exact integer bp (NULL when N_k < 2 — both
+  // engines agree on the undefined case).
+  private val richKs = Seq(1L, 2L, 3L, 4L)
+
+  def graphRichClub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = Dedup.pairEdges(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val ks = richKs.toDF("k")
+      // ks-anchored: a k no node clears still reports n_k = 0 — an
+      // empty club is a finding, not a missing row.
+      val nk = ks.join(deg.crossJoin(broadcast(ks))
+          .filter(col("deg") > col("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("cnt")), Seq("k"), "left")
+        .select(col("k"), coalesce(col("cnt"), lit(0L)).as("n_k"))
+      val e2 = edges
+        .join(deg.select(col("node").as("src"), col("deg").as("ds")), Seq("src"))
+        .join(deg.select(col("node").as("dst"), col("deg").as("dd")), Seq("dst"))
+        .crossJoin(broadcast(ks))
+        .filter(col("ds") > col("k") && col("dd") > col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("e2_k"))
+      val out = nk.join(e2, Seq("k"), "left")
+        .select(col("k"), col("n_k"),
+          (coalesce(col("e2_k"), lit(0L)) / 2).cast("long").as("e_k"),
+          when(col("n_k") >= 2,
+            expr("coalesce(e2_k, 0) * 10000 div (n_k * (n_k - 1))"))
+            .as("phi_bp"))
+        .orderBy(col("k"))
+        .localCheckpoint(eager = true)
+      out
+    } finally edges.unpersist(blocking = false)
+  }
+
+  val graphRichClubSql: String = {
+    val kvals = richKs.map(k => s"($k::BIGINT)").mkString(", ")
+    s"""WITH ${Dedup.edgesCtes},
+       |deg AS MATERIALIZED (
+       |  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |  FROM edges GROUP BY src),
+       |ks(k) AS (VALUES $kvals),
+       |nk AS (
+       |  SELECT ks.k, coalesce(c.cnt, 0) AS n_k
+       |  FROM ks LEFT JOIN (
+       |    SELECT k, CAST(count(*) AS BIGINT) AS cnt
+       |    FROM deg, ks WHERE deg > k GROUP BY k) c USING (k)),
+       |e2 AS (
+       |  SELECT ks.k, CAST(count(*) AS BIGINT) AS e2_k
+       |  FROM edges e
+       |    JOIN deg a ON a.node = e.src
+       |    JOIN deg b ON b.node = e.dst, ks
+       |  WHERE a.deg > ks.k AND b.deg > ks.k
+       |  GROUP BY ks.k)
+       |SELECT nk.k, nk.n_k,
+       |  CAST(coalesce(e2.e2_k, 0) / 2 AS BIGINT) AS e_k,
+       |  CASE WHEN nk.n_k >= 2
+       |    THEN coalesce(e2.e2_k, 0) * 10000 // (nk.n_k * (nk.n_k - 1))
+       |    END AS phi_bp
+       |FROM nk LEFT JOIN e2 USING (k) ORDER BY nk.k""".stripMargin
+  }
+
   // ─── graph_coreness: full k-core decomposition via h-index rounds ───
   // graph_kcore answers "is this node in the 2-core?"; coreness
   // answers "how deep does every node sit?" — the full decomposition
@@ -1684,6 +1755,7 @@ object Graph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_coreness" -> graphCoreness,
+    "graph_rich_club" -> graphRichClub,
     "graph_hits" -> graphHits,
     "graph_closeness" -> graphCloseness,
     "graph_eccentricity" -> graphEccentricity,
@@ -1708,6 +1780,7 @@ object Graph {
 
   val oracle: Map[String, String] = Map(
     "graph_coreness" -> graphCorenessSql,
+    "graph_rich_club" -> graphRichClubSql,
     "graph_hits" -> graphHitsSql,
     "graph_closeness" -> graphClosenessSql,
     "graph_eccentricity" -> graphEccentricitySql,

@@ -2224,6 +2224,48 @@ class Round12OpsSpec extends AnyFunSuite {
     } finally real.unpersist(blocking = false)
   }
 
+  // ─── graph_rich_club ───
+
+  test("graph_rich_club: density identities and monotone club size") {
+    val rows = Graph.graphRichClub(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    val nks = rows.map(_.getLong(1))
+    assert(nks.zip(nks.drop(1)).forall { case (a, b) => b <= a },
+      "raising the degree bar never grows the club")
+    rows.foreach { r =>
+      val (nk, ek) = (r.getLong(1), r.getLong(2))
+      if (nk >= 2) {
+        assert(ek <= nk * (nk - 1) / 2, "edges bounded by the complete club")
+        assert(r.getLong(3) == 2 * ek * 10000 / (nk * (nk - 1)),
+          "phi identity")
+        assert(r.getLong(3) <= 10000L)
+      } else assert(r.isNullAt(3), "phi undefined below two members")
+    }
+  }
+
+  // ─── cdc_offset_gaps ───
+
+  test("cdc_offset_gaps: gap accounting matches the loss filter exactly") {
+    val rows = Cdc.cdcOffsetGaps(spark, dir).collect()
+    assert(rows.nonEmpty)
+    var totSeen = 0L; var totMissing = 0L
+    rows.foreach { r =>
+      val (n, lo, hi, miss) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(lo <= hi && n >= 1)
+      assert(miss == hi - lo + 1 - n, "inner-gap identity")
+      assert(miss >= 0)
+      assert(r.getLong(5) == miss * 10000 / (hi - lo + 1))
+      totSeen += n; totMissing += miss
+    }
+    val total = Tables(spark, dir).events.count()
+    assert(totSeen < total, "the lossy stream dropped something")
+    // inner gaps can't exceed everything dropped (range-edge drops
+    // fall outside any observed span)
+    assert(totMissing <= total - totSeen)
+    assert(totMissing > 0, "a 2% loss leaves visible inner gaps")
+  }
+
   // ─── ts_winsorize ───
 
   test("ts_winsorize: clip accounting and tail-robustness identities") {
