@@ -45,14 +45,18 @@ package graft
   */
 object Bench {
 
-  /** Family key: fixture-sharing and same-table queries group
-    * together; qN_* all share the TPC-H tables and group as "rel". */
-  private def family(key: String): String =
-    if (key.matches("q\\d+_.*")) "rel"
-    else {
-      val p = key.takeWhile(_ != '_')
-      if (p.isEmpty) key else p
-    }
+  /** The stdout line must stay SHORT: the driver keeps only the last
+    * ~2000 chars of stdout and parses the JSON line out of that tail —
+    * a 260-query map is ~8 KB, so every round through r12 came back
+    * `parsed: null`. The headline line carries the total plus this
+    * fixed cross-family subset; the COMPLETE per-query artifact
+    * (median, spread, cpu, load for every key) goes to
+    * BENCH_FULL.json. */
+  private val headline = Seq(
+    "q1_agg", "q3_join_agg", "q6_anti_join", "q7_window_rank",
+    "ev_sessionize", "ev_funnel", "dedup_exact", "dedup_minhash_lsh",
+    "ann_bruteforce", "ann_ivf", "text_tokens", "text_tfidf",
+    "mm_dedup", "graph_components", "cdc_merge", "sketch_hll")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -67,12 +71,7 @@ object Bench {
 
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // Stable chunking: families in name order, each family's queries in
-    // name order, oversized families split — every run times the same
-    // query in the same chunk position.
-    val chunks = all.groupBy { case (name, _) => family(name) }
-      .toSeq.sortBy(_._1)
-      .flatMap { case (_, qs) => qs.grouped(chunkCap) }
+    val chunks = Families.chunked(all, chunkCap)
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -142,9 +141,7 @@ object Bench {
       // dying context, stop it, and nudge the collector so the next
       // chunk starts from a near-fresh heap rather than inheriting
       // this one's garbage.
-      graft.operators.Dedup.invalidate()
-      graft.operators.Trike.invalidate()
-      graft.operators.Graph.invalidate()
+      Families.invalidateFixtures()
       spark.stop()
       System.gc()
     }
@@ -173,18 +170,23 @@ object Bench {
     val total = sorted.flatMap(_._2.map(_._1)).sum
     val mode = if (cold) "cold" else "warm"
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"cpu":$cpu,"cpu_spread":$cpuSpread,"load":$load,"failed":$fj,"mode":"$mode","iters":$iters,"chunks":${chunks.size},"sf":"$sfDir"}"""
-    println(line)
-    // The driver's BENCH_r{N}.json keeps only a tail-truncated copy of
-    // stdout, which loses the front of the per-query map on a 150+
-    // query suite; persist the COMPLETE artifact (every key, median +
-    // [min,max] spread band) to a repo file so a reviewer can audit
-    // the whole suite without re-running it.
+    // The COMPLETE artifact (every key: median + [min,max] spread band,
+    // cpu, load) goes to a repo file a reviewer can audit without
+    // re-running the suite; stdout gets a SHORT headline line that
+    // survives the driver's 2000-char tail capture (see `headline`).
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")), line)
     catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
     }
+    val medians = sorted.collect { case (k, Some((m, _, _, _, _, _, _))) => k -> m }.toMap
+    val hq = headline.flatMap(k => medians.get(k).map(m => "\"" + k + "\":" + m))
+      .mkString("{", ",", "}")
+    val fshort = (failed.take(5).map("\"" + _ + "\"") ++
+      (if (failed.size > 5) Seq("\"+" + (failed.size - 5) + " more\"") else Nil))
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$hq,"sf":"$sfDir","n_queries":${medians.size},"n_failed":${failed.size},"failed":$fshort,"mode":"$mode","iters":$iters,"full":"BENCH_FULL.json"}""")
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -1,8 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{ConcurrentLinkedQueue, Executors, TimeUnit}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * HARDENED FOR A 260+ QUERY REGISTRY (the round-12 lesson:
+  * CORRECTNESS_r12.json came back `{}` — the driver's run died mid-way
+  * and the round's entire correctness evidence vanished):
+  *
+  *  1. oracle_sql.json is written FIRST, before any query runs. If the
+  *     run is killed at minute N, every parquet dumped before the kill
+  *     still gets compared — a partial gate instead of an empty one.
+  *  2. Queries run in per-family CHUNKS on a fresh SparkSession each
+  *     (same discipline as Bench): one 260-query session accumulates
+  *     status-store state, broadcast/checkpoint blocks, and heap
+  *     fragmentation until late families run 3–8× slow — long enough
+  *     to blow an external time budget.
+  *  3. Within a chunk, queries run on a small thread pool. Plan
+  *     building under the family fixture locks serializes safely
+  *     (the getters are synchronized); execution overlaps, so the 32
+  *     local cores aren't idled by one sub-second query at a time.
+  *  4. Per-query wall time goes to stderr, so a killed run shows WHERE
+  *     the budget went.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     // Optional 3rd arg: comma-separated query keys (dev-only filter;
@@ -11,18 +33,10 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
-    val spark = GraftSession.builder(cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val chunkCap = sys.env.getOrElse("SPARK_GRAFT_VERIFY_CHUNK", "24").toInt
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -42,6 +56,43 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+
+    val all = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val t00 = System.nanoTime()
+    Families.chunked(all, chunkCap).foreach { chunk =>
+      val spark = GraftSession.builder(cpus).getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val pool = Executors.newFixedThreadPool(math.max(1, math.min(par, chunk.size)))
+      val errs = new ConcurrentLinkedQueue[String]()
+      chunk.foreach { case (name, fn) =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val t0 = System.nanoTime()
+            try {
+              fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+                .parquet(s"$outDir/$name")
+              System.err.println(
+                f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
+            } catch { case e: Throwable =>
+              errs.add(name)
+              System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            }
+          }
+        })
+      }
+      pool.shutdown()
+      // Generous per-chunk ceiling; a wedged query must not take the
+      // remaining chunks down with it.
+      if (!pool.awaitTermination(20, TimeUnit.MINUTES)) {
+        System.err.println(s"[verify] chunk timed out; abandoning stragglers")
+        pool.shutdownNow()
+      }
+      Families.invalidateFixtures()
+      spark.stop()
+      System.gc()
+    }
+    System.err.println(
+      f"[verify] all chunks done in ${(System.nanoTime() - t00) / 1e9}%.0fs")
   }
 }

@@ -1726,16 +1726,24 @@ object Graph {
   }
 
   val graphHitsSql: String = {
+    // Each normalization reads its raw CTE ONCE, with the round total as
+    // sum(raw) OVER () in the same scan. The first cut used a scalar
+    // subquery `(SELECT sum(raw) FROM rawa$i)` — a SECOND reference to
+    // the CTE, which DuckDB INLINES rather than materializes, doubling
+    // the expanded plan per round: 2^10 copies of the e⋈h join chain,
+    // 563 s at sf0.01, and (round-12 post-mortem) enough to starve the
+    // driver's whole correctness gate. Window-total keeps it linear:
+    // same integer values, ~1 s.
     val round = (i: Int) =>
       s"""rawa$i AS (SELECT e.event_type, sum(e.w * h.score) AS raw
          |  FROM e JOIN h${i - 1} h USING (user_id) GROUP BY e.event_type),
          |a$i AS (SELECT event_type,
-         |  raw // greatest(1, (SELECT sum(raw) FROM rawa$i) // $hitsScale) AS score
+         |  raw // greatest(1, sum(raw) OVER () // $hitsScale) AS score
          |  FROM rawa$i),
          |rawh$i AS (SELECT e.user_id, sum(e.w * a.score) AS raw
          |  FROM e JOIN a$i a USING (event_type) GROUP BY e.user_id),
          |h$i AS (SELECT user_id,
-         |  raw // greatest(1, (SELECT sum(raw) FROM rawh$i) // $hitsScale) AS score
+         |  raw // greatest(1, sum(raw) OVER () // $hitsScale) AS score
          |  FROM rawh$i)""".stripMargin
     s"""WITH e AS (
        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS w

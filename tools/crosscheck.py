@@ -27,7 +27,13 @@ for t in TABLES:
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 fails = 0
+times = []  # (oracle replay seconds, name) — the driver replays these
+            # same SQLs; one pathological oracle (graph_hits' inlined
+            # scalar-subquery CTEs: 563 s at sf0.01) can starve the
+            # whole external gate, so surface the slowest at the end.
+import time as _time
 for name, sql in sorted(oracle.items()):
+    _t0 = _time.time()
     try:
         got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
         exp = con.sql(sql)
@@ -70,5 +76,12 @@ for name, sql in sorted(oracle.items()):
             print(f"OK   {name}: {len(g)} rows")
     except Exception as ex:
         print(f"FAIL {name}: {str(ex)[:300]}"); fails += 1
+    times.append((_time.time() - _t0, name))
+times.sort(reverse=True)
+slow = [(t, n) for t, n in times[:8] if t > 2.0]
+if slow:
+    print("\nslowest oracle replays (driver pays these too):")
+    for t, n in slow:
+        print(f"  {t:7.2f}s  {n}")
 print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")
 sys.exit(1 if fails else 0)
