@@ -643,7 +643,71 @@ object Cdc {
       |       ELSE 'none' END AS action
       |FROM f ORDER BY file_id""".stripMargin
 
+  // ─── cdc_conflict: concurrent-writer conflict detection ───
+  // The multi-writer CDC hazard the merge family assumes away: two
+  // writers updating the SAME key within a short window, where
+  // last-writer-wins silently discards one side. Writer identity =
+  // event_type (each pipeline writes its own event class); a conflict
+  // is an adjacent update pair on one key ≤60 s apart from DIFFERENT
+  // writers. One window pass over (user_id, ts) — the ev_interarrival
+  // shape: lag() per key, never a self-join — rolling up per key to
+  // update/conflict counts, the distinct writers involved, and the
+  // cents the losing (overwritten) side had written, i.e. the blast
+  // radius a reconciliation job must review. Scale: one shuffle on
+  // user_id; per-key state is a linear scan regardless of corpus size.
+  def cdcConflict(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val paired = ev
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("writer"), cents(col("value")).as("v_cents"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("prev_writer", lag(col("writer"), 1).over(w))
+      .withColumn("prev_cents", lag(col("v_cents"), 1).over(w))
+      .withColumn("conflict",
+        (col("prev_ts").isNotNull &&
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) <= 60 &&
+          col("writer") =!= col("prev_writer")).cast("int").cast("long"))
+    paired.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_updates"),
+        sum(col("conflict")).as("n_conflicts"),
+        countDistinct(col("writer")).as("n_writers"),
+        sum(when(col("conflict") === 1, col("prev_cents"))
+          .otherwise(lit(0L))).as("overwritten_cents"))
+      .filter(col("n_conflicts") > 0)
+      .select(col("user_id"), col("n_updates"), col("n_conflicts"),
+        col("n_writers"), col("overwritten_cents"))
+      .orderBy(col("n_conflicts").desc, col("user_id")).limit(50)
+  }
+
+  val cdcConflictSql: String =
+    s"""WITH paired AS (
+       |  SELECT user_id, ts, event_type AS writer,
+       |    ${Tables.centsSql("value")} AS v_cents,
+       |    lag(ts) OVER w AS prev_ts,
+       |    lag(event_type) OVER w AS prev_writer,
+       |    lag(${Tables.centsSql("value")}) OVER w AS prev_cents
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |flagged AS (
+       |  SELECT user_id, writer, prev_cents,
+       |    CASE WHEN prev_ts IS NOT NULL
+       |      AND CAST(floor(epoch(ts)) AS BIGINT)
+       |        - CAST(floor(epoch(prev_ts)) AS BIGINT) <= 60
+       |      AND writer <> prev_writer THEN 1 ELSE 0 END AS conflict
+       |  FROM paired)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_updates,
+       |  CAST(sum(conflict) AS BIGINT) AS n_conflicts,
+       |  CAST(count(DISTINCT writer) AS BIGINT) AS n_writers,
+       |  CAST(sum(CASE WHEN conflict = 1 THEN prev_cents ELSE 0 END)
+       |    AS BIGINT) AS overwritten_cents
+       |FROM flagged GROUP BY user_id
+       |HAVING sum(conflict) > 0
+       |ORDER BY n_conflicts DESC, user_id LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_conflict" -> cdcConflict,
     "cdc_merge_stats" -> cdcMergeStats,
     "cdc_snapshot_chunks" -> cdcSnapshotChunks,
     "cdc_delete_vector" -> cdcDeleteVector,
@@ -660,6 +724,7 @@ object Cdc {
     "cdc_scd2" -> cdcScd2)
 
   val oracle: Map[String, String] = Map(
+    "cdc_conflict" -> cdcConflictSql,
     "cdc_merge_stats" -> cdcMergeStatsSql,
     "cdc_snapshot_chunks" -> cdcSnapshotChunksSql,
     "cdc_delete_vector" -> cdcDeleteVectorSql,

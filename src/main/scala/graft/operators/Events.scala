@@ -3615,7 +3615,173 @@ object Events {
       |CROSS JOIN tot t
       |ORDER BY type_a, type_b""".stripMargin
 
+  // ─── ev_entropy: behavioral entropy of each user's type mix ───
+  // The diversity signal bot/segmentation work keys on: a user whose
+  // events are 99 % one type reads near-zero entropy, a uniform mixer
+  // reads log₂|types|. Shannon entropy needs log — banned (libm
+  // rounding diverges across engines) — so this uses the text_lm_score
+  // trick: fl2(x) = length(bin(x))−1 = ⌊log₂x⌋ exactly, in BOTH
+  // engines, giving H_milli = Σ cᵢ·(fl2(n)−fl2(cᵢ))·1000 div n — a
+  // deterministic integer entropy surrogate (exact at powers of two,
+  // within 1 bit elsewhere — calibration error, not engine error).
+  // Rolled up to a 0.5-bit-bucket histogram: three map-combining
+  // aggregates; the per-user frame the share window runs on is
+  // |types|-bounded. No user-level output rows — the histogram is
+  // metadata-sized at any corpus scale.
+  def evEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val perUserType = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val perUser = perUserType
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("user_id"))))
+      .withColumn("term",
+        expr("c * (length(bin(n)) - length(bin(c)))"))
+      .groupBy(col("user_id"))
+      .agg(expr("sum(term) * 1000 div max(n)").as("h_milli"),
+        max(col("n")).as("n_events"))
+    perUser.groupBy(expr("h_milli div 500").as("bucket_half_bits"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("h_milli")).as("min_milli"),
+        max(col("h_milli")).as("max_milli"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy(col("bucket_half_bits"))
+  }
+
+  val evEntropySql: String =
+    """WITH cnt AS (
+      |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |ent AS (
+      |  SELECT user_id,
+      |    CAST(sum(c * (length(bin(n)) - length(bin(c)))) * 1000 // max(n)
+      |      AS BIGINT) AS h_milli,
+      |    max(n) AS n_events
+      |  FROM (SELECT *, sum(c) OVER (PARTITION BY user_id) AS n FROM cnt)
+      |  GROUP BY user_id)
+      |SELECT h_milli // 500 AS bucket_half_bits,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  min(h_milli) AS min_milli, max(h_milli) AS max_milli,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events
+      |FROM ent GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ─── ev_rolling_uniques: 7-day rolling distinct users per type ───
+  // The rolling-reach metric (WAU generalized to every event class)
+  // that a naive COUNT(DISTINCT) OVER (RANGE 6 PRECEDING) can't do —
+  // distinct doesn't decompose over sliding frames, and neither engine
+  // supports it as a window. The decomposition that DOES scale:
+  // distinct (type, day, user) triples contribute each to the 7 target
+  // days they're visible from — a ×7 explode (constant fan-out, the
+  // q24 bucketing idea applied to windows) — then ONE distinct
+  // aggregate on (type, target_day, user) and a count rollup, keeping
+  // only observed days via a semi-join. Equijoins and grouped
+  // aggregates only; never a per-day range self-join.
+  def evRollingUniques(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val pairs = ev.select(col("event_type"), to_date(col("ts")).as("day"),
+      col("user_id")).distinct()
+    val observed = pairs.select(col("event_type"), col("day")).distinct()
+    val contrib = pairs
+      .select(col("event_type"), col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("off"),
+        col("day"))
+      .select(col("event_type"), col("user_id"),
+        date_add(col("day"), col("off")).as("day"))
+      .join(observed, Seq("event_type", "day"), "left_semi")
+    val rolling = contrib.distinct()
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("uniques_7d"))
+    val daily = pairs.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("uniques_1d"))
+    daily.join(rolling, Seq("event_type", "day"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val evRollingUniquesSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+      |  FROM events),
+      |observed AS (SELECT DISTINCT event_type, day FROM pairs),
+      |contrib AS (
+      |  SELECT DISTINCT p.event_type,
+      |    p.day + CAST(t.off AS INTEGER) AS day, p.user_id
+      |  FROM pairs p CROSS JOIN range(0, 7) t(off)
+      |  WHERE EXISTS (SELECT 1 FROM observed o
+      |    WHERE o.event_type = p.event_type
+      |      AND o.day = p.day + CAST(t.off AS INTEGER))),
+      |rolling AS (
+      |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS uniques_7d
+      |  FROM contrib GROUP BY 1, 2),
+      |daily AS (
+      |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS uniques_1d
+      |  FROM pairs GROUP BY 1, 2)
+      |SELECT d.event_type, d.day, d.uniques_1d, r.uniques_7d
+      |FROM daily d JOIN rolling r USING (event_type, day)
+      |ORDER BY d.event_type, d.day""".stripMargin
+
+  // ─── ts_holt: Holt double-exponential smoothing (level+trend) ───
+  // ts_ema's fixed-K truncation trick can't carry a TREND term, so
+  // this is the real recursion — l_t=(x_t+3(l+b))/4, b_t=((l_t−l)+3b)/4
+  // with α=β=1/4 — run EXACTLY, in integer cents (truncating division
+  // matches between engines, negatives included), so DuckDB replays it
+  // via WITH RECURSIVE bit-for-bit. Scale shape: the corpus rolls up
+  // to per-(type, day) means first (map-combining aggregate — the only
+  // pass over data); the recursion then folds a |days|-bounded sorted
+  // array per type inside one codegen'd `aggregate` HOF — state lives
+  // per group, never on the driver, and a year of dailies is 365
+  // elements. Output: fitted level/trend at the last day + a 7-day
+  // linear forecast per type.
+  def tsHolt(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr(s"${Tables.centsSql("sum(value)")} div count(*)").as("x"))
+    daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("s"))
+      .withColumn("xs", expr("transform(s, e -> e.x)"))
+      .filter(size(col("xs")) >= 2)
+      .withColumn("fit", expr(
+        """aggregate(slice(xs, 3, size(xs) - 2),
+          |  named_struct('l', xs[0], 'b', xs[1] - xs[0]),
+          |  (acc, x) -> named_struct(
+          |    'l', (x + 3 * (acc.l + acc.b)) div 4,
+          |    'b', (((x + 3 * (acc.l + acc.b)) div 4 - acc.l) + 3 * acc.b)
+          |           div 4))""".stripMargin))
+      .select(col("event_type"), size(col("xs")).cast("long").as("n_days"),
+        col("fit.l").as("level_cents"), col("fit.b").as("trend_cents"),
+        expr("fit.l + 7 * fit.b").as("forecast7_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val tsHoltSql: String =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    ${Tables.centsSql("sum(value)")} // count(*) AS x
+       |  FROM events GROUP BY 1, 2),
+       |idx AS (
+       |  SELECT event_type, x,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM daily),
+       |rec AS (
+       |  SELECT a.event_type, CAST(2 AS BIGINT) AS i, a.n,
+       |    a.x AS l, b.x - a.x AS b
+       |  FROM idx a JOIN idx b ON a.event_type = b.event_type
+       |    AND a.i = 1 AND b.i = 2
+       |  UNION ALL
+       |  SELECT r.event_type, r.i + 1, r.n,
+       |    (s.x + 3 * (r.l + r.b)) // 4,
+       |    (((s.x + 3 * (r.l + r.b)) // 4 - r.l) + 3 * r.b) // 4
+       |  FROM rec r JOIN idx s ON s.event_type = r.event_type
+       |    AND s.i = r.i + 1
+       |  WHERE r.i < r.n)
+       |SELECT event_type, n AS n_days, l AS level_cents, b AS trend_cents,
+       |  l + 7 * b AS forecast7_cents
+       |FROM rec WHERE i = n
+       |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_entropy" -> evEntropy,
+    "ev_rolling_uniques" -> evRollingUniques,
+    "ts_holt" -> tsHolt,
     "ev_activity_gini" -> evActivityGini,
     "ev_lift" -> evLift,
     "ts_bollinger" -> tsBollinger,
@@ -3683,6 +3849,9 @@ object Events {
     "ev_pattern_seq" -> evPatternSeq)
 
   val oracle: Map[String, String] = Map(
+    "ev_entropy" -> evEntropySql,
+    "ev_rolling_uniques" -> evRollingUniquesSql,
+    "ts_holt" -> tsHoltSql,
     "ev_activity_gini" -> evActivityGiniSql,
     "ev_lift" -> evLiftSql,
     "ts_bollinger" -> tsBollingerSql,

@@ -26,10 +26,17 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
-  /** Blocks backing the most recently returned frame; they must
-    * outlive the caller's action, so they are released lazily on the
-    * next iterate() call (sequential Verify/Bench holds at most one
-    * loop's final round at a time). */
+  /** Blocks backing returned frames; they must outlive the callers'
+    * actions. Released ONLY at invalidate() (the Verify/Bench chunk
+    * boundary, where the owning session is about to stop): the
+    * earlier release-on-next-iterate() scheme assumed sequential
+    * execution, and under Verify's intra-chunk thread pool query B
+    * entering iterate() would unpersist query A's final-round blocks
+    * while A's parquet write was still consuming them — localCheckpoint
+    * truncates lineage, so the blocks are unrecoverable and A fails
+    * (observed as a flaky graph_closeness drop in round 13). Retention
+    * is bounded: ≤ one family chunk's results (each edge-set-sized, not
+    * corpus-sized) per session. */
   private var retired: Seq[RDD[_]] = Nil
 
   /** The checkpoint RDDs a frame's plan rests on (a lazily
@@ -62,7 +69,6 @@ object Graph {
     * be persisted by the caller — they are re-read every round. */
   def iterate[S](init: DataFrame, maxRounds: Int, opName: String)(
       step: DataFrame => DataFrame)(measure: DataFrame => S): DataFrame = {
-    releaseRetired()
     var cur = init.localCheckpoint(eager = false)
     var curRdds = ckptRdds(cur)
     var prev: Option[S] = None
@@ -84,7 +90,7 @@ object Graph {
         System.err.println(s"[$opName] round $rounds measure=$m converged=$converged")
     }
     require(converged, s"$opName: did not converge in $maxRounds rounds")
-    synchronized { retired = curRdds }
+    synchronized { retired = retired ++ curRdds }
     cur
   }
 
@@ -164,7 +170,6 @@ object Graph {
     * semantics (power iteration) rather than a convergence test. */
   def iterateRounds(init: DataFrame, rounds: Int)(
       step: DataFrame => DataFrame): DataFrame = {
-    releaseRetired()
     var cur = init.localCheckpoint(eager = false)
     var curRdds = ckptRdds(cur)
     for (_ <- 1 to rounds) {
@@ -175,7 +180,7 @@ object Graph {
       cur = next
       curRdds = nextRdds
     }
-    synchronized { retired = curRdds }
+    synchronized { retired = retired ++ curRdds }
     cur
   }
 
@@ -284,17 +289,13 @@ object Graph {
             (lit(0.15) / n + lit(0.85) * col("c")).as("r"))
       }
       // The deg join re-reads edeg (persisted) — materialize before the
-      // finally releases that cache. Once `out` is eager-checkpointed
-      // the final round's blocks are dead weight too: swap them out of
-      // `retired` for out's own, keeping the invariant that exactly one
-      // result's blocks outlive the call.
+      // finally releases that cache. `out`'s own checkpoint blocks join
+      // `retired` and live until the chunk-boundary invalidate() (see
+      // the field comment: release-on-next-call raced parallel Verify).
       val out = pr.join(deg, col("node") === col("n"))
         .select(col("node"), col("r"), col("deg"))
         .localCheckpoint(eager = true)
-      synchronized {
-        retired.foreach(_.unpersist(blocking = false))
-        retired = ckptRdds(out)
-      }
+      synchronized { retired = retired ++ ckptRdds(out) }
       out
     } finally edeg.unpersist(blocking = false)
   }
@@ -1599,10 +1600,7 @@ object Graph {
       val out = fin.join(deg, Seq("node"))
         .select(col("node"), col("c").as("coreness"), col("deg"))
         .localCheckpoint(eager = true)
-      synchronized {
-        retired.foreach(_.unpersist(blocking = false))
-        retired = ckptRdds(out)
-      }
+      synchronized { retired = retired ++ ckptRdds(out) }
       out
     } finally deg.unpersist(blocking = false)
   }
@@ -1717,10 +1715,7 @@ object Graph {
         .localCheckpoint(eager = true)
       // out is materialized: every per-round temp block is dead now.
       temps.foreach(_.unpersist(blocking = false))
-      synchronized {
-        retired.foreach(_.unpersist(blocking = false))
-        retired = ckptRdds(out)
-      }
+      synchronized { retired = retired ++ ckptRdds(out) }
       out
     } finally edges.unpersist(blocking = false)
   }
@@ -1761,7 +1756,124 @@ object Graph {
        |ORDER BY kind, score DESC, node""".stripMargin
   }
 
+  // ─── graph_ktruss: truss decomposition of the dup-pair graph ───
+  // The edge-strength refinement of k-core: a k-truss keeps only
+  // edges supported by ≥ k−2 triangles WITHIN the surviving subgraph
+  // — the standard community-core extractor (cohesive dup cliques
+  // survive, chained false-positive bridges peel away; exactly the
+  // separation graph_triangles motivates, made recursive). Peeling is
+  // FIXED at trussRounds=3 rounds — the round count is part of the
+  // semantics, like graph_coreness — with the fixpoint-at-test-SF
+  // asserted by spec (one more round changes nothing), because the
+  // DuckDB twin unrolls the same 3 rounds as MATERIALIZED CTEs (the
+  // graph_hits lesson: multi-referenced CTEs must materialize, or the
+  // unroll goes exponential). Per round: the Schank–Wagner oriented
+  // wedge join from triangleCounts (out-degrees O(√m) ⇒ arboricity-
+  // bounded — the 100 TB-safe triangle shape), support per canonical
+  // edge via a 3-way explode + one map-combining count, an equijoin
+  // filter. State between rounds is the canonical edge list,
+  // localCheckpointed per round by iterateRounds' block hygiene.
+  private val trussRounds = 3
+
+  private[graft] def peelOnce(canon: DataFrame, minSup: Long): DataFrame = {
+    val sym = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+    val ore = sym
+      .join(deg.select(col("n").as("sn"), col("d").as("sd")), col("src") === col("sn"))
+      .join(deg.select(col("n").as("dn"), col("d").as("dd")), col("dst") === col("dn"))
+      .filter(struct(col("sd"), col("src")) < struct(col("dd"), col("dst")))
+      .select(col("src"), col("dst"))
+    val tri = ore.as("e1")
+      .join(ore.as("e2"), col("e1.src") === col("e2.src"))
+      .join(ore.as("e3"),
+        col("e1.dst") === col("e3.src") && col("e2.dst") === col("e3.dst"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val sup = tri.select(explode(array(
+        struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b"))))
+        .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+    canon.join(sup, Seq("a", "b"))
+      .filter(col("sup") >= minSup)
+      .select(col("a"), col("b"))
+  }
+
+  /** Canonical (a<b) pair-graph edges — the truss peel's round-0
+    * state; exposed for the spec's fixpoint probe. */
+  private[graft] def trussCanon0(spark: SparkSession, dir: String): DataFrame =
+    Dedup.pairEdges(spark, dir).filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+
+  def graphKtruss(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.pairEdges(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val canon0 = edges.filter(col("src") < col("dst"))
+        .select(col("src").as("a"), col("dst").as("b"))
+      val perK = Seq(3L, 4L).map { k =>
+        val fin = iterateRounds(canon0, trussRounds)(peelOnce(_, k - 2))
+        val nE = fin.agg(count(lit(1)).as("n_edges"))
+        val nN = fin.select(col("a").as("nd"))
+          .unionByName(fin.select(col("b").as("nd"))).distinct()
+          .agg(count(lit(1)).as("n_nodes"))
+        nE.crossJoin(nN).select(lit(k).as("k"), col("n_edges"), col("n_nodes"))
+      }
+      val out = perK.reduce(_ unionByName _).orderBy(col("k"))
+        .localCheckpoint(eager = true)
+      synchronized { retired = retired ++ ckptRdds(out) }
+      out
+    } finally edges.unpersist(blocking = false)
+  }
+
+  val graphKtrussSql: String = {
+    def round(k: Int, r: Int): String = {
+      val prev = s"canon${k}_${r - 1}"
+      s"""sym${k}_$r AS (SELECT a AS src, b AS dst FROM $prev
+         |  UNION ALL SELECT b, a FROM $prev),
+         |deg${k}_$r AS (SELECT src AS n, count(*) AS d FROM sym${k}_$r GROUP BY src),
+         |ore${k}_$r AS MATERIALIZED (SELECT e.src, e.dst FROM sym${k}_$r e
+         |  JOIN deg${k}_$r ds ON ds.n = e.src
+         |  JOIN deg${k}_$r dd ON dd.n = e.dst
+         |  WHERE (ds.d, e.src) < (dd.d, e.dst)),
+         |tri${k}_$r AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+         |  FROM ore${k}_$r e1 JOIN ore${k}_$r e2 ON e1.src = e2.src
+         |  JOIN ore${k}_$r e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         |sup${k}_$r AS (SELECT a, b, count(*) AS sup FROM (
+         |    SELECT least(u, v) AS a, greatest(u, v) AS b FROM tri${k}_$r
+         |    UNION ALL SELECT least(u, w), greatest(u, w) FROM tri${k}_$r
+         |    UNION ALL SELECT least(v, w), greatest(v, w) FROM tri${k}_$r)
+         |  GROUP BY 1, 2),
+         |canon${k}_$r AS MATERIALIZED (
+         |  SELECT c.a, c.b FROM $prev c
+         |  JOIN sup${k}_$r s ON s.a = c.a AND s.b = c.b
+         |  WHERE s.sup >= ${k - 2})""".stripMargin
+    }
+    def perK(k: Int): String =
+      (s"""canon${k}_0 AS MATERIALIZED (
+          |  SELECT src AS a, dst AS b FROM edges WHERE src < dst)""".stripMargin
+        +: (1 to trussRounds).map(round(k, _))).mkString(",\n")
+    s"""WITH ${Dedup.edgesCtes},
+       |${perK(3)},
+       |${perK(4)}
+       |SELECT CAST(3 AS BIGINT) AS k,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM canon3_$trussRounds) AS n_edges,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM (
+       |     SELECT a AS nd FROM canon3_$trussRounds
+       |     UNION SELECT b FROM canon3_$trussRounds)) AS n_nodes
+       |UNION ALL
+       |SELECT CAST(4 AS BIGINT),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM canon4_$trussRounds),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM (
+       |     SELECT a AS nd FROM canon4_$trussRounds
+       |     UNION SELECT b FROM canon4_$trussRounds))
+       |ORDER BY k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_ktruss" -> graphKtruss,
     "graph_coreness" -> graphCoreness,
     "graph_rich_club" -> graphRichClub,
     "graph_hits" -> graphHits,
@@ -1787,6 +1899,7 @@ object Graph {
     "graph_pagerank" -> graphPagerank)
 
   val oracle: Map[String, String] = Map(
+    "graph_ktruss" -> graphKtrussSql,
     "graph_coreness" -> graphCorenessSql,
     "graph_rich_club" -> graphRichClubSql,
     "graph_hits" -> graphHitsSql,

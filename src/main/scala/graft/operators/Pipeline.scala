@@ -1444,7 +1444,65 @@ object Pipeline {
        |  alloc_tokens * 10000 // tokens > 40000 AS over_repeat
        |FROM a ORDER BY source""".stripMargin
 
+  // ─── mix_kl: per-source KL divergence from the corpus mix ───
+  // mix_tv_distance prices how far two sources sit from EACH OTHER;
+  // KL(source ‖ corpus) prices how surprising a source's unigram
+  // distribution is under the blended training mix — the directional
+  // signal mixture reweighting actually wants (TV is symmetric and
+  // saturates). log₂ is banned (libm), so the ratio term uses the
+  // fl2 = length(bin(x))−1 surrogate exactly as ev_entropy /
+  // text_lm_score do: log₂(p/q) = log₂(c·N_corpus) − log₂(q_w·n_src)
+  // → fl2 difference, ±1 bit calibration error, zero engine error.
+  // Source vocab ⊆ corpus vocab, so q_w > 0 always — no disjoint-mass
+  // correction needed (the TV op's closed form). Plan: one (source,
+  // word) count (map-combining, vocab-sized), a word-keyed equijoin
+  // to corpus counts, two broadcast-sized total joins — never a
+  // source×source or word×word product. c·N_corpus stays in BIGINT to
+  // ~10¹⁸ token-count products; DECIMAL(38,0) beyond.
+  def mixKl(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), w => w =!= "")
+    val sw = Tables(spark, dir).documents
+      .select(col("source"), explode(toks).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val qw = sw.groupBy(col("w")).agg(sum(col("c")).as("q"))
+    val ns = sw.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_s"), count(lit(1)).as("n_types"))
+    val tot = sw.agg(sum(col("c")).as("n_q"))
+    sw.join(qw, Seq("w"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        expr("c * (length(bin(c * n_q)) - length(bin(q * n_s)))"))
+      .groupBy(col("source"), col("n_s"), col("n_types"))
+      .agg(sum(col("term")).as("t"))
+      .select(col("source"), col("n_s").as("n_tok"), col("n_types"),
+        expr("t * 1000 div n_s").as("kl_milli"))
+      .orderBy(col("source"))
+  }
+
+  val mixKlSql: String =
+    """WITH sw AS (
+      |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT source,
+      |          unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |            AS w
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |qw AS (SELECT w, CAST(sum(c) AS BIGINT) AS q FROM sw GROUP BY w),
+      |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s,
+      |  CAST(count(*) AS BIGINT) AS n_types FROM sw GROUP BY source),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_q FROM sw)
+      |SELECT s.source, ns.n_s AS n_tok, ns.n_types,
+      |  CAST(sum(s.c * (length(bin(s.c * t.n_q))
+      |       - length(bin(q.q * ns.n_s)))) * 1000 // ns.n_s AS BIGINT)
+      |    AS kl_milli
+      |FROM sw s JOIN qw q USING (w) JOIN ns ON ns.source = s.source
+      |CROSS JOIN tot t
+      |GROUP BY s.source, ns.n_s, ns.n_types
+      |ORDER BY s.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_kl" -> mixKl,
     "sample_class_weights" -> sampleClassWeights,
     "mix_unique_tokens" -> mixUniqueTokens,
     "split_leakage" -> splitLeakage,
@@ -1475,6 +1533,7 @@ object Pipeline {
     "sample_temperature" -> sampleTemperature)
 
   val oracle: Map[String, String] = Map(
+    "mix_kl" -> mixKlSql,
     "sample_class_weights" -> sampleClassWeightsSql,
     "mix_unique_tokens" -> mixUniqueTokensSql,
     "split_leakage" -> splitLeakageSql,

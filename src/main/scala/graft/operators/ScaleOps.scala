@@ -1287,7 +1287,134 @@ object ScaleOps {
       |WHERE r.rk <= 5
       |ORDER BY r.table_name, r.column_name, r.rk""".stripMargin
 
+  // ─── sketch_ams: AMS tug-of-war second-moment (F2) sketch ───
+  // The third classic bounded-state sketch next to CMS (point
+  // frequency) and HLL/KMV (distincts): F2 = Σ f_k² — the self-join
+  // size / repeat-rate moment that prices a key's join fan-out and
+  // detects heavy-hitter drift without materializing per-key counts.
+  // S=32 ±1 counters per group, sign from one md5 bit (cross-engine
+  // reproducible like cms/bloom); each counter Z_i = Σ sign_i(key)
+  // has E[Z_i²] = F2 exactly, so the estimate is mean(Z_i²) in pure
+  // integer arithmetic and DuckDB replays the sketch bit-for-bit.
+  // Build = one (type, i)-keyed map-combining aggregate over a ×S
+  // explode (the sketch trade: S× map work for O(|types|·S) state at
+  // ANY corpus size). The exact audit side is a per-(type,key) count
+  // + one more combine — a grouped aggregate, never a self-join.
+  private val amsS = 32
+
+  def sketchAms(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events.select(col("event_type"), col("user_id"))
+    val z = ev
+      .select(col("event_type"),
+        explode(sequence(lit(0), lit(amsS - 1))).as("i"), col("user_id"))
+      .select(col("event_type"), col("i"),
+        (conv(substring(md5(concat(lit("ams"), col("i").cast("string"),
+          lit(":"), col("user_id").cast("string"))), 1, 1), 16, 10)
+          .cast("long") % 2L * 2L - 1L).as("sgn"))
+      .groupBy(col("event_type"), col("i"))
+      .agg(sum(col("sgn")).as("z"))
+    val est = z.groupBy(col("event_type"))
+      .agg(expr(s"sum(z * z) div $amsS").as("f2_est"))
+    val exact = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c") * col("c")).as("f2_exact"),
+        sum(col("c")).as("n_rows"))
+    exact.join(est, Seq("event_type"))
+      .select(col("event_type"), col("n_rows"), col("f2_exact"),
+        col("f2_est"),
+        expr("(f2_est - f2_exact) * 10000 div f2_exact").as("err_bp"))
+      .orderBy(col("event_type"))
+  }
+
+  val sketchAmsSql: String =
+    s"""WITH cells AS (
+       |  SELECT event_type, t.i,
+       |    (CAST(('0x' || substr(md5('ams' || CAST(t.i AS VARCHAR) || ':'
+       |       || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2) * 2 - 1
+       |      AS sgn
+       |  FROM events CROSS JOIN range(0, $amsS) t(i)),
+       |z AS (
+       |  SELECT event_type, i, CAST(sum(sgn) AS BIGINT) AS z
+       |  FROM cells GROUP BY event_type, i),
+       |est AS (
+       |  SELECT event_type, CAST(sum(z * z) // $amsS AS BIGINT) AS f2_est
+       |  FROM z GROUP BY event_type),
+       |exact AS (
+       |  SELECT event_type, CAST(sum(c * c) AS BIGINT) AS f2_exact,
+       |    CAST(sum(c) AS BIGINT) AS n_rows
+       |  FROM (SELECT event_type, user_id, count(*) AS c
+       |        FROM events GROUP BY 1, 2)
+       |  GROUP BY event_type)
+       |SELECT e.event_type, e.n_rows, e.f2_exact, s.f2_est,
+       |  (s.f2_est - e.f2_exact) * 10000 // e.f2_exact AS err_bp
+       |FROM exact e JOIN est s USING (event_type)
+       |ORDER BY e.event_type""".stripMargin
+
+  // ─── profile_histogram: equi-width histograms per numeric column ───
+  // The numeric companion to profile_freq's categorical top-k: 16
+  // equi-width bins over integer cents per column, edges derived from
+  // the column's own min/max — the distribution-shape readout that
+  // feeds layout_advisor-style decisions (skewed price → z-order
+  // candidate) and drift alerts. All integer: W = (max−min) div 16 + 1
+  // guarantees bin ∈ [0,15] with exact replayable edges. One stacked
+  // pass: per-column extremes are a 3-row broadcast, the bin rollup is
+  // one map-combining aggregate, and the share window partitions by
+  // column over ≤16-row frames (domain-bounded, profile_freq's
+  // discipline) — nothing driver-side, nothing unbounded.
+  def profileHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    val stacked =
+      li.select(lit("l_extendedprice").as("column_name"),
+          cents(col("l_extendedprice")).as("v"))
+        .unionByName(li.select(lit("l_quantity").as("column_name"),
+          cents(col("l_quantity")).as("v")))
+        .unionByName(li.select(lit("l_discount").as("column_name"),
+          cents(col("l_discount")).as("v")))
+    val ext = stacked.groupBy(col("column_name"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .withColumn("w", expr("(mx - mn) div 16 + 1"))
+    val colFrame = Window.partitionBy(col("column_name"))
+    stacked.join(broadcast(ext), Seq("column_name"))
+      .withColumn("bin", expr("(v - mn) div w"))
+      .groupBy(col("column_name"), col("bin"), col("mn"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("column_name"), col("bin"),
+        expr("mn + bin * w").as("lo_cents"),
+        expr("mn + (bin + 1) * w - 1").as("hi_cents"), col("cnt"))
+      .withColumn("n_rows", sum(col("cnt")).over(colFrame))
+      .withColumn("share_bp", expr("cnt * 10000 div n_rows"))
+      .drop("n_rows")
+      .orderBy(col("column_name"), col("bin"))
+  }
+
+  val profileHistogramSql: String = {
+    def cseq(c: String) =
+      s"SELECT '$c' AS column_name, ${Tables.centsSql(c)} AS v FROM lineitem"
+    s"""WITH stacked AS (
+       |  ${cseq("l_extendedprice")}
+       |  UNION ALL ${cseq("l_quantity")}
+       |  UNION ALL ${cseq("l_discount")}),
+       |ext AS (
+       |  SELECT column_name, min(v) AS mn, max(v) AS mx,
+       |    (max(v) - min(v)) // 16 + 1 AS w
+       |  FROM stacked GROUP BY column_name),
+       |binned AS (
+       |  SELECT s.column_name, (s.v - e.mn) // e.w AS bin, e.mn, e.w,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM stacked s JOIN ext e USING (column_name)
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT column_name, bin, mn + bin * w AS lo_cents,
+       |  mn + (bin + 1) * w - 1 AS hi_cents, cnt,
+       |  CAST(cnt * 10000 // sum(cnt) OVER (PARTITION BY column_name)
+       |    AS BIGINT) AS share_bp
+       |FROM binned
+       |ORDER BY column_name, bin""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_ams" -> sketchAms,
+    "profile_histogram" -> profileHistogram,
     "profile_freq" -> profileFreq,
     "profile_drift" -> profileDrift,
     "profile_corr" -> profileCorr,
@@ -1311,6 +1438,8 @@ object ScaleOps {
   /** sketch_stats is deliberately absent: approximate sketches are not
     * cross-engine reproducible (driver does the rows-only check). */
   val oracle: Map[String, String] = Map(
+    "sketch_ams" -> sketchAmsSql,
+    "profile_histogram" -> profileHistogramSql,
     "profile_freq" -> profileFreqSql,
     "profile_drift" -> profileDriftSql,
     "profile_corr" -> profileCorrSql,

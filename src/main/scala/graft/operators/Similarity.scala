@@ -1542,7 +1542,103 @@ object Similarity {
        |) ORDER BY pick""".stripMargin
   }
 
+  // ─── ann_kmeans_step: one Lloyd iteration over the IVF cells ───
+  // The index-maintenance move ann_centroid_stats motivates: the
+  // md5-sampled coarse quantizer is cheap but arbitrary; ONE Lloyd
+  // round (assign → per-cell mean → re-measure) is the standard
+  // refinement, and this op reports exactly what it buys per cell —
+  // SSE against the seed centroid vs against the refined one, the
+  // centroid shift, and the improvement in bp. Distributed k-means,
+  // the Spark-native way: assignment is the broadcast-centroid
+  // nearest-cell join ann_ivf already uses (n·k integer distance
+  // evals); the M-step is a (cell, dim)-keyed map-combining SUM —
+  // never a per-cell collect; the refined centroid array reassembles
+  // with an ORDER-BY-pos list aggregate over dim-bounded frames. All
+  // arithmetic in integer millis (coords quantized once up front), so
+  // group sums are order-independent and DuckDB replays bit-for-bit
+  // — the float-determinism discipline applied to k-means. BIGINT
+  // holds Σd² to ~10¹¹ vectors×32 dims; DECIMAL(38,0) beyond.
+  def annKmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    def milli(c: Column): Column =
+      transform(c, x => floor(x * 1000 + lit(0.5)).cast("long"))
+    def d2m(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (s, x) => s + x)
+    val v = vecs(spark, dir).select(col("vec_id"), milli(col("v")).as("vm"))
+    val c0 = ivfCents(spark, dir).select(col("cell"), milli(col("centv")).as("cm"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
+    val assigned = v.join(broadcast(c0))
+      .withColumn("d2", d2m(col("vm"), col("cm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cell"), col("vec_id"), col("vm"), col("d2"))
+    val c1 = assigned
+      .select(col("cell"), posexplode(col("vm")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+      .withColumn("c", expr("sx div cnt"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        e => e("c")).as("cm1"))
+    assigned.join(broadcast(c1), Seq("cell"))
+      .withColumn("d2new", d2m(col("vm"), col("cm1")))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("sse0"),
+        sum(col("d2new")).as("sse1"))
+      .join(broadcast(c0.join(c1, Seq("cell"))
+        .select(col("cell"), d2m(col("cm1"), col("cm")).as("shift_m2"))),
+        Seq("cell"))
+      .select(col("cell"), col("n_vecs"), col("sse0"), col("sse1"),
+        col("shift_m2"),
+        expr("(sse0 - sse1) * 10000 div greatest(1, sse0)").as("improve_bp"))
+      .orderBy(col("cell"))
+  }
+
+  val annKmeansStepSql: String = {
+    def d2mSql(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_zip($a, $b),
+         |        z -> (z[1] - z[2]) * (z[1] - z[2]))), (s, x) -> s + x)""".stripMargin
+    s"""WITH n AS (${vecsSql("vec_id")}),
+       |$ivfCentsSql,
+       |vq AS (SELECT vec_id,
+       |  list_transform(v, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS vm
+       |  FROM n),
+       |cq AS (SELECT cell,
+       |  list_transform(centv, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS cm
+       |  FROM cents),
+       |pairs AS (
+       |  SELECT vq.vec_id, cq.cell, vq.vm, cq.cm,
+       |    ${d2mSql("vq.vm", "cq.cm")} AS d2
+       |  FROM vq CROSS JOIN cq),
+       |assigned AS MATERIALIZED (
+       |  SELECT cell, vec_id, vm, d2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d2, cell) AS rk FROM pairs)
+       |  WHERE rk = 1),
+       |dims AS (
+       |  SELECT cell, generate_subscripts(vm, 1) AS pos, unnest(vm) AS x
+       |  FROM assigned),
+       |c1 AS MATERIALIZED (
+       |  SELECT cell, list(c ORDER BY pos) AS cm1 FROM (
+       |    SELECT cell, pos, CAST(sum(x) AS BIGINT) // count(*) AS c
+       |    FROM dims GROUP BY 1, 2)
+       |  GROUP BY cell),
+       |stats AS (
+       |  SELECT a.cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       |    CAST(sum(a.d2) AS BIGINT) AS sse0,
+       |    CAST(sum(${d2mSql("a.vm", "c.cm1")}) AS BIGINT) AS sse1
+       |  FROM assigned a JOIN c1 c USING (cell)
+       |  GROUP BY a.cell)
+       |SELECT s.cell, s.n_vecs, s.sse0, s.sse1,
+       |  ${d2mSql("c.cm1", "q.cm")} AS shift_m2,
+       |  (s.sse0 - s.sse1) * 10000 // greatest(1, s.sse0) AS improve_bp
+       |FROM stats s JOIN c1 c USING (cell) JOIN cq q USING (cell)
+       |ORDER BY s.cell""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_kmeans_step" -> annKmeansStep,
     "sample_kcenter" -> sampleKcenter,
     "ann_filtered" -> annFiltered,
     "hard_neg_mine" -> hardNegMine,
@@ -1566,6 +1662,7 @@ object Similarity {
     "ann_retrieve" -> annRetrieve)
 
   val oracle: Map[String, String] = Map(
+    "ann_kmeans_step" -> annKmeansStepSql,
     "sample_kcenter" -> sampleKcenterSql,
     "ann_filtered" -> annFilteredSql,
     "hard_neg_mine" -> hardNegMineSql,

@@ -1,0 +1,282 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Semantic invariants of the round-13 additions — properties the
+  * row-hash oracle can't state: AMS estimator error bands, histogram
+  * mass conservation, crafted-conflict exactness, the entropy
+  * surrogate's exact value at powers of two, the Holt recursion
+  * re-derived directly, Lloyd-step SSE descent, KL's zero at identical
+  * distributions, and truss exactness on a crafted clique.
+  */
+class Round13OpsSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.test
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // ─── sketch_ams ───
+
+  test("sketch_ams: exact side matches a direct recompute; estimate in band") {
+    val rows = ScaleOps.sketchAms(spark, dir).collect()
+    val direct = Tables(spark, dir).events
+      .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c") * col("c")).as("f2"), sum(col("c")).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tpe, n, f2x, f2e, errBp) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(direct(tpe) == ((f2x, n)), s"$tpe: exact F2/n must match recompute")
+      assert(f2x >= n, "F2 >= n always (sum of c^2 >= sum of c)")
+      assert(f2e > 0, s"$tpe: AMS estimate positive")
+      // S=32 counters: std ≈ F2·√(2/32) ≈ 0.25·F2. 8σ band = ±2·F2
+      // (±20000 bp) — loose enough to never flake, tight enough to
+      // catch a broken sign hash (which reads ~0 or ~n²).
+      assert(math.abs(errBp) <= 20000, s"$tpe: |err| ${errBp}bp outside 8σ")
+      assert(errBp == (f2e - f2x) * 10000 / f2x, "err_bp accounting")
+    }
+  }
+
+  // ─── profile_histogram ───
+
+  test("profile_histogram: mass conserved, edges aligned, shares near 10000") {
+    val rows = ScaleOps.profileHistogram(spark, dir).collect()
+    val nLi = Tables(spark, dir).lineitem.count()
+    val byCol = rows.groupBy(_.getString(0))
+    assert(byCol.keySet == Set("l_extendedprice", "l_quantity", "l_discount"))
+    byCol.foreach { case (cname, rs) =>
+      val bins = rs.map(_.getLong(1))
+      assert(bins.forall(b => b >= 0 && b <= 15), s"$cname: bin out of range")
+      assert(bins.distinct.length == bins.length, s"$cname: duplicate bin")
+      assert(rs.map(_.getLong(4)).sum == nLi, s"$cname: histogram loses rows")
+      val w = rs.head.getLong(3) - rs.head.getLong(2) + 1
+      rs.foreach { r =>
+        assert(r.getLong(3) - r.getLong(2) + 1 == w, s"$cname: uneven bin width")
+        assert(r.getLong(2) == rs.head.getLong(2) + (r.getLong(1) - rs.head.getLong(1)) * w,
+          s"$cname: bin edge misaligned")
+        assert(r.getLong(5) >= 0 && r.getLong(5) <= 10000)
+      }
+      val shareSum = rs.map(_.getLong(5)).sum
+      assert(shareSum >= 10000 - 16 && shareSum <= 10000,
+        s"$cname: share_bp sums to $shareSum")
+    }
+  }
+
+  // ─── cdc_conflict ───
+
+  test("cdc_conflict: crafted writer collisions score exactly") {
+    import spark.implicits._
+    val t0 = 1700000000000L
+    val ev = Seq(
+      // user 100: writerA then writerB 30s later = 1 conflict; the
+      // overwritten value is writerA's 1.50
+      (1L, new Timestamp(t0), 100L, "a", 1.50, "{}"),
+      (2L, new Timestamp(t0 + 30000), 100L, "b", 2.25, "{}"),
+      // user 200: same writer burst — never a conflict
+      (3L, new Timestamp(t0), 200L, "a", 1.0, "{}"),
+      (4L, new Timestamp(t0 + 10000), 200L, "a", 2.0, "{}"),
+      // user 300: different writers but 120s apart — outside window
+      (5L, new Timestamp(t0), 300L, "a", 1.0, "{}"),
+      (6L, new Timestamp(t0 + 120000), 300L, "b", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = tmpDir("graft-conflict")
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Cdc.cdcConflict(spark, tmp).collect()
+    assert(out.length == 1, "only user 100 conflicts")
+    val r = out.head
+    assert(r.getLong(0) == 100L && r.getLong(1) == 2L && r.getLong(2) == 1L
+      && r.getLong(3) == 2L && r.getLong(4) == 150L,
+      s"unexpected conflict row: $r")
+  }
+
+  test("cdc_conflict: flagged rows are internally consistent at SF") {
+    val rows = Cdc.cdcConflict(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1, "only conflicted keys surface")
+      assert(r.getLong(2) <= r.getLong(1) - 1, "conflicts are adjacent pairs")
+      assert(r.getLong(3) >= 2, "a conflict needs two distinct writers")
+    }
+  }
+
+  // ─── ev_entropy ───
+
+  test("ev_entropy: exact at powers of two on a crafted user set") {
+    import spark.implicits._
+    val t0 = 1700000000000L
+    // user 1: 4 types × 4 events → n=16, c=4: term = 4·(fl2(16)−fl2(4))
+    // = 4·2 per type, H = 32·1000/16 = 2000 milli (exactly 2 bits).
+    // user 2: single type → 0 milli.
+    val rows = (for {
+      (tpe, i) <- Seq("a", "b", "c", "d").zipWithIndex
+      j <- 0 until 4
+    } yield (i * 4L + j + 1, new Timestamp(t0 + i * 1000 + j), 1L, tpe, 1.0, "{}")) ++
+      Seq((100L, new Timestamp(t0), 2L, "a", 1.0, "{}"),
+        (101L, new Timestamp(t0 + 1), 2L, "a", 1.0, "{}"))
+    val tmp = tmpDir("graft-entropy")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Events.evEntropy(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(4L) == ((1L, 2000L, 2000L)), "uniform-4 user sits at 2000 milli")
+    assert(out(0L) == ((1L, 0L, 0L)), "single-type user sits at 0 milli")
+  }
+
+  test("ev_entropy: histogram covers every user exactly once at SF") {
+    val rows = Events.evEntropy(spark, dir).collect()
+    val nUsers = Tables(spark, dir).events.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nUsers, "bucket counts sum to users")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(0) * 500, "bucket min inside bucket")
+      assert(r.getLong(3) < (r.getLong(0) + 1) * 500, "bucket max inside bucket")
+    }
+  }
+
+  // ─── ev_rolling_uniques ───
+
+  test("ev_rolling_uniques: window dominates daily; spot row re-derived") {
+    val rows = Events.evRollingUniques(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2),
+        "7-day uniques can never undercut the day's own uniques")
+    }
+    // Spot-check the densest (type, day) directly.
+    val top = rows.maxBy(_.getLong(3))
+    val (tpe, day) = (top.getString(0), top.getDate(1))
+    val lo = java.sql.Date.valueOf(day.toLocalDate.minusDays(6))
+    val direct = Tables(spark, dir).events
+      .filter(col("event_type") === tpe &&
+        to_date(col("ts")) >= lit(lo) && to_date(col("ts")) <= lit(day))
+      .select(col("user_id")).distinct().count()
+    assert(direct == top.getLong(3), s"$tpe/$day: recompute ${direct} != ${top.getLong(3)}")
+  }
+
+  // ─── ts_holt ───
+
+  test("ts_holt: the integer recursion re-derived directly per type") {
+    val daily = Tables(spark, dir).events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr(s"${Tables.centsSql("sum(value)")} div count(*)").as("x"))
+      .orderBy(col("event_type"), col("day")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).toSeq).toMap
+    val out = Events.tsHolt(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val xs = daily(r.getString(0))
+      var l = xs(0); var b = xs(1) - xs(0)
+      xs.drop(2).foreach { x =>
+        val l1 = (x + 3 * (l + b)) / 4
+        b = ((l1 - l) + 3 * b) / 4
+        l = l1
+      }
+      assert(r.getLong(1) == xs.length, "n_days")
+      assert(r.getLong(2) == l && r.getLong(3) == b,
+        s"${r.getString(0)}: level/trend diverge from the direct fold")
+      assert(r.getLong(4) == l + 7 * b, "forecast accounting")
+    }
+  }
+
+  // ─── ann_kmeans_step ───
+
+  test("ann_kmeans_step: Lloyd M-step never worsens SSE beyond truncation") {
+    val rows = Similarity.annKmeansStep(spark, dir).collect()
+    val emb = Tables(spark, dir).embeddings
+    val n = emb.count()
+    val dims = emb.select(size(col("embedding"))).first().getInt(0)
+    assert(rows.map(_.getLong(1)).sum == n, "every vector assigned once")
+    rows.foreach { r =>
+      val (nv, sse0, sse1, shift, imp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // floor-mean is within 1 milli/dim of the real mean, so the
+      // refined SSE can exceed the optimum by at most n·dims.
+      assert(sse1 <= sse0 + nv * dims,
+        s"cell ${r.getLong(0)}: M-step worsened SSE past truncation slack")
+      assert(shift >= 0)
+      assert(imp == (sse0 - sse1) * 10000 / math.max(1, sse0), "improve_bp accounting")
+    }
+    assert(rows.map(_.getLong(2)).sum > rows.map(_.getLong(3)).sum,
+      "one Lloyd round improves total SSE on real data")
+  }
+
+  // ─── mix_kl ───
+
+  test("mix_kl: zero divergence when a source matches the corpus mix") {
+    import spark.implicits._
+    // Two sources with IDENTICAL word multisets: each source's
+    // distribution equals the blended corpus distribution, so every
+    // fl2 term cancels exactly (c·N = 2c·n_s with N = 2n_s).
+    val docs = Seq(
+      (1L, "alpha beta beta gamma", "en", "s0"),
+      (2L, "alpha beta beta gamma", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = tmpDir("graft-kl")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Pipeline.mixKl(spark, tmp).collect()
+    assert(out.length == 2)
+    out.foreach(r => assert(r.getLong(3) == 0L,
+      s"${r.getString(0)}: identical mix must read 0 milli-bits, got ${r.getLong(3)}"))
+  }
+
+  test("mix_kl: per-source totals line up with mix_tv's world at SF") {
+    val rows = Pipeline.mixKl(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nTok = Tables(spark, dir).documents
+      .select(explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+      .count()
+    assert(rows.map(_.getLong(1)).sum == nTok, "token mass conserved")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "types bounded by tokens")
+      // the fl2 surrogate loses <1 bit per term; real KL >= 0, so the
+      // surrogate can only dip marginally below zero.
+      assert(r.getLong(3) >= -1000, s"${r.getString(0)}: surrogate KL far negative")
+    }
+  }
+
+  // ─── graph_ktruss ───
+
+  test("graph_ktruss: crafted clique + triangle + pendant peel exactly") {
+    import spark.implicits._
+    // K4 on 1-4 (every edge in 2 in-clique triangles), a lone triangle
+    // 7-8-9 (support 1 each), a pendant path 4-5-6 (support 0).
+    val canon = (for {
+      a <- 1 to 4; b <- (a + 1) to 4
+    } yield (a.toLong, b.toLong)) ++
+      Seq((7L, 8L), (7L, 9L), (8L, 9L), (4L, 5L), (5L, 6L))
+    var cur3 = canon.toDF("a", "b")
+    var cur4 = canon.toDF("a", "b")
+    (1 to 3).foreach { _ =>
+      cur3 = Graph.peelOnce(cur3, 1).localCheckpoint(true)
+      cur4 = Graph.peelOnce(cur4, 2).localCheckpoint(true)
+    }
+    val t3 = cur3.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t4 = cur4.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toSet
+    assert(t3 == k4 ++ Set((7L, 8L), (7L, 9L), (8L, 9L)),
+      "3-truss keeps every triangle edge, sheds the pendant path")
+    assert(t4 == k4, "4-truss is exactly the clique")
+  }
+
+  test("graph_ktruss: 3 peel rounds reach the fixpoint at SF") {
+    // Eager checkpoints per round: each peel references its input
+    // THREE times (sym union + support join), so an uncheckpointed
+    // 4-round chain re-plans 3⁴ copies of the LSH candidate machinery
+    // — the graph_hits plan-doubling hazard, here in the spec itself.
+    val canon0 = Graph.trussCanon0(spark, dir).localCheckpoint(true)
+    Seq(1L, 2L).foreach { minSup =>
+      var cur = canon0
+      (1 to 3).foreach(_ => cur = Graph.peelOnce(cur, minSup).localCheckpoint(true))
+      val atR = cur.count()
+      assert(Graph.peelOnce(cur, minSup).count() == atR,
+        s"minSup=$minSup: a 4th peel round still removes edges — bump trussRounds")
+    }
+  }
+}
