@@ -3778,7 +3778,103 @@ object Events {
        |FROM rec WHERE i = n
        |ORDER BY event_type""".stripMargin
 
+  // ─── ev_periodogram: dominant period of the hourly series ───
+  // ev_autocorr answers "does hour t predict t+1?"; this sweeps lags
+  // 1..24 over the SAME zero-filled hourly grid and reports the full
+  // correlogram per type plus the winning lag — the libm-free period
+  // detector (a daily-rhythm type peaks at 24, a memoryless one reads
+  // flat). The zero-filled grid is complete, so lead(x, L) is exactly
+  // an equijoin of the grid to itself shifted by L hours — one
+  // (type, hour)-keyed join after a ×24 constant fan-out on the
+  // metadata-sized grid (span_hours × |types| × 24 rows, independent
+  // of corpus volume; the only corpus pass is the hourly rollup).
+  // Pearson per (type, lag) by the exact-integer-sums technique; the
+  // winner rank runs on the 24-row-per-type frame.
+  def evPeriodogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val span = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = span.select(explode(
+      expr("sequence(h0, h1, INTERVAL 1 HOUR)")).as("hour_ts"))
+    val types = ev.select(col("event_type")).distinct()
+    val filled = grid.crossJoin(broadcast(types))
+      .join(hourly, Seq("hour_ts", "event_type"), "left")
+      .withColumn("x", coalesce(col("c"), lit(0L)))
+      .select(col("event_type"), col("hour_ts"), col("x"))
+    val shifted = filled
+      .select(col("event_type"), col("hour_ts"), col("x").as("y"),
+        explode(sequence(lit(1), lit(24))).as("lag"))
+      .withColumn("hour_ts",
+        col("hour_ts") - expr("make_interval(0, 0, 0, 0, lag, 0, 0)"))
+    val agg = filled.join(shifted, Seq("event_type", "hour_ts"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_x2"),
+        sum(col("y") * col("y")).as("sum_y2"))
+    val nd = col("n_pairs").cast("double")
+    val num = nd * col("sum_xy") - col("sum_x").cast("double") * col("sum_y")
+    val dx = nd * col("sum_x2") - col("sum_x").cast("double") * col("sum_x")
+    val dy = nd * col("sum_y2") - col("sum_y").cast("double") * col("sum_y")
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("r_bp").desc, col("lag"))
+    agg.select(col("event_type"), col("lag").cast("long").as("lag"),
+        col("n_pairs"),
+        when(dx * dy > 0, floor(num * 10000 / sqrt(dx * dy)).cast("long"))
+          .otherwise(lit(0L)).as("r_bp"))
+      .withColumn("is_best", (row_number().over(byType) === 1))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  val evPeriodogramSql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT date_trunc('hour', min(ts)) AS h0,
+      |                date_trunc('hour', max(ts)) AS h1 FROM events),
+      |grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+      |         FROM span),
+      |filled AS MATERIALIZED (
+      |  SELECT t.hour_ts, t.event_type, coalesce(h.c, 0) AS x
+      |  FROM (SELECT g.hour_ts, ty.event_type
+      |        FROM grid g CROSS JOIN (SELECT DISTINCT event_type FROM events) ty) t
+      |  LEFT JOIN hourly h
+      |    ON t.hour_ts = h.hour_ts AND t.event_type = h.event_type),
+      |agg AS (
+      |  SELECT a.event_type, l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(a.x) AS BIGINT) AS sum_x, CAST(sum(b.x) AS BIGINT) AS sum_y,
+      |    CAST(sum(a.x * b.x) AS BIGINT) AS sum_xy,
+      |    CAST(sum(a.x * a.x) AS BIGINT) AS sum_x2,
+      |    CAST(sum(b.x * b.x) AS BIGINT) AS sum_y2
+      |  FROM filled a
+      |  CROSS JOIN range(1, 25) l(lag)
+      |  JOIN filled b ON b.event_type = a.event_type
+      |    AND b.hour_ts = a.hour_ts + to_hours(l.lag)
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs,
+      |    CASE WHEN (n_pairs * sum_x2 - sum_x * sum_x)
+      |           * (n_pairs * sum_y2 - sum_y * sum_y) > 0
+      |      THEN CAST(floor(
+      |        (CAST(n_pairs AS DOUBLE) * sum_xy
+      |          - CAST(sum_x AS DOUBLE) * sum_y) * 10000
+      |        / sqrt((CAST(n_pairs AS DOUBLE) * sum_x2
+      |            - CAST(sum_x AS DOUBLE) * sum_x)
+      |          * (CAST(n_pairs AS DOUBLE) * sum_y2
+      |            - CAST(sum_y AS DOUBLE) * sum_y))) AS BIGINT)
+      |      ELSE 0 END AS r_bp
+      |  FROM agg)
+      |SELECT event_type, lag, n_pairs, r_bp,
+      |  row_number() OVER (PARTITION BY event_type
+      |    ORDER BY r_bp DESC, lag) = 1 AS is_best
+      |FROM r ORDER BY event_type, lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_periodogram" -> evPeriodogram,
     "ev_entropy" -> evEntropy,
     "ev_rolling_uniques" -> evRollingUniques,
     "ts_holt" -> tsHolt,
@@ -3849,6 +3945,7 @@ object Events {
     "ev_pattern_seq" -> evPatternSeq)
 
   val oracle: Map[String, String] = Map(
+    "ev_periodogram" -> evPeriodogramSql,
     "ev_entropy" -> evEntropySql,
     "ev_rolling_uniques" -> evRollingUniquesSql,
     "ts_holt" -> tsHoltSql,

@@ -1501,7 +1501,75 @@ object Pipeline {
       |GROUP BY s.source, ns.n_s, ns.n_types
       |ORDER BY s.source""".stripMargin
 
+  // ─── split_group: group-consistent splitting vs row-level hashing ───
+  // split_hash splits DOCUMENTS; on the events log the unit that
+  // leaks is the USER — a row-level hash scatters one user's events
+  // across train and test, and any model that memorizes user behavior
+  // evaluates on its own training subject. The group split hashes the
+  // GROUP key, so every event of a user lands in one split by
+  // construction. This op quantifies the difference on the same log:
+  // for each method × split, event/user volumes, plus the method's
+  // count of FRAGMENTED users (present in >1 split) — the leakage
+  // head-count an audit wants; exactly 0 for the group method (the
+  // spec pins it). Two map-combining rollups over one scan each;
+  // fragmentation is a |users|-bounded distinct-splits count, never a
+  // user×user comparison.
+  def splitGroup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    def splitOf(b: Column): Column =
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    def summarize(tagged: DataFrame, method: String): DataFrame = {
+      val frag = tagged.select(col("user_id"), col("split")).distinct()
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_splits"))
+        .filter(col("n_splits") > 1)
+        .agg(count(lit(1)).as("frag_users"))
+      tagged.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .crossJoin(broadcast(frag))
+        .select(lit(method).as("method"), col("split"), col("n_events"),
+          col("n_users"), col("frag_users"))
+    }
+    val byEvent = ev.select(col("user_id"),
+      splitOf(bucket100("gsplit", col("event_id"))).as("split"))
+    val byGroup = ev.select(col("user_id"),
+      splitOf(bucket100("gsplit", col("user_id"))).as("split"))
+    summarize(byEvent, "event")
+      .unionByName(summarize(byGroup, "group"))
+      .orderBy(col("method"), col("split"))
+  }
+
+  val splitGroupSql: String = {
+    def cse(keyExpr: String, method: String) = {
+      val b = bucket100Sql("gsplit", keyExpr)
+      s"""${method}_tagged AS (
+         |  SELECT user_id,
+         |    CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM events),
+         |${method}_frag AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS frag_users FROM (
+         |    SELECT user_id FROM (
+         |      SELECT DISTINCT user_id, split FROM ${method}_tagged)
+         |    GROUP BY user_id HAVING count(*) > 1)),
+         |${method}_sum AS (
+         |  SELECT '$method' AS method, split,
+         |    CAST(count(*) AS BIGINT) AS n_events,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |  FROM ${method}_tagged GROUP BY split)""".stripMargin
+    }
+    s"""WITH ${cse("event_id", "event")},
+       |${cse("user_id", "group")}
+       |SELECT s.method, s.split, s.n_events, s.n_users, f.frag_users
+       |FROM event_sum s CROSS JOIN event_frag f
+       |UNION ALL
+       |SELECT s.method, s.split, s.n_events, s.n_users, f.frag_users
+       |FROM group_sum s CROSS JOIN group_frag f
+       |ORDER BY method, split""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_group" -> splitGroup,
     "mix_kl" -> mixKl,
     "sample_class_weights" -> sampleClassWeights,
     "mix_unique_tokens" -> mixUniqueTokens,
@@ -1533,6 +1601,7 @@ object Pipeline {
     "sample_temperature" -> sampleTemperature)
 
   val oracle: Map[String, String] = Map(
+    "split_group" -> splitGroupSql,
     "mix_kl" -> mixKlSql,
     "sample_class_weights" -> sampleClassWeightsSql,
     "mix_unique_tokens" -> mixUniqueTokensSql,

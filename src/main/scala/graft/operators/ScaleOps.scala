@@ -1412,7 +1412,73 @@ object ScaleOps {
        |ORDER BY column_name, bin""".stripMargin
   }
 
+  // ─── profile_fd: approximate functional-dependency discovery ───
+  // The Metanome/data-profiling question the column-wise profiles
+  // can't see: does column A DETERMINE column B? Exact FD test =
+  // |distinct(A,B)| vs |distinct A|; the g3 error = the minimum
+  // fraction of rows to delete for the FD to hold (1 − Σ_a max_b
+  // count(a,b) / n) — the standard approximate-FD measure, here in
+  // exact bp. One (pair, lhs, rhs) map-combining count per direction
+  // (domain-bounded output), a per-lhs max over those bounded frames,
+  // one rollup — the corpus is scanned once per table, never joined.
+  def profileFd(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def dirPairs(df: DataFrame, table: String,
+        pairs: Seq[(String, String)]): DataFrame =
+      pairs.map { case (lhs, rhs) =>
+        df.groupBy(col(lhs).as("a"), col(rhs).as("b"))
+          .agg(count(lit(1)).as("c"))
+          .select(lit(table).as("table_name"), lit(lhs).as("lhs"),
+            lit(rhs).as("rhs"), col("a"), col("b"), col("c"))
+      }.reduce(_ unionByName _)
+    val counted =
+      dirPairs(t.orders, "orders",
+        Seq("o_orderstatus" -> "o_orderpriority",
+          "o_orderpriority" -> "o_orderstatus"))
+        .unionByName(dirPairs(t.lineitem, "lineitem",
+          Seq("l_returnflag" -> "l_linestatus",
+            "l_linestatus" -> "l_returnflag")))
+    val perLhs = counted
+      .groupBy(col("table_name"), col("lhs"), col("rhs"), col("a"))
+      .agg(count(lit(1)).as("n_rhs"), max(col("c")).as("keep"),
+        sum(col("c")).as("n"))
+    perLhs.groupBy(col("table_name"), col("lhs"), col("rhs"))
+      .agg(count(lit(1)).as("n_lhs"),
+        sum(col("n_rhs")).as("n_pairs"),
+        sum(col("n")).as("n_rows"),
+        sum(col("keep")).as("keep_mass"))
+      .select(col("table_name"), col("lhs"), col("rhs"), col("n_lhs"),
+        col("n_pairs"), (col("n_pairs") === col("n_lhs")).as("fd_holds"),
+        expr("(n_rows - keep_mass) * 10000 div n_rows").as("g3_bp"))
+      .orderBy(col("table_name"), col("lhs"), col("rhs"))
+  }
+
+  val profileFdSql: String = {
+    def branch(table: String, lhs: String, rhs: String) =
+      s"""SELECT '$table' AS table_name, '$lhs' AS lhs, '$rhs' AS rhs,
+         |    $lhs AS a, $rhs AS b, CAST(count(*) AS BIGINT) AS c
+         |  FROM $table GROUP BY 4, 5""".stripMargin
+    s"""WITH counted AS (
+       |  ${branch("orders", "o_orderstatus", "o_orderpriority")}
+       |  UNION ALL ${branch("orders", "o_orderpriority", "o_orderstatus")}
+       |  UNION ALL ${branch("lineitem", "l_returnflag", "l_linestatus")}
+       |  UNION ALL ${branch("lineitem", "l_linestatus", "l_returnflag")}),
+       |per_lhs AS (
+       |  SELECT table_name, lhs, rhs, a,
+       |    CAST(count(*) AS BIGINT) AS n_rhs, max(c) AS keep,
+       |    CAST(sum(c) AS BIGINT) AS n
+       |  FROM counted GROUP BY 1, 2, 3, 4)
+       |SELECT table_name, lhs, rhs,
+       |  CAST(count(*) AS BIGINT) AS n_lhs,
+       |  CAST(sum(n_rhs) AS BIGINT) AS n_pairs,
+       |  sum(n_rhs) = count(*) AS fd_holds,
+       |  CAST((sum(n) - sum(keep)) * 10000 // sum(n) AS BIGINT) AS g3_bp
+       |FROM per_lhs GROUP BY 1, 2, 3
+       |ORDER BY 1, 2, 3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_fd" -> profileFd,
     "sketch_ams" -> sketchAms,
     "profile_histogram" -> profileHistogram,
     "profile_freq" -> profileFreq,
@@ -1438,6 +1504,7 @@ object ScaleOps {
   /** sketch_stats is deliberately absent: approximate sketches are not
     * cross-engine reproducible (driver does the rows-only check). */
   val oracle: Map[String, String] = Map(
+    "profile_fd" -> profileFdSql,
     "sketch_ams" -> sketchAmsSql,
     "profile_histogram" -> profileHistogramSql,
     "profile_freq" -> profileFreqSql,

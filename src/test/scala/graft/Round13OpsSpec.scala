@@ -241,6 +241,76 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ─── ev_periodogram ───
+
+  test("ev_periodogram: full correlogram per type; lag-1 agrees with ev_autocorr") {
+    val rows = Events.evPeriodogram(spark, dir).collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (tpe, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to 24L), s"$tpe: 24 lags")
+      assert(rs.count(_.getBoolean(4)) == 1, s"$tpe: exactly one winning lag")
+      val best = rs.find(_.getBoolean(4)).get
+      assert(rs.forall(r => r.getLong(3) <= best.getLong(3)),
+        s"$tpe: is_best row must carry the max r")
+      rs.foreach(r => assert(math.abs(r.getLong(3)) <= 10000))
+    }
+    val auto = Events.evAutocorr(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    byType.foreach { case (tpe, rs) =>
+      val lag1 = rs.find(_.getLong(1) == 1L).get
+      assert(lag1.getLong(3) == auto(tpe),
+        s"$tpe: periodogram lag-1 must equal ev_autocorr's r1")
+    }
+  }
+
+  // ─── profile_fd ───
+
+  test("profile_fd: g3 and the FD flag agree; row mass is the table's") {
+    val rows = ScaleOps.profileFd(spark, dir).collect()
+    assert(rows.length == 4)
+    val nOrders = Tables(spark, dir).orders.count()
+    val nLi = Tables(spark, dir).lineitem.count()
+    rows.foreach { r =>
+      val (tbl, nLhs, nPairs, holds, g3) = (r.getString(0), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getLong(6))
+      assert(nPairs >= nLhs, "at least one rhs per lhs value")
+      assert(holds == (nPairs == nLhs), "fd_holds accounting")
+      assert(g3 >= 0 && g3 <= 10000, s"$tbl: g3 out of range")
+      if (holds) assert(g3 == 0, "an exact FD has zero g3 error")
+    }
+    // Re-derive one direction directly: the distinct pair count for
+    // orders status→priority.
+    val direct = Tables(spark, dir).orders
+      .select(col("o_orderstatus"), col("o_orderpriority")).distinct().count()
+    val r0 = rows.find(r => r.getString(0) == "orders"
+      && r.getString(1) == "o_orderstatus").get
+    assert(r0.getLong(4) == direct, "n_pairs re-derived")
+  }
+
+  // ─── split_group ───
+
+  test("split_group: group split never fragments a user; masses conserved") {
+    val rows = Pipeline.splitGroup(spark, dir).collect()
+    assert(rows.length == 6, "2 methods × 3 splits")
+    val ev = Tables(spark, dir).events
+    val nEvents = ev.count()
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    Seq("event", "group").foreach { m =>
+      val rs = rows.filter(_.getString(0) == m)
+      assert(rs.map(_.getLong(2)).sum == nEvents, s"$m: event mass conserved")
+      val frag = rs.head.getLong(4)
+      assert(rs.forall(_.getLong(4) == frag), s"$m: frag count is method-level")
+      if (m == "group") {
+        assert(frag == 0, "group split must never fragment a user")
+        assert(rs.map(_.getLong(3)).sum == nUsers, "group user mass conserved")
+      } else {
+        assert(frag > 0, "row-level split fragments users at this density")
+        assert(rs.map(_.getLong(3)).sum >= nUsers + frag,
+          "fragmented users are double-counted across splits")
+      }
+    }
+  }
+
   // ─── graph_ktruss ───
 
   test("graph_ktruss: crafted clique + triangle + pendant peel exactly") {
