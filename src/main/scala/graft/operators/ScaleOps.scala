@@ -1304,12 +1304,15 @@ object ScaleOps {
 
   def sketchAms(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events.select(col("event_type"), col("user_id"))
+    // ONE md5 per row: its 32 hex nibbles' low bits are 32 independent
+    // sign hashes (a first cut hashed 32 separate salted md5s per row
+    // — 32× the digest cost for the same estimator quality).
     val z = ev
+      .withColumn("h", md5(concat(lit("ams:"), col("user_id").cast("string"))))
       .select(col("event_type"),
-        explode(sequence(lit(0), lit(amsS - 1))).as("i"), col("user_id"))
+        explode(sequence(lit(0), lit(amsS - 1))).as("i"), col("h"))
       .select(col("event_type"), col("i"),
-        (conv(substring(md5(concat(lit("ams"), col("i").cast("string"),
-          lit(":"), col("user_id").cast("string"))), 1, 1), 16, 10)
+        (conv(expr("substring(h, i + 1, 1)"), 16, 10)
           .cast("long") % 2L * 2L - 1L).as("sgn"))
       .groupBy(col("event_type"), col("i"))
       .agg(sum(col("sgn")).as("z"))
@@ -1330,8 +1333,8 @@ object ScaleOps {
   val sketchAmsSql: String =
     s"""WITH cells AS (
        |  SELECT event_type, t.i,
-       |    (CAST(('0x' || substr(md5('ams' || CAST(t.i AS VARCHAR) || ':'
-       |       || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2) * 2 - 1
+       |    (CAST(('0x' || substr(md5('ams:' || CAST(user_id AS VARCHAR)),
+       |       CAST(t.i AS INTEGER) + 1, 1)) AS BIGINT) % 2) * 2 - 1
        |      AS sgn
        |  FROM events CROSS JOIN range(0, $amsS) t(i)),
        |z AS (

@@ -1637,7 +1637,89 @@ object Similarity {
        |ORDER BY s.cell""".stripMargin
   }
 
+  // ─── ann_label_knn: kNN-classifier evaluation over the label column ───
+  // The embeddings table ships a supervised `label` no retrieval op
+  // has touched: the standard embedding-quality probe is a kNN
+  // classifier — if 5-NN majority vote recovers a query's own label,
+  // the space clusters by class. Per-class accuracy + the majority
+  // predicted label's vote share; the vote is integer (count, then
+  // lowest label on ties) so both engines pick identical winners.
+  // Shape: the annBruteforce broadcast-query scan (corpus × 20
+  // queries, one pass), a |queries|·k vote rollup, per-class rollup —
+  // query count is the bounded side at any corpus size.
+  private val voteK = 5
+
+  def annLabelKnn(spark: SparkSession, dir: String): DataFrame = {
+    val lbl = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val q = vecs(spark, dir).filter(col("vec_id") < nQueries)
+      .join(lbl, Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn"), col("label").as("qlabel"))
+    val c = vecs(spark, dir).join(lbl, Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("norm").as("cn"), col("label").as("nlabel"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val top = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= voteK)
+    val byVotes = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("nlabel"))
+    val pred = top.groupBy(col("query_id"), col("qlabel"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(byVotes))
+      .filter(col("vr") === 1)
+    pred.groupBy(col("qlabel").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
+          .as("n_correct"),
+        sum(col("votes")).as("winner_votes"))
+      .select(col("label"), col("n_queries"), col("n_correct"),
+        expr("n_correct * 10000 div n_queries").as("acc_bp"),
+        expr(s"winner_votes * 10000 div (n_queries * $voteK)")
+          .as("vote_share_bp"))
+      .orderBy(col("label"))
+  }
+
+  val annLabelKnnSql: String =
+    s"""WITH n AS (${vecsSql("vec_id")}),
+       |lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |q AS (SELECT n.vec_id AS query_id, n.v AS qv, n.norm AS qn,
+       |    l.label AS qlabel
+       |  FROM n JOIN lbl l USING (vec_id) WHERE n.vec_id < $nQueries),
+       |scored AS (
+       |  SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id,
+       |    l.label AS nlabel,
+       |    ${dotSqlOf("q.qv", "c.v")} / (q.qn * c.norm) AS cos
+       |  FROM n c JOIN lbl l USING (vec_id) CROSS JOIN q
+       |  WHERE q.query_id <> c.vec_id),
+       |top AS (
+       |  SELECT query_id, qlabel, nlabel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+       |  WHERE rank <= $voteK),
+       |pred AS (
+       |  SELECT query_id, qlabel, nlabel, votes FROM (
+       |    SELECT query_id, qlabel, nlabel,
+       |      CAST(count(*) AS BIGINT) AS votes,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY count(*) DESC, nlabel) AS vr
+       |    FROM top GROUP BY 1, 2, 3)
+       |  WHERE vr = 1)
+       |SELECT qlabel AS label, CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct,
+       |  CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) * 10000
+       |    // count(*) AS BIGINT) AS acc_bp,
+       |  CAST(sum(votes) * 10000 // (count(*) * $voteK) AS BIGINT)
+       |    AS vote_share_bp
+       |FROM pred GROUP BY qlabel
+       |ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_label_knn" -> annLabelKnn,
     "ann_kmeans_step" -> annKmeansStep,
     "sample_kcenter" -> sampleKcenter,
     "ann_filtered" -> annFiltered,
@@ -1662,6 +1744,7 @@ object Similarity {
     "ann_retrieve" -> annRetrieve)
 
   val oracle: Map[String, String] = Map(
+    "ann_label_knn" -> annLabelKnnSql,
     "ann_kmeans_step" -> annKmeansStepSql,
     "sample_kcenter" -> sampleKcenterSql,
     "ann_filtered" -> annFilteredSql,

@@ -311,6 +311,43 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ─── ann_label_knn ───
+
+  test("ann_label_knn: perfectly separated clusters classify perfectly") {
+    import spark.implicits._
+    // Two orthogonal clusters: label 0 hugs e₀, label 1 hugs e₁ —
+    // every 5-NN vote is unanimous, so accuracy must be 10000 bp and
+    // the winner's vote share 10000 bp for both classes.
+    val vecs = (0 until 20).map { i =>
+      val lbl = i / 10
+      val base = Array.fill(8)(0.001f * (i % 10))
+      base(lbl) = 1.0f
+      (i.toLong, base.toSeq, lbl)
+    }
+    val tmp = tmpDir("graft-knn")
+    vecs.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Similarity.annLabelKnn(spark, tmp).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getLong(1) == 10, "ten queries per class")
+      assert(r.getLong(3) == 10000, s"label ${r.getLong(0)}: accuracy must be perfect")
+      assert(r.getLong(4) == 10000, s"label ${r.getLong(0)}: votes must be unanimous")
+    }
+  }
+
+  test("ann_label_knn: query mass and vote-share bounds at SF") {
+    val rows = Similarity.annLabelKnn(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum == 20, "every query classified once")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) == r.getLong(2) * 10000 / r.getLong(1), "acc accounting")
+      // the majority label carries at least 1 of 5 votes
+      assert(r.getLong(4) >= 2000 && r.getLong(4) <= 10000)
+    }
+  }
+
   // ─── graph_ktruss ───
 
   test("graph_ktruss: crafted clique + triangle + pendant peel exactly") {
