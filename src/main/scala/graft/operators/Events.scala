@@ -3873,7 +3873,80 @@ object Events {
       |    ORDER BY r_bp DESC, lag) = 1 AS is_best
       |FROM r ORDER BY event_type, lag""".stripMargin
 
+  // ─── ev_lifecycle: weekly growth accounting of the user base ───
+  // The new/retained/resurrected/churned decomposition (and the quick
+  // ratio) every growth team runs — ev_wau counts heads, this explains
+  // the DELTA. Everything derives from distinct (user, week) pairs:
+  // retained(w) = the pair set equijoined to itself shifted one week
+  // (never a window over a user's full history), new(w) = first-week
+  // join, resurrected = active ∧ ¬retained ∧ ¬new, churned(w) =
+  // |active(w−1)| − retained(w) — pure arithmetic on two bounded
+  // rollups. One shuffle on (user, week), one on user for first-week;
+  // every output frame is |weeks|-sized. Quick ratio =
+  // (new+resurrected)·10⁴ div max(1, churned).
+  def evLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables(spark, dir).events
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("week")).distinct()
+    val firstW = pairs.groupBy(col("user_id")).agg(min(col("week")).as("w0"))
+    val prev = pairs.select(col("user_id"),
+      date_add(col("week"), 7).as("week"), lit(1L).as("was_active"))
+    val flagged = pairs
+      .join(prev, Seq("user_id", "week"), "left")
+      .join(firstW, Seq("user_id"))
+      .withColumn("is_new", (col("week") === col("w0")).cast("long"))
+      .withColumn("is_retained", coalesce(col("was_active"), lit(0L)))
+      .withColumn("is_resurrected",
+        ((col("is_new") === 0) && (col("is_retained") === 0)).cast("long"))
+    val byWeek = flagged.groupBy(col("week"))
+      .agg(count(lit(1)).as("n_active"), sum(col("is_new")).as("n_new"),
+        sum(col("is_retained")).as("n_retained"),
+        sum(col("is_resurrected")).as("n_resurrected"))
+    val prevActive = pairs.groupBy(date_add(col("week"), 7).as("week"))
+      .agg(count(lit(1)).as("n_prev"))
+    byWeek.join(prevActive, Seq("week"), "left")
+      .withColumn("n_churned",
+        coalesce(col("n_prev"), lit(0L)) - col("n_retained"))
+      .select(col("week"), col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"),
+        expr("(n_new + n_resurrected) * 10000 div greatest(1, n_churned)")
+          .as("quick_ratio_bp"))
+      .orderBy(col("week"))
+  }
+
+  val evLifecycleSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+      |firstw AS (SELECT user_id, min(week) AS w0 FROM pairs GROUP BY user_id),
+      |flagged AS (
+      |  SELECT p.week,
+      |    CASE WHEN p.week = f.w0 THEN 1 ELSE 0 END AS is_new,
+      |    CASE WHEN q.user_id IS NULL THEN 0 ELSE 1 END AS is_retained
+      |  FROM pairs p
+      |  JOIN firstw f USING (user_id)
+      |  LEFT JOIN pairs q ON q.user_id = p.user_id
+      |    AND q.week + 7 = p.week),
+      |byweek AS (
+      |  SELECT week, CAST(count(*) AS BIGINT) AS n_active,
+      |    CAST(sum(is_new) AS BIGINT) AS n_new,
+      |    CAST(sum(is_retained) AS BIGINT) AS n_retained,
+      |    CAST(sum(CASE WHEN is_new = 0 AND is_retained = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_resurrected
+      |  FROM flagged GROUP BY week),
+      |prev_active AS (
+      |  SELECT week + 7 AS week, CAST(count(*) AS BIGINT) AS n_prev
+      |  FROM pairs GROUP BY 1)
+      |SELECT b.week, b.n_active, b.n_new, b.n_retained, b.n_resurrected,
+      |  coalesce(p.n_prev, 0) - b.n_retained AS n_churned,
+      |  (b.n_new + b.n_resurrected) * 10000
+      |    // greatest(1, coalesce(p.n_prev, 0) - b.n_retained)
+      |    AS quick_ratio_bp
+      |FROM byweek b LEFT JOIN prev_active p USING (week)
+      |ORDER BY b.week""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_lifecycle" -> evLifecycle,
     "ev_periodogram" -> evPeriodogram,
     "ev_entropy" -> evEntropy,
     "ev_rolling_uniques" -> evRollingUniques,
@@ -3945,6 +4018,7 @@ object Events {
     "ev_pattern_seq" -> evPatternSeq)
 
   val oracle: Map[String, String] = Map(
+    "ev_lifecycle" -> evLifecycleSql,
     "ev_periodogram" -> evPeriodogramSql,
     "ev_entropy" -> evEntropySql,
     "ev_rolling_uniques" -> evRollingUniquesSql,

@@ -1480,7 +1480,84 @@ object ScaleOps {
        |ORDER BY 1, 2, 3""".stripMargin
   }
 
+  // ─── profile_benford: first-digit law screening of money columns ───
+  // The classic synthetic-data / fraud smell test: organic magnitudes
+  // follow Benford's law (P(d) = log₁₀(1+1/d)); fabricated or
+  // uniformly generated ones don't. log is banned — the expected
+  // distribution is nine CONSTANTS, so they're inlined in bp
+  // (3010, 1761, …, 458) and the deviation is pure integer
+  // arithmetic. One map-combining digit count per column (9-row
+  // output frames); the verdict column flags |obs−exp| MAD above the
+  // conventional 60 bp screening line. TPC-H prices are uniform-ish
+  // by construction, so the op EXPECTS a flag here — the spec pins
+  // both the constants and the arithmetic, not conformance.
+  private val benfordBp = Seq(3010L, 1761L, 1249L, 969L, 792L, 669L, 580L, 512L, 458L)
+
+  def profileBenford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val exp = benfordBp.zipWithIndex
+      .map { case (bp, i) => (i + 1L, bp) }
+      .toDF("digit", "exp_bp")
+    def digits(df: DataFrame, cname: String): DataFrame =
+      df.filter(col(cname) >= 1)
+        .select(lit(cname).as("column_name"),
+          expr(s"CAST(substring(CAST(CAST(floor($cname) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+            .as("digit"))
+        .groupBy(col("column_name"), col("digit"))
+        .agg(count(lit(1)).as("cnt"))
+    val counted = digits(t.orders, "o_totalprice")
+      .unionByName(digits(t.lineitem, "l_extendedprice"))
+    val colFrame = Window.partitionBy(col("column_name"))
+    counted
+      .withColumn("n", sum(col("cnt")).over(colFrame))
+      .withColumn("obs_bp", expr("cnt * 10000 div n"))
+      .join(broadcast(exp), Seq("digit"))
+      .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
+      .withColumn("sum_dev", sum(col("dev_bp")).over(colFrame))
+      .withColumn("mad_bp", expr("sum_dev div 9"))
+      .select(col("column_name"), col("digit"), col("cnt"), col("obs_bp"),
+        col("exp_bp"), col("dev_bp"), col("mad_bp"),
+        (col("mad_bp") > 60).as("suspicious"))
+      .orderBy(col("column_name"), col("digit"))
+  }
+
+  val profileBenfordSql: String = {
+    val expRows = benfordBp.zipWithIndex
+      .map { case (bp, i) => s"(${i + 1}, $bp)" }.mkString(", ")
+    def branch(table: String, cname: String) =
+      s"""SELECT '$cname' AS column_name,
+         |    CAST(substr(CAST(CAST(floor($cname) AS BIGINT) AS VARCHAR), 1, 1)
+         |      AS BIGINT) AS digit
+         |  FROM $table WHERE $cname >= 1""".stripMargin
+    s"""WITH exp(digit, exp_bp) AS (VALUES $expRows),
+       |counted AS (
+       |  SELECT column_name, digit, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (
+       |  ${branch("orders", "o_totalprice")}
+       |  UNION ALL ${branch("lineitem", "l_extendedprice")})
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT column_name, digit, cnt,
+       |    CAST(cnt * 10000 // sum(cnt) OVER (PARTITION BY column_name)
+       |      AS BIGINT) AS obs_bp
+       |  FROM counted),
+       |dev AS (
+       |  SELECT s.column_name, s.digit, s.cnt, s.obs_bp,
+       |    CAST(e.digit AS BIGINT) AS exp_digit,
+       |    CAST(e.exp_bp AS BIGINT) AS exp_bp,
+       |    CAST(abs(s.obs_bp - e.exp_bp) AS BIGINT) AS dev_bp
+       |  FROM scored s JOIN exp e ON e.digit = s.digit)
+       |SELECT column_name, digit, cnt, obs_bp, exp_bp, dev_bp,
+       |  CAST(sum(dev_bp) OVER (PARTITION BY column_name) // 9 AS BIGINT)
+       |    AS mad_bp,
+       |  CAST(sum(dev_bp) OVER (PARTITION BY column_name) // 9 AS BIGINT) > 60
+       |    AS suspicious
+       |FROM dev ORDER BY column_name, digit""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_benford" -> profileBenford,
     "profile_fd" -> profileFd,
     "sketch_ams" -> sketchAms,
     "profile_histogram" -> profileHistogram,
@@ -1507,6 +1584,7 @@ object ScaleOps {
   /** sketch_stats is deliberately absent: approximate sketches are not
     * cross-engine reproducible (driver does the rows-only check). */
   val oracle: Map[String, String] = Map(
+    "profile_benford" -> profileBenfordSql,
     "profile_fd" -> profileFdSql,
     "sketch_ams" -> sketchAmsSql,
     "profile_histogram" -> profileHistogramSql,

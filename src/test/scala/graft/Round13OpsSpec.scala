@@ -311,6 +311,68 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ─── ev_lifecycle ───
+
+  test("ev_lifecycle: crafted cohort transitions account exactly") {
+    import spark.implicits._
+    // Mondays of three consecutive ISO weeks.
+    val w1 = Timestamp.valueOf("2026-01-05 10:00:00")
+    val w2 = Timestamp.valueOf("2026-01-12 10:00:00")
+    val w3 = Timestamp.valueOf("2026-01-19 10:00:00")
+    // u1: w1+w2 (retained at w2); u2: w1 only (churned at w2);
+    // u3: w2 only (new at w2); u4: w1+w3 (resurrected at w3).
+    val ev = Seq((1L, w1, 1L), (2L, w2, 1L), (3L, w1, 2L), (4L, w2, 3L),
+      (5L, w1, 4L), (6L, w3, 4L))
+      .map { case (id, ts, u) => (id, ts, u, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = tmpDir("graft-lifecycle")
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Events.evLifecycle(spark, tmp).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("2026-01-05") == ((3L, 3L, 0L, 0L, 0L)), "w1: all new")
+    assert(out("2026-01-12") == ((2L, 1L, 1L, 0L, 2L)),
+      "w2: u3 new, u1 retained, u2+u4 churned")
+    assert(out("2026-01-19") == ((1L, 0L, 0L, 1L, 2L)),
+      "w3: u4 resurrected, u1+u3 churned")
+  }
+
+  test("ev_lifecycle: decomposition identities hold at SF") {
+    val rows = Events.evLifecycle(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"${r.getDate(0)}: active must split into new+retained+resurrected")
+      assert(r.getLong(5) >= 0, "churn can't be negative")
+    }
+    val nUsers = Tables(spark, dir).events
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nUsers,
+      "every user is new exactly once")
+  }
+
+  // ─── profile_benford ───
+
+  test("profile_benford: constants, accounting, and the MAD verdict line up") {
+    val rows = ScaleOps.profileBenford(spark, dir).collect()
+    assert(rows.length == 18, "9 digits × 2 columns")
+    val byCol = rows.groupBy(_.getString(0))
+    assert(byCol("o_totalprice").map(_.getLong(4)).sum == 10000,
+      "Benford expected bp must sum to exactly 10000")
+    byCol.foreach { case (cname, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to 9L), s"$cname: digits 1..9")
+      val madExpect = rs.map(_.getLong(5)).sum / 9
+      rs.foreach { r =>
+        assert(r.getLong(5) == math.abs(r.getLong(3) - r.getLong(4)), "dev accounting")
+        assert(r.getLong(6) == madExpect, s"$cname: MAD mismatch")
+        assert(r.getBoolean(7) == (madExpect > 60), s"$cname: verdict")
+      }
+    }
+    // TPC-H uniform prices are NOT Benford — the screen must fire.
+    assert(rows.exists(_.getBoolean(7)),
+      "uniform synthetic prices should trip the Benford screen")
+  }
+
   // ─── ann_label_knn ───
 
   test("ann_label_knn: perfectly separated clusters classify perfectly") {
