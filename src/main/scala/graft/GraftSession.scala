@@ -24,6 +24,14 @@ object GraftSession {
       // table getter.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // The checkpoint-file checksum writer (Spark 4.1's
+      // ChecksumCheckpointFileManager) hands every checkpoint close()
+      // to a background pool and awaits it without a timeout; under a
+      // long-lived local session with many accumulated state-store
+      // providers the await has been observed to park forever inside
+      // RocksDB snapshot zip uploads, wedging the stream. Corruption
+      // detection on local-disk checkpoints buys nothing; turn it off.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   /** Shared test session (one JVM-wide session for all suites). */

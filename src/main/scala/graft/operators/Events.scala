@@ -3945,7 +3945,110 @@ object Events {
       |FROM byweek b LEFT JOIN prev_active p USING (week)
       |ORDER BY b.week""".stripMargin
 
+  // ─── ts_cusum: sequential CUSUM alarm monitor per event type ───
+  // ts_changepoint answers "where was THE level shift" (offline
+  // argmax); this answers the monitoring question — WHEN would a
+  // one-sided CUSUM chart have alarmed, and how often — the page
+  // an on-call rotation actually receives. The recursion
+  // S_t = max(0, S_{t−1} + d_t) looks sequential but collapses to
+  // two window passes via the reflection identity
+  // S_t = P_t − min(0, min_{j≤t} P_j) with P the prefix sum of the
+  // slack-adjusted deviations — cumsum + running min over the SAME
+  // (type, hour) ordering, one exchange. All quantities stay in
+  // exact integers by the ts_changepoint ×n_hours scaling (d =
+  // x·n − total sums to zero per type); slack k = half the mean
+  // absolute scaled deviation, thresholds swept at {4, 8, 16}×
+  // that mean (the h = 4σ..16σ ladder with MAD standing in for σ —
+  // no float moments). Everything after the hourly rollup is
+  // |types|×|hours| rows; output is |types|×3. A constant series
+  // has mad = 0 and by contract never alarms.
+  def tsCusum(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val span = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = span.select(explode(
+      expr("sequence(h0, h1, INTERVAL 1 HOUR)")).as("hour_ts"))
+    val types = ev.select(col("event_type")).distinct()
+    val filled = grid.crossJoin(broadcast(types))
+      .join(hourly, Seq("hour_ts", "event_type"), "left")
+      .withColumn("x", coalesce(col("c"), lit(0L)))
+    val tot = filled.groupBy(col("event_type"))
+      .agg(sum(col("x")).as("total"), count(lit(1)).as("n_hours"))
+    val dev = filled.join(broadcast(tot), Seq("event_type"))
+      .withColumn("d", col("x") * col("n_hours") - col("total"))
+    val madT = dev.groupBy(col("event_type"))
+      .agg(sum(abs(col("d"))).as("sum_abs"), max(col("n_hours")).as("nh"))
+      .withColumn("mad", expr("sum_abs div nh"))
+      .withColumn("k", expr("sum_abs div (2 * nh)"))
+      .select(col("event_type"), col("mad"), col("k"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = dev.join(broadcast(madT), Seq("event_type"))
+      .withColumn("p", sum(col("d") - col("k")).over(wCum))
+      .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(wCum)))
+    s.withColumn("mult", explode(array(lit(4L), lit(8L), lit(16L))))
+      .withColumn("alarm",
+        col("mad") > 0 && col("s") >= col("mult") * col("mad"))
+      .groupBy(col("event_type"), col("mult"))
+      .agg(sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarm_hours"),
+        min(when(col("alarm"), epochS(col("hour_ts")))).as("first_alarm_epoch"),
+        max(col("s")).as("max_s"), max(col("mad")).as("mad"))
+      .orderBy(col("event_type"), col("mult"))
+  }
+
+  val tsCusumSql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT date_trunc('hour', min(ts)) AS h0,
+      |                date_trunc('hour', max(ts)) AS h1 FROM events),
+      |grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+      |         FROM span),
+      |filled AS (
+      |  SELECT t.hour_ts, t.event_type, coalesce(h.c, 0) AS x
+      |  FROM (SELECT g.hour_ts, ty.event_type
+      |        FROM grid g CROSS JOIN (SELECT DISTINCT event_type FROM events) ty) t
+      |  LEFT JOIN hourly h
+      |    ON t.hour_ts = h.hour_ts AND t.event_type = h.event_type),
+      |tot AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS total,
+      |               CAST(count(*) AS BIGINT) AS n_hours
+      |        FROM filled GROUP BY event_type),
+      |dev AS (
+      |  SELECT f.event_type, f.hour_ts, f.x * t.n_hours - t.total AS d,
+      |    t.n_hours
+      |  FROM filled f JOIN tot t USING (event_type)),
+      |madt AS (
+      |  SELECT event_type,
+      |    CAST(sum(abs(d)) AS BIGINT) // max(n_hours) AS mad,
+      |    CAST(sum(abs(d)) AS BIGINT) // (2 * max(n_hours)) AS k
+      |  FROM dev GROUP BY event_type),
+      |pp AS (
+      |  SELECT d.event_type, d.hour_ts, m.mad,
+      |    CAST(sum(d.d - m.k) OVER (PARTITION BY d.event_type
+      |      ORDER BY d.hour_ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+      |  FROM dev d JOIN madt m USING (event_type)),
+      |ss AS (
+      |  SELECT event_type, hour_ts, mad,
+      |    p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY hour_ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+      |  FROM pp),
+      |al AS (
+      |  SELECT event_type, hour_ts, mad, s, mult,
+      |    (mad > 0 AND s >= mult * mad) AS alarm
+      |  FROM ss CROSS JOIN (SELECT CAST(unnest([4, 8, 16]) AS BIGINT) AS mult))
+      |SELECT event_type, mult,
+      |  CAST(sum(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_hours,
+      |  min(CASE WHEN alarm
+      |    THEN CAST(floor(epoch(hour_ts)) AS BIGINT) END) AS first_alarm_epoch,
+      |  CAST(max(s) AS BIGINT) AS max_s, CAST(max(mad) AS BIGINT) AS mad
+      |FROM al GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_cusum" -> tsCusum,
     "ev_lifecycle" -> evLifecycle,
     "ev_periodogram" -> evPeriodogram,
     "ev_entropy" -> evEntropy,
@@ -4018,6 +4121,7 @@ object Events {
     "ev_pattern_seq" -> evPatternSeq)
 
   val oracle: Map[String, String] = Map(
+    "ts_cusum" -> tsCusumSql,
     "ev_lifecycle" -> evLifecycleSql,
     "ev_periodogram" -> evPeriodogramSql,
     "ev_entropy" -> evEntropySql,

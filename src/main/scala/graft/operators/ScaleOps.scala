@@ -1287,6 +1287,98 @@ object ScaleOps {
       |WHERE r.rk <= 5
       |ORDER BY r.table_name, r.column_name, r.rk""".stripMargin
 
+  // ─── profile_entropy: per-column entropy / uniformity profile ───
+  // profile_table counts distincts and profile_freq names the top
+  // values; this scores the SHAPE of each categorical column's
+  // distribution with one number — Shannon entropy in the fl2
+  // surrogate (fl2(x) = length(bin(x))−1 = ⌊log₂x⌋, exact in both
+  // engines — the ev_entropy trick applied column-wise):
+  // H_milli = Σ cᵢ·(fl2(n)−fl2(cᵢ))·1000 div n, plus the ceiling
+  // fl2(n_distinct)·1000 a uniform column would score and the
+  // uniformity ratio in bp — the one-glance signal that separates a
+  // balanced enum from a 95 %-one-value key (which must salt or die
+  // as a join key at scale). One map-combining count pass per
+  // profiled column; every post-aggregate frame is domain-bounded
+  // (the per-column value histogram), so output size is independent
+  // of corpus size. A single-valued column has ceiling 0 and reports
+  // uniform_bp = 10⁴ by the greatest(1, ·) guard.
+  def profileEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def counted(df: DataFrame, table: String, c: String): DataFrame =
+      df.groupBy(col(c).cast("string").as("value"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit(table).as("table_name"), lit(c).as("column_name"),
+          col("value"), col("cnt"))
+    val stacked =
+      counted(t.orders, "orders", "o_orderstatus")
+        .unionByName(counted(t.orders, "orders", "o_orderpriority"))
+        .unionByName(counted(t.lineitem, "lineitem", "l_returnflag"))
+        .unionByName(counted(t.lineitem, "lineitem", "l_linestatus"))
+        .unionByName(counted(t.customer, "customer", "c_mktsegment"))
+        .unionByName(counted(t.events, "events", "event_type"))
+        .unionByName(counted(t.documents, "documents", "lang"))
+        .unionByName(counted(t.documents, "documents", "source"))
+    stacked
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(col("table_name"), col("column_name"))))
+      .groupBy(col("table_name"), col("column_name"))
+      .agg(max(col("n")).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        expr("sum(cnt * (length(bin(n)) - length(bin(cnt)))) * 1000 div max(n)")
+          .as("h_milli"),
+        expr("max(cnt) * 10000 div max(n)").as("top_share_bp"))
+      .withColumn("h_max_milli",
+        expr("cast((length(bin(n_distinct)) - 1) * 1000 AS BIGINT)"))
+      .withColumn("uniform_bp",
+        expr("h_milli * 10000 div greatest(1, h_max_milli)"))
+      .select(col("table_name"), col("column_name"), col("n_rows"),
+        col("n_distinct"), col("h_milli"), col("h_max_milli"),
+        col("top_share_bp"), col("uniform_bp"))
+      .orderBy(col("table_name"), col("column_name"))
+  }
+
+  val profileEntropySql: String =
+    """WITH stacked AS (
+      |  SELECT 'orders' AS table_name, 'o_orderstatus' AS column_name,
+      |    CAST(o_orderstatus AS VARCHAR) AS value FROM orders
+      |  UNION ALL
+      |  SELECT 'orders', 'o_orderpriority', CAST(o_orderpriority AS VARCHAR)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem', 'l_returnflag', CAST(l_returnflag AS VARCHAR)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem', 'l_linestatus', CAST(l_linestatus AS VARCHAR)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'customer', 'c_mktsegment', CAST(c_mktsegment AS VARCHAR)
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'events', 'event_type', CAST(event_type AS VARCHAR) FROM events
+      |  UNION ALL
+      |  SELECT 'documents', 'lang', CAST(lang AS VARCHAR) FROM documents
+      |  UNION ALL
+      |  SELECT 'documents', 'source', CAST(source AS VARCHAR) FROM documents),
+      |counted AS (
+      |  SELECT table_name, column_name, value, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM stacked GROUP BY 1, 2, 3),
+      |withn AS (
+      |  SELECT *, CAST(sum(cnt) OVER (PARTITION BY table_name, column_name)
+      |    AS BIGINT) AS n
+      |  FROM counted),
+      |agg AS (
+      |  SELECT table_name, column_name, max(n) AS n_rows,
+      |    CAST(count(*) AS BIGINT) AS n_distinct,
+      |    CAST(sum(cnt * (length(bin(n)) - length(bin(cnt)))) * 1000 // max(n)
+      |      AS BIGINT) AS h_milli,
+      |    max(cnt) * 10000 // max(n) AS top_share_bp
+      |  FROM withn GROUP BY 1, 2)
+      |SELECT table_name, column_name, n_rows, n_distinct, h_milli,
+      |  (length(bin(n_distinct)) - 1) * 1000 AS h_max_milli, top_share_bp,
+      |  h_milli * 10000 // greatest(1, (length(bin(n_distinct)) - 1) * 1000)
+      |    AS uniform_bp
+      |FROM agg ORDER BY table_name, column_name""".stripMargin
+
   // ─── sketch_ams: AMS tug-of-war second-moment (F2) sketch ───
   // The third classic bounded-state sketch next to CMS (point
   // frequency) and HLL/KMV (distincts): F2 = Σ f_k² — the self-join
@@ -1562,6 +1654,7 @@ object ScaleOps {
     "sketch_ams" -> sketchAms,
     "profile_histogram" -> profileHistogram,
     "profile_freq" -> profileFreq,
+    "profile_entropy" -> profileEntropy,
     "profile_drift" -> profileDrift,
     "profile_corr" -> profileCorr,
     "layout_compact" -> layoutCompact,
@@ -1589,6 +1682,7 @@ object ScaleOps {
     "sketch_ams" -> sketchAmsSql,
     "profile_histogram" -> profileHistogramSql,
     "profile_freq" -> profileFreqSql,
+    "profile_entropy" -> profileEntropySql,
     "profile_drift" -> profileDriftSql,
     "profile_corr" -> profileCorrSql,
     "layout_compact" -> layoutCompactSql,

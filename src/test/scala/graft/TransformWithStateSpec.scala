@@ -352,4 +352,60 @@ class TransformWithStateSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("token-bucket rate limiter sheds bursts, refills on event time, keeps state across restarts") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("tws_rate_ckpt").toString
+    try {
+      import spark.implicits._
+      implicit val ctx = spark.sqlContext
+      import graft.streaming.RateDecision
+      val in = MemoryStream[(String, Long, Long)]
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[RateDecision]()
+      // AvailableNow + awaitTermination, NOT processAllAvailable (the
+      // ProcessingTime quiescence note above); each drain is a fresh
+      // checkpointed run, so cross-drain carry IS restart recovery.
+      def drain(): Unit = {
+        val q = graft.streaming.RateLimiterProcessor
+          .decisions(in.toDS(), capacityTokens = 2L, refillPerSecMilli = 1000L)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[RateDecision], _: Long) =>
+            df.collect().foreach(buf.add)
+          }.start()
+        try q.awaitTermination(120000L) finally q.stop()
+      }
+      // Burst of 3 at t=0: the 2-token bucket admits 2, sheds 1.
+      in.addData(("c1", 1L, 0L), ("c1", 2L, 0L), ("c1", 3L, 0L))
+      drain()
+      // AFTER a restart (bucket level + last-ts must carry): 1.5 s
+      // later, 1.5 tokens accrued -> admit, leaving 0.5; immediate
+      // retry sheds. An independent key gets its own full bucket.
+      in.addData(("c1", 4L, 1500L), ("c1", 5L, 1500L), ("c2", 6L, 0L))
+      drain()
+      val got = buf.toArray(Array.empty[RateDecision])
+        .map(d => d.eventId -> d).toMap
+      assert(got.size == 6)
+      assert(got(1L).allowed && got(1L).tokensMilli == 1000L)
+      assert(got(2L).allowed && got(2L).tokensMilli == 0L)
+      assert(!got(3L).allowed && got(3L).tokensMilli == 0L,
+        "third event of the burst must shed")
+      assert(got(4L).allowed && got(4L).tokensMilli == 500L,
+        s"refill must follow event time across a restart: ${got(4L)}")
+      assert(!got(5L).allowed && got(5L).tokensMilli == 500L,
+        "half a token does not admit")
+      assert(got(6L).allowed && got(6L).tokensMilli == 1000L,
+        "keys are isolated")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
