@@ -252,6 +252,71 @@ object Graph {
        |       UNION ALL SELECT w FROM tri)
        |SELECT node, count(*) AS n_tri FROM tn GROUP BY node ORDER BY node""".stripMargin
 
+  // ─── graph_squares: 4-cycle (quadrilateral) counts per node ───
+  // The motif one step up from triangles: in a near-dup graph,
+  // squares without triangles are the signature of TEMPLATE families
+  // (A≈B, B≈C, C≈D, D≈A via shared boilerplate, no direct A≈C edge)
+  // — chained borderline similarity that a triangle census reads as
+  // clean. Counting identity: every 4-cycle u–v–w–x has two diagonal
+  // pairs {u,w} and {v,x}; a wedge u–v–w (center v, endpoints u<w)
+  // contributes one center to pair (u,w), so squares through diagonal
+  // (u,w) = C(common-neighbors, 2), and each node sits in exactly one
+  // diagonal of each of its squares — summing C(c,2) over the pairs
+  // containing a node counts its squares exactly once (chorded
+  // quadrilaterals included, as in the sequential Chiba–Nishizeki
+  // C4 census). The wedge fan-out is Σ_v C(deg v, 2): bounded here
+  // because pairEdges degrees are capped by the LSH band construction
+  // (Dedup.scala df caps); on an uncapped hub graph the mitigation is
+  // the same degree-ordering trick graphTriangles uses, applied per
+  // center. Everything after the wedge join is pair-frame metadata.
+  /** Per-node 4-cycle participation over a symmetric edge frame.
+    * Exposed for spec graphs. */
+  def squareCounts(edges: DataFrame): DataFrame = {
+    val wed = edges.as("e1")
+      .join(edges.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("u"), col("e2.dst").as("w"))
+    val pairs = wed.groupBy(col("u"), col("w"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .withColumn("s", expr("c * (c - 1) div 2"))
+    val perNode = pairs
+      .select(explode(array(col("u"), col("w"))).as("node"), col("s"))
+      .groupBy(col("node")).agg(sum(col("s")).as("n_sq"))
+    // Global row at node = −1: total squares (each counted by both
+    // diagonals, hence div 2). Present even when the graph has none —
+    // the readout must distinguish "no squares" from "didn't run".
+    val total = pairs.agg(
+      coalesce(expr("sum(s) div 2"), lit(0L)).as("n_sq"))
+      .select(lit(-1L).as("node"), col("n_sq"))
+    perNode.unionByName(total)
+  }
+
+  def graphSquares(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.pairEdges(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try squareCounts(edges).orderBy(col("node"))
+    finally edges.unpersist(blocking = false)
+  }
+
+  val graphSquaresSql: String =
+    s"""WITH ${Dedup.edgesCtes},
+       |wed AS (SELECT e1.dst AS u, e2.dst AS w
+       |        FROM edges e1 JOIN edges e2
+       |          ON e1.src = e2.src AND e1.dst < e2.dst),
+       |pairs AS (SELECT u, w, CAST(count(*) AS BIGINT) AS c
+       |          FROM wed GROUP BY u, w HAVING count(*) >= 2),
+       |contrib AS (
+       |  SELECT u AS node, c * (c - 1) // 2 AS s FROM pairs
+       |  UNION ALL
+       |  SELECT w AS node, c * (c - 1) // 2 AS s FROM pairs)
+       |SELECT node, CAST(sum(s) AS BIGINT) AS n_sq
+       |FROM contrib GROUP BY node
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT) AS node,
+       |  CAST(coalesce(sum(c * (c - 1) // 2) // 2, 0) AS BIGINT) AS n_sq
+       |FROM pairs
+       |ORDER BY node""".stripMargin
+
   // ─── graph_pagerank: power iteration over the pair graph ───
   // Canonical-doc election by centrality: inside a duplicate cluster
   // the highest-PageRank doc is the one most corroborated by its
@@ -1895,6 +1960,7 @@ object Graph {
     "graph_bfs" -> graphBfs,
     "graph_components" -> graphComponents,
     "graph_degrees" -> graphDegrees,
+    "graph_squares" -> graphSquares,
     "graph_triangles" -> graphTriangles,
     "graph_pagerank" -> graphPagerank)
 
@@ -1921,6 +1987,7 @@ object Graph {
     "graph_bfs" -> graphBfsSql,
     "graph_components" -> graphComponentsSql,
     "graph_degrees" -> graphDegreesSql,
+    "graph_squares" -> graphSquaresSql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_pagerank" -> graphPagerankSql)
 }

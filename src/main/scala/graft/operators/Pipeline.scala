@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
   * or a single keyed shuffle; nothing collects to the driver.
   */
 object Pipeline {
+  import Relational.epochS
 
   /** Deterministic bucket in [0, 100): top 60 bits of md5(salt:key)
     * mod 100. Same construction as Dedup.h31 — verified identical
@@ -1568,7 +1569,70 @@ object Pipeline {
        |ORDER BY method, split""".stripMargin
   }
 
+  // ─── split_time: temporal backtest split with an embargo gap ───
+  // The split a FORECASTING model needs: hash splits (split_hash,
+  // split_group) answer "did the model memorize this unit"; a model
+  // predicting the future must instead train strictly before and
+  // evaluate strictly after a point in time, with an EMBARGO band
+  // between them wide enough that label windows / session carryover
+  // anchored near the boundary cannot touch both sides (the purged
+  // walk-forward split of financial ML). Cuts at 70 %/75 % of the
+  // exact epoch span, pure integer arithmetic off one broadcast
+  // min/max row — every executor derives the same boundary with no
+  // driver round-trip. Reports per-band volumes and the
+  // straddle_users head-count (users active in BOTH train and test):
+  // unlike split_group's fragmentation this is not leakage — it is
+  // the POPULATION OVERLAP a temporal eval must disclose, because a
+  // user-level feature store computed over train users partially
+  // covers test traffic. One scan + a distinct (user, band) rollup.
+  def splitTime(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), epochS(col("ts")).as("e"))
+    val span = ev.agg(min(col("e")).as("t0"), max(col("e")).as("t1"))
+    val tagged = ev.crossJoin(broadcast(span))
+      .withColumn("split",
+        when(col("e") < expr("t0 + (t1 - t0) * 70 div 100"), "train")
+          .when(col("e") < expr("t0 + (t1 - t0) * 75 div 100"), "embargo")
+          .otherwise("test"))
+    val straddle = tagged.filter(col("split") =!= "embargo")
+      .select(col("user_id"), col("split")).distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("ns"))
+      .filter(col("ns") > 1)
+      .agg(count(lit(1)).as("straddle_users"))
+    tagged.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("e")).as("first_epoch"), max(col("e")).as("last_epoch"))
+      .crossJoin(broadcast(straddle))
+      .orderBy(col("split"))
+  }
+
+  val splitTimeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events),
+      |span AS (SELECT min(e) AS t0, max(e) AS t1 FROM e),
+      |tagged AS (
+      |  SELECT user_id, e,
+      |    CASE WHEN e < t0 + (t1 - t0) * 70 // 100 THEN 'train'
+      |         WHEN e < t0 + (t1 - t0) * 75 // 100 THEN 'embargo'
+      |         ELSE 'test' END AS split
+      |  FROM e CROSS JOIN span),
+      |straddle AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS straddle_users FROM (
+      |    SELECT user_id FROM (
+      |      SELECT DISTINCT user_id, split FROM tagged
+      |      WHERE split <> 'embargo')
+      |    GROUP BY user_id HAVING count(*) > 1))
+      |SELECT t.split, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT t.user_id) AS BIGINT) AS n_users,
+      |  min(t.e) AS first_epoch, max(t.e) AS last_epoch,
+      |  s.straddle_users
+      |FROM tagged t CROSS JOIN straddle s
+      |GROUP BY t.split, s.straddle_users
+      |ORDER BY t.split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_time" -> splitTime,
     "split_group" -> splitGroup,
     "mix_kl" -> mixKl,
     "sample_class_weights" -> sampleClassWeights,
@@ -1601,6 +1665,7 @@ object Pipeline {
     "sample_temperature" -> sampleTemperature)
 
   val oracle: Map[String, String] = Map(
+    "split_time" -> splitTimeSql,
     "split_group" -> splitGroupSql,
     "mix_kl" -> mixKlSql,
     "sample_class_weights" -> sampleClassWeightsSql,

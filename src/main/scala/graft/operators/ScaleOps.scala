@@ -1648,7 +1648,112 @@ object ScaleOps {
        |FROM dev ORDER BY column_name, digit""".stripMargin
   }
 
+  // ─── profile_outliers: exact Tukey-fence outlier counts per column ───
+  // The robust companion to profile_histogram: per numeric column,
+  // exact q1/q3 order statistics, the 1.5×IQR fences, and how much
+  // mass sits outside them — the alarm that fires BEFORE a mean-based
+  // metric silently absorbs a tail. Scale discipline: every profiled
+  // column here is DOMAIN-BOUNDED in cents (quantity ≤ 50·100,
+  // discount/tax ≤ 10s, events.value ≤ ~5·10⁴), so the per-(column,
+  // value) count ledger — one map-combining pass per table — is
+  // metadata-sized at ANY corpus scale, and BOTH the quantile lookup
+  // (first value whose cumulative count reaches ⌈q·n⌉ — tie-order
+  // independent by construction) and the outlier tally are computed
+  // on the ledger alone: zero per-row windows, zero second scans.
+  // Near-unique money columns (o_totalprice) are deliberately out of
+  // scope for the value ledger — they ride Ranks.groupedRank's
+  // range-bucket path (ts_winsorize). Fences stay integer by the ×2
+  // trick: 2·fence = 2·q ∓ 3·IQR, compared against 2·v.
+  def profileOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def counted(df: DataFrame, table: String, c: String): DataFrame =
+      df.select(cents(col(c)).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+        .select(lit(s"$table.$c").as("column_name"), col("v"), col("cnt"))
+    val ledger =
+      counted(t.lineitem, "lineitem", "l_quantity")
+        .unionByName(counted(t.lineitem, "lineitem", "l_discount"))
+        .unionByName(counted(t.lineitem, "lineitem", "l_tax"))
+        .unionByName(counted(t.events, "events", "value"))
+    val wBelow = Window.partitionBy(col("column_name")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col("column_name"))
+    val l2 = ledger
+      .withColumn("below", coalesce(sum(col("cnt")).over(wBelow), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(wTot))
+    val cuts = l2.groupBy(col("column_name"))
+      .agg(
+        min(when(col("below") < expr("(n + 3) div 4") &&
+          col("below") + col("cnt") >= expr("(n + 3) div 4"), col("v")))
+          .as("q1_cents"),
+        min(when(col("below") < expr("(3 * n + 3) div 4") &&
+          col("below") + col("cnt") >= expr("(3 * n + 3) div 4"), col("v")))
+          .as("q3_cents"))
+      .withColumn("iqr_cents", col("q3_cents") - col("q1_cents"))
+    l2.join(broadcast(cuts), Seq("column_name"))
+      .groupBy(col("column_name"))
+      .agg(max(col("n")).as("n"),
+        max(col("q1_cents")).as("q1_cents"),
+        max(col("q3_cents")).as("q3_cents"),
+        max(col("iqr_cents")).as("iqr_cents"),
+        sum(when(col("v") * 2 < col("q1_cents") * 2 - col("iqr_cents") * 3,
+          col("cnt")).otherwise(0L)).as("n_low"),
+        sum(when(col("v") * 2 > col("q3_cents") * 2 + col("iqr_cents") * 3,
+          col("cnt")).otherwise(0L)).as("n_high"))
+      .withColumn("out_bp",
+        expr("(n_low + n_high) * 10000 div n"))
+      .orderBy(col("column_name"))
+  }
+
+  val profileOutliersSql: String = {
+    def branch(table: String, c: String) =
+      s"""SELECT '$table.$c' AS column_name,
+         |      CAST(floor($c * 100 + 0.5) AS BIGINT) AS v FROM $table"""
+        .stripMargin
+    s"""WITH vals AS (
+       |  ${branch("lineitem", "l_quantity")}
+       |  UNION ALL ${branch("lineitem", "l_discount")}
+       |  UNION ALL ${branch("lineitem", "l_tax")}
+       |  UNION ALL ${branch("events", "value")}),
+       |ledger AS (
+       |  SELECT column_name, v, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM vals GROUP BY 1, 2),
+       |l2 AS (
+       |  SELECT column_name, v, cnt,
+       |    CAST(coalesce(sum(cnt) OVER (PARTITION BY column_name ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS below,
+       |    CAST(sum(cnt) OVER (PARTITION BY column_name) AS BIGINT) AS n
+       |  FROM ledger),
+       |cuts AS (
+       |  SELECT column_name, max(n) AS n,
+       |    min(CASE WHEN below < (n + 3) // 4
+       |      AND below + cnt >= (n + 3) // 4 THEN v END) AS q1_cents,
+       |    min(CASE WHEN below < (3 * n + 3) // 4
+       |      AND below + cnt >= (3 * n + 3) // 4 THEN v END) AS q3_cents
+       |  FROM l2 GROUP BY column_name)
+       |SELECT l.column_name, max(l.n) AS n, max(c.q1_cents) AS q1_cents,
+       |  max(c.q3_cents) AS q3_cents,
+       |  max(c.q3_cents - c.q1_cents) AS iqr_cents,
+       |  CAST(sum(CASE WHEN l.v * 2 <
+       |      c.q1_cents * 2 - (c.q3_cents - c.q1_cents) * 3
+       |    THEN l.cnt ELSE 0 END) AS BIGINT) AS n_low,
+       |  CAST(sum(CASE WHEN l.v * 2 >
+       |      c.q3_cents * 2 + (c.q3_cents - c.q1_cents) * 3
+       |    THEN l.cnt ELSE 0 END) AS BIGINT) AS n_high,
+       |  (CAST(sum(CASE WHEN l.v * 2 <
+       |      c.q1_cents * 2 - (c.q3_cents - c.q1_cents) * 3
+       |    THEN l.cnt ELSE 0 END) AS BIGINT)
+       |   + CAST(sum(CASE WHEN l.v * 2 >
+       |      c.q3_cents * 2 + (c.q3_cents - c.q1_cents) * 3
+       |    THEN l.cnt ELSE 0 END) AS BIGINT)) * 10000 // max(l.n) AS out_bp
+       |FROM l2 l JOIN cuts c USING (column_name)
+       |GROUP BY l.column_name
+       |ORDER BY l.column_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_outliers" -> profileOutliers,
     "profile_benford" -> profileBenford,
     "profile_fd" -> profileFd,
     "sketch_ams" -> sketchAms,
@@ -1677,6 +1782,7 @@ object ScaleOps {
   /** sketch_stats is deliberately absent: approximate sketches are not
     * cross-engine reproducible (driver does the rows-only check). */
   val oracle: Map[String, String] = Map(
+    "profile_outliers" -> profileOutliersSql,
     "profile_benford" -> profileBenfordSql,
     "profile_fd" -> profileFdSql,
     "sketch_ams" -> sketchAmsSql,

@@ -434,6 +434,145 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(t4 == k4, "4-truss is exactly the clique")
   }
 
+  // ─── ts_cusum ───
+
+  test("ts_cusum: reflection identity equals the direct recursion; alarms monotone in threshold") {
+    val rows = Events.tsCusum(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // Alarm count must be non-increasing in the threshold multiplier.
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      val byMult = rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(byMult.keySet == Set(4L, 8L, 16L))
+      assert(byMult(4L) >= byMult(8L) && byMult(8L) >= byMult(16L),
+        s"$tpe: alarm hours must shrink as the threshold rises")
+      rs.foreach { r =>
+        assert(r.getLong(4) >= 0, s"$tpe: max_s is a running max of a floor-0 stat")
+        assert((r.getLong(2) > 0) == !r.isNullAt(3),
+          s"$tpe: first_alarm_epoch iff any alarm hour")
+      }
+    }
+    // Direct recursion for one type: S_t = max(0, S_{t-1} + d_t - k)
+    // over the zero-filled hourly series must reproduce max_s and the
+    // mult=4 alarm-hour count (the reflection identity, re-derived).
+    val ev = Tables(spark, dir).events
+      .select(col("event_type"), unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
+    val tpe = ev.select(min(col("event_type"))).head.getString(0)
+    val counts = ev.groupBy(col("h")).agg(
+      sum(when(col("event_type") === tpe, 1L).otherwise(0L)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (h0, h1) = (counts.keys.min, counts.keys.max)
+    val grid = (h0 to h1 by 3600L).map(h => counts.getOrElse(h, 0L))
+    val n = grid.length.toLong
+    val total = grid.sum
+    val dev = grid.map(_ * n - total)
+    val mad = dev.map(math.abs).sum / n
+    val k = dev.map(math.abs).sum / (2 * n)
+    var s = 0L; var maxS = 0L; var alarm4 = 0L
+    dev.foreach { d =>
+      s = math.max(0L, s + d - k)
+      maxS = math.max(maxS, s)
+      if (mad > 0 && s >= 4 * mad) alarm4 += 1
+    }
+    val got = rows.filter(r => r.getString(0) == tpe && r.getLong(1) == 4L).head
+    assert(got.getLong(4) == maxS, s"$tpe: max_s ${got.getLong(4)} != direct $maxS")
+    assert(got.getLong(2) == alarm4, s"$tpe: mult=4 alarm hours")
+    assert(got.getLong(5) == mad, s"$tpe: mad")
+  }
+
+  // ─── profile_entropy ───
+
+  test("profile_entropy: every column equals a direct fl2 recompute") {
+    def fl2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val rows = ScaleOps.profileEntropy(spark, dir).collect()
+    assert(rows.map(_.getString(1)).toSet.contains("event_type"))
+    val byCol = Map[(String, String), org.apache.spark.sql.DataFrame](
+      ("events", "event_type") -> Tables(spark, dir).events.select(col("event_type")),
+      ("documents", "lang") -> Tables(spark, dir).documents.select(col("lang")))
+    rows.filter(r => byCol.contains((r.getString(0), r.getString(1)))).foreach { r =>
+      val cnts = byCol((r.getString(0), r.getString(1)))
+        .groupBy(col(r.getString(1))).count().collect().map(_.getLong(1))
+      val n = cnts.sum
+      val h = cnts.map(c => c * (fl2(n) - fl2(c))).sum * 1000 / n
+      assert(r.getLong(2) == n, s"${r.getString(1)}: n_rows")
+      assert(r.getLong(3) == cnts.length.toLong, s"${r.getString(1)}: n_distinct")
+      assert(r.getLong(4) == h, s"${r.getString(1)}: h_milli ${r.getLong(4)} != $h")
+      assert(r.getLong(6) == cnts.max * 10000 / n, s"${r.getString(1)}: top_share_bp")
+      val hmax = fl2(cnts.length.toLong) * 1000
+      assert(r.getLong(5) == hmax && r.getLong(7) == h * 10000 / math.max(1, hmax))
+    }
+  }
+
+  // ─── split_time ───
+
+  test("split_time: bands partition the log, boundaries ordered, straddle exact") {
+    val rows = Pipeline.splitTime(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("train", "embargo", "test"))
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("e"))
+    assert(rows.values.map(_.getLong(1)).sum == ev.count(),
+      "the three bands partition the event log")
+    assert(rows("train").getLong(4) < rows("embargo").getLong(3) &&
+      rows("embargo").getLong(4) < rows("test").getLong(3),
+      "band epoch ranges must be disjoint and ordered")
+    // ~70/5/25 of the SPAN (not the volume): train holds the majority.
+    assert(rows("train").getLong(1) > rows("test").getLong(1))
+    // Straddle recompute: users with ≥1 train AND ≥1 test event.
+    val agg = ev.crossJoin(broadcast(ev.agg(min(col("e")).as("t0"), max(col("e")).as("t1"))))
+    val straddle = agg
+      .select(col("user_id"),
+        (col("e") < expr("t0 + (t1 - t0) * 70 div 100")).as("tr"),
+        (col("e") >= expr("t0 + (t1 - t0) * 75 div 100")).as("te"))
+      .groupBy(col("user_id"))
+      .agg(max(col("tr")).as("tr"), max(col("te")).as("te"))
+      .filter(col("tr") && col("te")).count()
+    assert(rows.values.forall(_.getLong(5) == straddle), "straddle_users")
+  }
+
+  // ─── profile_outliers ───
+
+  test("profile_outliers: quantiles and fence counts equal a sorted recompute") {
+    val rows = ScaleOps.profileOutliers(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("lineitem.l_quantity",
+      "lineitem.l_discount", "lineitem.l_tax", "events.value"))
+    val sources = Map(
+      "lineitem.l_quantity" -> Tables(spark, dir).lineitem.select(col("l_quantity")),
+      "events.value" -> Tables(spark, dir).events.select(col("value")))
+    rows.filter(r => sources.contains(r.getString(0))).foreach { r =>
+      val vs = sources(r.getString(0))
+        .collect().map(x => math.floor(x.getDouble(0) * 100 + 0.5).toLong).sorted
+      val n = vs.length.toLong
+      val q1 = vs(((n + 3) / 4 - 1).toInt)
+      val q3 = vs(((3 * n + 3) / 4 - 1).toInt)
+      val iqr = q3 - q1
+      assert(r.getLong(1) == n && r.getLong(2) == q1 && r.getLong(3) == q3,
+        s"${r.getString(0)}: n/q1/q3 vs direct ($n, $q1, $q3)")
+      assert(r.getLong(5) == vs.count(v => 2 * v < 2 * q1 - 3 * iqr).toLong,
+        s"${r.getString(0)}: n_low")
+      assert(r.getLong(6) == vs.count(v => 2 * v > 2 * q3 + 3 * iqr).toLong,
+        s"${r.getString(0)}: n_high")
+    }
+  }
+
+  // ─── graph_squares ───
+
+  test("graph_squares: crafted cycle, clique, and path count exactly") {
+    import spark.implicits._
+    def sym(und: Seq[(Long, Long)]) =
+      (und ++ und.map(_.swap)).toDF("src", "dst")
+    def counts(und: Seq[(Long, Long)]): Map[Long, Long] =
+      Graph.squareCounts(sym(und)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // A plain 4-cycle: one square, every node in it.
+    val c4 = counts(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert(c4 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, -1L -> 1L))
+    // K4: 3 quadrilaterals (chorded included), each node in all 3.
+    val k4 = counts(for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b))
+    assert(k4 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, -1L -> 3L))
+    // A path has no cycles: only the global zero row.
+    assert(counts(Seq((1L, 2L), (2L, 3L))) == Map(-1L -> 0L))
+  }
+
   test("graph_ktruss: 3 peel rounds reach the fixpoint at SF") {
     // Eager checkpoints per round: each peel references its input
     // THREE times (sym union + support join), so an uncheckpointed
