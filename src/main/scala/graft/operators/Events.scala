@@ -1388,6 +1388,95 @@ object Events {
       |FROM v JOIN cuts c USING (event_type)
       |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin
 
+  // ─── ts_hampel: median/MAD robust outlier screen per stream ───
+  // The robust sibling of ts_winsorize's trimmed mean: flag values
+  // more than 5 MADs from the per-type MEDIAN (the Hampel identifier,
+  // with the 1.4826 Gaussian consistency constant folded into the
+  // deliberately-wide ×5 multiplier so everything stays integer).
+  // Both statistics ride the same value-count ledger discipline as
+  // profile_outliers — events.value cents are domain-bounded, so the
+  // per-(type, value) ledger is metadata-sized at any corpus scale:
+  // the median is value-at-rank ⌈n/2⌉ on the ledger cumulative, the
+  // MAD re-groups the SAME ledger by |v − median| (pure arithmetic,
+  // no second scan) and takes its weighted median, and the outlier
+  // tally is a ledger sum. One corpus pass total, zero per-row
+  // windows. A constant stream has mad = 0 and by contract flags
+  // only values strictly off the median.
+  def tsHampel(spark: SparkSession, dir: String): DataFrame = {
+    val led = Tables(spark, dir).events
+      .select(col("event_type"), cents(col("value")).as("v"))
+      .groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("cnt"))
+    def wBelow = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def wTot = Window.partitionBy(col("event_type"))
+    def medianOf(ledger: DataFrame): DataFrame = ledger
+      .withColumn("below", coalesce(sum(col("cnt")).over(wBelow), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(wTot))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("below") < expr("(n + 1) div 2") &&
+          col("below") + col("cnt") >= expr("(n + 1) div 2"), col("v")))
+          .as("med"))
+    val meds = medianOf(led).select(col("event_type"), col("n"), col("med"))
+    val adLed = led.join(broadcast(meds), Seq("event_type"))
+      .select(col("event_type"), abs(col("v") - col("med")).as("v"), col("cnt"))
+      .groupBy(col("event_type"), col("v")).agg(sum(col("cnt")).as("cnt"))
+    val mads = medianOf(adLed)
+      .select(col("event_type"), col("med").as("mad"))
+    led.join(broadcast(meds), Seq("event_type"))
+      .join(broadcast(mads), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(col("med")).as("median_cents"),
+        max(col("mad")).as("mad_cents"),
+        sum(when(abs(col("v") - col("med")) > col("mad") * 5, col("cnt"))
+          .otherwise(0L)).as("n_out"))
+      .withColumn("out_bp", expr("n_out * 10000 div n"))
+      .orderBy(col("event_type"))
+  }
+
+  val tsHampelSql: String =
+    """WITH led AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |l2 AS (
+      |  SELECT event_type, v, cnt,
+      |    CAST(coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS below,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM led),
+      |meds AS (
+      |  SELECT event_type, max(n) AS n,
+      |    min(CASE WHEN below < (n + 1) // 2
+      |      AND below + cnt >= (n + 1) // 2 THEN v END) AS med
+      |  FROM l2 GROUP BY event_type),
+      |adled AS (
+      |  SELECT l.event_type, abs(l.v - m.med) AS v,
+      |    CAST(sum(l.cnt) AS BIGINT) AS cnt
+      |  FROM led l JOIN meds m USING (event_type) GROUP BY 1, 2),
+      |a2 AS (
+      |  SELECT event_type, v, cnt,
+      |    CAST(coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS below,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM adled),
+      |mads AS (
+      |  SELECT event_type,
+      |    min(CASE WHEN below < (n + 1) // 2
+      |      AND below + cnt >= (n + 1) // 2 THEN v END) AS mad
+      |  FROM a2 GROUP BY event_type)
+      |SELECT l.event_type, max(m.n) AS n, max(m.med) AS median_cents,
+      |  max(d.mad) AS mad_cents,
+      |  CAST(sum(CASE WHEN abs(l.v - m.med) > d.mad * 5
+      |    THEN l.cnt ELSE 0 END) AS BIGINT) AS n_out,
+      |  CAST(sum(CASE WHEN abs(l.v - m.med) > d.mad * 5
+      |    THEN l.cnt ELSE 0 END) AS BIGINT) * 10000 // max(m.n) AS out_bp
+      |FROM led l JOIN meds m USING (event_type) JOIN mads d USING (event_type)
+      |GROUP BY l.event_type ORDER BY l.event_type""".stripMargin
+
   // ─── ts_ohlc: resampled open/high/low/close bars ───
   // 4-hour bars per type. Open/close are ORDER-dependent aggregates,
   // so they ride the rank window (fully tie-broken by (ts, event_id),
@@ -4049,6 +4138,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_cusum" -> tsCusum,
+    "ts_hampel" -> tsHampel,
     "ev_lifecycle" -> evLifecycle,
     "ev_periodogram" -> evPeriodogram,
     "ev_entropy" -> evEntropy,
@@ -4122,6 +4212,7 @@ object Events {
 
   val oracle: Map[String, String] = Map(
     "ts_cusum" -> tsCusumSql,
+    "ts_hampel" -> tsHampelSql,
     "ev_lifecycle" -> evLifecycleSql,
     "ev_periodogram" -> evPeriodogramSql,
     "ev_entropy" -> evEntropySql,

@@ -744,6 +744,99 @@ object ScaleOps {
        |ORDER BY c.c_custkey""".stripMargin
   }
 
+  // ─── filter_bloom_curve: FPR operating curve across filter widths ───
+  // The sizing table behind filter_bloom's M=4096 choice: build the
+  // SAME K=3 filter at M ∈ {1024, 4096, 16384}, probe every
+  // NON-member customer, and report measured false-positive rate next
+  // to the fill-ratio prediction (fill_bp³ div 10⁸ ≈ (set/m)^K in
+  // pure integers — no libm, both engines reproduce the digit). The
+  // disclosed fill→FPR gap at each size is what justifies (or
+  // refuses) a bitmap 4× smaller on the wire. Shapes: the K·|Ms|
+  // position explode is a constant ×9 fan-out of the distinct key
+  // set; each filter is ≤ M distinct-position rows (broadcast); the
+  // probe side is an anti-join then the same bounded explode.
+  private val bloomCurveMs = Seq(1024, 4096, 16384)
+
+  private def bloomPosM(m: Int, k: Int, key: Column): Column =
+    conv(substring(md5(concat(lit(s"bloomc$m:$k:"), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % m
+
+  private def bloomPosMSql(m: Int, k: Int, key: String): String =
+    s"(CAST(('0x' || substr(md5('bloomc$m:$k:' || CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) % $m)"
+
+  def filterBloomCurve(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val corpus = t.orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("key")).distinct()
+    def posStructs(key: Column) = array((for {
+      m <- bloomCurveMs; k <- 1 to bloomK
+    } yield struct(lit(m.toLong).as("m"), bloomPosM(m, k, key).as("pos"))): _*)
+    val bits = corpus.select(explode(posStructs(col("key"))).as("mp"))
+      .select(col("mp.m").as("m"), col("mp.pos").as("pos")).distinct()
+    val fill = bits.groupBy(col("m")).agg(count(lit(1)).as("n_bits_set"))
+    val nonmember = t.customer.select(col("c_custkey"))
+      .join(corpus.withColumnRenamed("key", "c_custkey"),
+        Seq("c_custkey"), "left_anti")
+    val fps = nonmember
+      .select(col("c_custkey"), explode(posStructs(col("c_custkey"))).as("mp"))
+      .select(col("c_custkey"), col("mp.m").as("m"), col("mp.pos").as("pos"))
+      .join(broadcast(bits), Seq("m", "pos"))
+      .groupBy(col("c_custkey"), col("m")).agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === bloomK)
+      .groupBy(col("m")).agg(count(lit(1)).as("n_fp"))
+    fill
+      .join(fps, Seq("m"), "left")
+      .crossJoin(broadcast(corpus.agg(count(lit(1)).as("n_keys"))))
+      .crossJoin(broadcast(nonmember.agg(count(lit(1)).as("n_nonmember"))))
+      .withColumn("n_fp", coalesce(col("n_fp"), lit(0L)))
+      .withColumn("fill_bp", expr("n_bits_set * 10000 div m"))
+      .select(col("m"), col("n_keys"), col("n_bits_set"), col("fill_bp"),
+        col("n_nonmember"), col("n_fp"),
+        expr("n_fp * 10000 div n_nonmember").as("fpr_bp"),
+        expr("fill_bp * fill_bp * fill_bp div 100000000").as("fpr_pred_bp"))
+      .orderBy(col("m"))
+  }
+
+  val filterBloomCurveSql: String = {
+    def posList(key: String) = bloomCurveMs.flatMap(m =>
+      (1 to bloomK).map(k =>
+        s"struct_pack(m := CAST($m AS BIGINT), pos := ${bloomPosMSql(m, k, key)})"))
+      .mkString(",\n      ")
+    s"""WITH corpus AS (
+       |  SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'),
+       |bits AS (
+       |  SELECT DISTINCT mp.m AS m, mp.pos AS pos FROM (
+       |    SELECT unnest([
+       |      ${posList("key")}]) AS mp
+       |    FROM corpus)),
+       |fill AS (SELECT m, CAST(count(*) AS BIGINT) AS n_bits_set
+       |         FROM bits GROUP BY m),
+       |nonmember AS (
+       |  SELECT c_custkey FROM customer
+       |  WHERE c_custkey NOT IN (SELECT key FROM corpus)),
+       |probe AS (
+       |  SELECT c_custkey, mp.m AS m, mp.pos AS pos FROM (
+       |    SELECT c_custkey, unnest([
+       |      ${posList("c_custkey")}]) AS mp
+       |    FROM nonmember)),
+       |fps AS (
+       |  SELECT m, CAST(count(*) AS BIGINT) AS n_fp FROM (
+       |    SELECT c_custkey, m FROM probe JOIN bits USING (m, pos)
+       |    GROUP BY c_custkey, m HAVING count(*) = $bloomK)
+       |  GROUP BY m),
+       |nk AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM corpus),
+       |np AS (SELECT CAST(count(*) AS BIGINT) AS n_nonmember FROM nonmember)
+       |SELECT f.m, nk.n_keys, f.n_bits_set,
+       |  f.n_bits_set * 10000 // f.m AS fill_bp,
+       |  np.n_nonmember, coalesce(p.n_fp, 0) AS n_fp,
+       |  coalesce(p.n_fp, 0) * 10000 // np.n_nonmember AS fpr_bp,
+       |  (f.n_bits_set * 10000 // f.m) * (f.n_bits_set * 10000 // f.m)
+       |    * (f.n_bits_set * 10000 // f.m) // 100000000 AS fpr_pred_bp
+       |FROM fill f LEFT JOIN fps p USING (m)
+       |CROSS JOIN nk CROSS JOIN np
+       |ORDER BY f.m""".stripMargin
+  }
+
   // ─── sketch_cms: count-min sketch build + calibration probe ───
   // The fixed-memory frequency sketch of streaming telemetry: a
   // depth-4 × width-256 counter grid whose K=4 row positions derive
@@ -1771,6 +1864,7 @@ object ScaleOps {
     "layout_prune" -> layoutPrune,
     "layout_advisor" -> layoutAdvisor,
     "filter_bloom" -> filterBloom,
+    "filter_bloom_curve" -> filterBloomCurve,
     "shard_skew" -> shardSkew,
     "shard_rebalance" -> shardRebalance,
     "profile_table" -> profileTable,
@@ -1800,6 +1894,7 @@ object ScaleOps {
     "layout_prune" -> layoutPruneSql,
     "layout_advisor" -> layoutAdvisorSql,
     "filter_bloom" -> filterBloomSql,
+    "filter_bloom_curve" -> filterBloomCurveSql,
     "shard_skew" -> shardSkewSql,
     "shard_rebalance" -> shardRebalanceSql,
     "profile_table" -> profileTableSql,

@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
@@ -801,6 +802,90 @@ object Similarity {
        |SELECT vec_id, rank, neighbor_id, cell,
        |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp
        |FROM ranked WHERE rank <= $knnK ORDER BY vec_id, rank""".stripMargin
+
+  // ─── ann_knn_graph: health readout of the kNN graph ───
+  // The index-quality numbers read off knn_join's edges before anyone
+  // builds on them: reciprocity (what share of directed kNN edges are
+  // MUTUAL — low reciprocity is the hubness signature of
+  // high-dimensional embedding spaces, where a few exemplars are
+  // everyone's neighbor but reciprocate nobody), mean edge cosine,
+  // the max in-degree (the hub itself), and the orphan count (vectors
+  // that are nobody's neighbor — the anti-hubs that graph-based ANN
+  // search cannot reach). One |V|·k edge frame (knn_join's output,
+  // re-derived in-plan), one swapped-pair self-join on it, two
+  // metadata-sized rollups; nothing here rescans the corpus.
+  def annKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val e = knnJoin(spark, dir)
+      .select(col("vec_id"), col("neighbor_id"), col("cos_bp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val mutual = e.as("a").join(e.as("b"),
+        col("a.vec_id") === col("b.neighbor_id") &&
+          col("a.neighbor_id") === col("b.vec_id"), "left_semi")
+      val indeg = e.groupBy(col("neighbor_id")).agg(count(lit(1)).as("d"))
+      val nNodes = vecs(spark, dir).select(col("vec_id"))
+      val stats = e.agg(count(lit(1)).as("n_edges"),
+        sum(col("cos_bp")).as("sum_cos"))
+      stats
+        .crossJoin(broadcast(mutual.agg(count(lit(1)).as("n_mutual"))))
+        .crossJoin(broadcast(indeg.agg(max(col("d")).as("max_indeg"),
+          count(lit(1)).as("n_reached"))))
+        .crossJoin(broadcast(nNodes.agg(count(lit(1)).as("n_nodes"))))
+        .select(col("n_nodes"), col("n_edges"),
+          col("n_mutual"),
+          expr("n_mutual * 10000 div n_edges").as("mutual_bp"),
+          expr("sum_cos div n_edges").as("mean_cos_bp"),
+          col("max_indeg"),
+          (col("n_nodes") - col("n_reached")).as("n_orphans"),
+          expr("(n_nodes - n_reached) * 10000 div n_nodes").as("orphan_bp"))
+    } finally e.unpersist(blocking = false)
+  }
+
+  val annKnnGraphSql: String =
+    s"""WITH n AS (${vecsSql("vec_id")}),
+       |$ivfCentsSql,
+       |ad AS (
+       |  SELECT n.vec_id, n.v, n.norm, c.cell,
+       |    (${dist2SqlOf("n.v", "c.centv")}) AS d2
+       |  FROM n, cents c),
+       |assigned AS (
+       |  SELECT cell, vec_id, v, norm FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, cell) AS r FROM ad)
+       |  WHERE r = 1),
+       |scored AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id, a.cell,
+       |    (${dotSqlOf("a.v", "b.v")}) / (a.norm * b.norm) AS cos
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |knn AS (
+       |  SELECT vec_id, neighbor_id,
+       |    CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp
+       |  FROM (
+       |    SELECT vec_id, neighbor_id, cos, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $knnK),
+       |mut AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_mutual
+       |  FROM knn a WHERE EXISTS (
+       |    SELECT 1 FROM knn b
+       |    WHERE a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id)),
+       |ind AS (
+       |  SELECT CAST(max(d) AS BIGINT) AS max_indeg,
+       |    CAST(count(*) AS BIGINT) AS n_reached
+       |  FROM (SELECT neighbor_id, count(*) AS d FROM knn GROUP BY 1)),
+       |es AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       |    CAST(sum(cos_bp) AS BIGINT) AS sum_cos
+       |  FROM knn),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM n)
+       |SELECT nn.n_nodes, es.n_edges, mut.n_mutual,
+       |  mut.n_mutual * 10000 // es.n_edges AS mutual_bp,
+       |  es.sum_cos // es.n_edges AS mean_cos_bp,
+       |  ind.max_indeg, nn.n_nodes - ind.n_reached AS n_orphans,
+       |  (nn.n_nodes - ind.n_reached) * 10000 // nn.n_nodes AS orphan_bp
+       |FROM es CROSS JOIN mut CROSS JOIN ind CROSS JOIN nn""".stripMargin
 
   // ─── ann_recall: LSH recall measured against the exact baseline ───
   // The ANN quality gate, in-engine: join the LSH top-k against the
@@ -1733,6 +1818,7 @@ object Similarity {
     "ann_centroid_stats" -> annCentroidStats,
     "ann_recall_curve" -> annRecallCurve,
     "ann_recall" -> annRecall,
+    "ann_knn_graph" -> annKnnGraph,
     "knn_join" -> knnJoin,
     "ann_pq" -> annPq,
     "ann_sq" -> annSq,
@@ -1758,6 +1844,7 @@ object Similarity {
     "ann_centroid_stats" -> annCentroidStatsSql,
     "ann_recall_curve" -> annRecallCurveSql,
     "ann_recall" -> annRecallSql,
+    "ann_knn_graph" -> annKnnGraphSql,
     "knn_join" -> knnJoinSql,
     "ann_pq" -> annPqSql,
     "ann_sq" -> annSqSql,

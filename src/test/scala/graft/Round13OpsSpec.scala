@@ -573,6 +573,71 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(counts(Seq((1L, 2L), (2L, 3L))) == Map(-1L -> 0L))
   }
 
+  // ─── ann_knn_graph ───
+
+  test("ann_knn_graph: every readout re-derives from knn_join's edges") {
+    val r = Similarity.annKnnGraph(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // knn_join columns: vec_id, rank, neighbor_id, cell, cos_bp.
+    val edges = Similarity.knnJoin(spark, dir).collect()
+      .map(e => (e.getLong(0), e.getLong(2), e.getLong(4)))
+    val dir2 = edges.map(e => (e._1, e._2)).toSet
+    val mutual = edges.count(e => dir2.contains((e._2, e._1))).toLong
+    assert(row.getLong(1) == edges.length.toLong, "n_edges")
+    assert(row.getLong(2) == mutual && mutual % 2 == 0,
+      "mutual edges count pairwise (always even)")
+    assert(row.getLong(3) == mutual * 10000 / edges.length, "mutual_bp")
+    assert(row.getLong(4) == edges.map(_._3).sum / edges.length, "mean_cos_bp")
+    val indeg = edges.groupBy(_._2).map(_._2.length.toLong)
+    assert(row.getLong(5) == indeg.max, "max_indeg")
+    assert(row.getLong(6) == row.getLong(0) - indeg.size.toLong, "n_orphans")
+  }
+
+  // ─── filter_bloom_curve ───
+
+  test("filter_bloom_curve: fill and FPR shrink as the filter widens; accounting exact") {
+    val rows = ScaleOps.filterBloomCurve(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1024L, 4096L, 16384L))
+    rows.foreach { r =>
+      val (m, nKeys, bits, fill) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(bits <= math.min(3 * nKeys, m), "K·n keys cap and M cap")
+      assert(fill == bits * 10000 / m, "fill_bp accounting")
+      assert(r.getLong(5) <= r.getLong(4), "n_fp <= n_nonmember")
+      assert(r.getLong(7) == fill * fill * fill / 100000000L,
+        "(fill)^K prediction accounting")
+    }
+    // Wider filters can only improve precision (4x steps dwarf noise).
+    assert(rows.map(_.getLong(6)).sliding(2).forall(p => p(0) >= p(1)),
+      "measured FPR non-increasing in M")
+    assert(rows.map(_.getLong(3)).sliding(2).forall(p => p(0) > p(1)),
+      "fill strictly decreasing in M")
+  }
+
+  // ─── ts_hampel ───
+
+  test("ts_hampel: median, MAD, and the flag count equal a sorted recompute") {
+    val rows = Events.tsHampel(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byType = Tables(spark, dir).events
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> math.floor(r.getDouble(1) * 100 + 0.5).toLong)
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    rows.foreach { r =>
+      val vs = byType(r.getString(0))
+      val n = vs.length.toLong
+      def medOf(s: Seq[Long]) = s(((s.length + 1) / 2 - 1))
+      val med = medOf(vs)
+      val mad = medOf(vs.map(v => math.abs(v - med)).sorted)
+      val nOut = vs.count(v => math.abs(v - med) > 5 * mad).toLong
+      assert(r.getLong(1) == n && r.getLong(2) == med && r.getLong(3) == mad,
+        s"${r.getString(0)}: n/median/mad vs direct ($n, $med, $mad)")
+      assert(r.getLong(4) == nOut && r.getLong(5) == nOut * 10000 / n,
+        s"${r.getString(0)}: outlier tally")
+    }
+  }
+
   test("graph_ktruss: 3 peel rounds reach the fixpoint at SF") {
     // Eager checkpoints per round: each peel references its input
     // THREE times (sym union + support join), so an uncheckpointed
