@@ -1403,33 +1403,40 @@ object Events {
   // windows. A constant stream has mad = 0 and by contract flags
   // only values strictly off the median.
   def tsHampel(spark: SparkSession, dir: String): DataFrame = {
+    // ONE lineage chain — median and MAD come back onto their ledgers
+    // as window aggregates over the bounded per-type partition, never
+    // a groupBy + re-join (which forks the lineage and replays the
+    // corpus scan per branch; the plan guard pins one events scan).
+    val wTot = Window.partitionBy(col("event_type"))
     val led = Tables(spark, dir).events
       .select(col("event_type"), cents(col("value")).as("v"))
       .groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("cnt"))
-    def wBelow = Window.partitionBy(col("event_type")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    def wTot = Window.partitionBy(col("event_type"))
-    def medianOf(ledger: DataFrame): DataFrame = ledger
-      .withColumn("below", coalesce(sum(col("cnt")).over(wBelow), lit(0L)))
+    val withMed = led
+      .withColumn("below", coalesce(sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("n", sum(col("cnt")).over(wTot))
-      .groupBy(col("event_type"))
-      .agg(max(col("n")).as("n"),
+      .withColumn("med",
         min(when(col("below") < expr("(n + 1) div 2") &&
           col("below") + col("cnt") >= expr("(n + 1) div 2"), col("v")))
-          .as("med"))
-    val meds = medianOf(led).select(col("event_type"), col("n"), col("med"))
-    val adLed = led.join(broadcast(meds), Seq("event_type"))
-      .select(col("event_type"), abs(col("v") - col("med")).as("v"), col("cnt"))
-      .groupBy(col("event_type"), col("v")).agg(sum(col("cnt")).as("cnt"))
-    val mads = medianOf(adLed)
-      .select(col("event_type"), col("med").as("mad"))
-    led.join(broadcast(meds), Seq("event_type"))
-      .join(broadcast(mads), Seq("event_type"))
-      .groupBy(col("event_type"))
+          .over(wTot))
+    val adLed = withMed
+      .groupBy(col("event_type"), abs(col("v") - col("med")).as("ad"))
+      .agg(sum(col("cnt")).as("cnt"), max(col("n")).as("n"),
+        max(col("med")).as("med"))
+    val withMad = adLed
+      .withColumn("belowa", coalesce(sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("ad"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("mad",
+        min(when(col("belowa") < expr("(n + 1) div 2") &&
+          col("belowa") + col("cnt") >= expr("(n + 1) div 2"), col("ad")))
+          .over(wTot))
+    withMad.groupBy(col("event_type"))
       .agg(max(col("n")).as("n"),
         max(col("med")).as("median_cents"),
         max(col("mad")).as("mad_cents"),
-        sum(when(abs(col("v") - col("med")) > col("mad") * 5, col("cnt"))
+        sum(when(col("ad") > col("mad") * 5, col("cnt"))
           .otherwise(0L)).as("n_out"))
       .withColumn("out_bp", expr("n_out * 10000 div n"))
       .orderBy(col("event_type"))

@@ -1397,20 +1397,24 @@ object ScaleOps {
   // uniform_bp = 10⁴ by the greatest(1, ·) guard.
   def profileEntropy(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    def counted(df: DataFrame, table: String, c: String): DataFrame =
-      df.groupBy(col(c).cast("string").as("value"))
-        .agg(count(lit(1)).as("cnt"))
-        .select(lit(table).as("table_name"), lit(c).as("column_name"),
-          col("value"), col("cnt"))
+    // One scan per table (plan-guarded): a table's profiled columns
+    // ride a single projection exploded to (table, column, value).
+    def stackOf(df: DataFrame, table: String, cs: Seq[String]): DataFrame =
+      df.select(explode(array(cs.map(c =>
+        struct(lit(c).as("column_name"),
+          col(c).cast("string").as("value"))): _*)).as("cv"))
+        .select(lit(table).as("table_name"),
+          col("cv.column_name").as("column_name"),
+          col("cv.value").as("value"))
     val stacked =
-      counted(t.orders, "orders", "o_orderstatus")
-        .unionByName(counted(t.orders, "orders", "o_orderpriority"))
-        .unionByName(counted(t.lineitem, "lineitem", "l_returnflag"))
-        .unionByName(counted(t.lineitem, "lineitem", "l_linestatus"))
-        .unionByName(counted(t.customer, "customer", "c_mktsegment"))
-        .unionByName(counted(t.events, "events", "event_type"))
-        .unionByName(counted(t.documents, "documents", "lang"))
-        .unionByName(counted(t.documents, "documents", "source"))
+      stackOf(t.orders, "orders", Seq("o_orderstatus", "o_orderpriority"))
+        .unionByName(stackOf(t.lineitem, "lineitem",
+          Seq("l_returnflag", "l_linestatus")))
+        .unionByName(stackOf(t.customer, "customer", Seq("c_mktsegment")))
+        .unionByName(stackOf(t.events, "events", Seq("event_type")))
+        .unionByName(stackOf(t.documents, "documents", Seq("lang", "source")))
+        .groupBy(col("table_name"), col("column_name"), col("value"))
+        .agg(count(lit(1)).as("cnt"))
     stacked
       .withColumn("n", sum(col("cnt")).over(
         Window.partitionBy(col("table_name"), col("column_name"))))
@@ -1759,32 +1763,41 @@ object ScaleOps {
   // trick: 2·fence = 2·q ∓ 3·IQR, compared against 2·v.
   def profileOutliers(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    def counted(df: DataFrame, table: String, c: String): DataFrame =
-      df.select(cents(col(c)).as("v"))
-        .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-        .select(lit(s"$table.$c").as("column_name"), col("v"), col("cnt"))
-    val ledger =
-      counted(t.lineitem, "lineitem", "l_quantity")
-        .unionByName(counted(t.lineitem, "lineitem", "l_discount"))
-        .unionByName(counted(t.lineitem, "lineitem", "l_tax"))
-        .unionByName(counted(t.events, "events", "value"))
+    // One scan per table: the k profiled columns of a table ride a
+    // single projection exploded to (column, value) rows — k-column
+    // profiling must not cost k corpus scans (plan-guarded).
+    val li = t.lineitem.select(explode(array(
+      struct(lit("lineitem.l_quantity").as("column_name"),
+        cents(col("l_quantity")).as("v")),
+      struct(lit("lineitem.l_discount").as("column_name"),
+        cents(col("l_discount")).as("v")),
+      struct(lit("lineitem.l_tax").as("column_name"),
+        cents(col("l_tax")).as("v")))).as("cv"))
+      .select(col("cv.column_name").as("column_name"), col("cv.v").as("v"))
+    val ev = t.events.select(lit("events.value").as("column_name"),
+      cents(col("value")).as("v"))
+    val ledger = li.unionByName(ev)
+      .groupBy(col("column_name"), col("v")).agg(count(lit(1)).as("cnt"))
     val wBelow = Window.partitionBy(col("column_name")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wTot = Window.partitionBy(col("column_name"))
+    // The cut points come back onto the ledger as WINDOW aggregates
+    // over the same bounded partition (not a groupBy + re-join, which
+    // would fork the lineage and replay the corpus scan once per
+    // branch — the plan guard pins one scan per table).
     val l2 = ledger
       .withColumn("below", coalesce(sum(col("cnt")).over(wBelow), lit(0L)))
       .withColumn("n", sum(col("cnt")).over(wTot))
-    val cuts = l2.groupBy(col("column_name"))
-      .agg(
+      .withColumn("q1_cents",
         min(when(col("below") < expr("(n + 3) div 4") &&
           col("below") + col("cnt") >= expr("(n + 3) div 4"), col("v")))
-          .as("q1_cents"),
+          .over(wTot))
+      .withColumn("q3_cents",
         min(when(col("below") < expr("(3 * n + 3) div 4") &&
           col("below") + col("cnt") >= expr("(3 * n + 3) div 4"), col("v")))
-          .as("q3_cents"))
+          .over(wTot))
       .withColumn("iqr_cents", col("q3_cents") - col("q1_cents"))
-    l2.join(broadcast(cuts), Seq("column_name"))
-      .groupBy(col("column_name"))
+    l2.groupBy(col("column_name"))
       .agg(max(col("n")).as("n"),
         max(col("q1_cents")).as("q1_cents"),
         max(col("q3_cents")).as("q3_cents"),

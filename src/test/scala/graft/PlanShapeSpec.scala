@@ -362,6 +362,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the ×3 layout fan-out must ride ONE scan, got $scans")
   }
 
+  test("round-13 profiling ops scan each corpus table exactly once") {
+    // k-column profiling must not cost k corpus scans: the profiled
+    // columns ride ONE exploded projection per table, and everything
+    // downstream is value-ledger metadata.
+    for ((name, df, table, cap) <- Seq(
+      ("profile_outliers", ScaleOps.profileOutliers(spark, dir), "lineitem", 1),
+      ("profile_outliers", ScaleOps.profileOutliers(spark, dir), "events", 1),
+      ("profile_entropy", ScaleOps.profileEntropy(spark, dir), "orders", 1),
+      ("profile_entropy", ScaleOps.profileEntropy(spark, dir), "documents", 1),
+      ("ts_hampel", Events.tsHampel(spark, dir), "events", 1))) {
+      val n = count(plan(df), s"Scan parquet[^\\n]*$table")
+      assert(n == cap, s"$name: expected $cap $table scan(s), got $n")
+    }
+  }
+
+  test("graph_squares wedges are equijoins on the pair graph, never cartesian") {
+    val p = plan(Graph.graphSquares(spark, dir))
+    assert(!p.contains("CartesianProduct"), "no cartesian wedge product")
+    // The only nested-loop joins allowed are the single-row summary
+    // crossJoin; the wedge pairing itself must be a hash equijoin.
+    assert(p.contains("Exchange hashpartitioning") ||
+      p.contains("BroadcastHashJoin"), "wedge join must be an equijoin")
+  }
+
   test("q39_qualify and ev_bot_score shuffle on their high-cardinality keys only") {
     for ((name, df, cap) <- Seq(
       ("q39_qualify", RelationalExt.q39Qualify(spark, dir), 1),
