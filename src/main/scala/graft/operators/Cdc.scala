@@ -706,7 +706,50 @@ object Cdc {
        |HAVING sum(conflict) > 0
        |ORDER BY n_conflicts DESC, user_id LIMIT 50""".stripMargin
 
+  // ─── cdc_key_skew: changes-per-key histogram of the changelog ───
+  // The write-skew disclosure a CDC APPLY plan needs before choosing
+  // its partitioning: a changelog whose hottest keys absorb most of
+  // the updates turns a key-hashed MERGE into a straggler (the same
+  // pathology q25_skew_salt salts on the read side). One
+  // map-combining count per key, then an fl2 = ⌊log₂⌋ bucket rollup —
+  // output is ≤ 64 rows at any corpus scale, with the change-mass
+  // share and cumulative coverage per bucket and the hottest key
+  // pinned per bucket for the salting decision.
+  def cdcKeySkew(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables(spark, dir).events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val binned = perKey
+      .groupBy((length(bin(col("c"))) - 1).cast("long").as("fl2_bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_changes"),
+        max(col("c")).as("max_changes"))
+    binned
+      .withColumn("changes_bp",
+        expr("n_changes * 10000 div sum(n_changes) over ()"))
+      .withColumn("cum_bp",
+        expr("sum(n_changes) over (order by fl2_bucket) * 10000" +
+          " div sum(n_changes) over ()"))
+      .orderBy(col("fl2_bucket"))
+  }
+
+  val cdcKeySkewSql: String =
+    """WITH pk AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY user_id),
+      |b AS (
+      |  SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS fl2_bucket,
+      |    CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(sum(c) AS BIGINT) AS n_changes,
+      |    max(c) AS max_changes
+      |  FROM pk GROUP BY 1)
+      |SELECT fl2_bucket, n_keys, n_changes, max_changes,
+      |  n_changes * 10000 // CAST(sum(n_changes) OVER () AS BIGINT)
+      |    AS changes_bp,
+      |  CAST(sum(n_changes) OVER (ORDER BY fl2_bucket) AS BIGINT) * 10000
+      |    // CAST(sum(n_changes) OVER () AS BIGINT) AS cum_bp
+      |FROM b ORDER BY fl2_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_key_skew" -> cdcKeySkew,
     "cdc_conflict" -> cdcConflict,
     "cdc_merge_stats" -> cdcMergeStats,
     "cdc_snapshot_chunks" -> cdcSnapshotChunks,
@@ -734,6 +777,7 @@ object Cdc {
     "cdc_diff" -> cdcDiffSql,
     "cdc_audit" -> cdcAuditSql,
     "cdc_ivm" -> cdcIvmSql,
+    "cdc_key_skew" -> cdcKeySkewSql,
     "cdc_latest" -> cdcLatestSql,
     "cdc_reconcile" -> cdcReconcileSql,
     "cdc_offset_gaps" -> cdcOffsetGapsSql,

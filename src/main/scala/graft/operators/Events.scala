@@ -1863,6 +1863,64 @@ object Events {
       |    AS gap_var_s2
       |FROM agg WHERE n_gaps >= 2 ORDER BY user_id""".stripMargin
 
+  // ─── ev_gap_quantiles: per-stream inter-arrival percentiles ───
+  // ev_interarrival profiles USERS (mean/variance per user); this
+  // profiles each STREAM's cadence tail — the p50/p90/p99 gap between
+  // consecutive events of a type — which is the number a watermark
+  // delay, an SLA alert, or a staleness budget is actually designed
+  // against (the mean hides exactly the tail that pages). Gaps are
+  // one lag pass over a (type)-keyed window; the percentiles are
+  // EXACT ranks off Ranks.groupedRank's bucket ledger (16 s-wide
+  // buckets via shiftright(gap, 4)), never a per-type full-sort
+  // window — the r11-VERDICT discipline for order statistics on
+  // data-sized frames. k = ⌈q·n⌉; value-at-rank is tie-order
+  // independent.
+  def evGapQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables(spark, dir).events
+      .withColumn("epoch", epochS(col("ts")))
+      .withColumn("gap", col("epoch") - lag(col("epoch"), 1).over(byType))
+      .filter(col("gap").isNotNull)
+      .select(col("event_type"), col("gap"))
+    val ranked = Ranks.groupedRank(gaps, Seq("event_type"),
+      Seq(shiftright(col("gap"), 4)), Seq(col("gap")), "rk", "n")
+    ranked
+      .filter(col("rk") === expr("(n + 1) div 2") ||
+        col("rk") === expr("(9 * n + 9) div 10") ||
+        col("rk") === expr("(99 * n + 99) div 100"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_gaps"),
+        min(when(col("rk") === expr("(n + 1) div 2"), col("gap"))).as("p50_s"),
+        min(when(col("rk") === expr("(9 * n + 9) div 10"), col("gap")))
+          .as("p90_s"),
+        min(when(col("rk") === expr("(99 * n + 99) div 100"), col("gap")))
+          .as("p99_s"))
+      .orderBy(col("event_type"))
+  }
+
+  val evGapQuantilesSql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT)
+      |      - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+      |          PARTITION BY event_type ORDER BY ts, event_id) AS gap
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, gap,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY gap)
+      |      AS BIGINT) AS rk,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM g WHERE gap IS NOT NULL)
+      |SELECT event_type, max(n) AS n_gaps,
+      |  min(CASE WHEN rk = (n + 1) // 2 THEN gap END) AS p50_s,
+      |  min(CASE WHEN rk = (9 * n + 9) // 10 THEN gap END) AS p90_s,
+      |  min(CASE WHEN rk = (99 * n + 99) // 100 THEN gap END) AS p99_s
+      |FROM r
+      |WHERE rk = (n + 1) // 2 OR rk = (9 * n + 9) // 10
+      |   OR rk = (99 * n + 99) // 100
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ─── ts_ema: exponential moving average over per-user values ───
   // The smoothing primitive of monitoring/finance pipelines. A true
   // EMA is a recursion (state_t = αx + (1−α)state_{t−1}) — the
@@ -4145,6 +4203,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_cusum" -> tsCusum,
+    "ev_gap_quantiles" -> evGapQuantiles,
     "ts_hampel" -> tsHampel,
     "ev_lifecycle" -> evLifecycle,
     "ev_periodogram" -> evPeriodogram,
@@ -4219,6 +4278,7 @@ object Events {
 
   val oracle: Map[String, String] = Map(
     "ts_cusum" -> tsCusumSql,
+    "ev_gap_quantiles" -> evGapQuantilesSql,
     "ts_hampel" -> tsHampelSql,
     "ev_lifecycle" -> evLifecycleSql,
     "ev_periodogram" -> evPeriodogramSql,

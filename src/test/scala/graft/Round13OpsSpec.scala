@@ -638,6 +638,52 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ─── ev_gap_quantiles ───
+
+  test("ev_gap_quantiles: ledger percentiles equal a sorted recompute per type") {
+    val rows = Events.evGapQuantiles(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables(spark, dir).events
+      .select(col("event_type"), unix_timestamp(col("ts")).as("e"),
+        col("event_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val gaps = ev(r.getString(0)).sortBy(t => (t._2, t._3))
+        .map(_._2).sliding(2).map(p => p(1) - p(0)).toArray.sorted
+      val n = gaps.length.toLong
+      def at(k: Long) = gaps((k - 1).toInt)
+      assert(r.getLong(1) == n, s"${r.getString(0)}: n_gaps")
+      assert(r.getLong(2) == at((n + 1) / 2), s"${r.getString(0)}: p50")
+      assert(r.getLong(3) == at((9 * n + 9) / 10), s"${r.getString(0)}: p90")
+      assert(r.getLong(4) == at((99 * n + 99) / 100), s"${r.getString(0)}: p99")
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4))
+    }
+  }
+
+  // ─── cdc_key_skew ───
+
+  test("cdc_key_skew: histogram equals a direct per-key recompute; mass telescopes") {
+    def fl2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val rows = Cdc.cdcKeySkew(spark, dir).collect()
+    val perKey = Tables(spark, dir).events
+      .groupBy(col("user_id")).count().collect().map(_.getLong(1))
+    val total = perKey.sum
+    val byBucket = perKey.groupBy(fl2)
+    assert(rows.length == byBucket.size)
+    rows.foreach { r =>
+      val b = byBucket(r.getLong(0))
+      assert(r.getLong(1) == b.length.toLong, s"bucket ${r.getLong(0)}: n_keys")
+      assert(r.getLong(2) == b.sum, s"bucket ${r.getLong(0)}: n_changes")
+      assert(r.getLong(3) == b.max, s"bucket ${r.getLong(0)}: max_changes")
+      assert(r.getLong(4) == b.sum * 10000 / total, "changes_bp")
+    }
+    assert(rows.map(_.getLong(2)).sum == total, "histogram loses changes")
+    assert(rows.last.getLong(5) == 10000L, "cumulative coverage closes at 10000")
+    assert(rows.map(_.getLong(5)).sliding(2).forall(p => p(0) <= p(1)),
+      "cum_bp monotone")
+  }
+
   test("graph_ktruss: 3 peel rounds reach the fixpoint at SF") {
     // Eager checkpoints per round: each peel references its input
     // THREE times (sym union + support join), so an uncheckpointed
