@@ -381,7 +381,66 @@ object Multimodal {
        |  least((tile // tx) * $tilePx + $tilePx, height) AS y1
        |FROM t ORDER BY doc_id, tile_y, tile_x""".stripMargin
 
+  // ─── mm_quality_gate: metadata admission filter per source ───
+  // The multimodal twin of text_filter_gate: gate each media blob on
+  // its decoded metadata — too-small frames (< 320×240), extreme
+  // aspect ratios (beyond 4:1 either way, the fisheye/banner junk
+  // band), undersized payloads (< 64 bytes) — and report per-source
+  // pass rates with per-reason counts, the mixture-cut decision table
+  // for the vision corpus. Dimensions are the same md5-seeded inline
+  // columns as mm_tile_plan (scan → project → one rollup; swap the
+  // seed for real decoder output and the plan holds). Reasons are
+  // counted independently (a blob can fail several), pass = none.
+  def mmQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("payload")), 1, 15), 16, 10).cast("long")
+    blobs(spark, dir).toDF()
+      .select(col("source"), length(col("payload")).cast("long").as("byte_len"),
+        (h % 1920 + 1).cast("long").as("width"),
+        (shiftright(h, 11) % 1080 + 1).cast("long").as("height"))
+      .withColumn("too_small", col("width") < 320 || col("height") < 240)
+      .withColumn("extreme_aspect",
+        col("width") > col("height") * 4 || col("height") > col("width") * 4)
+      .withColumn("tiny_payload", col("byte_len") < 64)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(when(!col("too_small") && !col("extreme_aspect") &&
+          !col("tiny_payload"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("too_small"), 1L).otherwise(0L)).as("n_too_small"),
+        sum(when(col("extreme_aspect"), 1L).otherwise(0L)).as("n_aspect"),
+        sum(when(col("tiny_payload"), 1L).otherwise(0L)).as("n_tiny"))
+      .withColumn("pass_bp", expr("n_pass * 10000 div n_media"))
+      .orderBy(col("source"))
+  }
+
+  val mmQualityGateSql: String =
+    """WITH m AS (
+      |  SELECT source, CAST(strlen(text) AS BIGINT) AS byte_len,
+      |    (h % 1920) + 1 AS width, ((h >> 11) % 1080) + 1 AS height
+      |  FROM (SELECT source, text,
+      |      CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+      |    FROM documents)),
+      |f AS (
+      |  SELECT source,
+      |    (width < 320 OR height < 240) AS too_small,
+      |    (width > height * 4 OR height > width * 4) AS extreme_aspect,
+      |    (byte_len < 64) AS tiny_payload
+      |  FROM m)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_media,
+      |  CAST(sum(CASE WHEN NOT too_small AND NOT extreme_aspect
+      |    AND NOT tiny_payload THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |  CAST(sum(CASE WHEN too_small THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_too_small,
+      |  CAST(sum(CASE WHEN extreme_aspect THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_aspect,
+      |  CAST(sum(CASE WHEN tiny_payload THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_tiny,
+      |  CAST(sum(CASE WHEN NOT too_small AND NOT extreme_aspect
+      |    AND NOT tiny_payload THEN 1 ELSE 0 END) AS BIGINT) * 10000
+      |    // count(*) AS pass_bp
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_quality_gate" -> mmQualityGate,
     "mm_audio_frames" -> mmAudioFrames,
     "mm_shot_plan" -> mmShotPlan,
     "mm_tile_plan" -> mmTilePlan,
@@ -417,6 +476,7 @@ object Multimodal {
        |FROM idx ORDER BY doc_id, sample_idx""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "mm_quality_gate" -> mmQualityGateSql,
     "mm_audio_frames" -> mmAudioFramesSql,
     "mm_shot_plan" -> mmShotPlanSql,
     "mm_tile_plan" -> mmTilePlanSql,

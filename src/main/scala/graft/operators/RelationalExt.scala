@@ -697,6 +697,55 @@ object RelationalExt {
       |FROM m JOIN m2 USING (c_mktsegment) JOIN o USING (c_mktsegment)
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ─── q44_asof_tolerance: backward asof join with a match window ───
+  // The attribution variant q16 can't express: a purchase joins its
+  // most recent click ONLY if the click happened within the last hour
+  // — pandas merge_asof(tolerance=...), the ad-attribution window.
+  // Outside the window the row keeps a NULL click and attributed =
+  // false (it must NOT silently fall back to an older click — that is
+  // the attribution bug the tolerance exists to prevent). Same
+  // one-window-pass shape as q16: the backward carry rides ONE
+  // user-keyed ordering, the tolerance is a post-projection compare —
+  // no extra shuffle, no self-join.
+  private val asofToleranceS = 3600L
+
+  def q44AsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir).events
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("last_click_ts",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("gap_s", epochS(col("ts")) - epochS(col("last_click_ts")))
+      .select(col("event_id"), col("user_id"),
+        epochS(col("ts")).as("purchase_epoch"),
+        when(col("gap_s") <= asofToleranceS, epochS(col("last_click_ts")))
+          .as("click_epoch"),
+        coalesce(col("gap_s") <= asofToleranceS, lit(false)).as("attributed"))
+      .orderBy(col("event_id"))
+  }
+
+  val q44Sql: String =
+    s"""SELECT event_id, user_id, purchase_epoch,
+       |  CASE WHEN gap_s <= $asofToleranceS THEN click_epoch END AS click_epoch,
+       |  coalesce(gap_s <= $asofToleranceS, false) AS attributed
+       |FROM (
+       |  SELECT event_id, user_id, event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS purchase_epoch,
+       |    CAST(floor(epoch(max(CASE WHEN event_type = 'click' THEN ts END)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)))
+       |      AS BIGINT) AS click_epoch,
+       |    CAST(floor(epoch(ts)) AS BIGINT)
+       |      - CAST(floor(epoch(max(CASE WHEN event_type = 'click' THEN ts END)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)))
+       |      AS BIGINT) AS gap_s
+       |  FROM events WHERE event_type IN ('click', 'purchase'))
+       |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
   // ─── q42_string_agg: deterministic grouped string aggregation ───
   // SQL's STRING_AGG / LISTAGG with the trap removed: collect_list's
   // order is partition-arrival order (nondeterministic under
@@ -935,6 +984,7 @@ object RelationalExt {
     "q39_qualify" -> q39Qualify,
     "q40_percentile_cont" -> q40PercentileCont,
     "q41_paginate" -> q41Paginate,
+    "q44_asof_tolerance" -> q44AsofTolerance,
     "q42_string_agg" -> q42StringAgg,
     "q38_asof_nearest" -> q38AsofNearest,
     "q37_mad" -> q37Mad,
@@ -961,6 +1011,7 @@ object RelationalExt {
     "q39_qualify" -> q39Sql,
     "q40_percentile_cont" -> q40Sql,
     "q41_paginate" -> q41Sql,
+    "q44_asof_tolerance" -> q44Sql,
     "q42_string_agg" -> q42Sql,
     "q38_asof_nearest" -> q38Sql,
     "q37_mad" -> q37Sql,

@@ -684,6 +684,61 @@ class Round13OpsSpec extends AnyFunSuite {
       "cum_bp monotone")
   }
 
+  // ─── mm_quality_gate ───
+
+  test("mm_quality_gate: gate decisions equal a per-blob recompute") {
+    val rows = Multimodal.mmQualityGate(spark, dir).collect()
+    val docs = Tables(spark, dir).documents
+      .selectExpr("source",
+        "cast(conv(substr(md5(cast(text as binary)), 1, 15), 16, 10) as bigint) as h",
+        "length(cast(text as binary)) as bl").collect()
+      .map { r =>
+        val h = r.getLong(1)
+        (r.getString(0), h % 1920 + 1, (h >> 11) % 1080 + 1, r.getInt(2).toLong)
+      }
+    assert(rows.map(_.getLong(1)).sum == docs.length.toLong,
+      "every blob is gated exactly once")
+    rows.foreach { r =>
+      val g = docs.filter(_._1 == r.getString(0))
+      val tooSmall = g.count(d => d._2 < 320 || d._3 < 240).toLong
+      val aspect = g.count(d => d._2 > d._3 * 4 || d._3 > d._2 * 4).toLong
+      val tiny = g.count(_._4 < 64).toLong
+      val pass = g.count(d => !(d._2 < 320 || d._3 < 240) &&
+        !(d._2 > d._3 * 4 || d._3 > d._2 * 4) && d._4 >= 64).toLong
+      assert(r.getLong(1) == g.length.toLong && r.getLong(2) == pass &&
+        r.getLong(3) == tooSmall && r.getLong(4) == aspect &&
+        r.getLong(5) == tiny,
+        s"${r.getString(0)}: gate counts vs recompute")
+      assert(r.getLong(6) == pass * 10000 / g.length, "pass_bp")
+    }
+  }
+
+  // ─── q44_asof_tolerance ───
+
+  test("q44_asof_tolerance: the window gates q16's matches, never falls back") {
+    val q16 = RelationalExt.q44AsofTolerance _ // silence unused-import styles
+    val base = Relational.q16AsofJoin(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val rows = RelationalExt.q44AsofTolerance(spark, dir).collect()
+    assert(rows.length == base.size, "same purchase set as q16")
+    var attributed = 0
+    rows.foreach { r =>
+      val (pe, click) = base(r.getLong(0))
+      assert(r.getLong(2) == pe)
+      val inWindow = click.exists(c => pe - c <= 3600L)
+      assert(r.getBoolean(4) == inWindow, s"attributed flag for ${r.getLong(0)}")
+      if (inWindow) {
+        assert(r.getLong(3) == click.get,
+          "in-window purchase keeps q16's click (no re-matching)")
+        attributed += 1
+      } else assert(r.isNullAt(3),
+        "out-of-window purchase must NOT fall back to an older click")
+    }
+    assert(attributed > 0 && attributed < rows.length,
+      "the window must bite at this SF for the test to mean anything")
+  }
+
   test("graph_ktruss: 3 peel rounds reach the fixpoint at SF") {
     // Eager checkpoints per round: each peel references its input
     // THREE times (sym union + support join), so an uncheckpointed
