@@ -706,6 +706,74 @@ object Cdc {
        |HAVING sum(conflict) > 0
        |ORDER BY n_conflicts DESC, user_id LIMIT 50""".stripMargin
 
+  // ─── cdc_apply_plan: copy-on-write MERGE write-amplification ───
+  // The Iceberg/Delta COW planning readout cdc_delete_vector's MOR
+  // variant skips: lay the base state (cdc_latest's key set) out in
+  // 64 md5-hash-bucketed files, take the LAST 10 % of the epoch span
+  // as the incoming delta (the split_time integer-cut discipline, so
+  // both engines cut identically), and report per file how many base
+  // rows a copy-on-write MERGE would rewrite against how many delta
+  // changes land there — write_amp_x100 = rewritten per change. The
+  // number that decides COW vs MOR vs re-bucketing: hash layouts
+  // touch EVERY file under uniform deltas (amp ≈ |file| per change);
+  // the fix a lakehouse applies is exactly what this table
+  // quantifies. One scan for the span row, one for base, one for the
+  // delta rollup; everything after is a 64-row frame.
+  def cdcApplyPlan(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    def fileOf(key: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit("cowf:"), key.cast("string"))), 1, 15),
+        16, 10).cast("long") % 64L
+    val span = ev.agg(min(epochS(col("ts"))).as("t0"),
+      max(epochS(col("ts"))).as("t1"))
+    val base = ev.select(col("user_id")).distinct()
+      .groupBy(fileOf(col("user_id")).as("file_id"))
+      .agg(count(lit(1)).as("n_base_rows"))
+    val delta = ev.crossJoin(broadcast(span))
+      .filter(epochS(col("ts")) >= expr("t0 + (t1 - t0) * 90 div 100"))
+      .groupBy(fileOf(col("user_id")).as("file_id"))
+      .agg(count(lit(1)).as("n_delta_changes"),
+        countDistinct(col("user_id")).as("n_touched_keys"))
+    base.join(delta, Seq("file_id"), "left")
+      .withColumn("n_delta_changes", coalesce(col("n_delta_changes"), lit(0L)))
+      .withColumn("n_touched_keys", coalesce(col("n_touched_keys"), lit(0L)))
+      .withColumn("touched", col("n_delta_changes") > 0)
+      .withColumn("rows_rewritten",
+        when(col("touched"), col("n_base_rows")).otherwise(lit(0L)))
+      .withColumn("write_amp_x100",
+        expr("rows_rewritten * 100 div greatest(1, n_delta_changes)"))
+      .orderBy(col("file_id"))
+  }
+
+  val cdcApplyPlanSql: String =
+    """WITH span AS (
+      |  SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS t0,
+      |    max(CAST(floor(epoch(ts)) AS BIGINT)) AS t1 FROM events),
+      |base AS (
+      |  SELECT CAST(('0x' || substr(md5('cowf:' || CAST(user_id AS VARCHAR)),
+      |      1, 15)) AS BIGINT) % 64 AS file_id,
+      |    CAST(count(*) AS BIGINT) AS n_base_rows
+      |  FROM (SELECT DISTINCT user_id FROM events) GROUP BY 1),
+      |delta AS (
+      |  SELECT CAST(('0x' || substr(md5('cowf:' || CAST(user_id AS VARCHAR)),
+      |      1, 15)) AS BIGINT) % 64 AS file_id,
+      |    CAST(count(*) AS BIGINT) AS n_delta_changes,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_touched_keys
+      |  FROM events CROSS JOIN span
+      |  WHERE CAST(floor(epoch(ts)) AS BIGINT) >= t0 + (t1 - t0) * 90 // 100
+      |  GROUP BY 1)
+      |SELECT b.file_id, b.n_base_rows,
+      |  coalesce(d.n_delta_changes, 0) AS n_delta_changes,
+      |  coalesce(d.n_touched_keys, 0) AS n_touched_keys,
+      |  coalesce(d.n_delta_changes, 0) > 0 AS touched,
+      |  CASE WHEN coalesce(d.n_delta_changes, 0) > 0 THEN b.n_base_rows
+      |    ELSE 0 END AS rows_rewritten,
+      |  CASE WHEN coalesce(d.n_delta_changes, 0) > 0 THEN b.n_base_rows
+      |    ELSE 0 END * 100 // greatest(1, coalesce(d.n_delta_changes, 0))
+      |    AS write_amp_x100
+      |FROM base b LEFT JOIN delta d USING (file_id)
+      |ORDER BY b.file_id""".stripMargin
+
   // ─── cdc_key_skew: changes-per-key histogram of the changelog ───
   // The write-skew disclosure a CDC APPLY plan needs before choosing
   // its partitioning: a changelog whose hottest keys absorb most of
@@ -750,6 +818,7 @@ object Cdc {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_key_skew" -> cdcKeySkew,
+    "cdc_apply_plan" -> cdcApplyPlan,
     "cdc_conflict" -> cdcConflict,
     "cdc_merge_stats" -> cdcMergeStats,
     "cdc_snapshot_chunks" -> cdcSnapshotChunks,
@@ -778,6 +847,7 @@ object Cdc {
     "cdc_audit" -> cdcAuditSql,
     "cdc_ivm" -> cdcIvmSql,
     "cdc_key_skew" -> cdcKeySkewSql,
+    "cdc_apply_plan" -> cdcApplyPlanSql,
     "cdc_latest" -> cdcLatestSql,
     "cdc_reconcile" -> cdcReconcileSql,
     "cdc_offset_gaps" -> cdcOffsetGapsSql,

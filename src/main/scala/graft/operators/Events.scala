@@ -794,6 +794,75 @@ object Events {
       |    AS BIGINT) AS p_bp
       |FROM counts ORDER BY from_type, to_type""".stripMargin
 
+  // ─── ev_next_entropy: how predictable is the next event? ───
+  // The information-theoretic readout over ev_markov's transition
+  // counts: per current type, the conditional entropy of the NEXT
+  // event type in the fl2 = ⌊log₂⌋ surrogate (the ev_entropy
+  // discipline — libm-free, exact at powers of two, identical in both
+  // engines), plus the fl2(out-degree) ceiling and predictability in
+  // bp (10⁴ − uniform share). The '__all__' row is the
+  // transition-mass-weighted mean H(next|cur) — the one number that
+  // says whether the behavior chain is worth a sequence model or is
+  // basically a coin flip. One user-keyed lag pass (the ev_markov
+  // edge derivation), then everything is ‖types‖²-frame arithmetic.
+  def evNextEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = Tables(spark, dir).events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("cur_type"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val perCur = counts
+      .withColumn("n_c", sum(col("c")).over(Window.partitionBy(col("cur_type"))))
+      .groupBy(col("cur_type"))
+      .agg(max(col("n_c")).as("n_out"),
+        count(lit(1)).as("n_next_types"),
+        expr("sum(c * (length(bin(n_c)) - length(bin(c)))) * 1000 div max(n_c)")
+          .as("h_milli"))
+      .withColumn("h_max_milli",
+        expr("cast((length(bin(n_next_types)) - 1) * 1000 AS BIGINT)"))
+    val overall = perCur.agg(
+      sum(col("n_out")).as("n_out"),
+      max(col("n_next_types")).as("n_next_types"),
+      expr("sum(n_out * h_milli) div sum(n_out)").as("h_milli"),
+      max(col("h_max_milli")).as("h_max_milli"))
+      .select(lit("__all__").as("cur_type"), col("n_out"),
+        col("n_next_types"), col("h_milli"), col("h_max_milli"))
+    perCur.select(col("cur_type"), col("n_out"), col("n_next_types"),
+        col("h_milli"), col("h_max_milli"))
+      .unionByName(overall)
+      .orderBy(col("cur_type"))
+  }
+
+  val evNextEntropySql: String =
+    """WITH pairs AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_type
+      |  FROM events),
+      |counts AS (
+      |  SELECT prev_type AS cur_type, event_type, CAST(count(*) AS BIGINT) AS c
+      |  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |wn AS (
+      |  SELECT cur_type, c,
+      |    CAST(sum(c) OVER (PARTITION BY cur_type) AS BIGINT) AS n_c
+      |  FROM counts),
+      |per AS (
+      |  SELECT cur_type, max(n_c) AS n_out,
+      |    CAST(count(*) AS BIGINT) AS n_next_types,
+      |    CAST(sum(c * (length(bin(n_c)) - length(bin(c)))) * 1000 // max(n_c)
+      |      AS BIGINT) AS h_milli,
+      |    (length(bin(CAST(count(*) AS BIGINT))) - 1) * 1000 AS h_max_milli
+      |  FROM wn GROUP BY cur_type)
+      |SELECT cur_type, n_out, n_next_types, h_milli, h_max_milli FROM per
+      |UNION ALL
+      |SELECT '__all__', CAST(sum(n_out) AS BIGINT),
+      |  max(n_next_types),
+      |  CAST(sum(n_out * h_milli) AS BIGINT) // CAST(sum(n_out) AS BIGINT),
+      |  max(h_max_milli)
+      |FROM per
+      |ORDER BY cur_type""".stripMargin
+
   // ─── ev_cohort: weekly signup-cohort retention matrix ───
   // Cohort = ISO week (Monday-truncated) of a user's first event;
   // offset = whole weeks between an activity week and the cohort
@@ -4204,6 +4273,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_cusum" -> tsCusum,
     "ev_gap_quantiles" -> evGapQuantiles,
+    "ev_next_entropy" -> evNextEntropy,
     "ts_hampel" -> tsHampel,
     "ev_lifecycle" -> evLifecycle,
     "ev_periodogram" -> evPeriodogram,
@@ -4279,6 +4349,7 @@ object Events {
   val oracle: Map[String, String] = Map(
     "ts_cusum" -> tsCusumSql,
     "ev_gap_quantiles" -> evGapQuantilesSql,
+    "ev_next_entropy" -> evNextEntropySql,
     "ts_hampel" -> tsHampelSql,
     "ev_lifecycle" -> evLifecycleSql,
     "ev_periodogram" -> evPeriodogramSql,

@@ -739,6 +739,53 @@ class Round13OpsSpec extends AnyFunSuite {
       "the window must bite at this SF for the test to mean anything")
   }
 
+  // ─── ev_next_entropy ───
+
+  test("ev_next_entropy: per-type and pooled entropy re-derive from ev_markov's counts") {
+    def fl2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val rows = Events.evNextEntropy(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val trans = Events.evMarkov(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2))).groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(_._2) }
+    trans.foreach { case (cur, cs) =>
+      val n = cs.sum
+      val h = cs.map(c => c * (fl2(n) - fl2(c))).sum * 1000 / n
+      val r = rows(cur)
+      assert(r.getLong(1) == n && r.getLong(2) == cs.length.toLong &&
+        r.getLong(3) == h, s"$cur: entropy recompute")
+      assert(r.getLong(4) == fl2(cs.length.toLong) * 1000, s"$cur: ceiling")
+    }
+    val total = trans.values.map(_.sum).sum
+    val pooled = trans.values.map { cs =>
+      val n = cs.sum; n * (cs.map(c => c * (fl2(n) - fl2(c))).sum * 1000 / n)
+    }.sum / total
+    assert(rows("__all__").getLong(1) == total)
+    assert(rows("__all__").getLong(3) == pooled,
+      "__all__ is the transition-mass-weighted mean")
+  }
+
+  // ─── cdc_apply_plan ───
+
+  test("cdc_apply_plan: COW accounting exact; hash layout touches ~every file") {
+    val rows = Cdc.cdcApplyPlan(spark, dir).collect()
+    val nUsers = Tables(spark, dir).events
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nUsers,
+      "base files partition the key set")
+    rows.foreach { r =>
+      val (nb, nd, nk) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nk <= math.min(nb, nd), "touched keys bounded by both sides")
+      assert(r.getBoolean(4) == (nd > 0))
+      assert(r.getLong(5) == (if (nd > 0) nb else 0L), "COW rewrites all-or-none")
+      assert(r.getLong(6) == r.getLong(5) * 100 / math.max(1, nd))
+    }
+    // The op's point: under a hash layout a uniform delta touches
+    // nearly every file (the re-bucketing argument).
+    assert(rows.count(_.getBoolean(4)) >= rows.length / 2,
+      "uniform delta must splash across the hash layout at this SF")
+  }
+
   test("graph_ktruss: 3 peel rounds reach the fixpoint at SF") {
     // Eager checkpoints per round: each peel references its input
     // THREE times (sym union + support join), so an uncheckpointed
