@@ -887,6 +887,93 @@ object Similarity {
        |  (nn.n_nodes - ind.n_reached) * 10000 // nn.n_nodes AS orphan_bp
        |FROM es CROSS JOIN mut CROSS JOIN ind CROSS JOIN nn""".stripMargin
 
+  // ─── ann_label_sep: class-separability audit of the embedding space ───
+  // The embedding-quality readout BEFORE anyone trains on the labels
+  // (the Davies-Bouldin shape, integer-exact): per ordered label pair
+  // a ≤ b, the diagonal rows carry each class's within-scatter (mean
+  // squared distance of members to their own centroid) and the
+  // off-diagonal rows the centroid-to-centroid squared distance plus
+  // sep_x100 = between ÷ mean-within — pairs under ~100 are the
+  // classes a kNN/linear probe will confuse. All arithmetic runs on
+  // ×1000-quantized integer components (the ann_kmeans_step milli
+  // discipline): centroids are exact integer dim-wise means, scatter
+  // and separations exact integer squared distances — both engines
+  // agree to the digit, no norms, no sqrt. One posexplode M-step
+  // (map-combining, (label, dim)-keyed), one broadcast of the
+  // ‖labels‖-row centroid frame back over the corpus, then a
+  // ‖labels‖² metadata join.
+  def annLabelSep(spark: SparkSession, dir: String): DataFrame = {
+    def milli(c: Column): Column =
+      transform(c, x => floor(x * 1000 + lit(0.5)).cast("long"))
+    def d2m(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (s, x) => s + x)
+    val v = Tables(spark, dir).embeddings
+      .select(col("label").cast("long").as("label"),
+        milli(col("embedding").cast("array<double>")).as("vm"))
+    val cent = v.select(col("label"), posexplode(col("vm")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+      .withColumn("c", expr("sx div cnt"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        e => e("c")).as("cm"), max(col("cnt")).as("n"))
+    val labs = v.join(broadcast(cent), Seq("label"))
+      .withColumn("d2", d2m(col("vm"), col("cm")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), expr("sum(d2) div count(1)").as("within_m2"),
+        first(col("cm")).as("cm"))
+    val a = labs.select(col("label").as("label_a"), col("n").as("n_a"),
+      col("within_m2").as("w_a"), col("cm").as("cm_a"))
+    val b = labs.select(col("label").as("label_b"), col("n").as("n_b"),
+      col("within_m2").as("w_b"), col("cm").as("cm_b"))
+    a.join(b, col("label_a") <= col("label_b"))
+      .withColumn("between_m2", d2m(col("cm_a"), col("cm_b")))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        when(col("label_a") === col("label_b"), col("w_a"))
+          .otherwise(col("between_m2")).as("m2"),
+        expr("CASE WHEN label_a < label_b THEN" +
+          " between_m2 * 200 div greatest(1, w_a + w_b) END").as("sep_x100"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  val annLabelSepSql: String = {
+    def d2mSql(x: String, y: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_zip($x, $y),
+         |        z -> (z[1] - z[2]) * (z[1] - z[2]))), (s, x) -> s + x)""".stripMargin
+    s"""WITH vq AS (
+       |  SELECT CAST(label AS BIGINT) AS label,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS vm
+       |  FROM embeddings),
+       |dims AS (
+       |  SELECT label, u.pos, u.x FROM (
+       |    SELECT label, unnest(vm) AS x,
+       |      unnest(range(1, len(vm) + 1)) AS pos
+       |    FROM vq) u),
+       |cstep AS (
+       |  SELECT label, pos, CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT)
+       |    AS c
+       |  FROM dims GROUP BY label, pos),
+       |cent AS (
+       |  SELECT label, list(c ORDER BY pos) AS cm FROM cstep GROUP BY label),
+       |labs AS (
+       |  SELECT vq.label, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(${d2mSql("vq.vm", "cent.cm")}) AS BIGINT)
+       |      // CAST(count(*) AS BIGINT) AS within_m2,
+       |    any_value(cent.cm) AS cm
+       |  FROM vq JOIN cent USING (label) GROUP BY vq.label)
+       |SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+       |  CASE WHEN a.label = b.label THEN a.within_m2
+       |    ELSE ${d2mSql("a.cm", "b.cm")} END AS m2,
+       |  CASE WHEN a.label < b.label THEN
+       |    CAST(${d2mSql("a.cm", "b.cm")} * 200 AS BIGINT)
+       |      // greatest(1, a.within_m2 + b.within_m2) END AS sep_x100
+       |FROM labs a JOIN labs b ON a.label <= b.label
+       |ORDER BY label_a, label_b""".stripMargin
+  }
+
   // ─── ann_recall: LSH recall measured against the exact baseline ───
   // The ANN quality gate, in-engine: join the LSH top-k against the
   // brute-force top-k per query and report hits and recall (bp). At
@@ -1819,6 +1906,7 @@ object Similarity {
     "ann_recall_curve" -> annRecallCurve,
     "ann_recall" -> annRecall,
     "ann_knn_graph" -> annKnnGraph,
+    "ann_label_sep" -> annLabelSep,
     "knn_join" -> knnJoin,
     "ann_pq" -> annPq,
     "ann_sq" -> annSq,
@@ -1845,6 +1933,7 @@ object Similarity {
     "ann_recall_curve" -> annRecallCurveSql,
     "ann_recall" -> annRecallSql,
     "ann_knn_graph" -> annKnnGraphSql,
+    "ann_label_sep" -> annLabelSepSql,
     "knn_join" -> knnJoinSql,
     "ann_pq" -> annPqSql,
     "ann_sq" -> annSqSql,

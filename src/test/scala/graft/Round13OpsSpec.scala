@@ -786,6 +786,44 @@ class Round13OpsSpec extends AnyFunSuite {
       "uniform delta must splash across the hash layout at this SF")
   }
 
+  // ─── ann_label_sep ───
+
+  test("ann_label_sep: centroids, scatter, and separations equal a direct recompute") {
+    val rows = Similarity.annLabelSep(spark, dir).collect()
+    val vecs = Tables(spark, dir).embeddings
+      .selectExpr("cast(label as long) as label",
+        "transform(cast(embedding as array<double>)," +
+          " x -> cast(floor(x * 1000 + 0.5) as long)) as vm")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).groupBy(_._1)
+      .map { case (l, vs) => l -> vs.map(_._2) }
+    def centroid(vs: Array[Array[Long]]): Array[Long] = {
+      val d = vs.head.length
+      Array.tabulate(d)(i => vs.map(_(i)).sum / vs.length)
+    }
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cents = vecs.map { case (l, vs) => l -> centroid(vs) }
+    val within = vecs.map { case (l, vs) =>
+      l -> vs.map(v => d2(v, cents(l))).sum / vs.length }
+    assert(rows.length == cents.size * (cents.size + 1) / 2)
+    rows.foreach { r =>
+      val (la, lb) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == vecs(la).length.toLong &&
+        r.getLong(3) == vecs(lb).length.toLong)
+      if (la == lb) {
+        assert(r.getLong(4) == within(la), s"($la,$lb): within scatter")
+        assert(r.isNullAt(5), "diagonal has no separation ratio")
+      } else {
+        val between = d2(cents(la), cents(lb))
+        assert(r.getLong(4) == between, s"($la,$lb): centroid distance")
+        assert(r.getLong(5) ==
+          between * 200 / math.max(1L, within(la) + within(lb)),
+          s"($la,$lb): sep_x100")
+      }
+    }
+  }
+
   test("graph_ktruss: 3 peel rounds reach the fixpoint at SF") {
     // Eager checkpoints per round: each peel references its input
     // THREE times (sym union + support join), so an uncheckpointed
