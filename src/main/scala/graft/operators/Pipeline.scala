@@ -1631,7 +1631,61 @@ object Pipeline {
       |GROUP BY t.split, s.straddle_users
       |ORDER BY t.split""".stripMargin
 
+  // ─── sample_allocated: execute Neyman allocations EXACTLY ───
+  // sample_strat_neyman decides how many documents each stratum gets;
+  // this op actually draws them — and rate-based hash sampling
+  // (sample_stratified's shape) can only hit a quota in expectation.
+  // Drawing EXACTLY n_h per stratum needs a deterministic total order
+  // per stratum and a rank cutoff: order by a salted md5 of the key
+  // (so the draw is reproducible, partition-independent, and
+  // uncorrelated with any earlier split/sample salt), rank via
+  // Ranks.groupedRank's bucket ledger (top 12 hash bits as the
+  // bucket — never a per-stratum full-sort window), take rk ≤ alloc.
+  // Output is the per-stratum fulfillment table with the sampled
+  // set's id-sum as a set checksum — the oracle replaying the same
+  // sum proves the exact same documents were drawn, not just as many.
+  def sampleAllocated(spark: SparkSession, dir: String): DataFrame = {
+    val alloc = sampleStratNeyman(spark, dir).select(col("lang"), col("alloc"))
+    val keyed = Tables(spark, dir).documents
+      .select(col("lang"), col("doc_id"))
+      .withColumn("h", conv(substring(md5(concat(lit("salloc:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"))
+    val ranked = Ranks.groupedRank(keyed, Seq("lang"),
+      Seq(shiftright(col("h"), 48)), Seq(col("h"), col("doc_id")),
+      "rk", "n_pop")
+    ranked.join(broadcast(alloc), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_pop")).as("n_pop"),
+        max(col("alloc")).as("n_target"),
+        sum(when(col("rk") <= col("alloc"), 1L).otherwise(0L)).as("n_taken"),
+        sum(when(col("rk") <= col("alloc"), col("doc_id")).otherwise(0L))
+          .as("sum_taken_ids"))
+      .orderBy(col("lang"))
+  }
+
+  val sampleAllocatedSql: String =
+    s"""WITH neyman AS ($sampleStratNeymanSql),
+       |keyed AS (
+       |  SELECT lang, doc_id,
+       |    CAST(('0x' || substr(md5('salloc:' || CAST(doc_id AS VARCHAR)),
+       |      1, 15)) AS BIGINT) AS h
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT lang, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+       |      AS BIGINT) AS rk,
+       |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_pop
+       |  FROM keyed)
+       |SELECT r.lang, max(r.n_pop) AS n_pop, max(n.alloc) AS n_target,
+       |  CAST(sum(CASE WHEN r.rk <= n.alloc THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_taken,
+       |  CAST(sum(CASE WHEN r.rk <= n.alloc THEN r.doc_id ELSE 0 END)
+       |    AS BIGINT) AS sum_taken_ids
+       |FROM ranked r JOIN neyman n USING (lang)
+       |GROUP BY r.lang ORDER BY r.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_allocated" -> sampleAllocated,
     "split_time" -> splitTime,
     "split_group" -> splitGroup,
     "mix_kl" -> mixKl,
@@ -1665,6 +1719,7 @@ object Pipeline {
     "sample_temperature" -> sampleTemperature)
 
   val oracle: Map[String, String] = Map(
+    "sample_allocated" -> sampleAllocatedSql,
     "split_time" -> splitTimeSql,
     "split_group" -> splitGroupSql,
     "mix_kl" -> mixKlSql,

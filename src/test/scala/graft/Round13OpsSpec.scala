@@ -824,6 +824,32 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ─── sample_allocated ───
+
+  test("sample_allocated: draws exactly the Neyman quota, and exactly those docs") {
+    val rows = Pipeline.sampleAllocated(spark, dir).collect()
+    val alloc = Pipeline.sampleStratNeyman(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    val docs = Tables(spark, dir).documents
+      .selectExpr("lang", "doc_id",
+        "cast(conv(substr(md5('salloc:' || cast(doc_id as string)), 1, 15)," +
+          " 16, 10) as long) as h")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val pop = docs(lang)
+      assert(r.getLong(1) == pop.length.toLong, s"$lang: n_pop")
+      assert(r.getLong(2) == alloc(lang), s"$lang: target carries through")
+      assert(r.getLong(3) == math.min(alloc(lang), pop.length.toLong),
+        s"$lang: fulfillment is exact, not in-expectation")
+      val expected = pop.sortBy(d => (d._3, d._2))
+        .take(alloc(lang).toInt).map(_._2).sum
+      assert(r.getLong(4) == expected,
+        s"$lang: the drawn SET must be the hash-order prefix")
+    }
+  }
+
   test("graph_ktruss: 3 peel rounds reach the fixpoint at SF") {
     // Eager checkpoints per round: each peel references its input
     // THREE times (sym union + support join), so an uncheckpointed
