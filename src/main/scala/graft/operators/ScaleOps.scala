@@ -744,6 +744,85 @@ object ScaleOps {
        |ORDER BY c.c_custkey""".stripMargin
   }
 
+  // ─── layout_partition: partition-column advisor ───
+  // layout_advisor ranks SORT orders; this ranks the coarser decision
+  // above it — which column, if any, a table should be PARTITIONED BY.
+  // The three ways the choice goes wrong are all share/cardinality
+  // facts: too few partitions (no pruning leverage), too many (the
+  // small-file problem layout_compact then has to undo; 10⁴+ per
+  // snapshot is the lakehouse rule of thumb), or one partition holding
+  // the bulk of the rows (skew — pruning works but the big partition
+  // still dominates every scan). One map-combining count pass per
+  // table (candidate columns ride a single exploded projection — the
+  // profile_outliers scan discipline), then the verdict is
+  // domain-bounded-frame arithmetic; thresholds are scale-free shares
+  // and cardinalities, not row counts.
+  def layoutPartition(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def stacked(df: DataFrame, table: String,
+        cands: Seq[(String, Column)]): DataFrame =
+      df.select(explode(array(cands.map { case (n, c) =>
+        struct(lit(table).as("table_name"), lit(n).as("column_name"),
+          c.cast("string").as("value"))
+      }: _*)).as("cv")).select(col("cv.*"))
+    val counts = stacked(t.documents, "documents",
+        Seq("lang" -> col("lang"), "source" -> col("source")))
+      .unionByName(stacked(t.events, "events",
+        Seq("event_type" -> col("event_type"),
+          "day" -> date_trunc("day", col("ts")))))
+      .unionByName(stacked(t.orders, "orders",
+        Seq("o_orderpriority" -> col("o_orderpriority"))))
+      .groupBy(col("table_name"), col("column_name"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("table_name"), col("column_name"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_parts"),
+        max(col("cnt")).as("max_rows"))
+      .withColumn("max_share_bp", expr("max_rows * 10000 div n_rows"))
+      .withColumn("avg_rows", expr("n_rows div n_parts"))
+      .withColumn("verdict",
+        when(col("n_parts") < 4, "too_coarse")
+          .when(col("n_parts") > 10000, "too_fine")
+          .when(col("max_share_bp") > 2000, "skewed")
+          .otherwise("ok"))
+      .select(col("table_name"), col("column_name"), col("n_rows"),
+        col("n_parts"), col("avg_rows"), col("max_rows"),
+        col("max_share_bp"), col("verdict"))
+      .orderBy(col("table_name"), col("column_name"))
+  }
+
+  val layoutPartitionSql: String =
+    """WITH stacked AS (
+      |  SELECT 'documents' AS table_name, 'lang' AS column_name,
+      |    CAST(lang AS VARCHAR) AS value FROM documents
+      |  UNION ALL
+      |  SELECT 'documents', 'source', CAST(source AS VARCHAR) FROM documents
+      |  UNION ALL
+      |  SELECT 'events', 'event_type', CAST(event_type AS VARCHAR) FROM events
+      |  UNION ALL
+      |  SELECT 'events', 'day', CAST(date_trunc('day', ts) AS VARCHAR)
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'orders', 'o_orderpriority', CAST(o_orderpriority AS VARCHAR)
+      |  FROM orders),
+      |counts AS (
+      |  SELECT table_name, column_name, value, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM stacked GROUP BY 1, 2, 3),
+      |agg AS (
+      |  SELECT table_name, column_name,
+      |    CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |    CAST(count(*) AS BIGINT) AS n_parts,
+      |    CAST(max(cnt) AS BIGINT) AS max_rows
+      |  FROM counts GROUP BY 1, 2)
+      |SELECT table_name, column_name, n_rows, n_parts,
+      |  n_rows // n_parts AS avg_rows, max_rows,
+      |  max_rows * 10000 // n_rows AS max_share_bp,
+      |  CASE WHEN n_parts < 4 THEN 'too_coarse'
+      |       WHEN n_parts > 10000 THEN 'too_fine'
+      |       WHEN max_rows * 10000 // n_rows > 2000 THEN 'skewed'
+      |       ELSE 'ok' END AS verdict
+      |FROM agg ORDER BY table_name, column_name""".stripMargin
+
   // ─── filter_bloom_curve: FPR operating curve across filter widths ───
   // The sizing table behind filter_bloom's M=4096 choice: build the
   // SAME K=3 filter at M ∈ {1024, 4096, 16384}, probe every
@@ -1860,6 +1939,7 @@ object ScaleOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_outliers" -> profileOutliers,
+    "layout_partition" -> layoutPartition,
     "profile_benford" -> profileBenford,
     "profile_fd" -> profileFd,
     "sketch_ams" -> sketchAms,
@@ -1890,6 +1970,7 @@ object ScaleOps {
     * cross-engine reproducible (driver does the rows-only check). */
   val oracle: Map[String, String] = Map(
     "profile_outliers" -> profileOutliersSql,
+    "layout_partition" -> layoutPartitionSql,
     "profile_benford" -> profileBenfordSql,
     "profile_fd" -> profileFdSql,
     "sketch_ams" -> sketchAmsSql,

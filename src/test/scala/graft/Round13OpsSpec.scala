@@ -850,6 +850,34 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ─── layout_partition ───
+
+  test("layout_partition: shares and verdicts equal a direct recompute") {
+    val rows = ScaleOps.layoutPartition(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val direct = Map(
+      ("documents", "lang") -> Tables(spark, dir).documents.groupBy(col("lang")).count(),
+      ("events", "event_type") -> Tables(spark, dir).events.groupBy(col("event_type")).count(),
+      ("events", "day") -> Tables(spark, dir).events
+        .groupBy(date_trunc("day", col("ts"))).count())
+    direct.foreach { case ((tn, cn), df) =>
+      val cnts = df.collect().map(_.getLong(1))
+      val r = rows((tn, cn))
+      assert(r.getLong(2) == cnts.sum && r.getLong(3) == cnts.length.toLong &&
+        r.getLong(5) == cnts.max, s"$tn.$cn: counts")
+      assert(r.getLong(6) == cnts.max * 10000 / cnts.sum, s"$tn.$cn: share")
+      val expect =
+        if (cnts.length < 4) "too_coarse"
+        else if (cnts.length > 10000) "too_fine"
+        else if (cnts.max * 10000 / cnts.sum > 2000) "skewed"
+        else "ok"
+      assert(r.getString(7) == expect, s"$tn.$cn: verdict")
+    }
+    // The advisor's point at this data: day partitioning is usable,
+    // a 4-value enum is not automatically okay (share rules bite).
+    assert(rows(("events", "day")).getLong(3) >= 4)
+  }
+
   test("graph_ktruss: 3 peel rounds reach the fixpoint at SF") {
     // Eager checkpoints per round: each peel references its input
     // THREE times (sym union + support join), so an uncheckpointed
