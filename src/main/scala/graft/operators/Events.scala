@@ -863,6 +863,53 @@ object Events {
       |FROM per
       |ORDER BY cur_type""".stripMargin
 
+  // ─── ev_dormancy: time-since-last-activity distribution ───
+  // The churn-risk counterpart of ev_retention's backward look: how
+  // long has each user been silent as of the corpus horizon (max ts —
+  // broadcast, so "now" is identical on every executor and in the
+  // oracle), rolled to an fl2 = ⌊log₂(days+1)⌋ histogram with user
+  // share and cumulative coverage — the re-engagement campaign sizing
+  // table (bucket 0 = active within ~1 day, each bucket doubles the
+  // silence). One per-user max aggregate, then ≤40-row frame
+  // arithmetic; exact integer days.
+  def evDormancy(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val horizon = ev.agg(max(epochS(col("ts"))).as("now_e"))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(max(epochS(col("ts"))).as("last_e"))
+      .crossJoin(broadcast(horizon))
+      .withColumn("days", expr("(now_e - last_e) div 86400"))
+      .withColumn("bucket",
+        (length(bin(col("days") + 1)) - 1).cast("long"))
+    perUser.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("days")).as("min_days"), max(col("days")).as("max_days"))
+      .withColumn("share_bp",
+        expr("n_users * 10000 div sum(n_users) over ()"))
+      .withColumn("cum_bp",
+        expr("sum(n_users) over (order by bucket) * 10000" +
+          " div sum(n_users) over ()"))
+      .orderBy(col("bucket"))
+  }
+
+  val evDormancySql: String =
+    """WITH h AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS now_e
+      |           FROM events),
+      |pu AS (
+      |  SELECT user_id,
+      |    (h.now_e - max(CAST(floor(epoch(ts)) AS BIGINT))) // 86400 AS days
+      |  FROM events CROSS JOIN h GROUP BY user_id, h.now_e),
+      |b AS (
+      |  SELECT CAST(length(bin(days + 1)) - 1 AS BIGINT) AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n_users,
+      |    min(days) AS min_days, max(days) AS max_days
+      |  FROM pu GROUP BY 1)
+      |SELECT bucket, n_users, min_days, max_days,
+      |  n_users * 10000 // CAST(sum(n_users) OVER () AS BIGINT) AS share_bp,
+      |  CAST(sum(n_users) OVER (ORDER BY bucket) AS BIGINT) * 10000
+      |    // CAST(sum(n_users) OVER () AS BIGINT) AS cum_bp
+      |FROM b ORDER BY bucket""".stripMargin
+
   // ─── ev_cohort: weekly signup-cohort retention matrix ───
   // Cohort = ISO week (Monday-truncated) of a user's first event;
   // offset = whole weeks between an activity week and the cohort
@@ -4274,6 +4321,7 @@ object Events {
     "ts_cusum" -> tsCusum,
     "ev_gap_quantiles" -> evGapQuantiles,
     "ev_next_entropy" -> evNextEntropy,
+    "ev_dormancy" -> evDormancy,
     "ts_hampel" -> tsHampel,
     "ev_lifecycle" -> evLifecycle,
     "ev_periodogram" -> evPeriodogram,
@@ -4350,6 +4398,7 @@ object Events {
     "ts_cusum" -> tsCusumSql,
     "ev_gap_quantiles" -> evGapQuantilesSql,
     "ev_next_entropy" -> evNextEntropySql,
+    "ev_dormancy" -> evDormancySql,
     "ts_hampel" -> tsHampelSql,
     "ev_lifecycle" -> evLifecycleSql,
     "ev_periodogram" -> evPeriodogramSql,

@@ -744,6 +744,70 @@ object ScaleOps {
        |ORDER BY c.c_custkey""".stripMargin
   }
 
+  // ─── profile_unique_keys: candidate-key discovery ───
+  // The uniqueness half of profiling that profile_fd's dependency
+  // tests sit on top of: for each declared candidate key (single
+  // columns and the lineitem composite), exact row vs distinct
+  // counts, duplicate mass, and the is_key verdict — the constraint a
+  // MERGE/upsert silently corrupts data without — and it earns its
+  // keep immediately here: the TPC-H-assumed (l_orderkey,
+  // l_linenumber) composite does NOT hold on the synthetic lineitem
+  // (the generator repeats line numbers), which is precisely the
+  // assumed-key violation to catch before trusting it. Exact distincts cost
+  // one shuffle per candidate by design (this is the audit; the
+  // streaming-scale approximation is sketch_hll's job and the two
+  // disagreeing is itself a signal). Composite keys canonicalize as
+  // delimited strings — '~' can't appear in numeric keys, so the
+  // concat is injective.
+  def profileUniqueKeys(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def audit(df: DataFrame, table: String, key: String,
+        expr0: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        countDistinct(expr0).as("n_distinct"))
+        .select(lit(table).as("table_name"), lit(key).as("key_columns"),
+          col("n_rows"), col("n_distinct"))
+    audit(t.events, "events", "event_id", col("event_id"))
+      .unionByName(audit(t.orders, "orders", "o_orderkey", col("o_orderkey")))
+      .unionByName(audit(t.lineitem, "lineitem", "l_orderkey~l_linenumber",
+        concat_ws("~", col("l_orderkey"), col("l_linenumber"))))
+      .unionByName(audit(t.documents, "documents", "doc_id", col("doc_id")))
+      .unionByName(audit(t.customer, "customer", "c_custkey", col("c_custkey")))
+      .unionByName(audit(t.lineitem, "lineitem", "l_orderkey",
+        col("l_orderkey")))
+      .withColumn("n_dup_rows", col("n_rows") - col("n_distinct"))
+      .withColumn("is_key", col("n_dup_rows") === 0)
+      .orderBy(col("table_name"), col("key_columns"))
+  }
+
+  val profileUniqueKeysSql: String =
+    """WITH a AS (
+      |  SELECT 'events' AS table_name, 'event_id' AS key_columns,
+      |    CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'orders', 'o_orderkey', CAST(count(*) AS BIGINT),
+      |    CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem', 'l_orderkey~l_linenumber',
+      |    CAST(count(*) AS BIGINT),
+      |    CAST(count(DISTINCT CAST(l_orderkey AS VARCHAR) || '~' ||
+      |      CAST(l_linenumber AS VARCHAR)) AS BIGINT) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'documents', 'doc_id', CAST(count(*) AS BIGINT),
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents
+      |  UNION ALL
+      |  SELECT 'customer', 'c_custkey', CAST(count(*) AS BIGINT),
+      |    CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer
+      |  UNION ALL
+      |  SELECT 'lineitem', 'l_orderkey', CAST(count(*) AS BIGINT),
+      |    CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem)
+      |SELECT table_name, key_columns, n_rows, n_distinct,
+      |  n_rows - n_distinct AS n_dup_rows,
+      |  n_rows - n_distinct = 0 AS is_key
+      |FROM a ORDER BY table_name, key_columns""".stripMargin
+
   // ─── layout_partition: partition-column advisor ───
   // layout_advisor ranks SORT orders; this ranks the coarser decision
   // above it — which column, if any, a table should be PARTITIONED BY.
@@ -1940,6 +2004,7 @@ object ScaleOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_outliers" -> profileOutliers,
     "layout_partition" -> layoutPartition,
+    "profile_unique_keys" -> profileUniqueKeys,
     "profile_benford" -> profileBenford,
     "profile_fd" -> profileFd,
     "sketch_ams" -> sketchAms,
@@ -1971,6 +2036,7 @@ object ScaleOps {
   val oracle: Map[String, String] = Map(
     "profile_outliers" -> profileOutliersSql,
     "layout_partition" -> layoutPartitionSql,
+    "profile_unique_keys" -> profileUniqueKeysSql,
     "profile_benford" -> profileBenfordSql,
     "profile_fd" -> profileFdSql,
     "sketch_ams" -> sketchAmsSql,

@@ -878,6 +878,51 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(rows(("events", "day")).getLong(3) >= 4)
   }
 
+  // ─── ev_dormancy ───
+
+  test("ev_dormancy: buckets partition the user base; doubling brackets hold") {
+    val rows = Events.evDormancy(spark, dir).collect()
+    val nUsers = Tables(spark, dir).events
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nUsers,
+      "every user is in exactly one dormancy bucket")
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      // bucket = fl2(days+1): days+1 in [2^b, 2^(b+1)).
+      assert(r.getLong(2) + 1 >= (1L << b) && r.getLong(3) + 1 < (1L << (b + 1)),
+        s"bucket $b: [${r.getLong(2)}, ${r.getLong(3)}] outside its bracket")
+      assert(r.getLong(2) <= r.getLong(3))
+    }
+    assert(rows.last.getLong(5) == 10000L, "cumulative coverage closes")
+  }
+
+  // ─── profile_unique_keys ───
+
+  test("profile_unique_keys: verdicts match ground truth on the synthetic keys") {
+    val rows = ScaleOps.profileUniqueKeys(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // Real keys of the testdata schema must audit as keys…
+    Seq(("events", "event_id"), ("orders", "o_orderkey"),
+      ("documents", "doc_id"), ("customer", "c_custkey")).foreach { k =>
+      assert(rows(k).getBoolean(5), s"$k must be a key")
+      assert(rows(k).getLong(4) == 0L)
+    }
+    // …and BOTH lineitem candidates must fail: l_orderkey repeats per
+    // line by construction, and the generator also repeats line
+    // numbers within an order — the TPC-H-assumed composite PK does
+    // NOT hold on this synthetic data, which is exactly the violation
+    // this audit exists to catch before a MERGE trusts it. Widening
+    // the key must still shrink the duplicate mass.
+    val lk = rows(("lineitem", "l_orderkey"))
+    val comp = rows(("lineitem", "l_orderkey~l_linenumber"))
+    assert(!lk.getBoolean(5) && lk.getLong(4) > 0)
+    assert(!comp.getBoolean(5) && comp.getLong(4) > 0,
+      "the synthetic composite is genuinely non-unique")
+    assert(comp.getLong(4) < lk.getLong(4), "wider key, fewer duplicates")
+    rows.values.foreach(r =>
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3), "dup accounting"))
+  }
+
   test("graph_ktruss: 3 peel rounds reach the fixpoint at SF") {
     // Eager checkpoints per round: each peel references its input
     // THREE times (sym union + support join), so an uncheckpointed
