@@ -310,9 +310,13 @@ class PlanShapeSpec extends AnyFunSuite {
     //    frame (the mix_apportion shape).
     //  - mix_token_budget: Hamilton split rank over the |sources|
     //    frame (the mix_apportion shape).
+    //  - sample_allocated: inherits sample_strat_neyman's |langs|-frame
+    //    Hamilton rank by composition; its own document ranking rides
+    //    the groupedRank bucket ledger (spec-pinned via the id-sum
+    //    checksum).
     val boundedFrameRanks = Set("mix_apportion", "mix_waterfill",
       "text_zipf", "sample_priority", "sample_strat_neyman",
-      "mix_token_budget")
+      "mix_token_budget", "sample_allocated")
     for ((name, fn) <- graft.SparkEntry.queries if !boundedFrameRanks(name)) {
       val p = plan(fn(spark, dir))
       assert(unpartitionedRankFn.findFirstIn(p).isEmpty,
