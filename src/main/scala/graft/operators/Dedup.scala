@@ -1191,7 +1191,54 @@ object Dedup {
        |    - max(CASE WHEN rn = 1 THEN n_chars END) AS chars_dropped
        |FROM sized GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  // ─── dedup_source_matrix: where does the duplication FLOW? ───
+  // mix_source_overlap crosses sources on exact content hashes; this
+  // is its near-dup twin over the LSH candidate pairs — the matrix
+  // that separates "source X re-posts source Y's articles" (heavy
+  // off-diagonal cell → fix the crawl, not the dedup) from "source X
+  // is internally boilerplate-ridden" (heavy diagonal → fix the
+  // extractor). Canonicalized (source_a ≤ source_b) cells with pair
+  // counts and the share of all candidate mass; the pair frame joins
+  // `documents` twice on doc_id (two key joins over the pair list —
+  // pairs ∝ true dups by the banding argument, never corpus²).
+  def dedupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = pairEdges(spark, dir).filter(col("src") < col("dst"))
+    val srcOf = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"))
+    val tagged = pairs
+      .join(srcOf.select(col("doc_id").as("src"), col("source").as("sa")),
+        Seq("src"))
+      .join(srcOf.select(col("doc_id").as("dst"), col("source").as("sb")),
+        Seq("dst"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+    tagged.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", col("source_a") =!= col("source_b"))
+      .withColumn("share_bp",
+        expr("n_pairs * 10000 div sum(n_pairs) over ()"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val dedupSourceMatrixSql: String =
+    s"""WITH $edgesCtes,
+       |p AS (SELECT src, dst FROM edges WHERE src < dst),
+       |tagged AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |    greatest(da.source, db.source) AS source_b
+       |  FROM p
+       |  JOIN documents da ON da.doc_id = p.src
+       |  JOIN documents db ON db.doc_id = p.dst),
+       |cells AS (
+       |  SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM tagged GROUP BY 1, 2)
+       |SELECT source_a, source_b, n_pairs,
+       |  source_a <> source_b AS cross_source,
+       |  n_pairs * 10000 // CAST(sum(n_pairs) OVER () AS BIGINT) AS share_bp
+       |FROM cells ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_source_matrix" -> dedupSourceMatrix,
     "dedup_keep_best" -> dedupKeepBest,
     "decontam_minhash" -> decontamMinhash,
     "dedup_est_error" -> dedupEstError,
@@ -1208,6 +1255,7 @@ object Dedup {
     "dedup_substring" -> dedupSubstring)
 
   val oracle: Map[String, String] = Map(
+    "dedup_source_matrix" -> dedupSourceMatrixSql,
     "dedup_keep_best" -> dedupKeepBestSql,
     "decontam_minhash" -> decontamMinhashSql,
     "dedup_est_error" -> dedupEstErrorSql,

@@ -923,6 +923,31 @@ class Round13OpsSpec extends AnyFunSuite {
       assert(r.getLong(4) == r.getLong(2) - r.getLong(3), "dup accounting"))
   }
 
+  // ─── dedup_source_matrix ───
+
+  test("dedup_source_matrix: cells re-derive from the candidate pairs; mass conserved") {
+    val rows = Dedup.dedupSourceMatrix(spark, dir).collect()
+    val srcOf = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.dedupMinhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val direct = pairs.map { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(rows.map(_.getLong(2)).sum == pairs.length.toLong,
+      "every candidate pair lands in exactly one cell")
+    rows.foreach { r =>
+      val cell = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == direct(cell), s"$cell: pair count")
+      assert(r.getBoolean(3) == (r.getString(0) != r.getString(1)))
+      assert(r.getLong(4) == r.getLong(2) * 10000 / pairs.length, s"$cell: share")
+    }
+    assert(rows.length == direct.size)
+  }
+
   test("graph_ktruss: 3 peel rounds reach the fixpoint at SF") {
     // Eager checkpoints per round: each peel references its input
     // THREE times (sym union + support join), so an uncheckpointed
