@@ -257,6 +257,55 @@ object Cdc {
        |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
        |ORDER BY user_id, version""".stripMargin
 
+  // ─── cdc_retention_gc: history-retention vacuum plan over SCD-2 ───
+  // The maintenance decision cdc_scd2 creates: closed versions whose
+  // validity ENDED before the retention horizon (here 50 % of the
+  // epoch span — the split_time integer-cut discipline, identical in
+  // both engines) are reclaimable; current and recently-closed rows
+  // must survive or time travel breaks. Rolled per version-age week
+  // so the table reads as a GC forecast — how much history each
+  // additional week of retention costs — with reclaimable row share
+  // in bp. Rides the cdc_scd2 derivation (two windows over ONE
+  // user-keyed exchange) plus a broadcast span row; the rollup frame
+  // is ≤ span-weeks rows.
+  def cdcRetentionGc(spark: SparkSession, dir: String): DataFrame = {
+    val hist = cdcScd2(spark, dir)
+    val span = Tables(spark, dir).events
+      .agg(min(epochS(col("ts"))).as("t0"), max(epochS(col("ts"))).as("t1"))
+    hist.crossJoin(broadcast(span))
+      .withColumn("cut", expr("t0 + (t1 - t0) * 50 div 100"))
+      .withColumn("reclaimable",
+        !col("is_current") && col("valid_to") < col("cut"))
+      .withColumn("age_weeks",
+        when(col("is_current"), lit(-1L))
+          .otherwise(expr("(t1 - valid_to) div 604800")))
+      .groupBy(col("age_weeks"))
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when(col("reclaimable"), 1L).otherwise(0L)).as("n_reclaimable"))
+      .withColumn("reclaim_bp",
+        expr("n_reclaimable * 10000 div n_versions"))
+      .orderBy(col("age_weeks"))
+  }
+
+  val cdcRetentionGcSql: String =
+    s"""WITH hist AS ($cdcScd2Sql),
+       |span AS (
+       |  SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS t0,
+       |    max(CAST(floor(epoch(ts)) AS BIGINT)) AS t1 FROM events),
+       |tagged AS (
+       |  SELECT h.*,
+       |    (NOT h.is_current AND h.valid_to < t0 + (t1 - t0) * 50 // 100)
+       |      AS reclaimable,
+       |    CASE WHEN h.is_current THEN -1
+       |      ELSE (t1 - h.valid_to) // 604800 END AS age_weeks
+       |  FROM hist h CROSS JOIN span)
+       |SELECT age_weeks, CAST(count(*) AS BIGINT) AS n_versions,
+       |  CAST(sum(CASE WHEN reclaimable THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_reclaimable,
+       |  CAST(sum(CASE WHEN reclaimable THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 10000 // count(*) AS reclaim_bp
+       |FROM tagged GROUP BY age_weeks ORDER BY age_weeks""".stripMargin
+
   // ─── cdc_ivm: incremental maintenance of an aggregate view ───
   // The materialized-view refresh a 100 TB warehouse runs on every
   // ingest: a per-key aggregate state (count + sum are
@@ -819,6 +868,7 @@ object Cdc {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_key_skew" -> cdcKeySkew,
     "cdc_apply_plan" -> cdcApplyPlan,
+    "cdc_retention_gc" -> cdcRetentionGc,
     "cdc_conflict" -> cdcConflict,
     "cdc_merge_stats" -> cdcMergeStats,
     "cdc_snapshot_chunks" -> cdcSnapshotChunks,
@@ -848,6 +898,7 @@ object Cdc {
     "cdc_ivm" -> cdcIvmSql,
     "cdc_key_skew" -> cdcKeySkewSql,
     "cdc_apply_plan" -> cdcApplyPlanSql,
+    "cdc_retention_gc" -> cdcRetentionGcSql,
     "cdc_latest" -> cdcLatestSql,
     "cdc_reconcile" -> cdcReconcileSql,
     "cdc_offset_gaps" -> cdcOffsetGapsSql,

@@ -948,6 +948,33 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(rows.length == direct.size)
   }
 
+  // ─── cdc_retention_gc ───
+
+  test("cdc_retention_gc: buckets partition the history; GC rules re-derive") {
+    val rows = Cdc.cdcRetentionGc(spark, dir).collect()
+    val hist = Cdc.cdcScd2(spark, dir).collect()
+    val span = Tables(spark, dir).events
+      .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
+      .head
+    val (t0, t1) = (span.getLong(0), span.getLong(1))
+    val cut = t0 + (t1 - t0) * 50 / 100
+    assert(rows.map(_.getLong(1)).sum == hist.length.toLong,
+      "every version is in exactly one age bucket")
+    val current = rows.find(_.getLong(0) == -1L).get
+    assert(current.getLong(2) == 0L,
+      "current versions are never reclaimable")
+    rows.filter(_.getLong(0) >= 0).foreach { r =>
+      val w = r.getLong(0)
+      val inBucket = hist.filter(h => !h.getBoolean(5) &&
+        (t1 - h.getLong(4)) / 604800 == w)
+      assert(r.getLong(1) == inBucket.length.toLong, s"week $w: n_versions")
+      assert(r.getLong(2) ==
+        inBucket.count(h => h.getLong(4) < cut).toLong, s"week $w: reclaimable")
+    }
+    assert(rows.map(_.getLong(2)).sum > 0,
+      "the 50% horizon must reclaim something at this SF")
+  }
+
   test("graph_ktruss: 3 peel rounds reach the fixpoint at SF") {
     // Eager checkpoints per round: each peel references its input
     // THREE times (sym union + support join), so an uncheckpointed
