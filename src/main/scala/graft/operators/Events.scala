@@ -1139,15 +1139,22 @@ object Events {
   private val statIters = 8
 
   def evMarkovStationary(spark: SparkSession, dir: String): DataFrame = {
+    // Materialize the |types|² transition frame ONCE (lazy local
+    // checkpoint): without it the corpus-scale lag-window derivation
+    // is replicated 8× in the logical plan and survives only as long
+    // as ReuseExchange recognizes the copies — at 100× one AQE
+    // re-plan would re-run the corpus pass per iteration. After the
+    // checkpoint every loop round joins a metadata-sized leaf.
     val trans = evMarkov(spark, dir)
       .select(col("from_type"), col("to_type"), col("p_bp"))
+      .localCheckpoint(false)
     val types = trans.select(col("from_type").as("event_type"))
       .union(trans.select(col("to_type").as("event_type"))).distinct()
     val n = types.agg(count(lit(1)).as("n"))
     var v = types.crossJoin(broadcast(n))
       .select(col("event_type"), expr("10000 div n").as("pi_bp"))
     for (_ <- 1 to statIters) {
-      val stepped = v.join(trans, v("event_type") === trans("from_type"))
+      val stepped = v.join(broadcast(trans), v("event_type") === trans("from_type"))
         .groupBy(col("to_type"))
         .agg((sum(col("pi_bp") * col("p_bp")) / 10000).cast("long")
           .as("pi_next"))

@@ -381,6 +381,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_markov_stationary's 8-round loop rides ONE events scan") {
+    // The transition frame is localCheckpoint'ed before the power
+    // iteration: without it the corpus-scale lag-window derivation is
+    // replicated 8× in the plan and survives only while ReuseExchange
+    // recognizes the copies (the round-13 weak finding).
+    val p = plan(Events.evMarkovStationary(spark, dir))
+    val n = count(p, "Scan parquet[^\\n]*events")
+    assert(n == 0,
+      s"after checkpointing the transition frame the loop plan must be " +
+        s"metadata-only (LogicalRDD leaves), got $n events scans")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      "the loop must stand on the checkpointed transition frame")
+  }
+
   test("graph_squares wedges are equijoins on the pair graph, never cartesian") {
     val p = plan(Graph.graphSquares(spark, dir))
     assert(!p.contains("CartesianProduct"), "no cartesian wedge product")
