@@ -109,21 +109,51 @@ object ScaleOps {
   // state per group, mergeable map-side), approx_percentile is a
   // quantile sketch — vs an exact distinct-count (full shuffle of the
   // distinct pairs) and exact percentile (full sort per group). Sketch
-  // internals differ across engines, so there is no DuckDB hash oracle
-  // — the driver records rows-only; SketchSpec bounds the error vs the
-  // exact answers instead (HLL++ rsd 5% → assert within 15%;
-  // percentile within the group's observed [min, max]).
+  // INTERNALS differ across engines, so the raw estimates can't be
+  // hash-oracled — instead the output is the BAND VERDICT (the
+  // dedup_est_error discipline): each sketch estimate is checked
+  // Spark-side against the exact answer within its documented error
+  // band, and the oracle asserts the verdict columns are TRUE.
+  //   users_in_band : |HLL − exact| ≤ max(3, 15% · exact)
+  //                   (rsd 0.05 ⇒ 15% is 3σ; +3 absolute for tiny
+  //                    groups where one register flip dominates)
+  //   p50/p95_in_band: the sketch value (an actual element with rank
+  //                   error ≤ 1/accuracy = 0.001) lies within the
+  //                   exact interpolated [p−5pp, p+2pp] percentile
+  //                   envelope — far outside the guarantee, so the
+  //                   verdict is deterministic-stable across SFs.
+  // Exact n_events / exact_users ride along so the oracle still
+  // hash-checks real aggregates, not just three TRUEs.
   def sketchStats(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.05).as("au"),
         cents(percentile_approx(col("value"), lit(0.5), lit(1000)))
-          .as("p50_cents"),
+          .as("ap50"),
         cents(percentile_approx(col("value"), lit(0.95), lit(1000)))
-          .as("p95_cents"),
-        count(lit(1)).as("n_events"))
+          .as("ap95"),
+        cents(expr("percentile(value, 0.45D)")).as("lo50"),
+        cents(expr("percentile(value, 0.55D)")).as("hi50"),
+        cents(expr("percentile(value, 0.90D)")).as("lo95"),
+        cents(expr("percentile(value, 0.97D)")).as("hi95"))
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        (abs(col("au") - col("exact_users")) <=
+          greatest(lit(3L), floor(col("exact_users") * 0.15).cast("long")))
+          .as("users_in_band"),
+        (col("ap50") >= col("lo50") && col("ap50") <= col("hi50"))
+          .as("p50_in_band"),
+        (col("ap95") >= col("lo95") && col("ap95") <= col("hi95"))
+          .as("p95_in_band"))
       .orderBy(col("event_type"))
+
+  val sketchStatsSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS users_in_band, TRUE AS p50_in_band, TRUE AS p95_in_band
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ─── layout_zorder: Z-order (Morton) data-layout clustering ───
   // The write-side half of multi-dimensional data skipping: interleave
@@ -769,8 +799,14 @@ object ScaleOps {
           col("n_rows"), col("n_distinct"))
     audit(t.events, "events", "event_id", col("event_id"))
       .unionByName(audit(t.orders, "orders", "o_orderkey", col("o_orderkey")))
+      // concat (null-propagating), NOT concat_ws (null-skipping): the
+      // DuckDB oracle's '||' nulls the composite when any component is
+      // NULL, and a row with a NULL key component must not count as a
+      // distinct key on either engine. TPC-H columns are non-null, but
+      // the audit must not depend on that.
       .unionByName(audit(t.lineitem, "lineitem", "l_orderkey~l_linenumber",
-        concat_ws("~", col("l_orderkey"), col("l_linenumber"))))
+        concat(col("l_orderkey").cast("string"), lit("~"),
+          col("l_linenumber").cast("string"))))
       .unionByName(audit(t.documents, "documents", "doc_id", col("doc_id")))
       .unionByName(audit(t.customer, "customer", "c_custkey", col("c_custkey")))
       .unionByName(audit(t.lineitem, "lineitem", "l_orderkey",
@@ -2031,9 +2067,8 @@ object ScaleOps {
     "sketch_stats" -> sketchStats,
     "layout_zorder" -> layoutZorder)
 
-  /** sketch_stats is deliberately absent: approximate sketches are not
-    * cross-engine reproducible (driver does the rows-only check). */
   val oracle: Map[String, String] = Map(
+    "sketch_stats" -> sketchStatsSql,
     "profile_outliers" -> profileOutliersSql,
     "layout_partition" -> layoutPartitionSql,
     "profile_unique_keys" -> profileUniqueKeysSql,

