@@ -34,13 +34,26 @@ object Quarantine {
 
   private val corruptCol = "_corrupt_record"
 
+  /** A split ingest batch. `release()` unpersists the ONE cache entry
+    * both sides rest on — `clean.unpersist()`/`quarantine.unpersist()`
+    * would not (they are derived frames, not the persisted plan), so
+    * the raw handle is part of the contract, not an implementation
+    * detail. Call it once both sides are materialized. */
+  final case class SplitBatch(clean: DataFrame, quarantine: DataFrame,
+      private val raw: DataFrame) {
+    def release(): Unit = raw.unpersist(blocking = false)
+  }
+
   /** PERMISSIVE JSONL read split into (clean, quarantine): clean rows
     * carry the declared schema; quarantine rows carry the raw
     * unparseable line + its source file. One scan feeds both sides —
     * the split is two filters over the same projection, and Catalyst
-    * prunes each side's columns independently. */
+    * prunes each side's columns independently. The parsed frame is
+    * persisted (MEMORY_AND_DISK); the caller MUST `release()` the
+    * returned batch once both sides are materialized, or the cache
+    * entry lives for the session. */
   def readJsonl(spark: SparkSession, path: String, schema: StructType)
-      : (DataFrame, DataFrame) = {
+      : SplitBatch = {
     val raw = spark.read
       .schema(schema.add(corruptCol, StringType))
       .option("mode", "PERMISSIVE")
@@ -52,21 +65,28 @@ object Quarantine {
       .drop(corruptCol, "__src_file")
     val quarantine = raw.filter(col(corruptCol).isNotNull)
       .select(col(corruptCol).as("raw"), col("__src_file").as("src_file"))
-    (clean, quarantine)
+    SplitBatch(clean, quarantine, raw)
   }
 
-  /** Ingest with a quarantine sink: clean rows return, bad lines land
-    * as text under quarantineDir (the badRecordsPath shape) so the
-    * job never drops data and never dies on it. Returns the clean
-    * frame and the quarantined count. */
+  /** Ingest with a quarantine sink: clean rows return MATERIALIZED
+    * (localCheckpoint — the parse cache is released before returning,
+    * so ingest leaks nothing), bad lines land as text under
+    * quarantineDir (the badRecordsPath shape) so the job never drops
+    * data and never dies on it. The sink is ALWAYS overwritten — a
+    * re-run over a now-clean feed must not leave the previous run's
+    * stale quarantine files for the re-drive to replay. Returns the
+    * clean frame and the quarantined count. */
   def ingest(spark: SparkSession, path: String, schema: StructType,
       quarantineDir: String): (DataFrame, Long) = {
-    val (clean, quarantine) = readJsonl(spark, path, schema)
-    val n = quarantine.count()
-    if (n > 0)
-      quarantine.select(col("raw")).write.mode("overwrite").text(quarantineDir)
-    (clean, n)
-    // NB: the parsed batch stays persisted until the caller finishes
-    // with `clean` — ingest is batch-scoped by design.
+    val batch = readJsonl(spark, path, schema)
+    try {
+      val n = batch.quarantine.count()
+      // Empty overwrite when n == 0 clears stale files from a prior
+      // dirtier run of the same quarantineDir.
+      batch.quarantine.select(col("raw"))
+        .write.mode("overwrite").text(quarantineDir)
+      val clean = batch.clean.localCheckpoint(eager = true)
+      (clean, n)
+    } finally batch.release()
   }
 }

@@ -33,7 +33,8 @@ class QuarantineSpec extends AnyFunSuite {
   }
 
   test("unparseable lines quarantine whole; typed rows survive; mistypes null in place") {
-    val (clean, quarantine) = Quarantine.readJsonl(spark, writeFixture(), schema)
+    val batch = Quarantine.readJsonl(spark, writeFixture(), schema)
+    val (clean, quarantine) = (batch.clean, batch.quarantine)
     val cleanRows = clean.orderBy(col("id")).collect()
     // Fully-typed rows only: the mistyped id-3 row is JSON-corrupt.
     assert(cleanRows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
@@ -49,6 +50,14 @@ class QuarantineSpec extends AnyFunSuite {
         """{"id": 3, "name": "c", "score": "not-a-number"}"""))
     assert(q.forall(_.getString(1).contains("feed.jsonl")),
       "quarantine rows must carry their source file")
+    // release() must drop the one persisted parse the batch rests on —
+    // clean/quarantine are derived frames, so this handle is the only
+    // way a caller can release the cache entry.
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    batch.release()
+    val persistedAfter = spark.sparkContext.getPersistentRDDs.keySet
+    assert((persistedBefore diff persistedAfter).nonEmpty,
+      "release() must unpersist the parsed batch's cache entry")
   }
 
   test("ingest writes the quarantine sink and the re-drive is byte-identical") {
@@ -61,14 +70,39 @@ class QuarantineSpec extends AnyFunSuite {
       """{"id": 3, "name": "c", "score": "not-a-number"}"""))
   }
 
-  test("a fully clean feed quarantines nothing and writes no sink") {
-    val dir = Files.createTempDirectory("quarantine_clean")
-    Files.writeString(dir.resolve("ok.jsonl"),
+  test("a clean re-run overwrites a stale quarantine sink (no ghost re-drive)") {
+    val cleanDir = Files.createTempDirectory("quarantine_clean")
+    Files.writeString(cleanDir.resolve("ok.jsonl"),
       """{"id": 9, "name": "z", "score": 1}""" + "\n")
-    val qDir = Files.createTempDirectory("quarantine_none").toString
-    val (clean, n) = Quarantine.ingest(spark, dir.toString, schema, qDir)
+    val qDir = Files.createTempDirectory("quarantine_redrive").toString
+    // First run: dirty feed leaves 3 quarantined lines in qDir.
+    val (_, nDirty) = Quarantine.ingest(spark, writeFixture(), schema, qDir)
+    assert(nDirty == 3)
+    // Second run, same sink, now-clean feed: the stale lines MUST be
+    // cleared — a re-drive of qDir must replay nothing.
+    val (clean, n) = Quarantine.ingest(spark, cleanDir.toString, schema, qDir)
     assert(clean.count() == 1 && n == 0)
-    assert(!Files.list(java.nio.file.Paths.get(qDir)).iterator().hasNext,
-      "no quarantine output for a clean feed")
+    assert(spark.read.text(qDir).count() == 0,
+      "stale quarantine files from the previous run must not survive")
+  }
+
+  test("ingest returns a checkpoint-backed clean side, parse cache released") {
+    val qDir = Files.createTempDirectory("quarantine_cache").toString
+    val feed = writeFixture()
+    val (clean, n) = Quarantine.ingest(spark, feed, schema, qDir)
+    assert(n == 3)
+    // The returned frame plans as a LogicalRDD leaf (its own checkpoint
+    // blocks), NOT the persisted json parse — ingest released that cache
+    // entry before returning, so nothing rests on it.
+    val leaves = clean.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+      s"clean must be checkpoint-backed, got leaves: $leaves")
+    // And it must survive the feed disappearing: materialized, not lazy
+    // over a released cache.
+    import scala.jdk.CollectionConverters._
+    Files.walk(java.nio.file.Paths.get(feed)).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount).foreach(Files.delete)
+    assert(clean.count() == 3)
   }
 }
