@@ -97,9 +97,18 @@ object Bench {
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = scala.collection.mutable.ArrayBuffer
       .empty[(String, Option[(Double, Double, Double, Double, Double, Double, Double)])]
+    // Fixture builds as their own line items (the round-13 attribution
+    // fix): the session-scoped fixture getters record their build time
+    // in Families' ledger when they actually build — in warm mode that
+    // happens inside the untimed warm pass, so the timed medians below
+    // price READING a fixture, never building it, and the build cost is
+    // still visible here instead of vanishing (or, in cold mode,
+    // doubling into the first consumer's sample).
+    val fixtureBuilds = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     chunks.foreach { chunk =>
       val spark = GraftSession.builder(cpus).getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
+      Families.drainFixtureTimes() // discard any pre-chunk leftovers
       // Untimed warm pass: table reads, codegen, chunk fixtures.
       Tables(spark, sfDir).region.write.format("noop").mode("overwrite").save()
       if (!cold) chunk.foreach { case (_, fn) =>
@@ -141,6 +150,7 @@ object Bench {
       // dying context, stop it, and nudge the collector so the next
       // chunk starts from a near-fresh heap rather than inheriting
       // this one's garbage.
+      fixtureBuilds ++= Families.drainFixtureTimes()
       Families.invalidateFixtures()
       spark.stop()
       System.gc()
@@ -169,7 +179,14 @@ object Bench {
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = sorted.flatMap(_._2.map(_._1)).sum
     val mode = if (cold) "cold" else "warm"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"cpu":$cpu,"cpu_spread":$cpuSpread,"load":$load,"failed":$fj,"mode":"$mode","iters":$iters,"chunks":${chunks.size},"sf":"$sfDir"}"""
+    // One entry per BUILD (a fixture rebuilds in every chunk whose
+    // session its consumers share), name → list of build seconds.
+    val fixturesJson = fixtureBuilds.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (k, ts) =>
+        "\"" + k + "\":[" + ts.map(_._2).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+    val fixtureSec = fixtureBuilds.map(_._2).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"cpu":$cpu,"cpu_spread":$cpuSpread,"load":$load,"failed":$fj,"fixtures":$fixturesJson,"fixture_sec":$fixtureSec,"mode":"$mode","iters":$iters,"chunks":${chunks.size},"sf":"$sfDir"}"""
     // The COMPLETE artifact (every key: median + [min,max] spread band,
     // cpu, load) goes to a repo file a reviewer can audit without
     // re-running the suite; stdout gets a SHORT headline line that
@@ -186,7 +203,34 @@ object Bench {
     val fshort = (failed.take(5).map("\"" + _ + "\"") ++
       (if (failed.size > 5) Seq("\"+" + (failed.size - 5) + " more\"") else Nil))
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$hq,"sf":"$sfDir","n_queries":${medians.size},"n_failed":${failed.size},"failed":$fshort,"mode":"$mode","iters":$iters,"full":"BENCH_FULL.json"}""")
+    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$hq,"sf":"$sfDir","n_queries":${medians.size},"n_failed":${failed.size},"failed":$fshort,"mode":"$mode","iters":$iters,"fixture_sec":$fixtureSec,"full":"BENCH_FULL.json"}"""
+
+    // SELF-CHECK (the round-13 ask: BENCH_r11/r12 came back
+    // `parsed: null` and nobody noticed until the judge did). Recreate
+    // the driver's parse exactly — take the LAST 2000 chars of what we
+    // print, find the JSON line, parse it with Jackson (on Spark's
+    // classpath) — and fail LOUDLY here if that would fail there. Also
+    // re-read the BENCH_FULL artifact from disk and parse it.
+    def mustParse(what: String, s: String): Unit = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = m.readTree(s)
+      require(node != null && node.has("metric") && node.has("value"),
+        s"$what: parsed JSON lacks metric/value")
+    }
+    try {
+      require(headlineLine.length <= 1900,
+        s"headline line is ${headlineLine.length} chars — the driver keeps " +
+          "only ~2000 and would truncate it to unparseable")
+      mustParse("headline", headlineLine.takeRight(2000))
+      val fullPath = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
+      mustParse("BENCH_FULL", java.nio.file.Files.readString(fullPath))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] SELF-CHECK FAILED: ${e.getMessage}")
+      println(headlineLine) // still emit what we have, then fail the run
+      sys.exit(2)
+    }
+    println(headlineLine)
     if (failed.nonEmpty) sys.exit(1)
   }
 }

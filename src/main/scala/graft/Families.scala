@@ -35,4 +35,36 @@ object Families {
     graft.operators.Trike.invalidate()
     graft.operators.Graph.invalidate()
   }
+
+  /** Fixture-build ledger (the round-13 fix for fixture attribution):
+    * each session-scoped fixture getter records (name, seconds) here
+    * when it actually BUILDS — memoized hits record nothing — so Bench
+    * can report fixture builds as their own line items instead of
+    * charging them to whichever query touches the fixture first in its
+    * chunk (round-13's driver-vs-builder "regressions" were exactly
+    * such attribution flips: graph_clustering 0.55 s vs 3.78 s, same
+    * code, different chunk paying the shared pair-graph build). */
+  private val fixtureTimes =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
+
+  def recordFixtureBuild(name: String, secs: Double): Unit =
+    fixtureTimes.add((name, secs))
+
+  /** Drain (name, seconds) entries recorded since the last drain. A
+    * name can repeat across drains — each chunk's fresh session
+    * rebuilds its fixtures. */
+  def drainFixtureTimes(): Seq[(String, Double)] = {
+    val b = Seq.newBuilder[(String, Double)]
+    var e = fixtureTimes.poll()
+    while (e != null) { b += e; e = fixtureTimes.poll() }
+    b.result()
+  }
+
+  /** Time `build`, record it in the ledger, return its result. */
+  def timedFixture[A](name: String)(build: => A): A = {
+    val t0 = System.nanoTime()
+    val r = build
+    recordFixtureBuild(name, (System.nanoTime() - t0) / 1e9)
+    r
+  }
 }

@@ -60,21 +60,31 @@ object Verify {
     val all = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val t00 = System.nanoTime()
+    // Global failure ledger: every failed/timed-out query lands here
+    // and is reported at the end (stderr summary + a marker file in
+    // outDir). Exit stays 0 BY DESIGN — the partial dump is the gate's
+    // value (kill at minute N still compares N minutes of parquet), so
+    // a flaky query must not zero the round; the marker file is the
+    // machine-readable failure signal.
+    val errs = new ConcurrentLinkedQueue[String]()
     Families.chunked(all, chunkCap).foreach { chunk =>
       val spark = GraftSession.builder(cpus).getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       val pool = Executors.newFixedThreadPool(math.max(1, math.min(par, chunk.size)))
-      val errs = new ConcurrentLinkedQueue[String]()
+      val submitted = new ConcurrentLinkedQueue[String]()
       chunk.foreach { case (name, fn) =>
+        submitted.add(name)
         pool.submit(new Runnable {
           def run(): Unit = {
             val t0 = System.nanoTime()
             try {
               fn(spark, sfDir).coalesce(1).write.mode("overwrite")
                 .parquet(s"$outDir/$name")
+              submitted.remove(name)
               System.err.println(
                 f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
             } catch { case e: Throwable =>
+              submitted.remove(name)
               errs.add(name)
               System.err.println(s"[verify] $name failed: ${e.getMessage}")
             }
@@ -87,12 +97,27 @@ object Verify {
       if (!pool.awaitTermination(20, TimeUnit.MINUTES)) {
         System.err.println(s"[verify] chunk timed out; abandoning stragglers")
         pool.shutdownNow()
+        // Whatever never finished is a failure too — name it.
+        submitted.forEach(n => errs.add(s"$n (timeout)"))
       }
       Families.invalidateFixtures()
       spark.stop()
       System.gc()
     }
+    val failed = {
+      val it = errs.iterator(); val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next(); b.result().sorted
+    }
+    // Machine-readable failure marker: present (and non-empty) IFF any
+    // query failed or timed out. Written last so its absence on a
+    // killed run means "unknown", not "clean".
+    Files.writeString(Paths.get(s"$outDir/failed_queries.json"),
+      failed.map(q).mkString("[", ",", "]"))
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] FAILED ${failed.size} queries: " +
+        failed.mkString(", "))
     System.err.println(
-      f"[verify] all chunks done in ${(System.nanoTime() - t00) / 1e9}%.0fs")
+      f"[verify] all chunks done in ${(System.nanoTime() - t00) / 1e9}%.0fs " +
+        s"(${all.size - failed.size}/${all.size} ok)")
   }
 }

@@ -237,14 +237,21 @@ object Dedup {
           prev.foreach { case (_, _, rdds) =>
             rdds.foreach(r => scala.util.Try(r.unpersist(blocking = false)))
           }
-          // explode_outer: see dedupNgramJaccard note.
-          val rows = docShingles(spark, dir)
-            .select(col("doc_id"), col("n_sh"),
-              explode_outer(col("sh")).as("shingle"))
-            .filter(col("shingle").isNotNull)
-            .withColumn("h60",
-              conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"))
-            .localCheckpoint(eager = false)
+          // explode_outer: see dedupNgramJaccard note. Materialized
+          // eagerly under a timed-fixture ledger entry so the build
+          // cost is attributed to the FIXTURE, not the first consumer
+          // query (Families.recordFixtureBuild).
+          val rows = graft.Families.timedFixture("dedup_shingles") {
+            val r = docShingles(spark, dir)
+              .select(col("doc_id"), col("n_sh"),
+                explode_outer(col("sh")).as("shingle"))
+              .filter(col("shingle").isNotNull)
+              .withColumn("h60",
+                conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"))
+              .localCheckpoint(eager = false)
+            r.count()
+            r
+          }
           shFixture = Some((key, rows, Graph.ckptRdds(rows)))
           rows
       }
@@ -275,25 +282,33 @@ object Dedup {
         // shingle→hash→64-min aggregate per reference. At 100 TB
         // signatures are a materialization point by design — a few
         // hundred bytes/doc versus re-tokenizing the corpus.
-        val sigs = hashRows
-          .groupBy(col("doc_id"))
-          .agg(
-            min((col("h") * permCoef(0)._1 + permCoef(0)._2) % P31).as("m0"),
-            (1 until nPerms).map { j =>
-              min((col("h") * permCoef(j)._1 + permCoef(j)._2) % P31).as(s"m$j")
-            }: _*)
-          .localCheckpoint(eager = false)
+        val sigs = graft.Families.timedFixture("dedup_signatures") {
+          val s = hashRows
+            .groupBy(col("doc_id"))
+            .agg(
+              min((col("h") * permCoef(0)._1 + permCoef(0)._2) % P31).as("m0"),
+              (1 until nPerms).map { j =>
+                min((col("h") * permCoef(j)._1 + permCoef(j)._2) % P31).as(s"m$j")
+              }: _*)
+            .localCheckpoint(eager = false)
+          s.count()
+          s
+        }
         val banded = bandedOf(sigs)
         // The pair graph too: cand is the second materialization point
         // (bounded by duplicate density, far smaller than the corpus) —
         // the four graph_* analytics read it without re-running the
         // banded self-join.
-        val cand = banded.as("a").join(banded.as("b"),
-            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("n_bands"))
-          .localCheckpoint(eager = false)
+        val cand = graft.Families.timedFixture("dedup_pair_graph") {
+          val c = banded.as("a").join(banded.as("b"),
+              col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+            .agg(count(lit(1)).as("n_bands"))
+            .localCheckpoint(eager = false)
+          c.count()
+          c
+        }
         fixture = Some((key, sigs, cand,
           Graph.ckptRdds(sigs) ++ Graph.ckptRdds(cand)))
         (sigs, cand)

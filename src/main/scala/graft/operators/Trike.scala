@@ -121,7 +121,13 @@ object Trike {
         prev.foreach { case (_, _, rdds) =>
           rdds.foreach(r => scala.util.Try(r.unpersist(blocking = false)))
         }
-        val df = framesPlan(spark, dir).localCheckpoint(eager = false)
+        // Eagerly materialized under a timed-fixture ledger entry so
+        // Bench reports the build as its own line item (Families doc).
+        val df = graft.Families.timedFixture("trike_frames") {
+          val f = framesPlan(spark, dir).localCheckpoint(eager = false)
+          f.count()
+          f
+        }
         fixture = Some((key, df, Graph.ckptRdds(df)))
         df
     }
