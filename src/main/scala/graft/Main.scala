@@ -22,8 +22,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * {{{
   * spark-submit --class graft.Main graft.jar
-  *   # env: GRAFT_SOURCE=fake|socket  GRAFT_CHECKPOINT_DIR=/path
-  *   #      GRAFT_HOST/GRAFT_PORT (socket)  GRAFT_RATE/GRAFT_CONNS (fake)
+  *   # env: GRAFT_SOURCE=multisocket|socket|fake (default multisocket —
+  *   #        the reference's Ranch listener; fake/socket are dev shims)
+  *   #      GRAFT_CHECKPOINT_DIR=/path
+  *   #      GRAFT_HOST/GRAFT_PORT (socket/multisocket)
+  *   #      GRAFT_RATE/GRAFT_CONNS (fake)
   *   #      GRAFT_STALE_TIMEOUT_MS  GRAFT_WATERMARK  GRAFT_TRIGGER_MS
   * }}}
   *
@@ -35,7 +38,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object Main {
 
   final case class Config(
-    source: String = "fake",
+    // multisocket IS the production default — the reference boots a
+    // Ranch listener accepting N OCS connections (application.ex:1-30);
+    // `fake` (fake_source.ex's twin) and `socket` are dev shims a
+    // deployment opts INTO via GRAFT_SOURCE, not out of.
+    source: String = "multisocket",
     host: String = "localhost",
     port: Int = 8001,
     rowsPerSecond: Int = 100,
@@ -48,7 +55,7 @@ object Main {
     triggerMs: Long = 1000L)
 
   def fromEnv(env: Map[String, String] = sys.env): Config = Config(
-    source = env.getOrElse("GRAFT_SOURCE", "fake"),
+    source = env.getOrElse("GRAFT_SOURCE", "multisocket"),
     host = env.getOrElse("GRAFT_HOST", "localhost"),
     port = env.getOrElse("GRAFT_PORT", "8001").toInt,
     rowsPerSecond = env.getOrElse("GRAFT_RATE", "100").toInt,

@@ -85,8 +85,10 @@ class MainSpec extends AnyFunSuite {
       "GRAFT_STALE_TIMEOUT_MS" -> "1234", "GRAFT_CHECKPOINT_DIR" -> "/tmp/x"))
     assert(cfg.source == "socket" && cfg.host == "h" && cfg.port == 9099)
     assert(cfg.staleTimeoutMs == 1234L && cfg.checkpointDir == "/tmp/x")
-    // Unset keys keep deployable defaults.
-    assert(Main.fromEnv(Map.empty).source == "fake")
+    // Unset keys keep deployable defaults: the production source is
+    // the multi-connection listener (the reference's Ranch boot), not
+    // the fake dev shim.
+    assert(Main.fromEnv(Map.empty).source == "multisocket")
     intercept[IllegalArgumentException](
       Main.packets(spark, Main.Config(source = "nope")))
   }
