@@ -919,19 +919,23 @@ object Pipeline {
   // (Kong 1992, the importance-sampling ESS). Weights are constant
   // per language, so both sums collapse onto the ≤|langs| frame —
   // Σw = Σ n_l·w_l, Σw² = Σ n_l·w_l² — exact integers at any corpus
-  // size (w in bp keeps n·w² inside i64 to ~10⁸ docs/lang; beyond,
-  // rescale bp → permille). ess_x100 and the efficiency ratio are
-  // pure integer division.
+  // size. The squaring is the scale hazard: sw ≈ n_total·10⁴ bp, so
+  // sw²·100 passes i64 already at ~3·10⁴ docs (the sf1 step-up run
+  // caught exactly this) — the square rides DECIMAL(38,0) /
+  // HUGEINT, 38 digits ⇒ exact to n_total ~10¹⁴ docs, and only the
+  // metadata-sized QUOTIENT (ess_x100 ≤ n_total·100) returns to i64.
   def mixEss(spark: SparkSession, dir: String): DataFrame =
     mixReweight(spark, dir)
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("n_docs") * col("weight_bp")).as("sw"),
         sum(col("n_docs") * col("weight_bp") * col("weight_bp")).as("sw2"))
       .select(col("n_docs"),
-        expr("sw * sw * 100 div sw2").as("ess_x100"),
-        // off ess_x100, not sw²·10⁴ — keeps the widest product at
-        // sw²·100 (i64-safe two SFs further out)
-        expr("(sw * sw * 100 div sw2) * 100 div n_docs").as("efficiency_bp"))
+        expr("cast(cast(sw AS decimal(38,0)) * sw * 100 div sw2 AS bigint)")
+          .as("ess_x100"),
+        // off ess_x100, not sw²·10⁴ — the second ratio never needs
+        // the wide lane
+        expr("cast(cast(sw AS decimal(38,0)) * sw * 100 div sw2 AS bigint)" +
+          " * 100 div n_docs").as("efficiency_bp"))
 
   val mixEssSql: String =
     """WITH pl AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
@@ -946,8 +950,10 @@ object Pipeline {
       |    CAST(sum(n_docs * weight_bp) AS BIGINT) AS sw,
       |    CAST(sum(n_docs * weight_bp * weight_bp) AS BIGINT) AS sw2
       |  FROM w)
-      |SELECT n_docs, sw * sw * 100 // sw2 AS ess_x100,
-      |  (sw * sw * 100 // sw2) * 100 // n_docs AS efficiency_bp
+      |SELECT n_docs,
+      |  CAST(CAST(sw AS HUGEINT) * sw * 100 // sw2 AS BIGINT) AS ess_x100,
+      |  CAST(CAST(sw AS HUGEINT) * sw * 100 // sw2 AS BIGINT) * 100 // n_docs
+      |    AS efficiency_bp
       |FROM s""".stripMargin
 
   // ─── sample_priority: weighted subset-sum sample (DLT) ───

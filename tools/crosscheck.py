@@ -9,6 +9,14 @@ import duckdb
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 SKIP_RUN = "--no-run" in sys.argv
+# Per-oracle wall budget (seconds; 0 = none). At sf>=1 the deliberate
+# quadratic DuckDB baselines (fuzzy_join's all-pairs levenshtein is
+# ~4h at sf1) starve the gate; an interrupted oracle is reported as
+# SKIP, not FAIL — the Spark side still ran, and the oracle stays
+# verified at the smaller SFs.
+ORACLE_TIMEOUT = 0.0
+if "--oracle-timeout" in sys.argv:
+    ORACLE_TIMEOUT = float(sys.argv[sys.argv.index("--oracle-timeout") + 1])
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -31,9 +39,15 @@ times = []  # (oracle replay seconds, name) — the driver replays these
             # same SQLs; one pathological oracle (graph_hits' inlined
             # scalar-subquery CTEs: 563 s at sf0.01) can starve the
             # whole external gate, so surface the slowest at the end.
+import threading
 import time as _time
+skipped = []
 for name, sql in sorted(oracle.items()):
     _t0 = _time.time()
+    timer = None
+    if ORACLE_TIMEOUT > 0:
+        timer = threading.Timer(ORACLE_TIMEOUT, con.interrupt)
+        timer.start()
     try:
         got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
         exp = con.sql(sql)
@@ -75,7 +89,15 @@ for name, sql in sorted(oracle.items()):
         else:
             print(f"OK   {name}: {len(g)} rows")
     except Exception as ex:
-        print(f"FAIL {name}: {str(ex)[:300]}"); fails += 1
+        msg = str(ex)
+        if ORACLE_TIMEOUT > 0 and "INTERRUPT" in msg.upper():
+            skipped.append(name)
+            print(f"SKIP {name}: oracle exceeded {ORACLE_TIMEOUT:.0f}s budget")
+        else:
+            print(f"FAIL {name}: {msg[:300]}"); fails += 1
+    finally:
+        if timer is not None:
+            timer.cancel()
     times.append((_time.time() - _t0, name))
 times.sort(reverse=True)
 slow = [(t, n) for t, n in times[:8] if t > 2.0]
@@ -83,5 +105,8 @@ if slow:
     print("\nslowest oracle replays (driver pays these too):")
     for t, n in slow:
         print(f"  {t:7.2f}s  {n}")
-print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")
+if skipped:
+    print(f"\nskipped {len(skipped)} oracle(s) over the "
+          f"{ORACLE_TIMEOUT:.0f}s budget: {', '.join(skipped)}")
+print(f"\n{len(oracle) - fails - len(skipped)}/{len(oracle)} queries match")
 sys.exit(1 if fails else 0)
