@@ -98,7 +98,14 @@ object GenScale {
     val outs: Seq[(String, DataFrame)] = Seq(
       "region" -> read("region"),
       "nation" -> read("nation"),
-      "customer" -> shifted(read("customer"), Seq("c_custkey" -> mCust), copies),
+      // c_name follows the shifted key (the source invariant is exact:
+      // name = printf('Customer#%09d', custkey); replica 0 reproduces
+      // the source bytes). Leaving names verbatim would hand every
+      // customer k-1 exact-duplicate names — fuzzy_join's edit-distance
+      // neighbor density would grow with k instead of staying the
+      // source's, which is not how ×k more real customers behave.
+      "customer" -> shifted(read("customer"), Seq("c_custkey" -> mCust), copies)
+        .withColumn("c_name", format_string("Customer#%09d", col("c_custkey"))),
       "supplier" -> shifted(read("supplier"), Seq("s_suppkey" -> mSupp), copies),
       "part" -> shifted(read("part"), Seq("p_partkey" -> mPart), copies),
       "orders" -> shifted(read("orders"),

@@ -68,33 +68,72 @@ object Similarity {
        |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp
        |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
-  // ─── ann_lsh: random-hyperplane LSH, 12 tables × 4 bits ───
+  // ─── ann_lsh: random-hyperplane LSH, 12 tables × occupancy-scaled bits ───
   // Sign-of-projection signatures against seed-42 Gaussian hyperplanes
   // (compile-time literals — zero per-row model cost at scale).
-  // Candidates share a 4-bit bucket in ≥1 of 12 tables; exact cosine
+  // Candidates share a bucket in ≥1 of 12 tables; exact cosine
   // re-ranks candidates only. The hyperplanes are emitted into the
   // generated DuckDB SQL as double literals (Double.toString
   // round-trips), so even this approximate op hash-matches the oracle;
   // the spec additionally measures recall against ann_bruteforce.
+  //
+  // BITS SCALE WITH THE CORPUS (the round-14 sf1 finding): with a
+  // fixed 4-bit bucket space, occupancy = n/16 grows linearly and the
+  // within-bucket candidate join grows QUADRATICALLY — dedup_embedding
+  // measured 24× wall for 10× data. bitsFor(n) picks the smallest
+  // bucket space that keeps expected occupancy ≤ occupancyTarget, so
+  // candidate volume stays ~n·occupancy — linear. Each table uses a
+  // PREFIX of its 16-plane pool slice, and both engines derive bits
+  // from the same integer-exact count, so the blocking replays
+  // bit-for-bit in DuckDB at every SF. The recall knob at scale is the
+  // TABLE count (L must grow like 1/p₁^bits to hold recall for
+  // threshold-grade pairs); the engine keeps L=12 and surfaces the
+  // achieved recall through its own calibration ops (ann_recall,
+  // dedup_threshold_sweep) rather than silently degrading candidates
+  // into an O(n²) join.
   private val nTables = 12
-  private val bitsPerTable = 4
+  private val minBits = 4
+  private val maxBits = 16
+  private val occupancyTarget = 16L
+
+  /** Smallest b with 2^b ≥ ceil(n / occupancyTarget), clamped to
+    * [minBits, maxBits] — a pure-integer formula (no float log2) so
+    * the SQL twin in lshBucketCtes computes the identical value. */
+  private[operators] def bitsFor(n: Long): Int = {
+    val bn = (n + occupancyTarget - 1) / occupancyTarget
+    var b = 0
+    while ((1L << b) < bn && b < maxBits) b += 1
+    math.max(minBits, b)
+  }
 
   private lazy val planes: Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(nTables * bitsPerTable)(Seq.fill(64)(rnd.nextGaussian()))
+    Seq.fill(nTables * maxBits)(Seq.fill(64)(rnd.nextGaussian()))
   }
 
+  /** Corpus size per (session, dir) — one stats-only parquet count,
+    * memoized so repeated plan builds don't re-run the job. */
+  private val nVecsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
+  private[operators] def nVecs(spark: SparkSession, dir: String): Long =
+    nVecsCache.computeIfAbsent((spark, dir),
+      _ => graft.Tables(spark, dir).embeddings.count())
+
   /** (vec_id, table, bucket) for every vector: bucket = the sign bits
-    * of this table's hyperplane projections packed into an int. */
+    * of this table's hyperplane projections packed into an int. Only
+    * the bits(n) planes actually used are shipped into the plan. */
   private[operators] def bucketed(spark: SparkSession, dir: String): DataFrame = {
-    val planesLit = typedLit(planes)
+    val bits = bitsFor(nVecs(spark, dir))
+    val used = (0 until nTables)
+      .flatMap(t => planes.slice(t * maxBits, t * maxBits + bits))
+    val planesLit = typedLit(used)
     vecs(spark, dir)
       .withColumn("bits", transform(planesLit,
         p => when(dot(col("v"), p) > 0, 1).otherwise(0)))
       .select(col("vec_id"), col("v"), col("norm"),
         posexplode(transform(sequence(lit(0), lit(nTables - 1)), t =>
-          (0 until bitsPerTable)
-            .map(k => element_at(col("bits"), t * bitsPerTable + k + 1) * lit(1 << (bitsPerTable - 1 - k)))
+          (0 until bits)
+            .map(k => element_at(col("bits"), t * bits + k + 1) * lit(1 << (bits - 1 - k)))
             .reduce(_ + _)))
           .as(Seq("table", "bucket")))
   }
@@ -228,16 +267,25 @@ object Similarity {
     val planeRows = planes.zipWithIndex.map { case (p, pid) =>
       s"($pid, [${p.mkString(", ")}]::DOUBLE[])"
     }.mkString(",\n    ")
+    // bcfg mirrors bitsFor(n) with the same pure-integer formula
+    // (count of b in [0, maxBits) with 2^b < ceil(n/target), clamped),
+    // so both engines pick the identical occupancy-scaled bucket width.
     s"""planes(pid, p) AS (VALUES
        |    $planeRows),
+       |bcfg AS (
+       |  SELECT GREATEST($minBits, (
+       |    SELECT count(*) FROM range(0, $maxBits) t(b)
+       |    WHERE (CAST(1 AS BIGINT) << CAST(b AS INT)) <
+       |      ((SELECT count(*) + $occupancyTarget - 1 FROM n) // $occupancyTarget)
+       |  )) AS bits),
        |bits AS (
        |  SELECT n.vec_id, pl.pid,
        |    CASE WHEN (${dotSqlOf("n.v", "pl.p")}) > 0 THEN 1 ELSE 0 END AS bit
-       |  FROM n, planes pl),
+       |  FROM n, planes pl, bcfg WHERE (pl.pid % $maxBits) < bcfg.bits),
        |buckets AS (
-       |  SELECT vec_id, (pid // $bitsPerTable) AS tbl,
-       |    sum(bit << (${bitsPerTable - 1} - (pid % $bitsPerTable))) AS bucket
-       |  FROM bits GROUP BY 1, 2)""".stripMargin
+       |  SELECT vec_id, (pid // $maxBits) AS tbl,
+       |    sum(bit << (bcfg.bits - 1 - (pid % $maxBits))) AS bucket
+       |  FROM bits, bcfg GROUP BY vec_id, (pid // $maxBits), bcfg.bits)""".stripMargin
   }
 
   val annLshSql: String = {
