@@ -59,7 +59,21 @@ object GenScale {
   }
 
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
-  private def rot(c: Int): String = alpha.drop(c) + alpha.take(c)
+
+  /** Per-copy alphabet PERMUTATION (not cyclic rotation): rotations
+    * compose additively, so chaining GenScale runs (sf0.1→sf1→sf10)
+    * collides — replicas (r1, r2) and (r1', r2') with r1+r2 = r1'+r2'
+    * produce byte-identical text and the exact-dup count explodes
+    * ~100× past linear (measured: 84,880 dup groups at a chained sf10
+    * vs the ~800 a linear corpus implies). Seeded Fisher-Yates
+    * permutations live in S₂₆ (4·10²⁶ elements): distinct per copy,
+    * and the composition of two seeded permutations is a fresh
+    * permutation, so chained runs stay vocabulary-disjoint at any k.
+    * Copy 0 is the identity — replica 0 reproduces the source bytes. */
+  private def perm(c: Int): String =
+    if (c == 0) alpha
+    else new String(new scala.util.Random(1000 + c)
+      .shuffle(alpha.toVector).toArray)
 
   def main(args: Array[String]): Unit = {
     val Array(src, dst, kStr) = args.take(3)
@@ -79,7 +93,7 @@ object GenScale {
     def rotText(cCol: org.apache.spark.sql.Column,
         text: org.apache.spark.sql.Column) =
       (1 until k).foldLeft(when(cCol === 0, text)) { (acc, c) =>
-        acc.when(cCol === c, translate(text, alpha, rot(c)))
+        acc.when(cCol === c, translate(text, alpha, perm(c)))
       }
 
     // Id-space moduli, each owned by ONE table and reused by every FK
