@@ -11,6 +11,21 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench`
+// as JSON. Two pieces of sbt chrome defeated that through round 14
+// (BENCH_r12..r14 all came back `parsed: null`):
+//  - the forked program's stdout was wrapped by the sbt logger, so the
+//    headline printed as "[info] {...}" — not valid JSON;
+//  - sbt appended "[success] Total time: ..." AFTER the headline, so
+//    the last line wasn't the headline at all.
+// StdoutOutput passes the forked process's stdout/stderr through raw,
+// and showSuccess drops the trailing chrome — the headline JSON is now
+// the genuine last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not by a task — the
+// unused-key lint doesn't see that.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

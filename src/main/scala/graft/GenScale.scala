@@ -27,10 +27,12 @@ import org.apache.spark.sql.functions._
   *    text copies would — every doc would gain k−1 exact duplicates
   *    and the "bounded by duplicate density" posture would be tested
   *    against data no real pipeline has).
-  *  - embeddings.embedding is cyclically rotated by replica index:
-  *    norms and all intra-replica dot products are exactly preserved
-  *    (same permutation both sides), while cross-replica cosines
-  *    decorrelate — again ×k growth in near-neighbor structure.
+  *  - embeddings.embedding gets a seeded per-replica INDEX PERMUTATION
+  *    (see vecPerm): norms and all intra-replica dot products are
+  *    exactly preserved (same permutation both sides), while
+  *    cross-replica cosines decorrelate — again ×k growth in
+  *    near-neighbor structure, and (unlike the earlier cyclic
+  *    rotation) stable under chained runs.
   *  - events keep their timestamps: ×k rows in the same time range
   *    models k× traffic density (more users, same behavior per user),
   *    which is how event volume actually scales.
@@ -69,15 +71,46 @@ object GenScale {
     * permutations live in S₂₆ (4·10²⁶ elements): distinct per copy,
     * and the composition of two seeded permutations is a fresh
     * permutation, so chained runs stay vocabulary-disjoint at any k.
-    * Copy 0 is the identity — replica 0 reproduces the source bytes. */
+    * Copy 0 is the identity — replica 0 reproduces the source bytes.
+    *
+    * The seed folds in a per-RUN stage tag (the dst directory's
+    * basename): with a stage-independent family, chained runs collide
+    * through the identity — stage pairs (a, 0) and (0, a) both compose
+    * to perm(a) and yield byte-identical documents, ~(k−1)·n_src extra
+    * exact-dup pairs. Distinct stage families make every composed
+    * permutation across stages distinct (two independently seeded
+    * members of S₂₆ coincide with probability ~2.5e-27). Determinism
+    * holds per argument vector: same (src, dst, k) → same bytes. */
+  private var stageSeed: Long = 0L
+
   private def perm(c: Int): String =
     if (c == 0) alpha
-    else new String(new scala.util.Random(1000 + c)
+    else new String(new scala.util.Random(stageSeed + c)
       .shuffle(alpha.toVector).toArray)
+
+  /** Per-copy EMBEDDING INDEX PERMUTATION, same reasoning one level
+    * up: the previous cyclic rotation composes additively (S₆₄ has
+    * only 64 rotations), so a chained sf10 gives every source vector
+    * ~C(count(a+b=s),2) exact-duplicate copies — quadratic growth in
+    * the near-neighbor structure the ANN/dedup family is graded on.
+    * A seeded permutation of the 64 indices preserves norms and all
+    * intra-replica dot products exactly (same permutation both sides),
+    * decorrelates cross-replica cosines, and composes with any earlier
+    * stage's rotation/permutation into a fresh permutation. */
+  private def vecPerm(c: Int, dim: Int): Seq[Int] =
+    if (c == 0) 0 until dim
+    else new scala.util.Random(stageSeed + 7000000 + c)
+      .shuffle((0 until dim).toVector)
 
   def main(args: Array[String]): Unit = {
     val Array(src, dst, kStr) = args.take(3)
     val k = kStr.toInt
+    // Stage tag: the dst basename's (spec-stable) String.hashCode,
+    // spread by a prime so "sf1" and "sf10" families share no seeds
+    // with each other or with the historical fixed base (1000 + c).
+    stageSeed = 1000L +
+      (java.nio.file.Paths.get(dst).getFileName.toString.hashCode.toLong
+        & 0x7fffffffL) * 65537L
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -137,12 +170,17 @@ object GenScale {
       "embeddings" -> {
         val e = read("embeddings")
         val dim = e.select(size(col("embedding"))).head.getInt(0)
+        // One CASE branch per copy applying that copy's fixed index
+        // permutation (element_at is 1-based); k is tiny, the CASE is
+        // codegen'd, and copy 0 passes the source array through.
+        def permuted(cCol: org.apache.spark.sql.Column,
+            emb: org.apache.spark.sql.Column) =
+          (1 until k).foldLeft(when(cCol === 0, emb)) { (acc, c) =>
+            acc.when(cCol === c,
+              array(vecPerm(c, dim).map(i => element_at(emb, i + 1)): _*))
+          }
         e.crossJoin(copies)
-          .withColumn("embedding",
-            when(col("__copy") === 0, col("embedding")).otherwise(concat(
-              slice(col("embedding"), col("__copy").cast("int") + 1,
-                lit(dim) - col("__copy").cast("int")),
-              slice(col("embedding"), lit(1), col("__copy").cast("int")))))
+          .withColumn("embedding", permuted(col("__copy"), col("embedding")))
           .withColumn("vec_id", col("vec_id") + col("__copy") * mDoc)
           .drop("__copy")
       })

@@ -110,7 +110,11 @@ object Verify {
     }
     // Machine-readable failure marker: present (and non-empty) IFF any
     // query failed or timed out. Written last so its absence on a
-    // killed run means "unknown", not "clean".
+    // killed run means "unknown", not "clean". Re-create outDir first:
+    // if EVERY query failed before its parquet write (e.g. a bad
+    // sfDir), nothing below outDir exists yet and the summary write
+    // itself would throw, losing the failure evidence.
+    Files.createDirectories(Paths.get(outDir))
     Files.writeString(Paths.get(s"$outDir/failed_queries.json"),
       failed.map(q).mkString("[", ",", "]"))
     if (failed.nonEmpty)

@@ -3221,10 +3221,23 @@ object Events {
   // median-of-pairwise-slopes estimator has a 29 % breakdown point —
   // the robust answer to "is this series actually growing". Slopes
   // are exact rationals quantized once (×10⁴ integer div); the pair
-  // frame is span²-bounded METADATA (hours², never events²) built by
-  // an hour-ordered self-join per type, and the median is the exact
+  // frame is lag-bounded METADATA (span · maxLag hours, never events²
+  // and never unbounded in the TIME axis either) built by an
+  // hour-ordered self-join per type, and the median is the exact
   // lower order statistic off Ranks.groupedRank — no per-type sort
   // of anything data-sized.
+  //
+  // WINDOWED Theil-Sen (the round-14 watch item): an uncapped pair
+  // join is hours²-bounded — fine on the VOLUME axis, but a 3-year
+  // hourly series is ~3·10⁸ pairs per type. Pairs are limited to a
+  // max lag of 1080 h (45 days — covering the bench data's full ~30-day
+  // span, so results are byte-identical there, while a multi-year
+  // series costs span·1080 pairs, linear in span). Windowed Theil-Sen
+  // is the standard streaming/bounded-memory variant; trend estimates
+  // stay robust because every point still pairs with 45 days of
+  // context.
+  private val theilSenMaxLagH = 1080L
+
   def tsTheilSen(spark: SparkSession, dir: String): DataFrame = {
     val hourly = Tables(spark, dir).events
       .groupBy(col("event_type"),
@@ -3240,7 +3253,8 @@ object Events {
     // residual filter and ANSI mode then throws on the equal-hour
     // pairs the filter is about to drop — nullif makes those evaluate
     // to NULL instead, and no surviving row has h1 = h2.
-    val slopes = a.join(b, col("et") === col("et2") && col("h1") < col("h2"))
+    val slopes = a.join(b, col("et") === col("et2") && col("h1") < col("h2")
+        && col("h2") - col("h1") <= lit(theilSenMaxLagH))
       .select(col("et").as("event_type"),
         expr("(c2 - c1) * 10000 div nullif(h2 - h1, 0)").as("slope"),
         col("h1"), col("h2"))
@@ -3264,7 +3278,8 @@ object Events {
        |    (b.hc - a.hc) * 10000 // (b.hour - a.hour) AS slope,
        |    a.hour AS h1, b.hour AS h2
        |  FROM hourly a JOIN hourly b
-       |    ON a.event_type = b.event_type AND a.hour < b.hour),
+       |    ON a.event_type = b.event_type AND a.hour < b.hour
+       |    AND b.hour - a.hour <= $theilSenMaxLagH),
        |r AS (
        |  SELECT event_type, slope,
        |    row_number() OVER (PARTITION BY event_type

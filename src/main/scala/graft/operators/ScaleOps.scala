@@ -119,35 +119,78 @@ object ScaleOps {
   //                    groups where one register flip dominates)
   //   p50/p95_in_band: the sketch value (an actual element with rank
   //                   error ≤ 1/accuracy = 0.001) lies within the
-  //                   exact interpolated [p−5pp, p+2pp] percentile
-  //                   envelope — far outside the guarantee, so the
-  //                   verdict is deterministic-stable across SFs.
+  //                   exact [rank 45%, rank 55%] / [rank 90%, rank
+  //                   97%] ORDER-STATISTIC envelope — far outside the
+  //                   guarantee, so the verdict is deterministic-
+  //                   stable across SFs. Groups under 50 rows fall
+  //                   back to the [min, max] envelope: with 2-3
+  //                   distinct values a percentile envelope can
+  //                   exclude every actual element, failing a sketch
+  //                   that is within spec (the round-14 advice).
   // Exact n_events / exact_users ride along so the oracle still
   // hash-checks real aggregates, not just three TRUEs.
-  def sketchStats(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).events
+  //
+  // The exact envelope rides the q15 DISTRIBUTION AGGREGATE: the
+  // earlier sort-based built-in `percentile()` was the one
+  // ObjectHashAggregate in any registered plan — a value→count map of
+  // every group value in one executor's heap, i.e. the exact 100 TB
+  // shape the sketch exists to avoid, spent on its own audit. Now a
+  // map-side-combining groupBy (type, cents) shrinks the corpus to the
+  // distinct-value ledger (bounded by the cents-quantized value
+  // domain, not by row count), the cumulative window runs over that
+  // ledger only, and the envelope bounds are the exact order
+  // statistics read off the cumulative counts (PlanShapeSpec pins
+  // that no registered plan contains `percentile(`).
+  def sketchStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    // Two aggregate passes on purpose: countDistinct forces the
+    // two-phase Expand plan, and mixing it with the TypedImperative
+    // sketch aggregates (HLL, approx_percentile) drags EVERY aggregate
+    // through that expanded, non-codegen path. Split, the exact pass
+    // stays a codegen'd HashAggregate and the sketch pass an
+    // ObjectHashAggregate over un-expanded rows; the join is 5 rows.
+    val exactAgg = t.events
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("exact_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+    val sketchAgg = t.events
+      .groupBy(col("event_type"))
+      .agg(
         approx_count_distinct(col("user_id"), 0.05).as("au"),
         cents(percentile_approx(col("value"), lit(0.5), lit(1000)))
           .as("ap50"),
         cents(percentile_approx(col("value"), lit(0.95), lit(1000)))
-          .as("ap95"),
-        cents(expr("percentile(value, 0.45D)")).as("lo50"),
-        cents(expr("percentile(value, 0.55D)")).as("hi50"),
-        cents(expr("percentile(value, 0.90D)")).as("lo95"),
-        cents(expr("percentile(value, 0.97D)")).as("hi95"))
+          .as("ap95"))
+    val agg = exactAgg.join(broadcast(sketchAgg), Seq("event_type"))
+    val ledger = t.events
+      .groupBy(col("event_type"), cents(col("value")).as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val cum = ledger
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    def atRank(pct: Int): Column =
+      min(when(col("cum") >= expr(s"(n * $pct + 99) DIV 100"), col("c")))
+    val env = cum.groupBy(col("event_type"))
+      .agg(atRank(45).as("lo50"), atRank(55).as("hi50"),
+        atRank(90).as("lo95"), atRank(97).as("hi95"),
+        min(col("c")).as("cl"), max(col("c")).as("ch"))
+    def band(ap: Column, lo: Column, hi: Column): Column =
+      when(col("n_events") < 50, ap >= col("cl") && ap <= col("ch"))
+        .otherwise(ap >= lo && ap <= hi)
+    agg.join(broadcast(env), Seq("event_type"))
       .select(col("event_type"), col("n_events"), col("exact_users"),
         (abs(col("au") - col("exact_users")) <=
           greatest(lit(3L), floor(col("exact_users") * 0.15).cast("long")))
           .as("users_in_band"),
-        (col("ap50") >= col("lo50") && col("ap50") <= col("hi50"))
-          .as("p50_in_band"),
-        (col("ap95") >= col("lo95") && col("ap95") <= col("hi95"))
-          .as("p95_in_band"))
+        band(col("ap50"), col("lo50"), col("hi50")).as("p50_in_band"),
+        band(col("ap95"), col("lo95"), col("hi95")).as("p95_in_band"))
       .orderBy(col("event_type"))
+  }
 
   val sketchStatsSql: String =
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,

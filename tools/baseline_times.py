@@ -12,9 +12,15 @@ per-query number, not a flattering one.
 
 Usage:
   python3 tools/baseline_times.py <sfDir> <verifyDumpDir> \
-      [--bench BENCH_FULL.json] [--out BASELINE_TIMES.json]
+      [--bench BENCH_FULL.json] [--out BASELINE_TIMES.json] \
+      [--hard-budget SECONDS]
+
+--hard-budget interrupts any single oracle past SECONDS and records it
+as skipped (needed at sf>=1, where the deliberately quadratic
+baselines — fuzzy_join's all-pairs levenshtein — would hold the run
+hostage for hours; a skip is reported, never silently averaged).
 """
-import json, math, statistics, sys, time
+import json, math, statistics, sys, threading, time
 import duckdb
 
 TABLES = ("region nation customer supplier part orders lineitem events "
@@ -27,6 +33,7 @@ def main():
     dump = sys.argv[2]
     bench = None
     out = "BASELINE_TIMES.json"
+    hard_budget = 0.0
     args = sys.argv[3:]
     while args:
         a = args.pop(0)
@@ -34,24 +41,52 @@ def main():
             bench = json.load(open(args.pop(0)))
         elif a == "--out":
             out = args.pop(0)
+        elif a == "--hard-budget":
+            hard_budget = float(args.pop(0))
 
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{dump}/oracle_sql.json"))
 
-    times, notes = {}, {}
-    for name, sql in sorted(oracle.items()):
-        samples = []
+    def timed_run(sql):
+        """One run; returns (seconds, interrupted). Per-run cursor so a
+        late interrupt can't poison the next statement (the crosscheck
+        fix)."""
+        cur = con.cursor() if hard_budget > 0 else con
+        timer = None
+        if hard_budget > 0:
+            timer = threading.Timer(hard_budget, cur.interrupt)
+            timer.start()
         t0 = time.time()
-        con.sql(sql).fetchall()
-        first = time.time() - t0
-        samples.append(first)
+        try:
+            cur.sql(sql).fetchall()
+            return time.time() - t0, False
+        except Exception as ex:
+            el = time.time() - t0
+            if "INTERRUPT" in str(ex).upper() and el >= hard_budget * 0.9:
+                return el, True
+            raise
+        finally:
+            if timer is not None:
+                timer.cancel()
+            if cur is not con:
+                cur.close()
+
+    times, notes, skipped = {}, {}, []
+    for name, sql in sorted(oracle.items()):
+        first, interrupted = timed_run(sql)
+        if interrupted:
+            skipped.append(name)
+            notes[name] = (f"SKIP: exceeded the {hard_budget:.0f}s hard "
+                           "budget (quadratic-by-contract baseline)")
+            print(f"{'skip':>8}   {name}  [{notes[name]}]", flush=True)
+            continue
+        samples = [first]
         if first <= BUDGET_S:
             for _ in range(ITERS - 1):
-                t0 = time.time()
-                con.sql(sql).fetchall()
-                samples.append(time.time() - t0)
+                s, _ = timed_run(sql)
+                samples.append(s)
         else:
             notes[name] = f"single run (first {first:.1f}s > {BUDGET_S}s budget)"
         times[name] = statistics.median(samples)
@@ -59,6 +94,7 @@ def main():
               + (f"  [{notes[name]}]" if name in notes else ""), flush=True)
 
     artifact = {"sf_dir": sf_dir, "iters": ITERS, "budget_s": BUDGET_S,
+                "hard_budget_s": hard_budget, "skipped": skipped,
                 "unit": "sec", "times": times, "notes": notes,
                 "total": sum(times.values())}
     json.dump(artifact, open(out, "w"), indent=1)

@@ -45,12 +45,20 @@ skipped = []
 for name, sql in sorted(oracle.items()):
     _t0 = _time.time()
     timer = None
+    # The timed oracle runs on a PER-ORACLE cursor (a duplicated
+    # connection sharing the catalog): interrupting the shared `con`
+    # could fire AFTER the oracle finished and abort the pandas-side
+    # parquet read or the NEXT oracle's first statement, mislabeling a
+    # healthy query. A late interrupt now lands on a cursor that is
+    # about to be closed, and only an interrupt whose elapsed time
+    # actually reached the budget classifies as SKIP.
+    cur = con.cursor() if ORACLE_TIMEOUT > 0 else con
     if ORACLE_TIMEOUT > 0:
-        timer = threading.Timer(ORACLE_TIMEOUT, con.interrupt)
+        timer = threading.Timer(ORACLE_TIMEOUT, cur.interrupt)
         timer.start()
     try:
         got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
-        exp = con.sql(sql)
+        exp = cur.sql(sql)
         # Sort case-insensitively so the pairing below matches the
         # lowercased name gate — a casing difference between engines
         # must not zip types of different columns.
@@ -90,7 +98,8 @@ for name, sql in sorted(oracle.items()):
             print(f"OK   {name}: {len(g)} rows")
     except Exception as ex:
         msg = str(ex)
-        if ORACLE_TIMEOUT > 0 and "INTERRUPT" in msg.upper():
+        if (ORACLE_TIMEOUT > 0 and "INTERRUPT" in msg.upper()
+                and _time.time() - _t0 >= ORACLE_TIMEOUT * 0.9):
             skipped.append(name)
             print(f"SKIP {name}: oracle exceeded {ORACLE_TIMEOUT:.0f}s budget")
         else:
@@ -98,6 +107,8 @@ for name, sql in sorted(oracle.items()):
     finally:
         if timer is not None:
             timer.cancel()
+        if cur is not con:
+            cur.close()
     times.append((_time.time() - _t0, name))
 times.sort(reverse=True)
 slow = [(t, n) for t, n in times[:8] if t > 2.0]

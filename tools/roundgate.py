@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""One-command end-of-round gate (VERDICT r14 task 9): the evidence
+sequence that previously lived only in session memory, as one script
+the builder runs before the end-of-round commit.
+
+Checks, in order:
+  1. crosscheck at sf0.01 (runs Spark Verify + DuckDB oracle compare)
+     — skipped with --no-crosscheck if a fresh dump already passed.
+  2. keydiff: SURVEY §2 rows == registry keys == oracle keys.
+  3. Bench headline self-check artifacts: BENCH_FULL.json parses, is
+     non-empty, and reports zero failed queries.
+
+Exit 0 iff every gate holds.
+
+Usage:
+  python3 tools/roundgate.py [--dump /tmp/graft_verify] [--no-crosscheck]
+"""
+import json, os, subprocess, sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+def main():
+    dump = "/tmp/graft_verify"
+    run_crosscheck = True
+    args = sys.argv[1:]
+    while args:
+        a = args.pop(0)
+        if a == "--dump":
+            dump = args.pop(0)
+        elif a == "--no-crosscheck":
+            run_crosscheck = False
+
+    failures = []
+
+    if run_crosscheck:
+        print("== gate 1: crosscheck @ sf0.01 ==", flush=True)
+        r = subprocess.run(
+            [sys.executable, os.path.join(HERE, "crosscheck.py"),
+             "/root/testdata/sf0.01", dump])
+        if r.returncode != 0:
+            failures.append("crosscheck failed")
+    else:
+        print("== gate 1: crosscheck SKIPPED (--no-crosscheck) ==")
+
+    print("== gate 2: keydiff (SURVEY §2 vs registry vs oracles) ==",
+          flush=True)
+    r = subprocess.run(
+        [sys.executable, os.path.join(HERE, "keydiff.py"), dump])
+    if r.returncode != 0:
+        failures.append("keydiff drift")
+
+    print("== gate 3: BENCH_FULL.json health ==", flush=True)
+    try:
+        b = json.load(open(os.path.join(REPO, "BENCH_FULL.json")))
+        nq = len(b.get("queries", {}))
+        nf = len(b.get("failed", []))
+        print(f"BENCH_FULL.json: {nq} queries, {nf} failed, "
+              f"total {b.get('value', 0):.1f}s @ {b.get('sf')}")
+        if nq == 0:
+            failures.append("BENCH_FULL.json has no queries")
+        if nf:
+            failures.append(f"BENCH_FULL.json reports {nf} failed queries")
+    except Exception as ex:
+        failures.append(f"BENCH_FULL.json unreadable: {ex}")
+
+    if failures:
+        print("\nROUNDGATE FAIL:\n  - " + "\n  - ".join(failures))
+        sys.exit(1)
+    print("\nROUNDGATE OK")
+
+if __name__ == "__main__":
+    main()
