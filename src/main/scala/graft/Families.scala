@@ -34,6 +34,7 @@ object Families {
     graft.operators.Dedup.invalidate()
     graft.operators.Trike.invalidate()
     graft.operators.Graph.invalidate()
+    graft.operators.Similarity.invalidate()
   }
 
   /** Fixture-build ledger (the round-13 fix for fixture attribution):

@@ -112,12 +112,23 @@ object Similarity {
   }
 
   /** Corpus size per (session, dir) — one stats-only parquet count,
-    * memoized so repeated plan builds don't re-run the job. */
+    * memoized so repeated plan builds don't re-run the job. Cleared by
+    * Families.invalidateFixtures (via invalidate() below): an unpruned
+    * map would keep every retired chunk's stopped SparkSession strongly
+    * referenced across Bench/Verify session recycling, and would serve
+    * a stale count if a dataset is regenerated under the same dir
+    * within one live session. */
   private val nVecsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
   private[operators] def nVecs(spark: SparkSession, dir: String): Long =
     nVecsCache.computeIfAbsent((spark, dir),
       _ => graft.Tables(spark, dir).embeddings.count())
+
+  /** Chunk-boundary reset (same contract as Dedup/Trike/Graph
+    * .invalidate): the memo only exists to dedupe plan-build counts
+    * within one session's chunk, so a full clear is correct and keeps
+    * no reference to any stopped context. */
+  def invalidate(): Unit = nVecsCache.clear()
 
   /** (vec_id, table, bucket) for every vector: bucket = the sign bits
     * of this table's hyperplane projections packed into an int. Only
@@ -934,6 +945,140 @@ object Similarity {
        |  ind.max_indeg, nn.n_nodes - ind.n_reached AS n_orphans,
        |  (nn.n_nodes - ind.n_reached) * 10000 // nn.n_nodes AS orphan_bp
        |FROM es CROSS JOIN mut CROSS JOIN ind CROSS JOIN nn""".stripMargin
+
+  // ─── ann_nndescent: one NN-Descent round over the cell-blocked seed ───
+  // Completes the vector-index tier (IVF/PQ/SQ/LSH are quantizer-
+  // style; HNSW/NN-Descent is the neighbor-GRAPH style modern vector
+  // DBs default to). knn_join's seed graph cannot cross an IVF cell
+  // boundary — the blocker's one structural recall loss — and a graph
+  // whose every edge is within-cell stays within-cell under ANY number
+  // of hop compositions, so the descent seed must bridge cells first.
+  // The seed here is knn_join's edges ∪ one BRIDGE edge per node: its
+  // single nearest neighbor inside its SECOND-nearest cell (the IVF
+  // multiprobe direction — for a node near a cell boundary, the 2nd
+  // cell is exactly where its missed true neighbors live). On that
+  // connected seed, one NN-Descent round (Dong et al., WWW'11: a
+  // neighbor's neighbor is likely a neighbor): candidates = seed ∪
+  // forward 2-hop equijoin on the edge set, exact-cosine re-score,
+  // keep best k per node. Work is linear in |V| at fixed k:
+  // |E| ≤ |V|·(k+1), |2-hop| ≤ |V|·(k+1)², and the re-score touches
+  // candidates only — each extra round multiplies by (k+1), never by
+  // |V|. The recall gain over the IVF seed is pinned against brute
+  // force in DedupSimilaritySpec via the ann_recall discipline.
+  def annNndescent(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val cents = ivfCents(spark, dir)
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
+    val cellRanked = v.join(broadcast(cents))
+      .withColumn("d2", aggregate(
+        zip_with(col("v"), col("centv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (s, x) => s + x))
+      .withColumn("cell_rank", row_number().over(wCell))
+    val assigned = cellRanked.filter(col("cell_rank") === 1)
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("v").as("cv"), col("norm").as("cn"))
+    val probe2 = cellRanked.filter(col("cell_rank") === 2)
+      .select(col("cell"), col("vec_id"),
+        col("v").as("qv"), col("norm").as("qn"))
+    val wTop = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val bridge = probe2.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("r", row_number().over(wTop))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("neighbor_id"))
+    val seed = knnJoin(spark, dir).select(col("vec_id"), col("neighbor_id"))
+    val edges = seed.union(bridge).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val hop = edges.as("a")
+        .join(edges.as("b"), col("a.neighbor_id") === col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"),
+          col("b.neighbor_id").as("neighbor_id"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+      val cand = edges.union(hop).distinct()
+      val l = v.select(col("vec_id"),
+        col("v").as("lv"), col("norm").as("ln"))
+      val r = v.select(col("vec_id").as("neighbor_id"),
+        col("v").as("rv"), col("norm").as("rn"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      cand.join(l, Seq("vec_id")).join(r, Seq("neighbor_id"))
+        .withColumn("cos", dot(col("lv"), col("rv")) / (col("ln") * col("rn")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= knnK)
+        .select(col("vec_id"), col("rank"), col("neighbor_id"),
+          floor(col("cos") * 10000 + 0.5).cast("long").as("cos_bp"))
+        .orderBy(col("vec_id"), col("rank"))
+    } finally edges.unpersist(blocking = false)
+  }
+
+  /** DuckDB twin: the knn CTE replays knn_join (same cells, same
+    * ranks), bridge replays the 2nd-cell top-1 with the identical
+    * (cos DESC, neighbor_id) total order, hop is the same bounded
+    * 2-hop equijoin, and the re-score ranks the UNION (set semantics,
+    * matching the Spark side's distinct()). */
+  val annNndescentSql: String =
+    s"""WITH n AS (${vecsSql("vec_id")}),
+       |$ivfCentsSql,
+       |ad AS (
+       |  SELECT n.vec_id, n.v, n.norm, c.cell,
+       |    (${dist2SqlOf("n.v", "c.centv")}) AS d2
+       |  FROM n, cents c),
+       |ranked_cells AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY d2, cell) AS r FROM ad),
+       |assigned AS (
+       |  SELECT cell, vec_id, v, norm FROM ranked_cells WHERE r = 1),
+       |probe2 AS (
+       |  SELECT cell, vec_id, v, norm FROM ranked_cells WHERE r = 2),
+       |scored AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    (${dotSqlOf("a.v", "b.v")}) / (a.norm * b.norm) AS cos
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |knn AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $knnK),
+       |bridge AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT p.vec_id, a.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |        (${dotSqlOf("p.v", "a.v")}) / (p.norm * a.norm) DESC,
+       |        a.vec_id) AS br
+       |    FROM probe2 p JOIN assigned a
+       |      ON p.cell = a.cell AND p.vec_id <> a.vec_id)
+       |  WHERE br = 1),
+       |edges AS (
+       |  SELECT vec_id, neighbor_id FROM knn
+       |  UNION ALL
+       |  SELECT vec_id, neighbor_id FROM bridge),
+       |hop AS (
+       |  SELECT a.vec_id, b.neighbor_id
+       |  FROM edges a JOIN edges b ON a.neighbor_id = b.vec_id
+       |  WHERE a.vec_id <> b.neighbor_id),
+       |cand AS (
+       |  SELECT vec_id, neighbor_id FROM edges
+       |  UNION
+       |  SELECT vec_id, neighbor_id FROM hop),
+       |resc AS (
+       |  SELECT cand.vec_id, cand.neighbor_id,
+       |    (${dotSqlOf("x.v", "y.v")}) / (x.norm * y.norm) AS cos
+       |  FROM cand
+       |    JOIN n x ON cand.vec_id = x.vec_id
+       |    JOIN n y ON cand.neighbor_id = y.vec_id),
+       |rr AS (
+       |  SELECT vec_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS BIGINT)
+       |      AS rank
+       |  FROM resc)
+       |SELECT vec_id, rank, neighbor_id,
+       |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp
+       |FROM rr WHERE rank <= $knnK ORDER BY vec_id, rank""".stripMargin
 
   // ─── ann_label_sep: class-separability audit of the embedding space ───
   // The embedding-quality readout BEFORE anyone trains on the labels
@@ -1954,6 +2099,7 @@ object Similarity {
     "ann_recall_curve" -> annRecallCurve,
     "ann_recall" -> annRecall,
     "ann_knn_graph" -> annKnnGraph,
+    "ann_nndescent" -> annNndescent,
     "ann_label_sep" -> annLabelSep,
     "knn_join" -> knnJoin,
     "ann_pq" -> annPq,
@@ -1981,6 +2127,7 @@ object Similarity {
     "ann_recall_curve" -> annRecallCurveSql,
     "ann_recall" -> annRecallSql,
     "ann_knn_graph" -> annKnnGraphSql,
+    "ann_nndescent" -> annNndescentSql,
     "ann_label_sep" -> annLabelSepSql,
     "knn_join" -> knnJoinSql,
     "ann_pq" -> annPqSql,

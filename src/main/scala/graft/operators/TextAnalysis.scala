@@ -776,6 +776,95 @@ object TextAnalysis {
        |SELECT pair, CAST(count(*) AS BIGINT) AS n_pair FROM p
        |GROUP BY pair ORDER BY n_pair DESC, pair LIMIT $bpeTopK""".stripMargin
 
+  // ─── text_bpe_encode: apply the mined merges — real token counts ───
+  // text_bpe_pairs MINES merge candidates; this APPLIES them, turning
+  // the whitespace/regex token approximations every packing/mixture
+  // decision keys on into real subword counts. The top-R pairs by
+  // mined rank (count desc, pair asc — the same total order as
+  // text_bpe_pairs) are applied SEQUENTIALLY in rank order, exactly
+  // like BPE training applies its merge list.
+  //
+  // Representation trick that makes the merge engine-portable: each
+  // character token is wrapped as "(c)" (the corpus alphabet is
+  // lowercase + space, TESTDATA.md, so parens are unambiguous
+  // delimiters), and merge (a,b)→ab is the plain string replacement
+  // "(a)(b)" → "(ab)". Both engines' replace() scans left-to-right
+  // non-overlapping — which IS the BPE simultaneous-merge rule
+  // ("aaa" + merge(a,a) → [aa, a]) — so one replace per rank replays
+  // the merge bit-for-bit in DuckDB. Spaces are singleton "( )"
+  // tokens; mined pairs come from inside words (split on space), so
+  // no merge can cross a word boundary. Per-row work is R linear
+  // string passes — scan-bound, embarrassingly parallel, no shuffle
+  // until the final orderBy; the merge table itself is a broadcast
+  // 1-row array (TakeOrdered top-R, never a driver collect loop).
+  private val bpeEncodeRounds = 8
+
+  def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    // struct(-n_pair, pair) sorts ascending = (count desc, pair asc):
+    // the array IS the merge list in mined-rank order.
+    val merges = textBpePairs(spark, dir).limit(bpeEncodeRounds)
+      .agg(sort_array(collect_list(
+        struct((-col("n_pair")).as("neg_n"), col("pair").as("pair"))))
+        .as("ms"))
+    docs(spark, dir).crossJoin(broadcast(merges))
+      .withColumn("enc", aggregate(col("ms"),
+        regexp_replace(col("text"), "(.)", "($1)"),
+        (acc, m) => call_function("replace", acc,
+          concat(lit("("), substring(m.getField("pair"), 1, 1),
+            lit(")("), substring(m.getField("pair"), 2, 1), lit(")")),
+          concat(lit("("), m.getField("pair"), lit(")")))))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("base_tokens"),
+        (length(col("enc")) -
+          length(call_function("replace", col("enc"), lit("("), lit(""))))
+          .cast("long").as("bpe_tokens"))
+      .withColumn("merges_applied", col("base_tokens") - col("bpe_tokens"))
+      .withColumn("compress_bp",
+        expr("bpe_tokens * 10000 div greatest(base_tokens, 1)"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin: the merge list replays textBpePairsSql's ranking,
+    * then one unrolled replace() per rank (scalar subqueries — the
+    * merge table is 8 rows). coalesce to the no-op pattern "()"
+    * (never present: every token is non-empty) keeps rounds past the
+    * mined-pair count as identities, matching the Spark fold over a
+    * short array. */
+  val textBpeEncodeSql: String = {
+    val rounds = (1 to bpeEncodeRounds).map { r =>
+      s"""e$r AS (
+         |  SELECT doc_id, base_tokens, replace(s,
+         |    coalesce((SELECT '(' || pair[1] || ')(' || pair[2] || ')'
+         |              FROM m WHERE rk = $r), '()'),
+         |    coalesce((SELECT '(' || pair || ')' FROM m WHERE rk = $r),
+         |             '()')) AS s
+         |  FROM e${r - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |p AS (
+       |  SELECT substr(w, CAST(gs AS INTEGER), 2) AS pair
+       |  FROM w, unnest(generate_series(1, length(w) - 1)) AS t(gs)
+       |  WHERE length(w) > 1),
+       |m AS (
+       |  SELECT pair, row_number() OVER (ORDER BY count(*) DESC, pair) AS rk
+       |  FROM p GROUP BY pair
+       |  ORDER BY count(*) DESC, pair LIMIT $bpeEncodeRounds),
+       |e0 AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS base_tokens,
+       |    regexp_replace(text, '(.)', '(\\1)', 'g') AS s
+       |  FROM documents),
+       |$rounds
+       |SELECT doc_id, base_tokens,
+       |  CAST(length(s) - length(replace(s, '(', '')) AS BIGINT) AS bpe_tokens,
+       |  base_tokens -
+       |    CAST(length(s) - length(replace(s, '(', '')) AS BIGINT)
+       |    AS merges_applied,
+       |  CAST(length(s) - length(replace(s, '(', '')) AS BIGINT) * 10000
+       |    // greatest(base_tokens, 1) AS compress_bp
+       |FROM e$bpeEncodeRounds ORDER BY doc_id""".stripMargin
+  }
+
   // ─── text_boilerplate: repeated-shingle boilerplate profile ───
   // The C4/RefinedWeb cleanup heuristic: a 5-word shingle occurring
   // in ≥ 3 DISTINCT documents is boilerplate (template headers,
@@ -1319,6 +1408,7 @@ object TextAnalysis {
     "text_lm_score" -> textLmScore,
     "text_lang_confusion" -> textLangConfusion,
     "text_bpe_pairs" -> textBpePairs,
+    "text_bpe_encode" -> textBpeEncode,
     "text_boilerplate" -> textBoilerplate,
     "text_diversity" -> textDiversity,
     "text_filter_gate" -> textFilterGate,
@@ -1345,6 +1435,7 @@ object TextAnalysis {
     "text_lm_score" -> textLmScoreSql,
     "text_lang_confusion" -> textLangConfusionSql,
     "text_bpe_pairs" -> textBpePairsSql,
+    "text_bpe_encode" -> textBpeEncodeSql,
     "text_boilerplate" -> textBoilerplateSql,
     "text_diversity" -> textDiversitySql,
     "text_filter_gate" -> textFilterGateSql,

@@ -67,6 +67,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF ANN recall $recall")
   }
 
+  test("ann_nndescent strictly improves knn_join's recall@2 in one descent round (sf0.01)") {
+    // The graph-index tier's acceptance gate: knn_join's seed edges
+    // can never cross an IVF cell, so its recall@2 against the exact
+    // all-pairs top-2 graph is structurally capped; one bridge-seeded
+    // NN-Descent round must strictly beat it. Uses sf0.01 (500
+    // vectors) so the exact graph is cheap to build in-test.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val v = graft.functions.VectorOps.vecs(spark, d)
+    val l = v.select($"vec_id", $"v".as("lv"), $"norm".as("ln"))
+    val r = v.select($"vec_id".as("nid"), $"v".as("rv"), $"norm".as("rn"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"nid")
+    val exact = l.join(r, $"vec_id" =!= $"nid")
+      .withColumn("cos",
+        graft.functions.VectorOps.dot($"lv", $"rv") / ($"ln" * $"rn"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 2)
+      .select($"vec_id", $"nid").as[(Long, Long)].collect().toSet
+    val seed = Similarity.knnJoin(spark, d)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val desc = Similarity.annNndescent(spark, d)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val rSeed = exact.count(seed.contains).toDouble / exact.size
+    val rDesc = exact.count(desc.contains).toDouble / exact.size
+    assert(rDesc > rSeed,
+      f"one descent round must strictly improve recall@2: " +
+        f"seed $rSeed%.4f -> descent $rDesc%.4f over ${exact.size} edges")
+  }
+
   test("hard_neg_mine recalls the exact miner's negatives like ann_ivf recalls brute force") {
     // The IVF-composed miner must surface a reasonable share of the
     // negatives the exact (bruteforce-scan) miner finds — same anchor

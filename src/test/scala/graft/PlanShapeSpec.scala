@@ -189,6 +189,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "the as-of attribution must collapse into a window, not a join")
   }
 
+  test("ann_nndescent: candidates come from edge equijoins, never a corpus pair scan") {
+    // Seed knn + bridge are cell equijoins; the descent hop is an
+    // equijoin on the edge set; the re-score joins candidates back to
+    // vectors on id. The only nested loop allowed anywhere is the
+    // bounded centroid-assignment broadcast (BuildRight).
+    val p = plan(Similarity.annNndescent(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      "ann_nndescent must not build a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin BuildLeft"),
+      "only BuildRight broadcast of the tiny centroid frame is allowed")
+  }
+
   test("knn_join blocks on cells: equijoin pair join, centroids broadcast") {
     val p = plan(Similarity.knnJoin(spark, dir))
     assert(!p.contains("CartesianProduct"),
@@ -322,6 +334,14 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(unpartitionedRankFn.findFirstIn(p).isEmpty,
         s"$name: unpartitioned ranking window (single-partition sort of the data):\n" +
           unpartitionedRankFn.findFirstIn(p).getOrElse(""))
+      // Round-15 guard: the sort-based built-in `percentile()` is an
+      // ObjectHashAggregate buffering a value→count map of every group
+      // value in one executor's heap — a straight OOM at 100 TB with
+      // few groups. Exact order statistics ride the bucket ledger
+      // (Ranks.groupedRank) or the distribution aggregate (q15);
+      // `percentile_approx(` does not match this token.
+      assert(!p.contains("percentile("),
+        s"$name: sort-based percentile() aggregate in a registered plan")
     }
   }
 
