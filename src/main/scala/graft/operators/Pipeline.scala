@@ -122,6 +122,46 @@ object Pipeline {
        |WHERE ${bucket10kSql("temp", "d.doc_id")} < r.thr_bp
        |ORDER BY d.doc_id""".stripMargin
 
+  // ─── token counters: whitespace approximation vs real BPE ───
+  /** Every packing/mixture decision in this family keys on a per-doc
+    * token count. Two counters ship: `Whitespace` — the zero-extra-
+    * pass approximation (split on ' ') the registered driver queries
+    * use, so every oracle hash is unchanged — and `Bpe` — the REAL
+    * subword count from TextAnalysis.bpeTokenCounts (the mined merge
+    * list actually applied), which is what a production corpus build
+    * keys on once a tokenizer exists. The Bpe path joins the counts
+    * back by doc_id: one equi-join against a frame derived from the
+    * same documents scan, linear at any SF (the merge table itself is
+    * a broadcast 1-row array). TokenCounterSpec pins the family's
+    * invariants under Bpe: chunk masses sum to the corpus's subword
+    * mass, allocations still sum to the budget exactly, and packing
+    * utilization still dominates padding. */
+  sealed trait TokenCounter
+  object TokenCounter {
+    case object Whitespace extends TokenCounter
+    case object Bpe extends TokenCounter
+  }
+
+  /** (doc_id, lang, source, n_tokens) under the chosen counter. The
+    * `filtered` flag reproduces each op's exact Whitespace semantics:
+    * pack_chunks counts raw split pieces; the mix_* ops drop empty
+    * strings. (Bpe has no such ambiguity — subword counts are counts.) */
+  private def docTokens(spark: SparkSession, dir: String,
+      tc: TokenCounter, filtered: Boolean): DataFrame = tc match {
+    case TokenCounter.Whitespace =>
+      val pieces = split(col("text"), " ")
+      val n = if (filtered) size(filter(pieces, w => w =!= "")) else size(pieces)
+      Tables(spark, dir).documents
+        .select(col("doc_id"), col("lang"), col("source"),
+          n.cast("long").as("n_tokens"))
+    case TokenCounter.Bpe =>
+      Tables(spark, dir).documents
+        .select(col("doc_id"), col("lang"), col("source"))
+        .join(graft.operators.TextAnalysis.bpeTokenCounts(spark, dir)
+          .select(col("doc_id"), col("bpe_tokens").as("n_tokens")),
+          Seq("doc_id"))
+  }
+
   // ─── pack_chunks: concat-then-chunk sequence packing ───
   // Documents are concatenated per language in doc_id order and cut
   // into context windows of `chunkTokens`: chunk = floor(cumulative
@@ -131,12 +171,14 @@ object Pipeline {
   // function itself is already shard-local.
   private val chunkTokens = 2048L
 
-  def packChunks(spark: SparkSession, dir: String): DataFrame = {
+  def packChunks(spark: SparkSession, dir: String): DataFrame =
+    packChunksWith(spark, dir, TokenCounter.Whitespace)
+
+  def packChunksWith(spark: SparkSession, dir: String,
+      tc: TokenCounter): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables(spark, dir).documents
-      .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    docTokens(spark, dir, tc, filtered = false)
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("chunk_id", floor(col("cum_before") / chunkTokens))
       .groupBy(col("lang"), col("chunk_id"))
@@ -172,10 +214,14 @@ object Pipeline {
   // first groupBy, at any SF.
   private val packContexts = Seq(512L, 1024L, 2048L, 4096L)
 
-  def packEfficiency(spark: SparkSession, dir: String): DataFrame = {
+  def packEfficiency(spark: SparkSession, dir: String): DataFrame =
+    packEfficiencyWith(spark, dir, TokenCounter.Whitespace)
+
+  def packEfficiencyWith(spark: SparkSession, dir: String,
+      tc: TokenCounter): DataFrame = {
     import spark.implicits._
-    val toks = Tables(spark, dir).documents
-      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("t"))
+    val toks = docTokens(spark, dir, tc, filtered = false)
+      .select(col("lang"), col("n_tokens").as("t"))
     val ctx = packContexts.toDF("ctx")
     val pad = toks.crossJoin(broadcast(ctx))
       .groupBy(col("ctx"))
@@ -355,16 +401,17 @@ object Pipeline {
   // the windows run on that broadcast-sized table only.
   private val mixBudget = 1000000L
 
-  def mixApportion(spark: SparkSession, dir: String): DataFrame = {
+  def mixApportion(spark: SparkSession, dir: String): DataFrame =
+    mixApportionWith(spark, dir, TokenCounter.Whitespace)
+
+  def mixApportionWith(spark: SparkSession, dir: String,
+      tc: TokenCounter): DataFrame = {
     val all = Window.partitionBy(lit(1))
     val byRem = Window.partitionBy(lit(1))
       .orderBy(col("rem").desc, col("source"))
-    Tables(spark, dir).documents
-      .select(col("source"),
-        size(filter(split(col("text"), " "), w => w =!= ""))
-          .cast("long").as("n_tok"))
+    docTokens(spark, dir, tc, filtered = true)
       .groupBy(col("source"))
-      .agg(sum(col("n_tok")).as("tokens"))
+      .agg(sum(col("n_tokens")).as("tokens"))
       .withColumn("total", sum(col("tokens")).over(all))
       .withColumn("quota_num", col("tokens") * mixBudget)
       .withColumn("base", floor(col("quota_num") / col("total")).cast("long"))
@@ -1413,15 +1460,16 @@ object Pipeline {
   // aggregate to per-source token sums; every window after that
   // runs on the |sources| frame (bounded), so the plan is one
   // shuffle + a metadata tail. All-integer arithmetic.
-  def mixTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+  def mixTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    mixTokenBudgetWith(spark, dir, TokenCounter.Whitespace)
+
+  def mixTokenBudgetWith(spark: SparkSession, dir: String,
+      tc: TokenCounter): DataFrame = {
     val all = Window.partitionBy(lit(1))
     val byName = Window.partitionBy(lit(1)).orderBy(col("source"))
-    Tables(spark, dir).documents
-      .select(col("source"),
-        size(filter(split(col("text"), " "), w => w =!= ""))
-          .cast("long").as("n_tok"))
+    docTokens(spark, dir, tc, filtered = true)
       .groupBy(col("source"))
-      .agg(sum(col("n_tok")).as("tokens"))
+      .agg(sum(col("n_tokens")).as("tokens"))
       .withColumn("k", count(lit(1)).over(all))
       .withColumn("rk", row_number().over(byName).cast("long"))
       .withColumn("alloc_tokens",

@@ -799,7 +799,13 @@ object TextAnalysis {
   // 1-row array (TakeOrdered top-R, never a driver collect loop).
   private val bpeEncodeRounds = 8
 
-  def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+  /** Unsorted per-doc core of text_bpe_encode: (doc_id, base_tokens,
+    * bpe_tokens). Public because it doubles as the Pipeline family's
+    * REAL token counter (Pipeline.TokenCounter.Bpe) — packing and
+    * mixture decisions join these counts back by doc_id instead of
+    * the whitespace approximation. No orderBy here: counter consumers
+    * aggregate, only the registered query needs the display sort. */
+  def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame = {
     // struct(-n_pair, pair) sorts ascending = (count desc, pair asc):
     // the array IS the merge list in mined-rank order.
     val merges = textBpePairs(spark, dir).limit(bpeEncodeRounds)
@@ -818,11 +824,14 @@ object TextAnalysis {
         (length(col("enc")) -
           length(call_function("replace", col("enc"), lit("("), lit(""))))
           .cast("long").as("bpe_tokens"))
+  }
+
+  def textBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeTokenCounts(spark, dir)
       .withColumn("merges_applied", col("base_tokens") - col("bpe_tokens"))
       .withColumn("compress_bp",
         expr("bpe_tokens * 10000 div greatest(base_tokens, 1)"))
       .orderBy(col("doc_id"))
-  }
 
   /** DuckDB twin: the merge list replays textBpePairsSql's ranking,
     * then one unrolled replace() per rank (scalar subqueries — the
