@@ -38,8 +38,26 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Forked-JVM heap: honor SPARK_DRIVER_MEM but CAP it at 16 GiB. An
+// oversized heap is a measured anti-optimization on this workload: at
+// 96g, G1's scaled-up regions make allocation-heavy string/graph ops
+// run 3-5x slower (round-15 measured text_repetition x2.6 et al. with
+// zero source changes), so an environment that exports a big heap
+// silently taints every bench/verify number. 16g holds the sf10
+// working set at local[32] with headroom; the actual -Xmx is stamped
+// into the bench artifact (heap_mb) so a reviewer can see what ran.
+val forkHeapMb: Long = {
+  val raw = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g").trim.toLowerCase
+  val mb: Double =
+    try {
+      if (raw.endsWith("g")) raw.dropRight(1).toDouble * 1024
+      else if (raw.endsWith("m")) raw.dropRight(1).toDouble
+      else raw.toDouble * 1024 // bare number = GiB
+    } catch { case _: NumberFormatException => 8192.0 }
+  math.min(16384L, math.max(1024L, mb.toLong))
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${forkHeapMb}m",
 )

@@ -186,7 +186,12 @@ object Bench {
         "\"" + k + "\":[" + ts.map(_._2).mkString(",") + "]"
       }.mkString("{", ",", "}")
     val fixtureSec = fixtureBuilds.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"cpu":$cpu,"cpu_spread":$cpuSpread,"load":$load,"failed":$fj,"fixtures":$fixturesJson,"fixture_sec":$fixtureSec,"mode":"$mode","iters":$iters,"chunks":${chunks.size},"sf":"$sfDir"}"""
+    // Stamp the JVM heap into the artifact: heap size is a measured
+    // perf variable on this workload (build.sbt caps -Xmx at 16g for
+    // exactly that reason), so a reviewer comparing rounds must be
+    // able to see what heap each number ran under.
+    val heapMb = Runtime.getRuntime.maxMemory / (1024L * 1024L)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"cpu":$cpu,"cpu_spread":$cpuSpread,"load":$load,"failed":$fj,"fixtures":$fixturesJson,"fixture_sec":$fixtureSec,"mode":"$mode","iters":$iters,"chunks":${chunks.size},"heap_mb":$heapMb,"sf":"$sfDir"}"""
     // The COMPLETE artifact (every key: median + [min,max] spread band,
     // cpu, load) goes to a repo file a reviewer can audit without
     // re-running the suite; stdout gets a SHORT headline line that
@@ -203,7 +208,7 @@ object Bench {
     val fshort = (failed.take(5).map("\"" + _ + "\"") ++
       (if (failed.size > 5) Seq("\"+" + (failed.size - 5) + " more\"") else Nil))
       .mkString("[", ",", "]")
-    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$hq,"sf":"$sfDir","n_queries":${medians.size},"n_failed":${failed.size},"failed":$fshort,"mode":"$mode","iters":$iters,"fixture_sec":$fixtureSec,"full":"BENCH_FULL.json"}"""
+    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$hq,"sf":"$sfDir","n_queries":${medians.size},"n_failed":${failed.size},"failed":$fshort,"mode":"$mode","iters":$iters,"fixture_sec":$fixtureSec,"heap_mb":$heapMb,"full":"BENCH_FULL.json"}"""
 
     // SELF-CHECK (the round-13 ask: BENCH_r11/r12 came back
     // `parsed: null` and nobody noticed until the judge did). Recreate

@@ -155,11 +155,12 @@ object Pipeline {
         .select(col("doc_id"), col("lang"), col("source"),
           n.cast("long").as("n_tokens"))
     case TokenCounter.Bpe =>
-      Tables(spark, dir).documents
-        .select(col("doc_id"), col("lang"), col("source"))
-        .join(graft.operators.TextAnalysis.bpeTokenCounts(spark, dir)
-          .select(col("doc_id"), col("bpe_tokens").as("n_tokens")),
-          Seq("doc_id"))
+      // bpeTokenCounts carries lang/source off its own documents scan,
+      // so the real counter needs no join back to the table (round-15
+      // ADVICE: the old doc_id equi-join re-scanned the corpus).
+      graft.operators.TextAnalysis.bpeTokenCounts(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("bpe_tokens").as("n_tokens"))
   }
 
   // ─── pack_chunks: concat-then-chunk sequence packing ───
@@ -199,6 +200,32 @@ object Pipeline {
        |  FROM (SELECT doc_id, lang,
        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
        |    FROM documents)
+       |) GROUP BY lang, chunk_id ORDER BY lang, chunk_id""".stripMargin
+
+  // ─── pack_chunks_bpe: packing on REAL subword counts ───
+  // pack_chunks under TokenCounter.Bpe (round-15 verdict: promote one
+  // real-token query to the driver gate): the same concat-then-chunk
+  // packing, keyed on per-doc BPE subword counts instead of the
+  // whitespace approximation — the form a production corpus build
+  // runs once a tokenizer exists. The oracle composes TextAnalysis.
+  // bpeTokensCtes (per-doc bpe_tokens with lang carried through the
+  // merge rounds) with the identical window/chunk SQL, so the real
+  // token accounting is hash-checked end to end, not just spec-pinned.
+  def packChunksBpe(spark: SparkSession, dir: String): DataFrame =
+    packChunksWith(spark, dir, TokenCounter.Bpe)
+
+  val packChunksBpeSql: String =
+    s"""WITH ${TextAnalysis.bpeTokensCtes(Seq("lang" -> "lang"))}
+       |SELECT lang, chunk_id, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+       |FROM (
+       |  SELECT lang,
+       |    CAST(floor(coalesce(CAST(sum(n_tokens) OVER (
+       |      PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      / $chunkTokens) AS BIGINT) AS chunk_id,
+       |    n_tokens
+       |  FROM (SELECT doc_id, lang, bpe_tokens AS n_tokens FROM bpe_counts)
        |) GROUP BY lang, chunk_id ORDER BY lang, chunk_id""".stripMargin
 
   // ─── pack_efficiency: padding-waste sweep over context lengths ───
@@ -1768,6 +1795,7 @@ object Pipeline {
     "split_hash" -> splitHash,
     "sample_stratified" -> sampleStratified,
     "pack_chunks" -> packChunks,
+    "pack_chunks_bpe" -> packChunksBpe,
     "pack_efficiency" -> packEfficiency,
     "doc_pipeline" -> docPipeline,
     "sample_temperature" -> sampleTemperature)
@@ -1802,6 +1830,7 @@ object Pipeline {
     "split_hash" -> splitHashSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pack_chunks" -> packChunksSql,
+    "pack_chunks_bpe" -> packChunksBpeSql,
     "pack_efficiency" -> packEfficiencySql,
     "doc_pipeline" -> docPipelineSql,
     "sample_temperature" -> sampleTemperatureSql)

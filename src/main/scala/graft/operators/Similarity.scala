@@ -4,7 +4,6 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
@@ -127,8 +126,16 @@ object Similarity {
   /** Chunk-boundary reset (same contract as Dedup/Trike/Graph
     * .invalidate): the memo only exists to dedupe plan-build counts
     * within one session's chunk, so a full clear is correct and keeps
-    * no reference to any stopped context. */
-  def invalidate(): Unit = nVecsCache.clear()
+    * no reference to any stopped context. The knn_seed fixture's
+    * checkpoint blocks are released the same try-wrapped way as
+    * Dedup's (the owning session may already be stopped). */
+  def invalidate(): Unit = synchronized {
+    nVecsCache.clear()
+    knnFixture.foreach { case (_, _, _, rdds) =>
+      rdds.foreach(r => scala.util.Try(r.unpersist(blocking = false)))
+    }
+    knnFixture = None
+  }
 
   /** (vec_id, table, bucket) for every vector: bucket = the sign bits
     * of this table's hyperplane projections packed into an int. Only
@@ -816,25 +823,101 @@ object Similarity {
   // territory.
   private val knnK = 2
 
-  def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+  // ─── knn_seed fixture: the edge substrate three operators share ───
+  // knn_join's edge table is read by knn_join itself, by
+  // ann_knn_graph's health readout, and by ann_nndescent (plus its
+  // convergence variant) as the descent seed. Round-15 measured the
+  // cost of NOT sharing it: ann_nndescent recomputed centroids + the
+  // full cell self-join + two ranking windows inside every invocation
+  // — 35 s at sf0.1 for what is milliseconds of candidate math. Same
+  // discipline as Dedup's signature/pair-graph fixtures: built once
+  // per (session, dir), localCheckpoint + count under a timedFixture
+  // ledger entry (Bench prices the build as its own "knn_seed" line
+  // item, never charging it to whichever consumer runs first),
+  // released by invalidate() at chunk boundaries.
+  //   knnEdges: (vec_id, rank, neighbor_id, cell, cos_bp) — knn_join's
+  //     exact output, |V|·k rows.
+  //   seedEdges: (vec_id, neighbor_id) — knnEdges ∪ one BRIDGE edge
+  //     per node (its nearest neighbor inside its 2nd-nearest cell):
+  //     the connected NN-Descent seed (see annNndescent).
+  private var knnFixture: Option[((SparkSession, String), DataFrame, DataFrame,
+      Seq[org.apache.spark.rdd.RDD[_]])] = None
+
+  /** The UNCHECKPOINTED (knnEdges, bridge) plans — the fixture's
+    * builder, exposed to PlanShapeSpec so the cell-equijoin shape
+    * stays auditable after the fixture hides it behind a LogicalRDD. */
+  private[graft] def knnSeedPlans(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val v = vecs(spark, dir)
-    val assigned = nearestCells(ivfCents(spark, dir), v, 1, "vec_id")
+    val cents = ivfCents(spark, dir)
+    // One cell ranking serves both consumers: rank 1 is the IVF
+    // assignment (knn's blocking), rank 2 the multiprobe direction
+    // (the bridge's target cell).
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("cell"))
+    val cellRanked = v.join(broadcast(cents))
+      .withColumn("d2", aggregate(
+        zip_with(col("v"), col("centv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (s, x) => s + x))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= 2)
+    val assigned = cellRanked.filter(col("cell_rank") === 1)
       .select(col("cell"), col("vec_id"), col("v"), col("norm"))
     val left = assigned.select(col("cell"), col("vec_id"),
       col("v").as("lv"), col("norm").as("ln"))
-    val right = assigned.select(col("cell"), col("vec_id").as("neighbor_id"),
+    val right = assigned.select(col("cell"),
+      col("vec_id").as("neighbor_id"),
       col("v").as("rv"), col("norm").as("rn"))
-    val w = Window.partitionBy(col("vec_id"))
+    val wTop = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    left.join(right, Seq("cell"))
+    val e = left.join(right, Seq("cell"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("lv"), col("rv")) / (col("ln") * col("rn")))
-      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
       .filter(col("rank") <= knnK)
       .select(col("vec_id"), col("rank"), col("neighbor_id"), col("cell"),
         floor(col("cos") * 10000 + 0.5).cast("long").as("cos_bp"))
-      .orderBy(col("vec_id"), col("rank"))
+    val probe2 = cellRanked.filter(col("cell_rank") === 2)
+      .select(col("cell"), col("vec_id"),
+        col("v").as("qv"), col("norm").as("qn"))
+    val cand = assigned.select(col("cell"),
+      col("vec_id").as("neighbor_id"),
+      col("v").as("cv"), col("norm").as("cn"))
+    val bridge = probe2.join(cand, Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("r", row_number().over(wTop))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("neighbor_id"))
+    (e, bridge)
   }
+
+  private def knnSeed(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    synchronized {
+      val key = (spark, dir)
+      knnFixture match {
+        case Some((k, e, s, _)) if k == key => (e, s)
+        case prev =>
+          prev.foreach { case (_, _, _, rdds) =>
+            rdds.foreach(r => scala.util.Try(r.unpersist(blocking = false)))
+          }
+          val (edges, seed) = graft.Families.timedFixture("knn_seed") {
+            val (ePlan, bridge) = knnSeedPlans(spark, dir)
+            val e = ePlan.localCheckpoint(eager = false)
+            e.count()
+            val s = e.select(col("vec_id"), col("neighbor_id")).union(bridge)
+              .localCheckpoint(eager = false)
+            s.count()
+            (e, s)
+          }
+          knnFixture = Some((key, edges, seed,
+            Graph.ckptRdds(edges) ++ Graph.ckptRdds(seed)))
+          (edges, seed)
+      }
+    }
+
+  def knnJoin(spark: SparkSession, dir: String): DataFrame =
+    knnSeed(spark, dir)._1.orderBy(col("vec_id"), col("rank"))
 
   val knnJoinSql: String =
     s"""WITH n AS (${vecsSql("vec_id")}),
@@ -874,30 +957,30 @@ object Similarity {
   // re-derived in-plan), one swapped-pair self-join on it, two
   // metadata-sized rollups; nothing here rescans the corpus.
   def annKnnGraph(spark: SparkSession, dir: String): DataFrame = {
-    val e = knnJoin(spark, dir)
+    // The edge frame is the session's checkpointed knn_seed fixture —
+    // the self-join and rollups below read materialized blocks, not a
+    // re-derived cell self-join (the round-15 lineage lesson).
+    val e = knnSeed(spark, dir)._1
       .select(col("vec_id"), col("neighbor_id"), col("cos_bp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val mutual = e.as("a").join(e.as("b"),
-        col("a.vec_id") === col("b.neighbor_id") &&
-          col("a.neighbor_id") === col("b.vec_id"), "left_semi")
-      val indeg = e.groupBy(col("neighbor_id")).agg(count(lit(1)).as("d"))
-      val nNodes = vecs(spark, dir).select(col("vec_id"))
-      val stats = e.agg(count(lit(1)).as("n_edges"),
-        sum(col("cos_bp")).as("sum_cos"))
-      stats
-        .crossJoin(broadcast(mutual.agg(count(lit(1)).as("n_mutual"))))
-        .crossJoin(broadcast(indeg.agg(max(col("d")).as("max_indeg"),
-          count(lit(1)).as("n_reached"))))
-        .crossJoin(broadcast(nNodes.agg(count(lit(1)).as("n_nodes"))))
-        .select(col("n_nodes"), col("n_edges"),
-          col("n_mutual"),
-          expr("n_mutual * 10000 div n_edges").as("mutual_bp"),
-          expr("sum_cos div n_edges").as("mean_cos_bp"),
-          col("max_indeg"),
-          (col("n_nodes") - col("n_reached")).as("n_orphans"),
-          expr("(n_nodes - n_reached) * 10000 div n_nodes").as("orphan_bp"))
-    } finally e.unpersist(blocking = false)
+    val mutual = e.as("a").join(e.as("b"),
+      col("a.vec_id") === col("b.neighbor_id") &&
+        col("a.neighbor_id") === col("b.vec_id"), "left_semi")
+    val indeg = e.groupBy(col("neighbor_id")).agg(count(lit(1)).as("d"))
+    val nNodes = vecs(spark, dir).select(col("vec_id"))
+    val stats = e.agg(count(lit(1)).as("n_edges"),
+      sum(col("cos_bp")).as("sum_cos"))
+    stats
+      .crossJoin(broadcast(mutual.agg(count(lit(1)).as("n_mutual"))))
+      .crossJoin(broadcast(indeg.agg(max(col("d")).as("max_indeg"),
+        count(lit(1)).as("n_reached"))))
+      .crossJoin(broadcast(nNodes.agg(count(lit(1)).as("n_nodes"))))
+      .select(col("n_nodes"), col("n_edges"),
+        col("n_mutual"),
+        expr("n_mutual * 10000 div n_edges").as("mutual_bp"),
+        expr("sum_cos div n_edges").as("mean_cos_bp"),
+        col("max_indeg"),
+        (col("n_nodes") - col("n_reached")).as("n_orphans"),
+        expr("(n_nodes - n_reached) * 10000 div n_nodes").as("orphan_bp"))
   }
 
   val annKnnGraphSql: String =
@@ -966,84 +1049,64 @@ object Similarity {
   // |V|. The recall gain over the IVF seed is pinned against brute
   // force in DedupSimilaritySpec via the ann_recall discipline.
   def annNndescent(spark: SparkSession, dir: String): DataFrame = {
+    // Seed = the session's checkpointed knn_seed fixture (knn edges ∪
+    // bridges): the round-15 35 s wall was this operator re-deriving
+    // centroids + the cell self-join + two ranking windows per call;
+    // now it reads |V|·(k+1) materialized rows and pays only its own
+    // 2-hop + re-score.
     val v = vecs(spark, dir)
-    val cents = ivfCents(spark, dir)
-    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
-    val cellRanked = v.join(broadcast(cents))
-      .withColumn("d2", aggregate(
-        zip_with(col("v"), col("centv"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (s, x) => s + x))
-      .withColumn("cell_rank", row_number().over(wCell))
-    val assigned = cellRanked.filter(col("cell_rank") === 1)
-      .select(col("cell"), col("vec_id").as("neighbor_id"),
-        col("v").as("cv"), col("norm").as("cn"))
-    val probe2 = cellRanked.filter(col("cell_rank") === 2)
-      .select(col("cell"), col("vec_id"),
-        col("v").as("qv"), col("norm").as("qn"))
-    val wTop = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    val bridge = probe2.join(assigned, Seq("cell"))
+    val edges = knnSeed(spark, dir)._2
+    val hop = edges.as("a")
+      .join(edges.as("b"), col("a.neighbor_id") === col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+        col("b.neighbor_id").as("neighbor_id"))
       .filter(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("r", row_number().over(wTop))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("neighbor_id"))
-    val seed = knnJoin(spark, dir).select(col("vec_id"), col("neighbor_id"))
-    val edges = seed.union(bridge).persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val hop = edges.as("a")
-        .join(edges.as("b"), col("a.neighbor_id") === col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_id"),
-          col("b.neighbor_id").as("neighbor_id"))
-        .filter(col("vec_id") =!= col("neighbor_id"))
-      val cand = edges.union(hop).distinct()
-      val l = v.select(col("vec_id"),
-        col("v").as("lv"), col("norm").as("ln"))
-      val r = v.select(col("vec_id").as("neighbor_id"),
-        col("v").as("rv"), col("norm").as("rn"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      cand.join(l, Seq("vec_id")).join(r, Seq("neighbor_id"))
-        .withColumn("cos", dot(col("lv"), col("rv")) / (col("ln") * col("rn")))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= knnK)
-        .select(col("vec_id"), col("rank"), col("neighbor_id"),
-          floor(col("cos") * 10000 + 0.5).cast("long").as("cos_bp"))
-        .orderBy(col("vec_id"), col("rank"))
-    } finally edges.unpersist(blocking = false)
+    val cand = edges.union(hop).distinct()
+    val l = v.select(col("vec_id"),
+      col("v").as("lv"), col("norm").as("ln"))
+    val r = v.select(col("vec_id").as("neighbor_id"),
+      col("v").as("rv"), col("norm").as("rn"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(l, Seq("vec_id")).join(r, Seq("neighbor_id"))
+      .withColumn("cos", dot(col("lv"), col("rv")) / (col("ln") * col("rn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= knnK)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"),
+        floor(col("cos") * 10000 + 0.5).cast("long").as("cos_bp"))
+      .orderBy(col("vec_id"), col("rank"))
   }
 
-  /** DuckDB twin: the knn CTE replays knn_join (same cells, same
-    * ranks), bridge replays the 2nd-cell top-1 with the identical
-    * (cos DESC, neighbor_id) total order, hop is the same bounded
-    * 2-hop equijoin, and the re-score ranks the UNION (set semantics,
-    * matching the Spark side's distinct()). */
-  val annNndescentSql: String =
-    s"""WITH n AS (${vecsSql("vec_id")}),
+  /** Shared CTE prefix deriving the NN-Descent seed (n … edges): the
+    * knn CTE replays knn_join (same cells, same ranks), bridge replays
+    * the 2nd-cell top-1 with the identical (cos DESC, neighbor_id)
+    * total order. Used by annNndescentSql and annNndescentConvSql. */
+  private lazy val descentSeedCtes: String =
+    s"""n AS (${vecsSql("vec_id")}),
        |$ivfCentsSql,
        |ad AS (
        |  SELECT n.vec_id, n.v, n.norm, c.cell,
        |    (${dist2SqlOf("n.v", "c.centv")}) AS d2
        |  FROM n, cents c),
-       |ranked_cells AS (
+       |ranked_cells AS MATERIALIZED (
        |  SELECT *, row_number() OVER (
        |    PARTITION BY vec_id ORDER BY d2, cell) AS r FROM ad),
-       |assigned AS (
+       |assigned AS MATERIALIZED (
        |  SELECT cell, vec_id, v, norm FROM ranked_cells WHERE r = 1),
-       |probe2 AS (
+       |probe2 AS MATERIALIZED (
        |  SELECT cell, vec_id, v, norm FROM ranked_cells WHERE r = 2),
-       |scored AS (
+       |scored AS MATERIALIZED (
        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
        |    (${dotSqlOf("a.v", "b.v")}) / (a.norm * b.norm) AS cos
        |  FROM assigned a JOIN assigned b
        |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-       |knn AS (
+       |knn AS MATERIALIZED (
        |  SELECT vec_id, neighbor_id FROM (
        |    SELECT vec_id, neighbor_id, row_number() OVER (
        |      PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
        |    FROM scored)
        |  WHERE rank <= $knnK),
-       |bridge AS (
+       |bridge AS MATERIALIZED (
        |  SELECT vec_id, neighbor_id FROM (
        |    SELECT p.vec_id, a.vec_id AS neighbor_id,
        |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
@@ -1052,10 +1115,16 @@ object Similarity {
        |    FROM probe2 p JOIN assigned a
        |      ON p.cell = a.cell AND p.vec_id <> a.vec_id)
        |  WHERE br = 1),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT vec_id, neighbor_id FROM knn
        |  UNION ALL
-       |  SELECT vec_id, neighbor_id FROM bridge),
+       |  SELECT vec_id, neighbor_id FROM bridge)""".stripMargin
+
+  /** DuckDB twin: seed from descentSeedCtes, hop is the same bounded
+    * 2-hop equijoin, and the re-score ranks the UNION (set semantics,
+    * matching the Spark side's distinct()). */
+  val annNndescentSql: String =
+    s"""WITH $descentSeedCtes,
        |hop AS (
        |  SELECT a.vec_id, b.neighbor_id
        |  FROM edges a JOIN edges b ON a.neighbor_id = b.vec_id
@@ -1079,6 +1148,135 @@ object Similarity {
        |SELECT vec_id, rank, neighbor_id,
        |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp
        |FROM rr WHERE rank <= $knnK ORDER BY vec_id, rank""".stripMargin
+
+  // ─── ann_nndescent_conv: NN-Descent iterated to (capped) fixpoint ───
+  // Finishes what ann_nndescent starts: the real algorithm (Dong et
+  // al., WWW'11) iterates "candidates = current ∪ neighbors-of-
+  // neighbors, keep best k" until the edge set stops changing. Each
+  // round here is exactly ann_nndescent's round — forward 2-hop
+  // equijoin, set-union, exact-cosine re-score, keep-k — unrolled a
+  // fixed descentRounds times (the graph_ktruss discipline: a FIXED
+  // unroll is what a SQL oracle can replay; the convergence READOUT
+  // replaces a data-dependent stop). Per round the output row carries
+  // the convergence curve: n_edges, n_new (edges not present in the
+  // previous round's set — 0 means the descent is done) and recall_bp
+  // (recall@k vs exact brute force over the nQueries query nodes).
+  // Recall is provably monotone: candidates always include the current
+  // edges, and a true top-k neighbor, once present, can only be
+  // displaced by another true top-k neighbor — DedupSimilaritySpec
+  // pins the monotone curve. Work per round is |V|·(k+1)² candidates —
+  // linear in |V| at fixed k; the per-round count()s are convergence
+  // scalars (the Graph.iterate discipline), never data collects.
+  private val descentRounds = 3
+
+  def annNndescentConv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = vecs(spark, dir)
+    val l = v.select(col("vec_id"), col("v").as("lv"), col("norm").as("ln"))
+    val r = v.select(col("vec_id").as("neighbor_id"),
+      col("v").as("rv"), col("norm").as("rn"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    // Per-call checkpoints truncate the round-over-round lineage (each
+    // e_i is |V|·k rows); all are released before returning — the
+    // result is a 3-row driver-local stats frame.
+    val ckpts = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(eager = false)
+      c.count()
+      ckpts ++= Graph.ckptRdds(c)
+      c
+    }
+    try {
+      // Exact ground truth on the query nodes only (nQueries·|V| —
+      // row-linear, the ann_bruteforce broadcast shape).
+      val q = v.filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("v").as("lv"), col("norm").as("ln"))
+      val bf = ckpt(r.join(broadcast(q), col("vec_id") =!= col("neighbor_id"))
+        .withColumn("cos", dot(col("lv"), col("rv")) / (col("ln") * col("rn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= knnK)
+        .select(col("vec_id"), col("neighbor_id")))
+      val bfN = bf.count()
+      var e = knnSeed(spark, dir)._2
+      val stats = (1 to descentRounds).map { i =>
+        val hop = e.as("a")
+          .join(e.as("b"), col("a.neighbor_id") === col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_id"),
+            col("b.neighbor_id").as("neighbor_id"))
+          .filter(col("vec_id") =!= col("neighbor_id"))
+        val cand = e.union(hop).distinct()
+        val next = ckpt(cand.join(l, Seq("vec_id")).join(r, Seq("neighbor_id"))
+          .withColumn("cos", dot(col("lv"), col("rv")) / (col("ln") * col("rn")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= knnK)
+          .select(col("vec_id"), col("neighbor_id")))
+        val nEdges = next.count()
+        val nNew = next.join(e.distinct(),
+          Seq("vec_id", "neighbor_id"), "left_anti").count()
+        val matches = next.join(bf,
+          Seq("vec_id", "neighbor_id"), "left_semi").count()
+        e = next
+        (i.toLong, nEdges, nNew, matches * 10000L / bfN)
+      }
+      stats.toDF("round", "n_edges", "n_new", "recall_bp")
+        .orderBy(col("round"))
+    } finally ckpts.foreach(rd => scala.util.Try(rd.unpersist(blocking = false)))
+  }
+
+  /** DuckDB twin: the same fixed unroll — each round's CTEs replay
+    * hop/union/re-score off the previous round's edge set, and the
+    * stats rows replay the set-difference (NOT EXISTS) and the
+    * brute-force recall join with integer // division. */
+  val annNndescentConvSql: String = {
+    def roundCtes(i: Int): String = {
+      val prev = if (i == 1) "edges" else s"e${i - 1}"
+      s"""hop$i AS MATERIALIZED (
+         |  SELECT a.vec_id, b.neighbor_id
+         |  FROM $prev a JOIN $prev b ON a.neighbor_id = b.vec_id
+         |  WHERE a.vec_id <> b.neighbor_id),
+         |cand$i AS MATERIALIZED (
+         |  SELECT vec_id, neighbor_id FROM $prev
+         |  UNION
+         |  SELECT vec_id, neighbor_id FROM hop$i),
+         |e$i AS MATERIALIZED (
+         |  SELECT vec_id, neighbor_id FROM (
+         |    SELECT c.vec_id, c.neighbor_id, row_number() OVER (
+         |      PARTITION BY c.vec_id ORDER BY
+         |        (${dotSqlOf("x.v", "y.v")}) / (x.norm * y.norm) DESC,
+         |        c.neighbor_id) AS rank
+         |    FROM cand$i c
+         |      JOIN n x ON c.vec_id = x.vec_id
+         |      JOIN n y ON c.neighbor_id = y.vec_id)
+         |  WHERE rank <= $knnK)"""
+    }
+    val stats = (1 to descentRounds).map { i =>
+      val prev = if (i == 1) "edges" else s"e${i - 1}"
+      s"""SELECT CAST($i AS BIGINT) AS round,
+         |  (SELECT count(*) FROM e$i) AS n_edges,
+         |  (SELECT count(*) FROM e$i s WHERE NOT EXISTS (
+         |     SELECT 1 FROM $prev p
+         |     WHERE p.vec_id = s.vec_id AND p.neighbor_id = s.neighbor_id))
+         |    AS n_new,
+         |  (SELECT count(*) FROM e$i s WHERE EXISTS (
+         |     SELECT 1 FROM bf WHERE bf.vec_id = s.vec_id
+         |       AND bf.neighbor_id = s.neighbor_id)) * 10000
+         |    // (SELECT count(*) FROM bf) AS recall_bp"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $descentSeedCtes,
+       |bf AS MATERIALIZED (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT q.vec_id, c.vec_id AS neighbor_id, row_number() OVER (
+       |      PARTITION BY q.vec_id ORDER BY
+       |        (${dotSqlOf("q.v", "c.v")}) / (q.norm * c.norm) DESC,
+       |        c.vec_id) AS rank
+       |    FROM n q JOIN n c ON q.vec_id < $nQueries AND q.vec_id <> c.vec_id)
+       |  WHERE rank <= $knnK),
+       |${(1 to descentRounds).map(roundCtes).mkString(",\n")}
+       |$stats
+       |ORDER BY round""".stripMargin
+  }
 
   // ─── ann_label_sep: class-separability audit of the embedding space ───
   // The embedding-quality readout BEFORE anyone trains on the labels
@@ -2100,6 +2298,7 @@ object Similarity {
     "ann_recall" -> annRecall,
     "ann_knn_graph" -> annKnnGraph,
     "ann_nndescent" -> annNndescent,
+    "ann_nndescent_conv" -> annNndescentConv,
     "ann_label_sep" -> annLabelSep,
     "knn_join" -> knnJoin,
     "ann_pq" -> annPq,
@@ -2128,6 +2327,7 @@ object Similarity {
     "ann_recall" -> annRecallSql,
     "ann_knn_graph" -> annKnnGraphSql,
     "ann_nndescent" -> annNndescentSql,
+    "ann_nndescent_conv" -> annNndescentConvSql,
     "ann_label_sep" -> annLabelSepSql,
     "knn_join" -> knnJoinSql,
     "ann_pq" -> annPqSql,

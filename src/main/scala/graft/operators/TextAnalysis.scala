@@ -799,11 +799,13 @@ object TextAnalysis {
   // 1-row array (TakeOrdered top-R, never a driver collect loop).
   private val bpeEncodeRounds = 8
 
-  /** Unsorted per-doc core of text_bpe_encode: (doc_id, base_tokens,
-    * bpe_tokens). Public because it doubles as the Pipeline family's
-    * REAL token counter (Pipeline.TokenCounter.Bpe) — packing and
-    * mixture decisions join these counts back by doc_id instead of
-    * the whitespace approximation. No orderBy here: counter consumers
+  /** Unsorted per-doc core of text_bpe_encode: (doc_id, lang, source,
+    * base_tokens, bpe_tokens). Public because it doubles as the
+    * Pipeline family's REAL token counter (Pipeline.TokenCounter.Bpe)
+    * — packing and mixture decisions read these counts directly.
+    * lang/source ride along from the same documents scan so counter
+    * consumers never need a doc_id join back to documents (which
+    * would re-scan the corpus). No orderBy here: counter consumers
     * aggregate, only the registered query needs the display sort. */
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame = {
     // struct(-n_pair, pair) sorts ascending = (count desc, pair asc):
@@ -819,7 +821,7 @@ object TextAnalysis {
           concat(lit("("), substring(m.getField("pair"), 1, 1),
             lit(")("), substring(m.getField("pair"), 2, 1), lit(")")),
           concat(lit("("), m.getField("pair"), lit(")")))))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("lang"), col("source"),
         length(col("text")).cast("long").as("base_tokens"),
         (length(col("enc")) -
           length(call_function("replace", col("enc"), lit("("), lit(""))))
@@ -828,28 +830,38 @@ object TextAnalysis {
 
   def textBpeEncode(spark: SparkSession, dir: String): DataFrame =
     bpeTokenCounts(spark, dir)
-      .withColumn("merges_applied", col("base_tokens") - col("bpe_tokens"))
-      .withColumn("compress_bp",
-        expr("bpe_tokens * 10000 div greatest(base_tokens, 1)"))
+      .select(col("doc_id"), col("base_tokens"), col("bpe_tokens"),
+        (col("base_tokens") - col("bpe_tokens")).as("merges_applied"),
+        expr("bpe_tokens * 10000 div greatest(base_tokens, 1)")
+          .as("compress_bp"))
       .orderBy(col("doc_id"))
 
-  /** DuckDB twin: the merge list replays textBpePairsSql's ranking,
+  /** CTE block (w, p, m, e0…eR, bpe_counts) computing per-doc
+    * bpe_tokens in DuckDB, with extra document columns carried through
+    * every round — `carryDefs` is (sql-expression-over-documents,
+    * alias) pairs. The merge list replays textBpePairsSql's ranking,
     * then one unrolled replace() per rank (scalar subqueries — the
     * merge table is 8 rows). coalesce to the no-op pattern "()"
     * (never present: every token is non-empty) keeps rounds past the
     * mined-pair count as identities, matching the Spark fold over a
-    * short array. */
-  val textBpeEncodeSql: String = {
+    * short array. Returned UNstripped (| margins intact) so consumers
+    * interpolate it and .stripMargin the final text — shared by
+    * textBpeEncodeSql and Pipeline's pack_chunks_bpe oracle. */
+  private[operators] def bpeTokensCtes(
+      carryDefs: Seq[(String, String)]): String = {
+    val cols = ("doc_id" +: carryDefs.map(_._2)).mkString(", ")
+    val e0Cols = ("doc_id" +:
+      carryDefs.map { case (e, a) => s"$e AS $a" }).mkString(", ")
     val rounds = (1 to bpeEncodeRounds).map { r =>
       s"""e$r AS (
-         |  SELECT doc_id, base_tokens, replace(s,
+         |  SELECT $cols, replace(s,
          |    coalesce((SELECT '(' || pair[1] || ')(' || pair[2] || ')'
          |              FROM m WHERE rk = $r), '()'),
          |    coalesce((SELECT '(' || pair || ')' FROM m WHERE rk = $r),
          |             '()')) AS s
-         |  FROM e${r - 1})""".stripMargin
+         |  FROM e${r - 1})"""
     }.mkString(",\n")
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
        |p AS (
        |  SELECT substr(w, CAST(gs AS INTEGER), 2) AS pair
@@ -860,19 +872,24 @@ object TextAnalysis {
        |  FROM p GROUP BY pair
        |  ORDER BY count(*) DESC, pair LIMIT $bpeEncodeRounds),
        |e0 AS (
-       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS base_tokens,
+       |  SELECT $e0Cols,
        |    regexp_replace(text, '(.)', '(\\1)', 'g') AS s
        |  FROM documents),
-       |$rounds
-       |SELECT doc_id, base_tokens,
-       |  CAST(length(s) - length(replace(s, '(', '')) AS BIGINT) AS bpe_tokens,
-       |  base_tokens -
+       |$rounds,
+       |bpe_counts AS (
+       |  SELECT $cols,
        |    CAST(length(s) - length(replace(s, '(', '')) AS BIGINT)
-       |    AS merges_applied,
-       |  CAST(length(s) - length(replace(s, '(', '')) AS BIGINT) * 10000
-       |    // greatest(base_tokens, 1) AS compress_bp
-       |FROM e$bpeEncodeRounds ORDER BY doc_id""".stripMargin
+       |      AS bpe_tokens
+       |  FROM e$bpeEncodeRounds)"""
   }
+
+  val textBpeEncodeSql: String =
+    s"""WITH ${bpeTokensCtes(
+           Seq("CAST(length(text) AS BIGINT)" -> "base_tokens"))}
+       |SELECT doc_id, base_tokens, bpe_tokens,
+       |  base_tokens - bpe_tokens AS merges_applied,
+       |  bpe_tokens * 10000 // greatest(base_tokens, 1) AS compress_bp
+       |FROM bpe_counts ORDER BY doc_id""".stripMargin
 
   // ─── text_boilerplate: repeated-shingle boilerplate profile ───
   // The C4/RefinedWeb cleanup heuristic: a 5-word shingle occurring

@@ -202,7 +202,10 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("knn_join blocks on cells: equijoin pair join, centroids broadcast") {
-    val p = plan(Similarity.knnJoin(spark, dir))
+    // Audit the fixture's BUILDER plan: the registered query reads the
+    // checkpointed knn_seed fixture (a LogicalRDD scan), so the join
+    // shape lives in knnSeedPlans, not in the query's own plan.
+    val p = plan(Similarity.knnSeedPlans(spark, dir)._1)
     assert(!p.contains("CartesianProduct"),
       "the pair join must be a cell equijoin, never corpus×corpus")
     // The ONLY nested-loop allowed is the bounded centroid-assignment

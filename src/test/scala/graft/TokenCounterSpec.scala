@@ -32,10 +32,18 @@ class TokenCounterSpec extends AnyFunSuite {
       .agg(sum(col("chunk_tokens"))).collect()(0).getLong(0)
     val bpe = Pipeline.packChunksWith(spark, dir, TokenCounter.Bpe)
       .agg(sum(col("chunk_tokens"))).collect()(0).getLong(0)
-    // Subword counts sit between characters and words; with only the
-    // top-8 merges applied they stay well above word counts.
-    assert(bpe > ws,
-      s"BPE subword mass ($bpe) must exceed the whitespace word mass ($ws)")
+    val chars = TextAnalysis.bpeTokenCounts(spark, dir)
+      .agg(sum(col("base_tokens"))).collect()(0).getLong(0)
+    // Structural bounds, not corpus luck (round-15 ADVICE: "bpe > ws"
+    // held for the pinned corpus but could silently flip if the test
+    // data or merge count changes): every merge strictly reduces the
+    // character-token count, so chars > bpe; and the two counters must
+    // genuinely differ — equality would mean the Bpe path silently
+    // relabeled the whitespace counts.
+    assert(chars > bpe,
+      s"applied merges must shrink the char-token mass: chars=$chars bpe=$bpe")
+    assert(bpe != ws,
+      s"BPE subword mass ($bpe) must differ from the whitespace word mass ($ws)")
   }
 
   test("packChunksWith(Bpe) chunk ids are dense from 0 per language") {
@@ -60,9 +68,14 @@ class TokenCounterSpec extends AnyFunSuite {
     val totalTok = rows.map(_._2).sum
     assert(rows.map(_._3).sum == 1000000L, "Σalloc must equal the budget")
     rows.foreach { case (src, tok, alloc) =>
-      val quota = tok.toDouble * 1000000L / totalTok
-      assert(math.abs(alloc - quota) <= 1.0,
-        s"$src: Hamilton allocation $alloc must be within 1 of quota $quota")
+      // Recompute the quota in exact integer arithmetic (BigInt) to
+      // match the operator's own math: the operator guarantees alloc ∈
+      // {⌊q⌋, ⌊q⌋+1}, and a Double-recomputed quota with tolerance
+      // exactly 1.0 could sit right on the boundary (round-15 ADVICE).
+      val qFloor = (BigInt(tok) * 1000000 / totalTok).toLong
+      assert(alloc == qFloor || alloc == qFloor + 1,
+        s"$src: Hamilton allocation $alloc must be ⌊quota⌋ or ⌊quota⌋+1 " +
+          s"(⌊quota⌋=$qFloor)")
     }
   }
 

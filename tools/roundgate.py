@@ -56,13 +56,38 @@ def main():
         nq = len(b.get("queries", {}))
         nf = len(b.get("failed", []))
         print(f"BENCH_FULL.json: {nq} queries, {nf} failed, "
-              f"total {b.get('value', 0):.1f}s @ {b.get('sf')}")
+              f"total {b.get('value', 0):.1f}s @ {b.get('sf')} "
+              f"heap={b.get('heap_mb', '?')}mb")
         if nq == 0:
             failures.append("BENCH_FULL.json has no queries")
         if nf:
             failures.append(f"BENCH_FULL.json reports {nf} failed queries")
     except Exception as ex:
         failures.append(f"BENCH_FULL.json unreadable: {ex}")
+
+    # Gate 4 (round-15 verdict #9): BASELINE_TIMES keys must track the
+    # registry — a query missing from the baseline is invisible to the
+    # per-query perf gate (that is exactly how round-15's slowest query
+    # escaped it). Documented skips (oracle too slow to time at the
+    # baseline SF) are allowed but must be listed here.
+    print("== gate 4: BASELINE_TIMES keys vs registry ==", flush=True)
+    BASELINE_SKIPS = {"fuzzy_join"}  # all-pairs levenshtein oracle
+    try:
+        oracle = json.load(open(os.path.join(dump, "oracle_sql.json")))
+        bt = json.load(open(os.path.join(REPO, "BASELINE_TIMES.json")))
+        bkeys = set(bt.get("times", bt) if isinstance(bt, dict) else bt)
+        missing = sorted(set(oracle) - bkeys - BASELINE_SKIPS)
+        extra = sorted(bkeys - set(oracle))
+        print(f"baseline {len(bkeys)} keys vs oracle {len(oracle)} "
+              f"(skips: {sorted(BASELINE_SKIPS)})")
+        if missing:
+            failures.append(
+                f"BASELINE_TIMES missing {len(missing)} keys: {missing[:8]}")
+        if extra:
+            failures.append(
+                f"BASELINE_TIMES has {len(extra)} stale keys: {extra[:8]}")
+    except Exception as ex:
+        failures.append(f"baseline keydiff failed: {ex}")
 
     if failures:
         print("\nROUNDGATE FAIL:\n  - " + "\n  - ".join(failures))
