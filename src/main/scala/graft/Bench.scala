@@ -105,7 +105,63 @@ object Bench {
     // still visible here instead of vanishing (or, in cold mode,
     // doubling into the first consumer's sample).
     val fixtureBuilds = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+
+    // Stamp the JVM heap into the artifact: heap size is a measured
+    // perf variable on this workload (build.sbt caps -Xmx at 16g for
+    // exactly that reason), so a reviewer comparing rounds must be
+    // able to see what heap each number ran under.
+    val heapMb = Runtime.getRuntime.maxMemory / (1024L * 1024L)
+
+    def artifactPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
+
+    // Artifact snapshot from the results so far. Written after EVERY
+    // chunk with "partial":true (round-16 lesson: an sf10 executor OOM
+    // stopped the context, the next chunk's getOrCreate threw out of
+    // main, and the end-of-run-only write lost an hour of finished
+    // measurements), then finally without the flag.
+    def fullLine(partial: Boolean): String = {
+      val sorted = results.toSeq.sortBy(_._1)
+      val qs = sorted.collect { case (k, Some((m, _, _, _, _, _, _))) => "\"" + k + "\":" + m }
+        .mkString("{", ",", "}")
+      val spread = sorted.collect { case (k, Some((_, lo, hi, _, _, _, _))) =>
+        "\"" + k + "\":[" + lo + "," + hi + "]"
+      }.mkString("{", ",", "}")
+      val cpu = sorted.collect { case (k, Some((_, _, _, cm, _, _, _))) =>
+        "\"" + k + "\":" + cm
+      }.mkString("{", ",", "}")
+      val cpuSpread = sorted.collect { case (k, Some((_, _, _, _, clo, chi, _))) =>
+        "\"" + k + "\":[" + clo + "," + chi + "]"
+      }.mkString("{", ",", "}")
+      val load = sorted.collect { case (k, Some((_, _, _, _, _, _, la))) =>
+        "\"" + k + "\":" + la
+      }.mkString("{", ",", "}")
+      val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val total = sorted.flatMap(_._2.map(_._1)).sum
+      val mode = if (cold) "cold" else "warm"
+      val fixturesJson = fixtureBuilds.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (k, ts) =>
+          "\"" + k + "\":[" + ts.map(_._2).mkString(",") + "]"
+        }.mkString("{", ",", "}")
+      val fixtureSec = fixtureBuilds.map(_._2).sum
+      val pflag = if (partial) "\"partial\":true," else ""
+      s"""{"metric":"total",$pflag"value":$total,"unit":"sec","queries":$qs,"spread":$spread,"cpu":$cpu,"cpu_spread":$cpuSpread,"load":$load,"failed":$fj,"fixtures":$fixturesJson,"fixture_sec":$fixtureSec,"mode":"$mode","iters":$iters,"chunks":${chunks.size},"heap_mb":$heapMb,"sf":"$sfDir"}"""
+    }
+
+    def writeArtifact(line: String): Unit =
+      try java.nio.file.Files.writeString(artifactPath, line)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+      }
+
     chunks.foreach { chunk =>
+      // Chunk fault isolation (round-16): an executor OOM can stop the
+      // context mid-chunk and leave a dead default session behind;
+      // without this guard the next chunk's getOrCreate threw straight
+      // out of main and killed the run. A failed chunk marks its
+      // remaining queries failed, clears the dead session references,
+      // and the run continues on a fresh context.
+      try {
       val spark = GraftSession.builder(cpus).getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       Families.drainFixtureTimes() // discard any pre-chunk leftovers
@@ -153,55 +209,36 @@ object Bench {
       fixtureBuilds ++= Families.drainFixtureTimes()
       Families.invalidateFixtures()
       spark.stop()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] chunk starting at " +
+          s"${chunk.headOption.map(_._1).getOrElse("?")} aborted: ${e.getMessage}")
+        chunk.foreach { case (name, _) =>
+          if (!results.exists(_._1 == name)) {
+            if (!failed.contains(name)) failed += name
+            results += (name -> None)
+          }
+        }
+        scala.util.Try(Families.invalidateFixtures())
+        scala.util.Try(
+          org.apache.spark.sql.SparkSession.getActiveSession.foreach(_.stop()))
+        scala.util.Try(org.apache.spark.sql.SparkSession.clearActiveSession())
+        scala.util.Try(org.apache.spark.sql.SparkSession.clearDefaultSession())
+      }
+      writeArtifact(fullLine(partial = true))
       System.gc()
     }
 
+    // The COMPLETE artifact (every key: median + [min,max] spread band,
+    // cpu, load — the run-to-run spread is what makes a single round's
+    // median actionable at all, see SURVEY §7) goes to a repo file a
+    // reviewer can audit without re-running the suite; stdout gets a
+    // SHORT headline line that survives the driver's 2000-char tail
+    // capture (see `headline`).
+    writeArtifact(fullLine(partial = false))
     val sorted = results.toSeq.sortBy(_._1)
-    val qs = sorted.collect { case (k, Some((m, _, _, _, _, _, _))) => "\"" + k + "\":" + m }
-      .mkString("{", ",", "}")
-    // Run-to-run spread per query (min/max over the timed iterations):
-    // local[32] medians swing ±70% on sub-second queries from
-    // scheduler/GC luck alone (SURVEY §7), so a regression read off
-    // one round's median is only actionable when it exceeds the
-    // spread band. Extra key — consumers of "queries" are unaffected.
-    val spread = sorted.collect { case (k, Some((_, lo, hi, _, _, _, _))) =>
-      "\"" + k + "\":[" + lo + "," + hi + "]"
-    }.mkString("{", ",", "}")
-    val cpu = sorted.collect { case (k, Some((_, _, _, cm, _, _, _))) =>
-      "\"" + k + "\":" + cm
-    }.mkString("{", ",", "}")
-    val cpuSpread = sorted.collect { case (k, Some((_, _, _, _, clo, chi, _))) =>
-      "\"" + k + "\":[" + clo + "," + chi + "]"
-    }.mkString("{", ",", "}")
-    val load = sorted.collect { case (k, Some((_, _, _, _, _, _, la))) =>
-      "\"" + k + "\":" + la
-    }.mkString("{", ",", "}")
-    val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fixtureSec = fixtureBuilds.map(_._2).sum
     val total = sorted.flatMap(_._2.map(_._1)).sum
     val mode = if (cold) "cold" else "warm"
-    // One entry per BUILD (a fixture rebuilds in every chunk whose
-    // session its consumers share), name → list of build seconds.
-    val fixturesJson = fixtureBuilds.groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (k, ts) =>
-        "\"" + k + "\":[" + ts.map(_._2).mkString(",") + "]"
-      }.mkString("{", ",", "}")
-    val fixtureSec = fixtureBuilds.map(_._2).sum
-    // Stamp the JVM heap into the artifact: heap size is a measured
-    // perf variable on this workload (build.sbt caps -Xmx at 16g for
-    // exactly that reason), so a reviewer comparing rounds must be
-    // able to see what heap each number ran under.
-    val heapMb = Runtime.getRuntime.maxMemory / (1024L * 1024L)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"cpu":$cpu,"cpu_spread":$cpuSpread,"load":$load,"failed":$fj,"fixtures":$fixturesJson,"fixture_sec":$fixtureSec,"mode":"$mode","iters":$iters,"chunks":${chunks.size},"heap_mb":$heapMb,"sf":"$sfDir"}"""
-    // The COMPLETE artifact (every key: median + [min,max] spread band,
-    // cpu, load) goes to a repo file a reviewer can audit without
-    // re-running the suite; stdout gets a SHORT headline line that
-    // survives the driver's 2000-char tail capture (see `headline`).
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")), line)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
-    }
     val medians = sorted.collect { case (k, Some((m, _, _, _, _, _, _))) => k -> m }.toMap
     val hq = headline.flatMap(k => medians.get(k).map(m => "\"" + k + "\":" + m))
       .mkString("{", ",", "}")

@@ -18,6 +18,22 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Initial shuffle granularity scales ABOVE the core count and
+      // AQE coalesces DOWN to the advisory size — the standard cluster
+      // posture (high initial partitions, runtime coalesce). At sf10
+      // the 50-100M-row shingle self-join over `cores` partitions put
+      // ~3M rows in each sort task; the resulting concurrent-spill
+      // storm tripped a JDK NIO race (NativeThreadSet.remove AIOOBE in
+      // DiskBlockObjectWriter) and killed the job. 8× cores keeps the
+      // per-task sort buffer bounded as data grows while small-SF runs
+      // coalesce back to few partitions at no cost. Tests (4 cores)
+      // stay at 32 — unchanged behavior.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        cores * 8)
+      // Local mode defaults to task.maxFailures=1: one transient task
+      // failure (the spill race above) aborts the whole job, which no
+      // real cluster would do (default 4). One retry, like production.
+      .config("spark.task.maxFailures", "2")
       // events.parquet carries TIMESTAMP(NANOS), which the vectorized
       // reader rejects; read as raw nanos (Tables.events converts).
       // Set here, once, at construction — not as a side effect of a

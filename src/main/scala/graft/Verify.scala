@@ -68,7 +68,22 @@ object Verify {
     // machine-readable failure signal.
     val errs = new ConcurrentLinkedQueue[String]()
     Families.chunked(all, chunkCap).foreach { chunk =>
-      val spark = GraftSession.builder(cpus).getOrCreate()
+      // Chunk fault isolation (round-16, same guard as Bench): an
+      // executor OOM can stop the context and leave a dead default
+      // session; session creation must not throw out of main and kill
+      // the remaining chunks' evidence.
+      val sparkOpt =
+        try Some(GraftSession.builder(cpus).getOrCreate())
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] chunk session creation failed: ${e.getMessage}")
+          chunk.foreach { case (name, _) => errs.add(s"$name (no session)") }
+          scala.util.Try(
+            org.apache.spark.sql.SparkSession.getActiveSession.foreach(_.stop()))
+          scala.util.Try(org.apache.spark.sql.SparkSession.clearActiveSession())
+          scala.util.Try(org.apache.spark.sql.SparkSession.clearDefaultSession())
+          None
+        }
+      sparkOpt.foreach { spark =>
       spark.sparkContext.setLogLevel("WARN")
       val pool = Executors.newFixedThreadPool(math.max(1, math.min(par, chunk.size)))
       val submitted = new ConcurrentLinkedQueue[String]()
@@ -102,6 +117,7 @@ object Verify {
       }
       Families.invalidateFixtures()
       spark.stop()
+      }
       System.gc()
     }
     val failed = {

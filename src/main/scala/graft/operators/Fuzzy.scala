@@ -32,10 +32,15 @@ object Fuzzy {
     // the (interpreted, HOF) pattern generation on a single core —
     // explicit AQE-pinned repartition fans it out (docShingles has
     // the full rationale).
-    val c = Tables(spark, dir).customer.select(col("c_custkey"), col("c_name"))
+    val names = Tables(spark, dir).customer.select(col("c_custkey"), col("c_name"))
+    val c = names
       .repartition(spark.sparkContext.defaultParallelism, col("c_custkey"))
-    // One row per (string, position): the wildcard pattern.
-    val wild = c.select(col("c_custkey"), col("c_name"),
+    // One row per (string, position): the wildcard pattern. KEYS ONLY
+    // through the blocking joins (the ann_lsh payload discipline —
+    // round 16: carrying both full names through the pattern self-join
+    // tripled the sort/shuffle payload and OOM'd the 16g bench heap at
+    // sf10); names re-join by key onto the bounded pair set below.
+    val wild = c.select(col("c_custkey"),
       posexplode(expr(
         """transform(sequence(1, length(c_name)),
           |  i -> concat(substring(c_name, 1, i - 1), '*', substring(c_name, i + 1)))"""
@@ -43,10 +48,9 @@ object Fuzzy {
     val subPairs = wild.as("a").join(wild.as("b"),
         col("a.pos") === col("b.pos") && col("a.pat") === col("b.pat") &&
           col("a.c_custkey") < col("b.c_custkey"))
-      .select(col("a.c_custkey").as("cust_a"), col("a.c_name").as("name_a"),
-        col("b.c_custkey").as("cust_b"), col("b.c_name").as("name_b"))
+      .select(col("a.c_custkey").as("cust_a"), col("b.c_custkey").as("cust_b"))
     // Deletion neighborhood: a's deletion-at-i equals b's full name.
-    val del = c.select(col("c_custkey"), col("c_name"),
+    val del = c.select(col("c_custkey"),
       explode(expr(
         """transform(sequence(1, length(c_name)),
           |  i -> concat(substring(c_name, 1, i - 1), substring(c_name, i + 1)))"""
@@ -55,12 +59,12 @@ object Fuzzy {
         col("a.d") === col("b.c_name") && col("a.c_custkey") =!= col("b.c_custkey"))
       .select(
         least(col("a.c_custkey"), col("b.c_custkey")).as("cust_a"),
-        when(col("a.c_custkey") < col("b.c_custkey"), col("a.c_name"))
-          .otherwise(col("b.c_name")).as("name_a"),
-        greatest(col("a.c_custkey"), col("b.c_custkey")).as("cust_b"),
-        when(col("a.c_custkey") < col("b.c_custkey"), col("b.c_name"))
-          .otherwise(col("a.c_name")).as("name_b"))
+        greatest(col("a.c_custkey"), col("b.c_custkey")).as("cust_b"))
     subPairs.union(delPairs).distinct()
+      .join(names.select(col("c_custkey").as("cust_a"),
+        col("c_name").as("name_a")), Seq("cust_a"))
+      .join(names.select(col("c_custkey").as("cust_b"),
+        col("c_name").as("name_b")), Seq("cust_b"))
       // Verify: blocking is complete for t=1 by construction, but the
       // explicit check keeps semantics independent of the blocking.
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
