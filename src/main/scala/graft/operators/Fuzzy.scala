@@ -55,16 +55,25 @@ object Fuzzy {
         """transform(sequence(1, length(c_name)),
           |  i -> concat(substring(c_name, 1, i - 1), substring(c_name, i + 1)))"""
           .stripMargin)).as("d"))
-    val delPairs = del.as("a").join(c.as("b"),
+    // hint("merge"): the name side is CORPUS-scale — the column-pruned
+    // static size estimate sits under the broadcast threshold and a
+    // broadcast of every customer name can never survive growth.
+    val delPairs = del.as("a").join(c.as("b").hint("merge"),
         col("a.d") === col("b.c_name") && col("a.c_custkey") =!= col("b.c_custkey"))
       .select(
         least(col("a.c_custkey"), col("b.c_custkey")).as("cust_a"),
         greatest(col("a.c_custkey"), col("b.c_custkey")).as("cust_b"))
+    // Both name re-joins are pinned to sort-merge: the pair set is
+    // corpus-density-scaled (sequential "Customer#%09d" keys have up
+    // to 81 digit-typo neighbors each — ~60M pairs at sf10) and
+    // Catalyst's post-distinct size estimate is unreliable enough that
+    // AQE tried to BROADCAST it, which can never survive growth; a
+    // shuffle join is the only shape that scales on both sides.
     subPairs.union(delPairs).distinct()
       .join(names.select(col("c_custkey").as("cust_a"),
-        col("c_name").as("name_a")), Seq("cust_a"))
+        col("c_name").as("name_a")).hint("merge"), Seq("cust_a"))
       .join(names.select(col("c_custkey").as("cust_b"),
-        col("c_name").as("name_b")), Seq("cust_b"))
+        col("c_name").as("name_b")).hint("merge"), Seq("cust_b"))
       // Verify: blocking is complete for t=1 by construction, but the
       // explicit check keeps semantics independent of the blocking.
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
