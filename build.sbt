@@ -53,8 +53,21 @@ val forkHeapMb: Long = {
       if (raw.endsWith("g")) raw.dropRight(1).toDouble * 1024
       else if (raw.endsWith("m")) raw.dropRight(1).toDouble
       else raw.toDouble * 1024 // bare number = GiB
-    } catch { case _: NumberFormatException => 8192.0 }
-  math.min(16384L, math.max(1024L, mb.toLong))
+    } catch {
+      case _: NumberFormatException =>
+        // Unparseable suffix (e.g. "16gb", "8192k") would otherwise
+        // silently run the whole session at the 8g default — warn so a
+        // multi-hour run doesn't execute under a surprise heap.
+        println(s"[sbt] WARNING: SPARK_DRIVER_MEM='$raw' unparseable " +
+          "(want e.g. 8g / 8192m / 8) — falling back to 8g")
+        8192.0
+    }
+  val clamped = math.min(16384L, math.max(1024L, mb.toLong))
+  if (clamped != mb.toLong)
+    println(s"[sbt] WARNING: SPARK_DRIVER_MEM='$raw' (${mb.toLong}m) " +
+      s"clamped to ${clamped}m (cap 16g — big G1 heaps measured 3-5x " +
+      "slower on allocation-heavy ops)")
+  clamped
 }
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",

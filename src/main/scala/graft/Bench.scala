@@ -112,6 +112,13 @@ object Bench {
     // able to see what heap each number ran under.
     val heapMb = Runtime.getRuntime.maxMemory / (1024L * 1024L)
 
+    // Stamp the git SHA the run executed at: the r15→r16 fixture
+    // re-pricing made cross-round artifact diffs archaeology without
+    // knowing which commit produced which number.
+    val gitSha = scala.util.Try(
+      scala.sys.process.Process(Seq("git", "rev-parse", "--short", "HEAD"))
+        .!!.trim).getOrElse("unknown")
+
     def artifactPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
 
@@ -145,7 +152,7 @@ object Bench {
         }.mkString("{", ",", "}")
       val fixtureSec = fixtureBuilds.map(_._2).sum
       val pflag = if (partial) "\"partial\":true," else ""
-      s"""{"metric":"total",$pflag"value":$total,"unit":"sec","queries":$qs,"spread":$spread,"cpu":$cpu,"cpu_spread":$cpuSpread,"load":$load,"failed":$fj,"fixtures":$fixturesJson,"fixture_sec":$fixtureSec,"mode":"$mode","iters":$iters,"chunks":${chunks.size},"heap_mb":$heapMb,"sf":"$sfDir"}"""
+      s"""{"metric":"total",$pflag"value":$total,"unit":"sec","queries":$qs,"spread":$spread,"cpu":$cpu,"cpu_spread":$cpuSpread,"load":$load,"failed":$fj,"fixtures":$fixturesJson,"fixture_sec":$fixtureSec,"mode":"$mode","iters":$iters,"chunks":${chunks.size},"heap_mb":$heapMb,"git":"$gitSha","sf":"$sfDir"}"""
     }
 
     def writeArtifact(line: String): Unit =
@@ -218,6 +225,13 @@ object Bench {
             results += (name -> None)
           }
         }
+        // Keep the crashed chunk's fixture-build ledger: without this
+        // drain the next chunk's "discard pre-chunk leftovers" drain
+        // would silently eat these entries, and fixture builds from an
+        // aborted chunk would vanish from fixtures/fixture_sec while
+        // the chunk's completed query timings are kept.
+        fixtureBuilds ++=
+          scala.util.Try(Families.drainFixtureTimes()).getOrElse(Nil)
         scala.util.Try(Families.invalidateFixtures())
         scala.util.Try(
           org.apache.spark.sql.SparkSession.getActiveSession.foreach(_.stop()))
@@ -245,7 +259,7 @@ object Bench {
     val fshort = (failed.take(5).map("\"" + _ + "\"") ++
       (if (failed.size > 5) Seq("\"+" + (failed.size - 5) + " more\"") else Nil))
       .mkString("[", ",", "]")
-    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$hq,"sf":"$sfDir","n_queries":${medians.size},"n_failed":${failed.size},"failed":$fshort,"mode":"$mode","iters":$iters,"fixture_sec":$fixtureSec,"heap_mb":$heapMb,"full":"BENCH_FULL.json"}"""
+    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$hq,"sf":"$sfDir","n_queries":${medians.size},"n_failed":${failed.size},"failed":$fshort,"mode":"$mode","iters":$iters,"fixture_sec":$fixtureSec,"heap_mb":$heapMb,"git":"$gitSha","full":"BENCH_FULL.json"}"""
 
     // SELF-CHECK (the round-13 ask: BENCH_r11/r12 came back
     // `parsed: null` and nobody noticed until the judge did). Recreate

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, NearestCells, NearestCellsMilli}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -22,6 +22,34 @@ object GraftExtensions {
         require(children.length == 2,
           s"graft_dot expects exactly 2 arguments (array<double>, array<double>), got ${children.length}")
         DotProduct(children(0), children(1))
+      }))
+    // (v, cellsLit, centMatLit, keepLit, twoLevelMinLit): keep and
+    // twoLevelMin are consumed at build time from foldable int args.
+    def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      e.eval(null) match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case x => throw new IllegalArgumentException(
+          s"expected a foldable int argument, got $x")
+      }
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nearest_cells"),
+      new ExpressionInfo(classOf[NearestCells].getName, "graft_nearest_cells"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 5,
+          s"graft_nearest_cells expects 5 arguments, got ${children.length}")
+        NearestCells(children(0), children(1), children(2),
+          intArg(children(3)), intArg(children(4)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nearest_cells_milli"),
+      new ExpressionInfo(classOf[NearestCellsMilli].getName,
+        "graft_nearest_cells_milli"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 5,
+          s"graft_nearest_cells_milli expects 5 arguments, got ${children.length}")
+        NearestCellsMilli(children(0), children(1), children(2),
+          intArg(children(3)), intArg(children(4)))
       }))
   }
 }

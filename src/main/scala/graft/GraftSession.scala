@@ -11,7 +11,13 @@ object GraftSession {
   def builder(cores: Int): SparkSession.Builder =
     SparkSession
       .builder()
-      .master(s"local[$cores]")
+      // local[N,2]: the second slot is maxTaskFailures. In local mode
+      // Spark's createTaskScheduler hard-codes maxTaskFailures=1 for
+      // plain local[N] and IGNORES spark.task.maxFailures — the only
+      // way to get a retry is the local[N,F] master form. One retry
+      // absorbs the transient spill race below, like production
+      // (cluster default 4).
+      .master(s"local[$cores,2]")
       .appName("graft")
       .withExtensions(GraftExtensions.register)
       .config("spark.sql.shuffle.partitions", cores)
@@ -27,13 +33,10 @@ object GraftSession {
       // DiskBlockObjectWriter) and killed the job. 8× cores keeps the
       // per-task sort buffer bounded as data grows while small-SF runs
       // coalesce back to few partitions at no cost. Tests (4 cores)
-      // stay at 32 — unchanged behavior.
+      // move from 4 to 32 initial partitions — a deliberate change;
+      // AQE coalesces them back down on tiny suite data.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         cores * 8)
-      // Local mode defaults to task.maxFailures=1: one transient task
-      // failure (the spill race above) aborts the whole job, which no
-      // real cluster would do (default 4). One retry, like production.
-      .config("spark.task.maxFailures", "2")
       // events.parquet carries TIMESTAMP(NANOS), which the vectorized
       // reader rejects; read as raw nanos (Tables.events converts).
       // Set here, once, at construction — not as a side effect of a

@@ -849,10 +849,14 @@ object Dedup {
   import graft.functions.VectorOps.{dot, vecs, vecsSql, dotSqlOf}
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    val b = Similarity.bucketIds(spark, dir)
+    // Salted index (round-17): hot buckets split into occupancy-sized
+    // sub-buckets so the self-join cost is Σ occ·target, not Σ occ² —
+    // see Similarity.saltedBucketIds for the recall-trade contract.
+    val b = Similarity.saltedBucketIds(spark, dir)
     val cand = b.as("a").join(b.as("b"),
         col("a.table") === col("b.table") &&
           col("a.bucket") === col("b.bucket") &&
+          col("a.salt") === col("b.salt") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
@@ -870,11 +874,12 @@ object Dedup {
 
   val dedupEmbeddingSql: String =
     s"""WITH n AS (${vecsSql("vec_id")}),
-       |${Similarity.lshBucketCtes},
+       |${Similarity.lshSaltedCtes},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM buckets a JOIN buckets b
-       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |  FROM sbuckets a JOIN sbuckets b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.salt = b.salt
+       |    AND a.vec_id < b.vec_id)
        |SELECT c.vec_a, c.vec_b,
        |  CAST(floor((${dotSqlOf("x.v", "y.v")}) / (x.norm * y.norm) * 10000 + 0.5) AS BIGINT) AS cos_bp
        |FROM cand c JOIN n x ON c.vec_a = x.vec_id JOIN n y ON c.vec_b = y.vec_id
@@ -911,10 +916,13 @@ object Dedup {
 
   def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val b = Similarity.bucketIds(spark, dir)
+    // Same salted index as dedup_embedding — the sweep prices the
+    // same candidate generation it calibrates.
+    val b = Similarity.saltedBucketIds(spark, dir)
     val cand = b.as("a").join(b.as("b"),
         col("a.table") === col("b.table") &&
           col("a.bucket") === col("b.bucket") &&
+          col("a.salt") === col("b.salt") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
@@ -948,11 +956,12 @@ object Dedup {
 
   val dedupThresholdSweepSql: String =
     s"""WITH n AS (${vecsSql("vec_id")}),
-       |${Similarity.lshBucketCtes},
+       |${Similarity.lshSaltedCtes},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM buckets a JOIN buckets b
-       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |  FROM sbuckets a JOIN sbuckets b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.salt = b.salt
+       |    AND a.vec_id < b.vec_id),
        |pairs AS (
        |  SELECT c.vec_a, c.vec_b,
        |    CAST(floor((${dotSqlOf("x.v", "y.v")}) / (x.norm * y.norm)

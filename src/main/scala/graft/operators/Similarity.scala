@@ -27,7 +27,7 @@ object Similarity {
   /** Query set: the first 20 vectors. */
   private val nQueries = 20
 
-  import graft.functions.VectorOps.{dot, vecs}
+  import graft.functions.VectorOps.{dot, vecs, dotSqlOf, dist2SqlOf, vecsSql}
 
   // ─── ann_bruteforce: exact cosine top-k (oracle baseline) ───
   def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
@@ -131,6 +131,7 @@ object Similarity {
     * Dedup's (the owning session may already be stopped). */
   def invalidate(): Unit = synchronized {
     nVecsCache.clear()
+    ivfModelCache.clear()
     knnFixture.foreach { case (_, _, _, rdds) =>
       rdds.foreach(r => scala.util.Try(r.unpersist(blocking = false)))
     }
@@ -160,6 +161,42 @@ object Similarity {
     * shared by annLsh and Dedup.dedupEmbedding. */
   private[operators] def bucketIds(spark: SparkSession, dir: String): DataFrame =
     bucketed(spark, dir).select(col("vec_id"), col("table"), col("bucket"))
+
+  /** Bucket-occupancy skew cap for the SELF-join consumers (round-17:
+    * dedup_embedding measured ×52 at the sf10 decade). bitsFor holds
+    * MEAN occupancy ≤ 16, but the self-join cost is Σ|bucket|² per
+    * table — skew-blind: on a near-dup-heavy corpus popular sign
+    * patterns concentrate mass and hot buckets go quadratic. */
+  private[operators] val saltCap: Long = 4L * occupancyTarget
+
+  /** The blocking index with HOT buckets (occ > saltCap) split into
+    * ⌈occ/occupancyTarget⌉ salted sub-buckets by an md5-derived hash
+    * of vec_id — the q25_skew_salt discipline applied to the LSH
+    * self-join: per-bucket pair cost drops from occ² to ~occ·target.
+    * The DOCUMENTED recall trade: a pair inside a hot bucket survives
+    * only if both sides draw the same salt — but a true near-dup pair
+    * collides in up to 12 tables, so the multi-table redundancy
+    * cushions the loss (DedupSimilaritySpec pins recall vs the exact
+    * baseline). The hot list is tiny by construction (≤ n/saltCap
+    * entries, realistically the few pathological sign patterns), so
+    * it broadcasts. Both engines derive the salt from the same
+    * md5-prefix integer, so the split replays bit-for-bit in DuckDB
+    * (lshSaltedCtes). Cold buckets keep salt 0 — below the cap the
+    * index is EXACTLY bucketIds and results are unchanged. */
+  private[operators] def saltedBucketIds(spark: SparkSession, dir: String): DataFrame = {
+    val b = bucketIds(spark, dir)
+    val hot = b.groupBy(col("table"), col("bucket"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > saltCap)
+    b.join(broadcast(hot), Seq("table", "bucket"), "left")
+      .withColumn("salt",
+        when(col("occ").isNull, lit(0L))
+          .otherwise(
+            conv(substring(md5(col("vec_id").cast("string")), 1, 6), 16, 10)
+              .cast("long") %
+              expr(s"(occ + ${occupancyTarget - 1}) div $occupancyTarget")))
+      .select(col("vec_id"), col("table"), col("bucket"), col("salt"))
+  }
 
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val b = bucketIds(spark, dir)
@@ -201,13 +238,29 @@ object Similarity {
   // linearly with the corpus). Centroids are the ⌈√n⌉ vectors ranked
   // first by md5(vec_id) — a uniform, order-independent sample both
   // engines replay exactly (same init-only data-derived-model trick as
-  // ann_pq's codebooks). Cells then average √n vectors, so the
-  // broadcast is O(√n) (~16 MB at 10⁹ vectors), assignment is n·√n,
-  // and a query's nprobe cells hold ~2√n candidates — the standard IVF
-  // scaling. Every vector is assigned to its nearest centroid via a
-  // broadcast join + per-vector min — the inverted file. A query
-  // probes its 2 nearest cells and ranks only those cells' vectors.
+  // ann_pq's codebooks). Cells then average √n vectors, and a query's
+  // nprobe cells hold ~2√n candidates — the standard IVF scaling.
+  //
+  // ASSIGNMENT IS A PROJECTION, NOT A JOIN (the round-17 fix): the old
+  // inverted-file build cross-joined the corpus with the broadcast
+  // centroid frame and ranked n·k rows in a per-vector window — an
+  // n^1.5-row sort shuffle, measured ×12–24 at the sf10 decade across
+  // the whole IVF family. Now the O(√n) model (cell ids + flattened
+  // centroid matrix) is collected once per session (a bounded
+  // TakeOrdered job, cached per (session, dir)) and rides the plan as
+  // array literals into graft_nearest_cells — a native expression
+  // computing the top-keep cells per row inside WholeStageCodegen:
+  // zero extra rows, zero assignment shuffle. Above `twoLevelMin`
+  // centroids the model goes TWO-LEVEL (⌈√k⌉ md5-ranked representative
+  // cells, each vector probing its 2 nearest groups), cutting per-row
+  // work from O(k·d) to O(√k·d) — n·n^(1/4) total, the hierarchical
+  // coarse quantizer that retires the n^1.5 family. Below the
+  // threshold the model is a single group = the exhaustive scan, so
+  // every small-SF result is bit-identical to the exact assignment.
+  // The DuckDB twins replay the same two levels via ivfAdCtes.
   private val nprobe = 2
+  private[operators] val twoLevelMin = 64
+  private val groupProbes = 2
 
   /** Centroid count for an n-vector corpus: ⌈√n/2⌉, floored at 4 —
     * the √n family (broadcast stays O(√n)) with cells of ~2√n, which
@@ -239,29 +292,94 @@ object Similarity {
       |  LIMIT greatest(4, CAST(ceil(sqrt(
       |    (SELECT count(*) FROM embeddings)) / 2) AS BIGINT)))""".stripMargin
 
-  /** Each vector of `df` paired with its `keep` nearest cells
-    * (broadcast centroids + per-vector min): the inverted-file build
-    * (keep=1) and the probe step (keep=nprobe) share this — as do
-    * annIvf and the IVF-composed miners (hardNegMine). */
-  private def nearestCells(cents: DataFrame, df: DataFrame, keep: Int,
-      idCol: String): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("d2"), col("cell"))
-    df.join(broadcast(cents))
-      .withColumn("d2", aggregate(
-        zip_with(col("v"), col("centv"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (s, x) => s + x))
-      .withColumn("cell_rank", row_number().over(w))
-      .filter(col("cell_rank") <= keep)
-      .drop("centv", "d2", "cell_rank")
+  /** DuckDB twin of the two-level graft_nearest_cells assignment
+    * (NearestCells.scala): replays the model's exact structure —
+    * k1 = smallest m with m·m ≥ k when k ≥ twoLevelMin else 1 (one
+    * group = the exhaustive scan), representatives = the first k1
+    * centroids by (md5(cell), cell), each centroid grouped under its
+    * nearest representative by (d2, rcell), each vector probing its
+    * `groupProbes` nearest representatives. The emitted `ad` CTE keeps
+    * the OLD ad's columns and name, so every downstream
+    * row_number-over-(d2, cell) CTE is textually unchanged.
+    *
+    * `cols` is the ad projection (e.g. "n.vec_id, n.v, n.norm");
+    * `vpWhere` optionally bounds the assigned vector set (e.g.
+    * " WHERE n.vec_id < 20" for query-side-only twins). */
+  private def ivfAdCtes(cols: String, vpWhere: String = ""): String =
+    s"""k1cfg AS (
+       |  SELECT CASE WHEN (SELECT count(*) FROM cents) >= $twoLevelMin THEN
+       |    (SELECT min(m) FROM range(1, 100000) t(m)
+       |     WHERE m * m >= (SELECT count(*) FROM cents))
+       |    ELSE 1 END AS k1),
+       |reps AS (
+       |  SELECT cell AS rcell, centv AS rv FROM (
+       |    SELECT cell, centv, row_number() OVER (
+       |      ORDER BY md5(CAST(cell AS VARCHAR)), cell) AS rr FROM cents)
+       |  WHERE rr <= (SELECT k1 FROM k1cfg)),
+       |cgrp AS (
+       |  SELECT cell, centv, rcell FROM (
+       |    SELECT c.cell, c.centv, r.rcell, row_number() OVER (
+       |      PARTITION BY c.cell
+       |      ORDER BY (${dist2SqlOf("c.centv", "r.rv")}), r.rcell) AS gr
+       |    FROM cents c, reps r)
+       |  WHERE gr = 1),
+       |vp AS (
+       |  SELECT vec_id, rcell FROM (
+       |    SELECT n.vec_id, r.rcell, row_number() OVER (
+       |      PARTITION BY n.vec_id
+       |      ORDER BY (${dist2SqlOf("n.v", "r.rv")}), r.rcell) AS pr
+       |    FROM n, reps r$vpWhere)
+       |  WHERE pr <= $groupProbes),
+       |ad AS (
+       |  SELECT $cols, g.cell,
+       |    (${dist2SqlOf("n.v", "g.centv")}) AS d2
+       |  FROM n JOIN vp ON n.vec_id = vp.vec_id
+       |  JOIN cgrp g ON g.rcell = vp.rcell)""".stripMargin
+
+  /** Driver-collected coarse-quantizer model: (cell ids, flattened
+    * centroid matrix). Bounded O(√n) by construction (ivfCents is a
+    * TakeOrdered sample); cached per (session, dir) so the whole IVF
+    * family shares ONE model-build job per chunk. Cleared by
+    * invalidate(). */
+  private val ivfModelCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Array[Long], Array[Double])]
+  private def ivfModelArrays(spark: SparkSession,
+      dir: String): (Array[Long], Array[Double]) =
+    ivfModelCache.computeIfAbsent((spark, dir), _ => {
+      val rows = ivfCents(spark, dir).collect()
+      val cells = rows.map(_.getLong(0))
+      val mat = rows.flatMap(_.getSeq[Double](1)).toArray
+      (cells, mat)
+    })
+
+  /** Top-`keep` cells of `vcol` in (d2, cell) rank order — the
+    * graft_nearest_cells projection over the plan-literal model (task
+    * binaries broadcast once per stage, so the model ships exactly
+    * like a broadcast variable; see NearestCells.scala). */
+  private def nearestCellsCol(spark: SparkSession, dir: String,
+      vcol: Column, keep: Int): Column = {
+    val (cells, mat) = ivfModelArrays(spark, dir)
+    call_function("graft_nearest_cells", vcol,
+      typedLit(cells.toSeq), typedLit(mat.toSeq),
+      lit(keep), lit(twoLevelMin))
   }
+
+  /** Each vector of `df` paired with its `keep` nearest cells: the
+    * inverted-file build (keep=1) and the probe step (keep=nprobe)
+    * share this — as do annIvf and the IVF-composed miners
+    * (hardNegMine). One generated projection + explode; no join, no
+    * window, no shuffle. */
+  private def nearestCells(spark: SparkSession, dir: String,
+      df: DataFrame, keep: Int): DataFrame =
+    df.withColumn("cell",
+      explode(nearestCellsCol(spark, dir, col("v"), keep)))
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val v = vecs(spark, dir)
-    val cents = ivfCents(spark, dir)
-    val assigned = nearestCells(cents, v, 1, "vec_id")
+    val assigned = nearestCells(spark, dir, v, 1)
       .select(col("cell"), col("vec_id").as("neighbor_id"),
         col("v").as("cv"), col("norm").as("cn"))
-    val probes = nearestCells(cents, v.filter(col("vec_id") < nQueries), nprobe, "vec_id")
+    val probes = nearestCells(spark, dir, v.filter(col("vec_id") < nQueries), nprobe)
       .select(col("cell"), col("vec_id").as("query_id"),
         col("v").as("qv"), col("norm").as("qn"))
     val w = Window.partitionBy(col("query_id"))
@@ -276,7 +394,6 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  import graft.functions.VectorOps.{dotSqlOf, dist2SqlOf, vecsSql}
 
   /** DuckDB twin of bucketIds — planes/bits/buckets CTEs; expects a
     * preceding `n` CTE in vecsSql shape. Shared with
@@ -306,6 +423,24 @@ object Similarity {
        |  FROM bits, bcfg GROUP BY vec_id, (pid // $maxBits), bcfg.bits)""".stripMargin
   }
 
+  /** DuckDB twin of saltedBucketIds — lshBucketCtes plus the hot-bucket
+    * occupancy census and the md5-prefix salt, bit-for-bit with the
+    * Spark side (conv(md5-prefix, 16, 10) == ('0x'||prefix)::BIGINT). */
+  private[operators] lazy val lshSaltedCtes: String =
+    s"""$lshBucketCtes,
+       |hot AS (
+       |  SELECT tbl, bucket, count(*) AS occ FROM buckets
+       |  GROUP BY 1, 2 HAVING count(*) > $saltCap),
+       |sbuckets AS (
+       |  SELECT b.vec_id, b.tbl, b.bucket,
+       |    CASE WHEN h.occ IS NULL THEN 0
+       |      ELSE CAST(('0x' || substr(md5(CAST(b.vec_id AS VARCHAR)), 1, 6))
+       |             AS BIGINT)
+       |           % ((h.occ + ${occupancyTarget - 1}) // $occupancyTarget)
+       |    END AS salt
+       |  FROM buckets b LEFT JOIN hot h
+       |    ON b.tbl = h.tbl AND b.bucket = h.bucket)""".stripMargin
+
   val annLshSql: String = {
     s"""WITH n AS (${vecsSql("vec_id")}),
        |$lshBucketCtes,
@@ -333,10 +468,7 @@ object Similarity {
   val annIvfSql: String =
     s"""WITH n AS (${vecsSql("vec_id")}),
        |$ivfCentsSql,
-       |ad AS (
-       |  SELECT n.vec_id, n.v, n.norm, c.cell,
-       |    (${dist2SqlOf("n.v", "c.centv")}) AS d2
-       |  FROM n, cents c),
+       |${ivfAdCtes("n.vec_id, n.v, n.norm")},
        |assigned AS (
        |  SELECT cell, vec_id AS neighbor_id, v AS cv, norm AS cn FROM (
        |    SELECT *, row_number() OVER (
@@ -679,12 +811,11 @@ object Similarity {
 
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val v = vecs(spark, dir)
-    val cents = ivfCents(spark, dir)
     // inverted file + probe lists (the annIvf build, reused verbatim)
-    val assigned = nearestCells(cents, v, 1, "vec_id")
+    val assigned = nearestCells(spark, dir, v, 1)
       .select(col("cell"), col("vec_id").as("neighbor_id"))
-    val probes = nearestCells(cents, v.filter(col("vec_id") < nQueries),
-        ivfPqProbe, "vec_id")
+    val probes = nearestCells(spark, dir, v.filter(col("vec_id") < nQueries),
+        ivfPqProbe)
       .select(col("cell"), col("vec_id").as("query_id"))
     // PQ encode (the annPq build): per-subspace codes vs the first-16
     // codebook, all in the integer SQ-code domain.
@@ -741,10 +872,7 @@ object Similarity {
        |  ${vecsSql("vec_id").replace("\n", "\n  ")}
        |),
        |$ivfCentsSql,
-       |ad AS (
-       |  SELECT n.vec_id, c.cell,
-       |    (${dist2SqlOf("n.v", "c.centv")}) AS d2
-       |  FROM n, cents c),
+       |${ivfAdCtes("n.vec_id")},
        |assigned AS (
        |  SELECT cell, vec_id AS neighbor_id FROM (
        |    SELECT *, row_number() OVER (
@@ -849,18 +977,14 @@ object Similarity {
   private[graft] def knnSeedPlans(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val v = vecs(spark, dir)
-    val cents = ivfCents(spark, dir)
     // One cell ranking serves both consumers: rank 1 is the IVF
     // assignment (knn's blocking), rank 2 the multiprobe direction
-    // (the bridge's target cell).
-    val wCell = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2"), col("cell"))
-    val cellRanked = v.join(broadcast(cents))
-      .withColumn("d2", aggregate(
-        zip_with(col("v"), col("centv"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (s, x) => s + x))
-      .withColumn("cell_rank", row_number().over(wCell))
-      .filter(col("cell_rank") <= 2)
+    // (the bridge's target cell). posexplode of the rank-ordered
+    // graft_nearest_cells array IS the ranking — no join, no window.
+    val cellRanked = v.select(col("vec_id"), col("v"), col("norm"),
+      posexplode(nearestCellsCol(spark, dir, col("v"), 2))
+        .as(Seq("pos", "cell")))
+      .withColumn("cell_rank", col("pos") + 1)
     val assigned = cellRanked.filter(col("cell_rank") === 1)
       .select(col("cell"), col("vec_id"), col("v"), col("norm"))
     val left = assigned.select(col("cell"), col("vec_id"),
@@ -922,10 +1046,7 @@ object Similarity {
   val knnJoinSql: String =
     s"""WITH n AS (${vecsSql("vec_id")}),
        |$ivfCentsSql,
-       |ad AS (
-       |  SELECT n.vec_id, n.v, n.norm, c.cell,
-       |    (${dist2SqlOf("n.v", "c.centv")}) AS d2
-       |  FROM n, cents c),
+       |${ivfAdCtes("n.vec_id, n.v, n.norm")},
        |assigned AS (
        |  SELECT cell, vec_id, v, norm FROM (
        |    SELECT *, row_number() OVER (
@@ -986,10 +1107,7 @@ object Similarity {
   val annKnnGraphSql: String =
     s"""WITH n AS (${vecsSql("vec_id")}),
        |$ivfCentsSql,
-       |ad AS (
-       |  SELECT n.vec_id, n.v, n.norm, c.cell,
-       |    (${dist2SqlOf("n.v", "c.centv")}) AS d2
-       |  FROM n, cents c),
+       |${ivfAdCtes("n.vec_id, n.v, n.norm")},
        |assigned AS (
        |  SELECT cell, vec_id, v, norm FROM (
        |    SELECT *, row_number() OVER (
@@ -1084,10 +1202,7 @@ object Similarity {
   private lazy val descentSeedCtes: String =
     s"""n AS (${vecsSql("vec_id")}),
        |$ivfCentsSql,
-       |ad AS (
-       |  SELECT n.vec_id, n.v, n.norm, c.cell,
-       |    (${dist2SqlOf("n.v", "c.centv")}) AS d2
-       |  FROM n, cents c),
+       |${ivfAdCtes("n.vec_id, n.v, n.norm")},
        |ranked_cells AS MATERIALIZED (
        |  SELECT *, row_number() OVER (
        |    PARTITION BY vec_id ORDER BY d2, cell) AS r FROM ad),
@@ -1218,7 +1333,9 @@ object Similarity {
         val matches = next.join(bf,
           Seq("vec_id", "neighbor_id"), "left_semi").count()
         e = next
-        (i.toLong, nEdges, nNew, matches * 10000L / bfN)
+        // bfN = 0 on an empty embeddings table (row-82 empty-input
+        // contract): recall over an empty truth set reads as 0 bp.
+        (i.toLong, nEdges, nNew, if (bfN == 0L) 0L else matches * 10000L / bfN)
       }
       stats.toDF("round", "n_edges", "n_new", "recall_bp")
         .orderBy(col("round"))
@@ -1262,7 +1379,7 @@ object Similarity {
          |  (SELECT count(*) FROM e$i s WHERE EXISTS (
          |     SELECT 1 FROM bf WHERE bf.vec_id = s.vec_id
          |       AND bf.neighbor_id = s.neighbor_id)) * 10000
-         |    // (SELECT count(*) FROM bf) AS recall_bp"""
+         |    // greatest((SELECT count(*) FROM bf), 1) AS recall_bp"""
     }.mkString("\nUNION ALL\n")
     s"""WITH $descentSeedCtes,
        |bf AS MATERIALIZED (
@@ -1455,8 +1572,8 @@ object Similarity {
 
   def annShardFanout(spark: SparkSession, dir: String): DataFrame = {
     val all = Window.partitionBy(lit(1))
-    nearestCells(ivfCents(spark, dir),
-        vecs(spark, dir).filter(col("vec_id") < nQueries), nprobe, "vec_id")
+    nearestCells(spark, dir,
+        vecs(spark, dir).filter(col("vec_id") < nQueries), nprobe)
       .select(col("vec_id").as("query_id"),
         pmod(col("cell"), lit(fanoutShards)).as("shard"))
       .distinct()
@@ -1471,11 +1588,7 @@ object Similarity {
   val annShardFanoutSql: String =
     s"""WITH n AS (${vecsSql("vec_id")}),
        |$ivfCentsSql,
-       |ad AS (
-       |  SELECT n.vec_id, c.cell,
-       |    (${dist2SqlOf("n.v", "c.centv")}) AS d2
-       |  FROM n, cents c
-       |  WHERE n.vec_id < $nQueries),
+       |${ivfAdCtes("n.vec_id", s" WHERE n.vec_id < $nQueries")},
        |probes AS (
        |  SELECT DISTINCT vec_id AS query_id, cell % $fanoutShards AS shard
        |  FROM (
@@ -1506,19 +1619,15 @@ object Similarity {
 
   def annNprobeCurve(spark: SparkSession, dir: String): DataFrame = {
     val v = vecs(spark, dir)
-    val cents = ivfCents(spark, dir)
-    val assigned = nearestCells(cents, v, 1, "vec_id")
+    val assigned = nearestCells(spark, dir, v, 1)
       .select(col("cell"), col("vec_id").as("neighbor_id"),
         col("v").as("cv"), col("norm").as("cn"))
-    // nearestCells drops the rank; re-derive keeping it as probe_rank.
-    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
+    // probe_rank = position in the rank-ordered nearest-cells array.
     val probes = v.filter(col("vec_id") < nQueries)
-      .join(broadcast(cents))
-      .withColumn("d2", aggregate(
-        zip_with(col("v"), col("centv"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (s, x) => s + x))
-      .withColumn("probe_rank", row_number().over(wCell).cast("long"))
-      .filter(col("probe_rank") <= curveProbes)
+      .select(col("vec_id"), col("v"), col("norm"),
+        posexplode(nearestCellsCol(spark, dir, col("v"), curveProbes))
+          .as(Seq("pos", "cell")))
+      .withColumn("probe_rank", (col("pos") + 1).cast("long"))
       .select(col("cell"), col("probe_rank"), col("vec_id").as("query_id"),
         col("v").as("qv"), col("norm").as("qn"))
     val cand = probes.join(assigned, Seq("cell"))
@@ -1553,10 +1662,7 @@ object Similarity {
   val annNprobeCurveSql: String =
     s"""WITH n AS (${vecsSql("vec_id")}),
        |$ivfCentsSql,
-       |ad AS (
-       |  SELECT n.vec_id, n.v, n.norm, c.cell,
-       |    (${dist2SqlOf("n.v", "c.centv")}) AS d2
-       |  FROM n, cents c),
+       |${ivfAdCtes("n.vec_id, n.v, n.norm")},
        |assigned AS (
        |  SELECT cell, vec_id AS neighbor_id, v AS cv, norm AS cn FROM (
        |    SELECT *, row_number() OVER (
@@ -1614,7 +1720,7 @@ object Similarity {
   // vs the fair share ×100 (load_x100 = n·k·100 div N).
   def annCentroidStats(spark: SparkSession, dir: String): DataFrame = {
     val all = Window.partitionBy(lit(1))
-    nearestCells(ivfCents(spark, dir), vecs(spark, dir), 1, "vec_id")
+    nearestCells(spark, dir, vecs(spark, dir), 1)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
       .withColumn("total", sum(col("n_vecs")).over(all))
       .withColumn("k", count(lit(1)).over(all))
@@ -1627,10 +1733,7 @@ object Similarity {
   val annCentroidStatsSql: String =
     s"""WITH n AS (${vecsSql("vec_id")}),
        |$ivfCentsSql,
-       |ad AS (
-       |  SELECT n.vec_id, c.cell,
-       |    (${dist2SqlOf("n.v", "c.centv")}) AS d2
-       |  FROM n, cents c),
+       |${ivfAdCtes("n.vec_id")},
        |assigned AS (
        |  SELECT cell FROM (
        |    SELECT *, row_number() OVER (
@@ -1847,12 +1950,11 @@ object Similarity {
   def hardNegMine(spark: SparkSession, dir: String): DataFrame = {
     val lab = Tables(spark, dir).embeddings.select(col("vec_id"), col("label"))
     val v = vecs(spark, dir)
-    val cents = ivfCents(spark, dir)
-    val assigned = nearestCells(cents, v, 1, "vec_id")
+    val assigned = nearestCells(spark, dir, v, 1)
       .join(lab, Seq("vec_id"))
       .select(col("cell"), col("vec_id").as("neg_id"),
         col("v").as("cv"), col("norm").as("cn"), col("label").as("neg_label"))
-    val probes = nearestCells(cents, v.filter(col("vec_id") < nQueries), nprobe, "vec_id")
+    val probes = nearestCells(spark, dir, v.filter(col("vec_id") < nQueries), nprobe)
       .join(lab, Seq("vec_id"))
       .select(col("cell"), col("vec_id").as("query_id"),
         col("v").as("qv"), col("norm").as("qn"), col("label").as("q_label"))
@@ -1872,10 +1974,7 @@ object Similarity {
     s"""WITH n AS (${vecsSql("vec_id")}),
        |l AS (SELECT vec_id, label FROM embeddings),
        |$ivfCentsSql,
-       |ad AS (
-       |  SELECT n.vec_id, n.v, n.norm, c.cell,
-       |    (${dist2SqlOf("n.v", "c.centv")}) AS d2
-       |  FROM n, cents c),
+       |${ivfAdCtes("n.vec_id, n.v, n.norm")},
        |assigned AS (
        |  SELECT a.cell, a.vec_id AS neg_id, a.v AS cv, a.norm AS cn,
        |    l.label AS neg_label
@@ -1975,13 +2074,12 @@ object Similarity {
   def annFiltered(spark: SparkSession, dir: String): DataFrame = {
     val lab = Tables(spark, dir).embeddings.select(col("vec_id"), col("label"))
     val v = vecs(spark, dir)
-    val cents = ivfCents(spark, dir)
-    val assigned = nearestCells(cents, v, 1, "vec_id")
+    val assigned = nearestCells(spark, dir, v, 1)
       .join(lab, Seq("vec_id"))
       .select(col("cell"), col("vec_id").as("neighbor_id"),
         col("v").as("cv"), col("norm").as("cn"), col("label"))
-    val probes = nearestCells(cents, v.filter(col("vec_id") < nQueries),
-        filteredProbe, "vec_id")
+    val probes = nearestCells(spark, dir, v.filter(col("vec_id") < nQueries),
+        filteredProbe)
       .join(lab, Seq("vec_id"))
       .select(col("cell"), col("vec_id").as("query_id"),
         col("v").as("qv"), col("norm").as("qn"), col("label").as("qlabel"))
@@ -2002,10 +2100,7 @@ object Similarity {
     s"""WITH n AS (${vecsSql("vec_id")}),
        |$ivfCentsSql,
        |l AS (SELECT vec_id, label FROM embeddings),
-       |ad AS (
-       |  SELECT n.vec_id, n.v, n.norm, c.cell,
-       |    (${dist2SqlOf("n.v", "c.centv")}) AS d2
-       |  FROM n, cents c),
+       |${ivfAdCtes("n.vec_id, n.v, n.norm")},
        |assigned AS (
        |  SELECT a.cell, a.vec_id AS neighbor_id, a.v AS cv, a.norm AS cn,
        |    l.label
@@ -2127,13 +2222,25 @@ object Similarity {
     def d2m(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0L), (s, x) => s + x)
+    import spark.implicits._
     val v = vecs(spark, dir).select(col("vec_id"), milli(col("v")).as("vm"))
-    val c0 = ivfCents(spark, dir).select(col("cell"), milli(col("centv")).as("cm"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
-    val assigned = v.join(broadcast(c0))
+    // Milli-quantized model from the SAME driver-collected arrays the
+    // double-domain family shares (floor(x·1000+0.5) per coordinate —
+    // identical IEEE ops to the milli() column above), assigned via
+    // the graft_nearest_cells_milli projection: integer distances,
+    // no n·k join/window (see NearestCells.scala).
+    val (cells, mat) = ivfModelArrays(spark, dir)
+    val dimLen = if (cells.isEmpty) 0 else mat.length / cells.length
+    val matM = mat.map(x => math.floor(x * 1000 + 0.5).toLong)
+    val c0 = cells.zipWithIndex.toSeq
+      .map { case (c, i) => (c, matM.slice(i * dimLen, (i + 1) * dimLen).toSeq) }
+      .toDF("cell", "cm")
+    val assigned = v
+      .withColumn("cell", explode(call_function("graft_nearest_cells_milli",
+        col("vm"), typedLit(cells.toSeq), typedLit(matM.toSeq),
+        lit(1), lit(twoLevelMin))))
+      .join(broadcast(c0), Seq("cell"))
       .withColumn("d2", d2m(col("vm"), col("cm")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
       .select(col("cell"), col("vec_id"), col("vm"), col("d2"))
     val c1 = assigned
       .select(col("cell"), posexplode(col("vm")).as(Seq("pos", "x")))
@@ -2170,10 +2277,35 @@ object Similarity {
        |cq AS (SELECT cell,
        |  list_transform(centv, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS cm
        |  FROM cents),
+       |k1m AS (
+       |  SELECT CASE WHEN (SELECT count(*) FROM cq) >= $twoLevelMin THEN
+       |    (SELECT min(m) FROM range(1, 100000) t(m)
+       |     WHERE m * m >= (SELECT count(*) FROM cq))
+       |    ELSE 1 END AS k1),
+       |mreps AS (
+       |  SELECT cell AS rcell, cm AS rm FROM (
+       |    SELECT cell, cm, row_number() OVER (
+       |      ORDER BY md5(CAST(cell AS VARCHAR)), cell) AS rr FROM cq)
+       |  WHERE rr <= (SELECT k1 FROM k1m)),
+       |mgrp AS (
+       |  SELECT cell, cm, rcell FROM (
+       |    SELECT c.cell, c.cm, r.rcell, row_number() OVER (
+       |      PARTITION BY c.cell
+       |      ORDER BY (${d2mSql("c.cm", "r.rm")}), r.rcell) AS gr
+       |    FROM cq c, mreps r)
+       |  WHERE gr = 1),
+       |mvp AS (
+       |  SELECT vec_id, rcell FROM (
+       |    SELECT vq.vec_id, r.rcell, row_number() OVER (
+       |      PARTITION BY vq.vec_id
+       |      ORDER BY (${d2mSql("vq.vm", "r.rm")}), r.rcell) AS pr
+       |    FROM vq, mreps r)
+       |  WHERE pr <= 2),
        |pairs AS (
-       |  SELECT vq.vec_id, cq.cell, vq.vm, cq.cm,
-       |    ${d2mSql("vq.vm", "cq.cm")} AS d2
-       |  FROM vq CROSS JOIN cq),
+       |  SELECT vq.vec_id, g.cell, vq.vm, g.cm,
+       |    ${d2mSql("vq.vm", "g.cm")} AS d2
+       |  FROM vq JOIN mvp ON vq.vec_id = mvp.vec_id
+       |  JOIN mgrp g ON g.rcell = mvp.rcell),
        |assigned AS MATERIALIZED (
        |  SELECT cell, vec_id, vm, d2 FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id

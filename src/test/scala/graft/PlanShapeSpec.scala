@@ -155,18 +155,22 @@ class PlanShapeSpec extends AnyFunSuite {
       "only BuildRight broadcast of the tiny centroid frame is allowed")
   }
 
-  test("ann_ivf's coarse quantizer is a bounded TakeOrdered sample, not O(n) centroids") {
-    // The round-12 contract: the centroid set is ⌈√n/2⌉ md5-sampled
-    // vectors via TakeOrdered (no full-sort shuffle), so the broadcast
-    // side is O(√n) at any corpus size — the round-11 audit's O(n)
-    // strided quantizer must not come back.
-    val cnt = Tables(spark, dir).embeddings.count()
-    val k = math.max(4, math.ceil(math.sqrt(cnt.toDouble) / 2).toInt)
+  test("ann_ivf assignment is a nearest-cells projection, not an n·k join+window") {
+    // The round-17 contract: cell assignment runs inside a generated
+    // graft_nearest_cells projection over the plan-literal model (the
+    // driver-collected ⌈√n/2⌉ md5 sample) — the old broadcast
+    // cross-join + per-vector row_number window materialized n·k rows
+    // through a sort shuffle (n^1.5 end to end, ×12–24 at the sf10
+    // decade) and must not come back. The ONLY window allowed is the
+    // per-query top-k rank; no centroid join exists at all.
     val p = plan(Similarity.annIvf(spark, dir))
-    assert(p.contains(s"TakeOrderedAndProject(limit=$k"),
-      s"centroids must be a k=$k TakeOrdered sample:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin BuildLeft"),
-      "only BuildRight broadcast of the bounded centroid frame is allowed")
+    assert(p.contains("graft_nearest_cells"),
+      s"assignment must be the graft_nearest_cells projection:\n$p")
+    val windows = p.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows <= 1,
+      s"only the per-query top-k window is allowed, found $windows:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the centroid cross-join must not come back")
     assert(!p.contains("CartesianProduct"), "no corpus×corpus pair join")
   }
 

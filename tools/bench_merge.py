@@ -33,7 +33,16 @@ def main():
     keys = sorted(patch.get("queries", {}))
     for field in ("queries", "spread", "cpu", "cpu_spread", "load"):
         base.setdefault(field, {}).update(patch.get(field, {}))
-    base["failed"] = sorted(set(base.get("failed", [])) - set(keys))
+    # A query that succeeded in the base but failed in the patch re-run
+    # must not silently keep its stale base timing: union the patch's
+    # own failed list in (minus keys the patch DID re-time), and drop
+    # the stale base entries for those keys.
+    patch_failed = set(patch.get("failed", [])) - set(keys)
+    for k in patch_failed:
+        for field in ("queries", "spread", "cpu", "cpu_spread", "load"):
+            base.get(field, {}).pop(k, None)
+    base["failed"] = sorted(
+        (set(base.get("failed", [])) - set(keys)) | patch_failed)
     base["value"] = sum(base["queries"].values())
     # fixture builds from the patch run are appended, not replaced —
     # they are per-build ledger entries, not per-query medians.

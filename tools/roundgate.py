@@ -89,6 +89,32 @@ def main():
     except Exception as ex:
         failures.append(f"baseline keydiff failed: {ex}")
 
+    # Gate 5 (round-16 verdict #1): the FULL `sbt test` suite must have
+    # run, at exit 0, on EXACTLY the current source tree. Round 16
+    # closed on 47/700 tests and shipped a red EmptyInputSpec; this gate
+    # makes that impossible — SBT_TEST.json (written by tools/testgate
+    # .py) must exist, record exit 0, and its src_hash must match a
+    # fresh recomputation over src/ + build.sbt.
+    print("== gate 5: full sbt-test record (SBT_TEST.json) ==", flush=True)
+    try:
+        import testgate
+        rec = json.load(open(os.path.join(REPO, "SBT_TEST.json")))
+        now = testgate.src_hash()
+        print(f"recorded exit={rec.get('exit')} "
+              f"tests={rec.get('tests_succeeded')}/{rec.get('tests_run')} "
+              f"at {rec.get('when')}")
+        if rec.get("exit") != 0:
+            failures.append(f"sbt test record is RED (exit {rec.get('exit')})")
+        if rec.get("src_hash") != now:
+            failures.append(
+                "sbt test record is STALE: src/ changed since the recorded "
+                "run — re-run tools/testgate.py")
+    except FileNotFoundError:
+        failures.append(
+            "no SBT_TEST.json — run tools/testgate.py (full sbt test) first")
+    except Exception as ex:
+        failures.append(f"sbt-test gate failed: {ex}")
+
     if failures:
         print("\nROUNDGATE FAIL:\n  - " + "\n  - ".join(failures))
         sys.exit(1)
