@@ -69,6 +69,26 @@ object Bench {
     val iters =
       if (cold) 1 else sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
 
+    // Size the initial shuffle granularity by INPUT SCALE, not just
+    // cores (see GraftSession): ≥1 GiB of parquet gets the sf10
+    // spill-safe 8× cores; smaller inputs keep `cores` so sub-second
+    // stages aren't taxed by 256-way shuffle setup (the r16 sketch-
+    // family regression, isolated in round 17).
+    if (sys.props.get("graft.initialParts").isEmpty &&
+        sys.env.get("SPARK_GRAFT_INITIAL_PARTS").isEmpty) {
+      val dirBytes = scala.util.Try {
+        val d = java.nio.file.Paths.get(sfDir)
+        val s = java.nio.file.Files.walk(d)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }.getOrElse(Long.MaxValue)
+      val parts = if (dirBytes >= (1L << 30)) cpus * 8 else cpus
+      System.setProperty("graft.initialParts", parts.toString)
+      System.err.println(s"[bench] input ${dirBytes >> 20} MiB -> " +
+        s"initialPartitionNum $parts")
+    }
+
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val chunks = Families.chunked(all, chunkCap)

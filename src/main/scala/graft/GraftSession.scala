@@ -35,8 +35,19 @@ object GraftSession {
       // coalesce back to few partitions at no cost. Tests (4 cores)
       // move from 4 to 32 initial partitions — a deliberate change;
       // AQE coalesces them back down on tiny suite data.
+      // Overridable (system property first — Bench sets it per input
+      // scale — then env, then the 8× default): round-17 isolated the
+      // r16 "sketch_hll ×3.2 regression" to exactly this knob — the
+      // whole sketch family's sf0.1 wall rose ×2-3 with CPU flat,
+      // because 256 initial partitions tax every tiny shuffle with
+      // map-side file/buffer setup and AQE coalesce latency that
+      // sub-second stages cannot amortize. Bench therefore picks
+      // cores for small inputs (< 1 GiB) and keeps 8× cores for big
+      // ones, where the spill-storm protection is what matters.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        cores * 8)
+        sys.props.get("graft.initialParts")
+          .orElse(sys.env.get("SPARK_GRAFT_INITIAL_PARTS"))
+          .getOrElse((cores * 8).toString))
       // events.parquet carries TIMESTAMP(NANOS), which the vectorized
       // reader rejects; read as raw nanos (Tables.events converts).
       // Set here, once, at construction — not as a side effect of a

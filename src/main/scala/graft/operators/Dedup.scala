@@ -390,17 +390,17 @@ object Dedup {
     s"""WITH $docShinglesSql,
        |srows AS (SELECT doc_id, unnest(sh) AS s FROM shdocs),
        |hs AS (SELECT doc_id, ${h31Sql("s")} AS h FROM srows),
-       |sigs AS (SELECT doc_id,
+       |sigs AS MATERIALIZED (SELECT doc_id,
        |    $minCols
        |  FROM hs GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bandBranches),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.config, a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.config = b.config AND a.band = b.band AND a.bh = b.bh
        |    AND a.doc_id < b.doc_id),
-       |est AS (
+       |est AS MATERIALIZED (
        |  SELECT p.doc_a, p.doc_b,
        |    CAST(floor(($eqSum) * 10000.0 / $nPerms + 0.5) AS BIGINT) AS est_bp
        |  FROM (SELECT DISTINCT doc_a, doc_b FROM cand) p

@@ -82,13 +82,38 @@ object Fuzzy {
       .orderBy(col("cust_a"), col("cust_b"))
   }
 
-  /** Oracle: the literal quadratic levenshtein join (fine at sf0.01;
-    * the blocked plan is the point at scale). */
+  /** Oracle: the SAME wildcard/deletion blocking replayed in DuckDB
+    * (round-17 — the old all-pairs levenshtein oracle was ~4 h at sf1
+    * and forced a documented crosscheck SKIP; the blocked twin runs in
+    * ~15 s and returns the identical verified pair set, because ANY
+    * complete t≤1 blocking followed by the levenshtein verify yields
+    * the same result — checked equal to the quadratic oracle at
+    * sf0.01). chr(1) as the wildcard marker cannot collide with name
+    * text; a false candidate would be filtered by the verify anyway. */
   val fuzzyJoinSql: String =
-    """SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
-      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """WITH c AS MATERIALIZED (SELECT c_custkey, c_name FROM customer),
+      |wild AS MATERIALIZED (
+      |  SELECT c_custkey, unnest(list_transform(range(1, length(c_name) + 1),
+      |    i -> substr(c_name, 1, CAST(i - 1 AS INT)) || chr(1) ||
+      |         substr(c_name, CAST(i + 1 AS INT)))) AS pat
+      |  FROM c),
+      |del AS MATERIALIZED (
+      |  SELECT c_custkey, unnest(list_transform(range(1, length(c_name) + 1),
+      |    i -> substr(c_name, 1, CAST(i - 1 AS INT)) ||
+      |         substr(c_name, CAST(i + 1 AS INT)))) AS d
+      |  FROM c),
+      |pairs AS MATERIALIZED (
+      |  SELECT DISTINCT cust_a, cust_b FROM (
+      |    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b
+      |    FROM wild a JOIN wild b ON a.pat = b.pat AND a.c_custkey < b.c_custkey
+      |    UNION ALL
+      |    SELECT least(a.c_custkey, b.c_custkey), greatest(a.c_custkey, b.c_custkey)
+      |    FROM del a JOIN c b ON a.d = b.c_name AND a.c_custkey <> b.c_custkey))
+      |SELECT p.cust_a, p.cust_b,
+      |  CAST(levenshtein(x.c_name, y.c_name) AS BIGINT) AS dist
+      |FROM pairs p JOIN c x ON p.cust_a = x.c_custkey
+      |  JOIN c y ON p.cust_b = y.c_custkey
+      |WHERE levenshtein(x.c_name, y.c_name) <= 1
       |ORDER BY cust_a, cust_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
