@@ -28,10 +28,11 @@ final case class Tables(spark: SparkSession, dir: String) {
     * encoding the generator could emit — integer DIV throughout, no
     * double round-off. (TablesTsSpec pins all four units + both
     * timestamp physical types.) */
-  def events: DataFrame = {
+  def events: DataFrame = normalizeTs(t("events"))
+
+  private def normalizeTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampType}
-    val raw = t("events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", expr(
         """timestamp_micros(CASE
@@ -54,6 +55,51 @@ final case class Tables(spark: SparkSession, dir: String) {
   def lineitem: DataFrame = t("lineitem")
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
+
+  /** Layout-aware scan parallelization (round 17) — OPT-IN for
+    * CPU-heavy consumers. A parquet row group is Spark's atomic split
+    * unit: a file written with giant row groups caps scan-stage
+    * parallelism at the group count no matter how many cores the
+    * session has, and every expression Catalyst collapses into the
+    * scan stage (regex scrubbing, JSON parsing, sketch register
+    * updates, replicate fan-outs) runs at that width — measured at
+    * sf10, documents arrives as ONE 500k-row group and text_pii_redact
+    * ran 85 s wall / 90 s cpu on a 32-core session. At production
+    * scale data arrives in many well-sized groups and this is a no-op
+    * (the footer check short-circuits); on a pathological layout the
+    * table is hash-repartitioned BY ITS PRIMARY KEY to the session's
+    * parallelism — hash, not round-robin, so the exchange is
+    * deterministic without the sort-before-repartition pre-pass, and a
+    * downstream shuffle on the same key can reuse the distribution.
+    * The footer read is driver-side, microseconds, cached per path.
+    *
+    * NOT the default for every read: a scan→partial-agg query (q1_agg)
+    * is better off aggregating inside the scan stage than paying a
+    * full-table exchange; only operators whose per-row work dominates
+    * the shuffle write opt in.
+    */
+  def parallelized(name: String, key: String*): DataFrame = {
+    val raw = t(name)
+    val (rows, rgs) = Tables.footerStats(spark, s"$dir/$name.parquet")
+    val par = spark.sparkContext.defaultParallelism
+    // Trigger: the layout is starved (fewer groups than half the
+    // cores) AND each core would get enough rows (≥15k) to amortize
+    // the exchange's fixed stage cost — measured at sf0.1 (100k-row
+    // events, 32 cores) an always-on repartition ADDED 0.3–1.3 s per
+    // sub-second query, while at sf1/sf10 (≥1M rows) it wins 2–17×.
+    val widened =
+      if (rgs < math.max(1, par / 2) &&
+          rows / math.max(rgs, 1) >= 15000L * par) {
+        // Key choice: pass the column(s) the consumer will aggregate /
+        // window on and the downstream exchange is satisfied by this
+        // one (the repartition IS the groupBy's shuffle, moved below
+        // the heavy expressions); default to the table's primary key
+        // for pure map-shaped consumers.
+        val ks = if (key.nonEmpty) key else Seq(Tables.primaryKey(name))
+        raw.repartition(par, ks.map(raw.col): _*)
+      } else raw
+    if (name == "events") normalizeTs(widened) else widened
+  }
 }
 
 object Tables {
@@ -66,6 +112,44 @@ object Tables {
 
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Per-table hash-repartition key for [[Tables.parallelized]]:
+    * unique (or near-unique) so the exchange spreads evenly. */
+  private[graft] def primaryKey(name: String): String = name match {
+    case "region"     => "r_regionkey"
+    case "nation"     => "n_nationkey"
+    case "customer"   => "c_custkey"
+    case "supplier"   => "s_suppkey"
+    case "part"       => "p_partkey"
+    case "orders"     => "o_orderkey"
+    case "lineitem"   => "l_orderkey"
+    case "events"     => "event_id"
+    case "documents"  => "doc_id"
+    case "embeddings" => "vec_id"
+  }
+
+  /** (rows, rowGroups) from a parquet file footer — driver-side,
+    * cached per path; anything unreadable (a directory of part files,
+    * a missing path) reports as healthy so [[Tables.parallelized]]
+    * degrades to the plain scan. */
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
+  private[graft] def footerStats(
+      spark: SparkSession, path: String): (Long, Int) =
+    footerCache.computeIfAbsent(path, { p =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p),
+          spark.sessionState.newHadoopConf())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = r.getFooter.getBlocks
+          var rows = 0L
+          blocks.forEach(b => rows += b.getRowCount)
+          (rows, blocks.size)
+        } finally r.close()
+      } catch { case _: Throwable => (0L, Int.MaxValue) }
+    })
 
   /** SQL-first entry point: register every table as a temp view so
     * `spark.sql("SELECT … FROM lineitem JOIN orders …")` works

@@ -39,7 +39,7 @@ object Cdc {
 
   // ─── cdc_latest: full changelog → current-state compaction ───
   def cdcLatest(spark: SparkSession, dir: String): DataFrame =
-    latestPerUser(Tables(spark, dir).events).orderBy(col("user_id"))
+    latestPerUser(Tables(spark, dir).parallelized("events", "user_id")).orderBy(col("user_id"))
 
   val cdcLatestSql: String = latestSql("events") + "\nORDER BY user_id"
 
@@ -82,7 +82,7 @@ object Cdc {
       |    1, 15)) AS BIGINT) % 100 >= 2""".stripMargin
 
   def cdcReconcile(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir).events
+    val ev = Tables(spark, dir).parallelized("events", "user_id")
     val a = reconcileState(ev)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_a"), sum(col("h")).as("sum_a"))
@@ -112,7 +112,7 @@ object Cdc {
   // One map-combining aggregate to n/1024 metadata rows; ranges with
   // no loss report 0, the healthy baseline the alert thresholds on.
   def cdcOffsetGaps(spark: SparkSession, dir: String): DataFrame =
-    lossyOf(Tables(spark, dir).events)
+    lossyOf(Tables(spark, dir).parallelized("events", "user_id"))
       .groupBy(shiftright(col("event_id"), 10).as("range_id"))
       .agg(count(lit(1)).as("n_seen"),
         min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
@@ -177,7 +177,7 @@ object Cdc {
   private val cutoff = "2024-01-15 00:00:00"
 
   def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir).events
+    val ev = Tables(spark, dir).parallelized("events", "user_id")
     val base = latestPerUser(ev.filter(col("ts") < lit(cutoff)))
       .withColumnRenamed("last_type", "b_type")
       .withColumnRenamed("last_epoch", "b_epoch")
@@ -225,7 +225,7 @@ object Cdc {
   def cdcScd2(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val changes = Tables(spark, dir).events
+    val changes = Tables(spark, dir).parallelized("events", "user_id")
       .withColumn("attr", col("event_type"))
       .withColumn("prev_attr", lag(col("attr"), 1).over(byUser))
       .filter(col("prev_attr").isNull || col("attr") =!= col("prev_attr"))
@@ -270,7 +270,7 @@ object Cdc {
   // is ≤ span-weeks rows.
   def cdcRetentionGc(spark: SparkSession, dir: String): DataFrame = {
     val hist = cdcScd2(spark, dir)
-    val span = Tables(spark, dir).events
+    val span = Tables(spark, dir).parallelized("events", "user_id")
       .agg(min(epochS(col("ts"))).as("t0"), max(epochS(col("ts"))).as("t1"))
     hist.crossJoin(broadcast(span))
       .withColumn("cut", expr("t0 + (t1 - t0) * 50 div 100"))
@@ -317,7 +317,7 @@ object Cdc {
   // maintenance identity, not just the plumbing. At scale base and
   // delta aggregates are bucketed by key → co-partitioned merge.
   def cdcIvm(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir).events
+    val ev = Tables(spark, dir).parallelized("events", "user_id")
     def aggOf(f: DataFrame) = f.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("c"))
     val base = aggOf(ev.filter(col("ts") < lit(cutoff)))
@@ -350,7 +350,7 @@ object Cdc {
   // ≤31 values, not a second shuffle.
   def cdcAudit(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables(spark, dir).events
+    Tables(spark, dir).parallelized("events", "user_id")
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_writes"),
@@ -386,7 +386,7 @@ object Cdc {
   // so `removed` can't occur here; the classification still carries
   // the branch for feeds with tombstones.
   def cdcDiff(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir).events
+    val ev = Tables(spark, dir).parallelized("events", "user_id")
     val v1 = latestPerUser(ev.filter(col("ts") < lit(cutoff)))
       .select(col("user_id"), col("last_type").as("t1"),
         col("last_value_cents").as("c1"))
@@ -422,7 +422,7 @@ object Cdc {
   // ages bucketed into ops-meaningful bands and rolled up to a
   // |buckets|-bounded profile. All integer epoch arithmetic.
   def cdcStaleness(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir).events
+    val ev = Tables(spark, dir).parallelized("events", "user_id")
     val last = ev.groupBy(col("user_id")).agg(max(col("ts")).as("last_ts"))
     val head = ev.agg(max(col("ts")).as("now_ts"))
     last.crossJoin(broadcast(head))
@@ -475,7 +475,7 @@ object Cdc {
   def cdcCompact(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
-    Tables(spark, dir).events
+    Tables(spark, dir).parallelized("events", "user_id")
       .withColumn("rn", row_number().over(w).cast("long"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_versions"),
@@ -511,7 +511,7 @@ object Cdc {
   // among rows within BOTH cuts — one window over (cell, user), a
   // bounded 4× expansion of the one corpus scan.
   def cdcBitemporal(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir).events
+    val ev = Tables(spark, dir).parallelized("events", "user_id")
     val cuts = ev.agg(max(col("event_id")).as("mx_id"),
       epochS(min(col("ts"))).as("mn_e"), epochS(max(col("ts"))).as("mx_e"))
     val cells = cuts.select(explode(array(
@@ -578,7 +578,7 @@ object Cdc {
   // telemetry). Output is the ≤4-row category rollup, share in bp.
   def cdcMergeStats(spark: SparkSession, dir: String): DataFrame = {
     val all = Window.partitionBy(lit(1))
-    val ev = Tables(spark, dir).events
+    val ev = Tables(spark, dir).parallelized("events", "user_id")
     val base = latestPerUser(ev.filter(col("ts") < lit(cutoff)))
       .withColumnRenamed("last_type", "b_type")
       .withColumnRenamed("last_epoch", "b_epoch")
@@ -632,7 +632,7 @@ object Cdc {
   private val chunkKeys = 10L
 
   def cdcSnapshotChunks(spark: SparkSession, dir: String): DataFrame = {
-    val keys = Tables(spark, dir).events
+    val keys = Tables(spark, dir).parallelized("events", "user_id")
       .select(col("user_id")).distinct()
     Ranks.groupedRank(keys, Nil, Seq(shiftright(col("user_id"), 8)),
         Seq(col("user_id")), "rk", "n")
@@ -705,7 +705,7 @@ object Cdc {
   // radius a reconciliation job must review. Scale: one shuffle on
   // user_id; per-key state is a linear scan regardless of corpus size.
   def cdcConflict(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir).events
+    val ev = Tables(spark, dir).parallelized("events", "user_id")
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val paired = ev
@@ -769,7 +769,7 @@ object Cdc {
   // quantifies. One scan for the span row, one for base, one for the
   // delta rollup; everything after is a 64-row frame.
   def cdcApplyPlan(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir).events
+    val ev = Tables(spark, dir).parallelized("events", "user_id")
     def fileOf(key: org.apache.spark.sql.Column) =
       conv(substring(md5(concat(lit("cowf:"), key.cast("string"))), 1, 15),
         16, 10).cast("long") % 64L
@@ -833,7 +833,7 @@ object Cdc {
   // share and cumulative coverage per bucket and the hottest key
   // pinned per bucket for the salting decision.
   def cdcKeySkew(spark: SparkSession, dir: String): DataFrame = {
-    val perKey = Tables(spark, dir).events
+    val perKey = Tables(spark, dir).parallelized("events", "user_id")
       .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
     val binned = perKey
       .groupBy((length(bin(col("c"))) - 1).cast("long").as("fl2_bucket"))

@@ -62,7 +62,7 @@ object Dedup {
 
   // ─── dedup_exact: normalized-text hash groupBy, keep min doc_id ───
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
+    Tables(spark, dir).parallelized("documents", "doc_id")
       // explicit class, not \s: Java \s includes \x0B where RE2's (the
       // oracle's regex engine) does not
       .withColumn("text_md5",

@@ -246,7 +246,7 @@ object Events {
 
   // ─── ev_json_props: JSON payload extraction ───
   def evJsonProps(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).events
+    Tables(spark, dir).parallelized("events")
       .withColumn("k_val",
         get_json_object(col("props"), "$.k").cast("long"))
       .groupBy(col("event_type"))
@@ -952,7 +952,7 @@ object Events {
   // then a 5-key map-side-combining aggregate.
   def evDwell(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables(spark, dir).events
+    Tables(spark, dir).parallelized("events", "user_id")
       .withColumn("epoch", epochS(col("ts")))
       .withColumn("gap_s", col("epoch") - lag(col("epoch"), 1).over(w))
       .filter(col("gap_s").isNotNull)
@@ -1674,7 +1674,7 @@ object Events {
   private val lttbSec = 6L * 3600
 
   def tsLttb(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir).events
+    val ev = Tables(spark, dir).parallelized("events")
       .withColumn("epoch", epochS(col("ts")))
       .withColumn("vc", cents(col("value")))
       .withColumn("b", (col("epoch") / lttbSec).cast("long") * lttbSec)
@@ -2114,7 +2114,7 @@ object Events {
 
   def evPath(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables(spark, dir).events
+    Tables(spark, dir).parallelized("events", "user_id")
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("t2", lead(col("event_type"), 1).over(w))
       .withColumn("t3", lead(col("event_type"), 2).over(w))
@@ -3113,7 +3113,7 @@ object Events {
   // and conditional adoption bp per ordered pair from broadcast
   // marginals. ‖types‖² output rows.
   def evAudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val tu = Tables(spark, dir).events
+    val tu = Tables(spark, dir).parallelized("events", "user_id")
       .select(col("event_type"), col("user_id")).distinct()
       .localCheckpoint(eager = false)
     val marg = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))

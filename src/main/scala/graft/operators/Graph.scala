@@ -1328,7 +1328,7 @@ object Graph {
   // count, and quotient out-degree.
   def graphCondense(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val ev = graft.Tables(spark, dir).events
+    val ev = graft.Tables(spark, dir).parallelized("events", "user_id")
     val edges = ev
       .withColumn("f", lag(col("event_type"), 1).over(w))
       .filter(col("f").isNotNull)

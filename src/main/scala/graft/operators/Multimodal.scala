@@ -50,7 +50,11 @@ object Multimodal {
 
   private def blobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
     import spark.implicits._
-    Tables(spark, dir).documents
+    // Layout-aware: every mm_* consumer does per-blob CPU work (hash,
+    // chunk, decode), so a single-row-group store must not pin the
+    // family to one scan task (Tables.parallelized is a no-op on a
+    // healthy many-group layout).
+    Tables(spark, dir).parallelized("documents", "doc_id")
       .select(col("doc_id"), col("source"),
         col("text").cast("binary").as("payload"))
       .as[MediaBlob]
@@ -59,10 +63,7 @@ object Multimodal {
   // ─── mm_decode_meta: batched stub decode over typed partitions ───
   def mmDecodeMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    blobs(spark, dir)
-      // decode is per-partition work: spread the single-split scan
-      // across cores (same rationale as Dedup.docShingles)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    blobs(spark, dir) // layout-aware repartition lives in blobs now
       .mapPartitions(_.grouped(decodeBatchSize).flatMap(decodeStub))
       .toDF()
       .orderBy(col("doc_id"))

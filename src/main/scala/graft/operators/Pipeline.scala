@@ -521,7 +521,7 @@ object Pipeline {
   // groups. Two keyed aggregates, both with map-side combine; the
   // hash join-back is co-keyed with the count it joins to.
   def mixDedupRate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
+    val docs = Tables(spark, dir).parallelized("documents", "doc_id")
       .withColumn("text_md5",
         md5(trim(regexp_replace(lower(col("text")), "[ \t\n\f\r]+", " "))))
     val copies = docs.groupBy(col("text_md5")).agg(count(lit(1)).as("n_copies"))
@@ -1127,7 +1127,7 @@ object Pipeline {
   // free in the distributions).
   def mixTvDistance(spark: SparkSession, dir: String): DataFrame = {
     val toks = filter(split(col("text"), " "), w => w =!= "")
-    val sw = Tables(spark, dir).documents
+    val sw = Tables(spark, dir).parallelized("documents", "doc_id")
       .select(col("source"), explode(toks).as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
     val tot = sw.groupBy(col("source"))
@@ -1243,7 +1243,7 @@ object Pipeline {
     val all = Window.partitionBy(lit(1))
     val canon = Dedup.dedupCluster(spark, dir)
       .select(col("doc_id"), col("is_canonical"))
-    Tables(spark, dir).documents
+    Tables(spark, dir).parallelized("documents", "doc_id")
       .select(col("doc_id"), col("source"),
         size(filter(split(col("text"), " "), w => w =!= ""))
           .cast("long").as("n_tok"))
@@ -1437,7 +1437,7 @@ object Pipeline {
     }
 
   def sampleBootstrap(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables(spark, dir).events
+    val base = Tables(spark, dir).parallelized("events")
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), Relational.cents(col("value")).as("c"))
     val h = conv(substring(md5(concat(lit("boot:"), col("b").cast("string"),
@@ -1543,7 +1543,7 @@ object Pipeline {
   // ~10¹⁸ token-count products; DECIMAL(38,0) beyond.
   def mixKl(spark: SparkSession, dir: String): DataFrame = {
     val toks = filter(split(col("text"), " "), w => w =!= "")
-    val sw = Tables(spark, dir).documents
+    val sw = Tables(spark, dir).parallelized("documents", "doc_id")
       .select(col("source"), explode(toks).as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
     val qw = sw.groupBy(col("w")).agg(sum(col("c")).as("q"))

@@ -961,7 +961,7 @@ object RelationalExt {
   // groups, healthy shuffle key), never on a low-cardinality column.
   def q39Qualify(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("yr").desc)
-    Tables(spark, dir).orders
+    Tables(spark, dir).parallelized("orders", "o_custkey")
       .withColumn("yr", year(col("o_orderdate")).cast("long"))
       .withColumn("dr", dense_rank().over(w))
       .filter(col("dr") === 1)

@@ -150,12 +150,13 @@ object ScaleOps {
     // through that expanded, non-codegen path. Split, the exact pass
     // stays a codegen'd HashAggregate and the sketch pass an
     // ObjectHashAggregate over un-expanded rows; the join is 5 rows.
-    val exactAgg = t.events
+    val evP = t.parallelized("events")
+    val exactAgg = evP
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("exact_users"))
-    val sketchAgg = t.events
+    val sketchAgg = evP
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id"), 0.05).as("au"),
@@ -164,7 +165,7 @@ object ScaleOps {
         cents(percentile_approx(col("value"), lit(0.95), lit(1000)))
           .as("ap95"))
     val agg = exactAgg.join(broadcast(sketchAgg), Seq("event_type"))
-    val ledger = t.events
+    val ledger = evP
       .groupBy(col("event_type"), cents(col("value")).as("c"))
       .agg(count(lit(1)).as("cnt"))
     val wCum = Window.partitionBy(col("event_type")).orderBy(col("c"))
@@ -1083,7 +1084,7 @@ object ScaleOps {
     s"(CAST(('0x' || substr(md5('cms$j:' || CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) % $cmsWidth)"
 
   def sketchCms(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir).events.select(col("user_id"))
+    val ev = Tables(spark, dir).parallelized("events").select(col("user_id"))
     def cells(base: DataFrame, keep: Seq[Column]): DataFrame =
       base.select(keep :+ explode(array((1 to cmsDepth).map(j =>
         struct(lit(j).as("j"), cmsPos(j, col("user_id")).as("pos"))): _*)).as("jp"): _*)
@@ -1149,7 +1150,8 @@ object ScaleOps {
   private val hllMm2Scaled = (hllM.toLong * hllM) << hllScale // m²·2^40
 
   def sketchHll(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir).events.select(col("event_type"), col("event_id"))
+    val ev = Tables(spark, dir).parallelized("events")
+      .select(col("event_type"), col("event_id"))
     val parts = ev
       .withColumn("h", md5(concat(lit("hll:"), col("event_id").cast("string"))))
       .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
@@ -1299,7 +1301,7 @@ object ScaleOps {
     * estimator's error at test SF while the shipped estimator plan
     * stays sketch-only. Run this at sample scale, never per-corpus. */
   def sketchKmvAudit(spark: SparkSession, dir: String): DataFrame = {
-    val dv = Tables(spark, dir).documents
+    val dv = Tables(spark, dir).parallelized("documents")
       .select(col("source"),
         conv(substring(md5(concat(lit("kmv:"), col("text"))), 1, 13), 16, 10)
           .cast("long").as("v"))
@@ -1714,7 +1716,8 @@ object ScaleOps {
   private val amsS = 32
 
   def sketchAms(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir).events.select(col("event_type"), col("user_id"))
+    val ev = Tables(spark, dir).parallelized("events")
+      .select(col("event_type"), col("user_id"))
     // ONE md5 per row: its 32 hex nibbles' low bits are 32 independent
     // sign hashes (a first cut hashed 32 separate salted md5s per row
     // — 32× the digest cost for the same estimator quality).

@@ -1416,7 +1416,7 @@ object Similarity {
     def d2m(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0L), (s, x) => s + x)
-    val v = Tables(spark, dir).embeddings
+    val v = Tables(spark, dir).parallelized("embeddings")
       .select(col("label").cast("long").as("label"),
         milli(col("embedding").cast("array<double>")).as("vm"))
     val cent = v.select(col("label"), posexplode(col("vm")).as(Seq("pos", "x")))

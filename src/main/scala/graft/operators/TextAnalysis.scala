@@ -249,7 +249,7 @@ object TextAnalysis {
       when(col("doc_id") % 7 === 0,
         concat(lit(" 4111111111"), lpad(col("doc_id") % 1000000, 6, "0")))
         .otherwise(lit("")))
-    Tables(spark, dir).documents
+    Tables(spark, dir).parallelized("documents")
       .select(col("doc_id"), planted.as("raw"))
       .select(col("doc_id"),
         regexp_count(col("raw"), lit(emailRe)).cast("long").as("n_emails"),
