@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, NearestCells, NearestCellsMilli}
+import graft.functions.{DotProduct, LshBuckets, NearestCells, NearestCellsMilli}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -40,6 +40,15 @@ object GraftExtensions {
           s"graft_nearest_cells expects 5 arguments, got ${children.length}")
         NearestCells(children(0), children(1), children(2),
           intArg(children(3)), intArg(children(4)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 4,
+          s"graft_lsh_buckets expects 4 arguments, got ${children.length}")
+        LshBuckets(children(0), children(1),
+          intArg(children(2)), intArg(children(3)))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_nearest_cells_milli"),

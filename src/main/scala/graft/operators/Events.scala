@@ -1139,31 +1139,46 @@ object Events {
   private val statIters = 8
 
   def evMarkovStationary(spark: SparkSession, dir: String): DataFrame = {
-    // Materialize the |types|² transition frame ONCE (lazy local
-    // checkpoint): without it the corpus-scale lag-window derivation
-    // is replicated 8× in the logical plan and survives only as long
-    // as ReuseExchange recognizes the copies — at 100× one AQE
-    // re-plan would re-run the corpus pass per iteration. After the
-    // checkpoint every loop round joins a metadata-sized leaf.
+    // The matrix is consumed exactly once now (the collect below), so
+    // the old 8×-reference localCheckpoint is gone with the loop.
     val trans = evMarkov(spark, dir)
       .select(col("from_type"), col("to_type"), col("p_bp"))
-      .localCheckpoint(false)
-    val types = trans.select(col("from_type").as("event_type"))
-      .union(trans.select(col("to_type").as("event_type"))).distinct()
-    val n = types.agg(count(lit(1)).as("n"))
-    var v = types.crossJoin(broadcast(n))
-      .select(col("event_type"), expr("10000 div n").as("pi_bp"))
-    for (_ <- 1 to statIters) {
-      val stepped = v.join(broadcast(trans), v("event_type") === trans("from_type"))
-        .groupBy(col("to_type"))
-        .agg((sum(col("pi_bp") * col("p_bp")) / 10000).cast("long")
-          .as("pi_next"))
-      v = types
-        .join(stepped, types("event_type") === stepped("to_type"), "left")
-        .select(col("event_type"),
-          coalesce(col("pi_next"), lit(0L)).as("pi_bp"))
+    // Round-17 (guide §1.2/§5): the transition matrix is |types|² —
+    // event_type is a bounded ENUM, so the matrix is metadata-sized at
+    // ANY corpus scale (25 cells on this data; never data-scale) — yet
+    // the old 8-round join/groupBy loop paid ~2 shuffle stages per
+    // round over ≤|types| rows: the whole sf0.1 wall was stage setup
+    // and AQE latency on microscopic frames. The corpus-scale work
+    // (evMarkov's lag-window pass) stays distributed and checkpointed;
+    // the power iteration on the collected matrix moves to the driver
+    // under the engine's existing bounded-collect discipline (the
+    // Graph convergence scalar / shard-id control-plane precedent:
+    // collects are legitimate when the payload is metadata-sized by
+    // construction). Arithmetic is replicated exactly: π₀ = 10000 div
+    // n (long division); per round π'(t) = trunc(toDouble(Σ_f π(f)·
+    // p_bp(f,t)) / 10000) — the same long-exact sum and the same
+    // double-divide-then-cast the old Spark expressions performed, so
+    // every output bit matches the unchanged DuckDB oracle. Empty
+    // input ⇒ empty matrix ⇒ empty result frame (row-82 contract).
+    val rows = trans.collect()
+    val types = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.sorted
+    val byTo = rows.groupBy(_.getString(1))
+    var pi: Map[String, Long] = {
+      val n = types.length.toLong
+      types.map(t => t -> (if (n == 0) 0L else 10000L / n)).toMap
     }
-    v.orderBy(col("event_type"))
+    for (_ <- 1 to statIters) {
+      pi = types.map { t =>
+        val s = byTo.getOrElse(t, Array.empty)
+          .map(r => pi(r.getString(0)) * r.getLong(2)).sum
+        t -> (s.toDouble / 10000).toLong
+      }.toMap
+    }
+    import spark.implicits._
+    types.map(t => (t, pi(t))).toSeq
+      .toDF("event_type", "pi_bp")
+      .orderBy(col("event_type"))
   }
 
   val evMarkovStationarySql: String = {

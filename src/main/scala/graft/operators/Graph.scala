@@ -141,14 +141,25 @@ object Graph {
       edges: DataFrame, opName: String, maxRounds: Int = 50): DataFrame = {
     val init = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
+    // Round-17 (guide §3.1): the label vector and its per-node min
+    // digest are |V|-rows; when the measured node count fits the
+    // broadcast cap every round's three joins become BroadcastHashJoins
+    // (edges cached by the caller — zero exchanges on it), leaving the
+    // groupBy(dst) exchange as the round's only shuffle. min/least on
+    // integer labels is order-insensitive, so the strategy switch
+    // cannot change any output bit. Above the cap: the SMJ shape,
+    // unchanged.
+    val small = init.count() <= bcastRowCap
     iterate(init, maxRounds, opName) { labels =>
-      val nbrMin = edges.join(labels, edges("src") === labels("node"))
+      val nbrMin = edges.join(bcastIf(labels, small),
+          edges("src") === labels("node"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
-      val propagated = labels.join(nbrMin, labels("node") === nbrMin("dst"), "left")
+      val propagated = labels.join(bcastIf(nbrMin, small),
+          labels("node") === nbrMin("dst"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
       val m = propagated.select(col("node").as("k"), col("lbl").as("v"))
-      propagated.join(m, propagated("lbl") === m("k"), "left")
+      propagated.join(bcastIf(m, small), propagated("lbl") === m("k"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("v"), col("lbl"))).as("lbl"))
     } { df =>
@@ -191,6 +202,62 @@ object Graph {
        |SELECT s.cluster_id, s.n_docs, ec.n_edges, s.max_doc
        |FROM sizes s JOIN ec ON s.cluster_id = ec.cluster_id
        |ORDER BY s.cluster_id""".stripMargin
+
+  /** Capped early-stop sibling of `iterate` (round 17, guide §1.2 —
+    * don't compute things you throw away): runs `step` at most
+    * `rounds` times but STOPS as soon as `measure` repeats, without
+    * `iterate`'s converged requirement. ONLY SOUND when the caller
+    * can prove "measure repeat ⇒ step is identity from here on" —
+    * true for the monotone peels (kcore/ktruss: step output ⊆ input,
+    * so an unchanged count means an unchanged set; coreness: per-node
+    * h-index values are monotone non-increasing from c₀ = deg, so an
+    * unchanged sum means every node is unchanged). Because converged
+    * rounds are identities, stopping early is bit-identical to the
+    * fixed unroll the DuckDB twins replay; at the test SFs these
+    * peels converge in 1–4 rounds while the fixed caps are 3–12, so
+    * this removes most of the per-round job/shuffle floor. `measure`
+    * is the round's ONE action (it also materializes the lazy
+    * checkpoint), exactly like `iterate`. */
+  def iterateUpTo[S](init: DataFrame, rounds: Int, opName: String)(
+      step: DataFrame => DataFrame)(measure: DataFrame => S): DataFrame = {
+    var cur = init.localCheckpoint(eager = false)
+    var curRdds = ckptRdds(cur)
+    var prev: Option[S] = None
+    var done = false
+    var r = 0
+    while (!done && r < rounds) {
+      val next = step(cur).localCheckpoint(eager = false)
+      val nextRdds = ckptRdds(next)
+      val m = measure(next)
+      curRdds.foreach(_.unpersist(blocking = false))
+      cur = next
+      curRdds = nextRdds
+      done = prev.contains(m)
+      prev = Some(m)
+      r += 1
+    }
+    System.err.println(s"[iterate] $opName rounds=$r/$rounds earlyStop=$done")
+    synchronized {
+      retired = retired.filterNot(rd =>
+        scala.util.Try(rd.sparkContext.isStopped).getOrElse(true)) ++ curRdds
+    }
+    cur
+  }
+
+  /** Broadcast hint gated on a MEASURED row count (guide §3.1: hint
+    * when you KNOW a side is small — the iterative loops' state frames
+    * are RDD-backed after localCheckpoint, their size estimate
+    * defaults to "huge", and the planner would never pick a broadcast
+    * join on its own, so every round paid a full SMJ: two exchanges
+    * plus two sorts over KB-sized state). The cap is in rows: loop
+    * states here are ≤ 3 numeric fields (~50 B framed), so 2 M rows
+    * ≈ 100 MB — inside the guide's "a few hundred MB is usually fine"
+    * and far from the 8 GB broadcast cap. Above the cap the frame is
+    * returned unhinted and the join stays sort-merge — the 100 TB
+    * posture, where node-scale state must not be broadcast. */
+  private[operators] val bcastRowCap = 2L * 1000 * 1000
+  private[operators] def bcastIf(df: DataFrame, small: Boolean): DataFrame =
+    if (small) broadcast(df) else df
 
   /** Fixed-round sibling of `iterate` with the same checkpoint-block
     * hygiene: each round is lazily localCheckpoint'ed, materialized by
@@ -375,8 +442,16 @@ object Graph {
         return edeg.select(col("src").as("node"), lit(0.0).as("r"), col("deg"))
       val init = edeg.select(col("src").as("node")).distinct()
         .withColumn("r", lit(1.0) / n)
+      // The rank vector is |V|-rows; n is already measured for the
+      // 0.15/n constant, so when it fits the broadcast cap each round
+      // is one BroadcastHashJoin against the CACHED edge frame (zero
+      // exchanges on the join) + the one unavoidable groupBy(dst)
+      // exchange — versus the SMJ's two exchanges + two sorts per
+      // round that the planner picked because checkpointed state has
+      // no size estimate (guide §2.4/§3.1). Above the cap: unchanged.
+      val small = n <= bcastRowCap
       val pr = iterateRounds(init, rounds) { prev =>
-        edeg.join(prev, col("src") === col("node"))
+        edeg.join(bcastIf(prev, small), col("src") === col("node"))
           .groupBy(col("dst"))
           .agg(sum(col("r") / col("deg")).as("c"))
           .select(col("dst").as("node"),
@@ -556,14 +631,24 @@ object Graph {
     val edges0 = Dedup.pairEdges(spark, dir)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val core = iterateRounds(edges0.select(col("src"), col("dst")),
-        kcoreRounds) { e =>
+      // Round-17: the peel only ever REMOVES edges, so an unchanged
+      // count means an unchanged set and every further round is the
+      // identity — iterateUpTo stops there instead of paying all 12
+      // fixed rounds' shuffles (the DuckDB twin's remaining unrolled
+      // rounds are identities on the converged set, so outputs are
+      // bit-identical). The qualifying-node set `ok` is |V|-bounded:
+      // broadcast when the measured edge count (an upper bound on
+      // |V| for this symmetric graph) fits, killing both per-round
+      // join exchanges against the peeled edge state (guide §3.1).
+      val small = edges0.count() <= bcastRowCap
+      val core = iterateUpTo(edges0.select(col("src"), col("dst")),
+        kcoreRounds, "graphKcore") { e =>
         val ok = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
           .filter(col("d") >= kcoreK).select(col("n"))
-        e.join(ok.withColumnRenamed("n", "src"), Seq("src"))
-          .join(ok.withColumnRenamed("n", "dst"), Seq("dst"))
+        e.join(bcastIf(ok.withColumnRenamed("n", "src"), small), Seq("src"))
+          .join(bcastIf(ok.withColumnRenamed("n", "dst"), small), Seq("dst"))
           .select(col("src"), col("dst"))
-      }
+      }(_.count())
       val coreDeg = core.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("core_deg"))
       edges0.select(col("src").as("node")).distinct()
@@ -1718,9 +1803,21 @@ object Graph {
       .agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val fin = iterateRounds(deg.select(col("node"), col("deg").as("c")),
-        rounds) { prev =>
-        hIndexRound(edges, prev)
+      // Round-17: h-index values are monotone non-increasing from
+      // c₀ = deg (Lü et al.), and the node set is fixed, so an
+      // unchanged (count, sum) is a fixpoint and the remaining fixed
+      // rounds are identities — stop there (bit-identical to the
+      // oracle's full unroll). The |V|-row score vector broadcasts
+      // when measured small, making the per-round join exchange-free;
+      // the window exchange on src remains (it is the round's real
+      // shuffle). All-integer state: order-insensitive.
+      val small = deg.count() <= bcastRowCap
+      val fin = iterateUpTo(deg.select(col("node"), col("deg").as("c")),
+        rounds, "graphCoreness") { prev =>
+        hIndexRound(edges, bcastIf(prev, small))
+      } { df =>
+        val r = df.agg(count(lit(1)), sum(col("c"))).head
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
       }
       val out = fin.join(deg, Seq("node"))
         .select(col("node"), col("c").as("coreness"), col("deg"))
@@ -1809,16 +1906,38 @@ object Graph {
     try {
       var h = ckpt(edges.select(col("user_id")).distinct()
         .withColumn("score", lit(hitsScale)))
+      // Round-17 (guide §2.4, §3.1): per half-round the ONLY
+      // corpus-scale work is one join+aggregate over the cached edge
+      // frame. The score vectors are |users|- and |types|-rows —
+      // measured here (cheap counts on materialized checkpoints) and
+      // broadcast when they fit, so the join is a BroadcastHashJoin
+      // with ZERO exchanges on the cached side instead of the SMJ's
+      // two exchanges + sorts (checkpointed state has no size
+      // estimate, so the planner could never pick this itself at plan
+      // time; locally AQE often recovers it at runtime, but the hint
+      // guarantees the shape at any scale where the count fits). All
+      // arithmetic is integer (exact longs), so join strategy and
+      // aggregation order cannot change a single output bit.
+      val smallH = h.count() <= bcastRowCap
+      // |a| = the set of event types with ≥1 contributing edge — fixed
+      // after the first half-round, so one count on the materialized
+      // checkpoint gates all later rounds.
+      var smallA = false
       var a: DataFrame = null
-      for (_ <- 1 to hitsRounds) {
-        val rawA = ckpt(edges.join(h, Seq("user_id"))
+      for (i <- 1 to hitsRounds) {
+        // rawA/rawH stay eagerly checkpointed: the normalizer reads the
+        // raw frame twice (dA + the projection), and an un-materialized
+        // rawA re-runs the join+aggregate once per reference (measured
+        // this round: 6.6 s → 11.7 s when the ckpt was dropped).
+        val rawA = ckpt(edges.join(bcastIf(h, smallH), Seq("user_id"))
           .groupBy(col("event_type"))
           .agg(sum(col("w") * col("score")).as("raw")))
         val dA = rawA.agg(greatest(lit(1L),
           expr(s"sum(raw) div $hitsScale")).as("d"))
         a = ckpt(rawA.crossJoin(broadcast(dA))
           .select(col("event_type"), expr("raw div d").as("score")))
-        val rawH = ckpt(edges.join(a, Seq("event_type"))
+        if (i == 1) smallA = a.count() <= bcastRowCap
+        val rawH = ckpt(edges.join(bcastIf(a, smallA), Seq("event_type"))
           .groupBy(col("user_id"))
           .agg(sum(col("w") * col("score")).as("raw")))
         val dH = rawH.agg(greatest(lit(1L),
@@ -1900,13 +2019,20 @@ object Graph {
   // localCheckpointed per round by iterateRounds' block hygiene.
   private val trussRounds = 3
 
-  private[graft] def peelOnce(canon: DataFrame, minSup: Long): DataFrame = {
+  private[graft] def peelOnce(canon: DataFrame, minSup: Long,
+      small: Boolean = false): DataFrame = {
     val sym = canon.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
+    // deg is |V|-bounded: broadcast when the caller measured the graph
+    // small (guide §3.1) — the two degree-attach joins then add no
+    // exchange; the wedge self-join below stays SMJ at any size (it is
+    // edge-scale on both sides — the 100 TB shape must not broadcast).
     val deg = sym.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
     val ore = sym
-      .join(deg.select(col("n").as("sn"), col("d").as("sd")), col("src") === col("sn"))
-      .join(deg.select(col("n").as("dn"), col("d").as("dd")), col("dst") === col("dn"))
+      .join(bcastIf(deg.select(col("n").as("sn"), col("d").as("sd")), small),
+        col("src") === col("sn"))
+      .join(bcastIf(deg.select(col("n").as("dn"), col("d").as("dd")), small),
+        col("dst") === col("dn"))
       .filter(struct(col("sd"), col("src")) < struct(col("dd"), col("dst")))
       .select(col("src"), col("dst"))
     val tri = ore.as("e1")
@@ -1938,8 +2064,15 @@ object Graph {
     try {
       val canon0 = edges.filter(col("src") < col("dst"))
         .select(col("src").as("a"), col("dst").as("b"))
+      // Round-17: peeling only removes edges — unchanged count ⇒
+      // unchanged set ⇒ all later rounds are identities (the oracle's
+      // full 3-round unroll produces the same set), so stop early; and
+      // the per-round degree frame broadcasts when the measured edge
+      // count fits.
+      val small = edges.count() <= bcastRowCap
       val perK = Seq(3L, 4L).map { k =>
-        val fin = iterateRounds(canon0, trussRounds)(peelOnce(_, k - 2))
+        val fin = iterateUpTo(canon0, trussRounds, s"graphKtruss k=$k")(
+          peelOnce(_, k - 2, small))(_.count())
         val nE = fin.agg(count(lit(1)).as("n_edges"))
         val nN = fin.select(col("a").as("nd"))
           .unionByName(fin.select(col("b").as("nd"))).distinct()

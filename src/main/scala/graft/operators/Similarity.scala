@@ -140,20 +140,26 @@ object Similarity {
 
   /** (vec_id, table, bucket) for every vector: bucket = the sign bits
     * of this table's hyperplane projections packed into an int. Only
-    * the bits(n) planes actually used are shipped into the plan. */
+    * the bits(n) planes actually used are shipped into the plan.
+    *
+    * Round-17 (guide §4): the sign bits come from the native
+    * graft_lsh_buckets expression (one JIT loop per row inside
+    * WholeStageCodegen) instead of a transform(planesLit, …) lambda —
+    * higher-order functions evaluate INTERPRETED, and the nTables·bits
+    * interpreted dot products per row dominated every LSH consumer's
+    * CPU (the salted self-joins evaluate this pipeline on both join
+    * sides). Bit-exact by construction: ascending-index dot fold,
+    * strict d > 0 bit test, identical plane order (see
+    * LshBuckets.scala); the DuckDB twin is untouched. */
   private[operators] def bucketed(spark: SparkSession, dir: String): DataFrame = {
     val bits = bitsFor(nVecs(spark, dir))
     val used = (0 until nTables)
       .flatMap(t => planes.slice(t * maxBits, t * maxBits + bits))
-    val planesLit = typedLit(used)
+      .flatten
     vecs(spark, dir)
-      .withColumn("bits", transform(planesLit,
-        p => when(dot(col("v"), p) > 0, 1).otherwise(0)))
       .select(col("vec_id"), col("v"), col("norm"),
-        posexplode(transform(sequence(lit(0), lit(nTables - 1)), t =>
-          (0 until bits)
-            .map(k => element_at(col("bits"), t * bits + k + 1) * lit(1 << (bits - 1 - k)))
-            .reduce(_ + _)))
+        posexplode(call_function("graft_lsh_buckets", col("v"),
+          typedLit(used), lit(nTables), lit(bits)))
           .as(Seq("table", "bucket")))
   }
 
@@ -1297,18 +1303,22 @@ object Similarity {
     // result is a 3-row driver-local stats frame.
     val ckpts = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.rdd.RDD[_]]
-    def ckpt(df: DataFrame): DataFrame = {
+    // Round-17 (guide §1.2): checkpoints register LAZY — each round's
+    // single stats aggregation is the action that materializes them,
+    // so a round costs ONE job instead of the old four (ckpt count +
+    // count + anti-join count + semi-join count).
+    def ckptLazy(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(eager = false)
-      c.count()
       ckpts ++= Graph.ckptRdds(c)
       c
     }
     try {
       // Exact ground truth on the query nodes only (nQueries·|V| —
-      // row-linear, the ann_bruteforce broadcast shape).
+      // row-linear, the ann_bruteforce broadcast shape). bfN's count
+      // is bf's materializing action.
       val q = v.filter(col("vec_id") < nQueries)
         .select(col("vec_id"), col("v").as("lv"), col("norm").as("ln"))
-      val bf = ckpt(r.join(broadcast(q), col("vec_id") =!= col("neighbor_id"))
+      val bf = ckptLazy(r.join(broadcast(q), col("vec_id") =!= col("neighbor_id"))
         .withColumn("cos", dot(col("lv"), col("rv")) / (col("ln") * col("rn")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= knnK)
@@ -1322,16 +1332,30 @@ object Similarity {
             col("b.neighbor_id").as("neighbor_id"))
           .filter(col("vec_id") =!= col("neighbor_id"))
         val cand = e.union(hop).distinct()
-        val next = ckpt(cand.join(l, Seq("vec_id")).join(r, Seq("neighbor_id"))
+        val next = ckptLazy(cand.join(l, Seq("vec_id")).join(r, Seq("neighbor_id"))
           .withColumn("cos", dot(col("lv"), col("rv")) / (col("ln") * col("rn")))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= knnK)
           .select(col("vec_id"), col("neighbor_id")))
-        val nEdges = next.count()
-        val nNew = next.join(e.distinct(),
-          Seq("vec_id", "neighbor_id"), "left_anti").count()
-        val matches = next.join(bf,
-          Seq("vec_id", "neighbor_id"), "left_semi").count()
+        // Round-17 (guide §1.2): the three stats actions per round
+        // (count + anti-join count + semi-join count) collapse into
+        // ONE aggregation job. Both right sides are unique on
+        // (vec_id, neighbor_id) — e via the explicit distinct, bf by
+        // its per-vec row_number rank — so the left joins preserve
+        // next's row count and the flag counts equal the old
+        // semi/anti-join counts exactly.
+        val st = next
+          .join(e.distinct().withColumn("__old", lit(1)),
+            Seq("vec_id", "neighbor_id"), "left")
+          .join(bf.withColumn("__tru", lit(1)),
+            Seq("vec_id", "neighbor_id"), "left")
+          .agg(count(lit(1)),
+            sum(when(col("__old").isNull, 1L).otherwise(0L)),
+            sum(when(col("__tru").isNotNull, 1L).otherwise(0L)))
+          .head
+        val nEdges = st.getLong(0)
+        val nNew = if (st.isNullAt(1)) 0L else st.getLong(1)
+        val matches = if (st.isNullAt(2)) 0L else st.getLong(2)
         e = next
         // bfN = 0 on an empty embeddings table (row-82 empty-input
         // contract): recall over an empty truth set reads as 0 bp.
@@ -2156,20 +2180,41 @@ object Similarity {
       .select(col("vec_id").as("center_id"), col("v").as("cv"))
     var picks = seed.select(lit(0L).as("pick"), col("center_id"),
       lit(0L).as("r2_e6"))
+    // Round-17 (guide §1.2: don't recompute what you already have):
+    // the running min-distance state is lazily checkpointed per round,
+    // materialized for free by the SAME TakeOrdered job that picks the
+    // next center — without it, round t's argmax re-derived all t
+    // distance folds from the parquet scan, an O(k²·n·d) recompute for
+    // an O(k·n·d) algorithm. The state blocks are released as soon as
+    // the successor round's state is live; the returned `picks` frame
+    // depends only on the 1-row eager checkpoints, never on state.
     var state = v.crossJoin(broadcast(seed.select(col("cv"))))
       .withColumn("d", dist2(col("v"), col("cv"))).drop("cv")
+      .localCheckpoint(eager = false)
+    var stateRdds = Graph.ckptRdds(state)
+    var prevRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     for (t <- 1 until kcenterK) {
       val nxt = state.orderBy(col("d").desc, col("vec_id")).limit(1)
         .select(col("vec_id").as("center_id"), col("v").as("cv"),
           col("d").as("dmax"))
         .localCheckpoint(eager = true) // 1 row; truncates the k-deep lineage
+      // nxt's job materialized `state`; the PREVIOUS round's state (the
+      // current one's parent) is dead weight from here on.
+      prevRdds.foreach(r => scala.util.Try(r.unpersist(blocking = false)))
       picks = picks.unionByName(nxt.select(lit(t.toLong).as("pick"),
         col("center_id"),
         floor(col("dmax") * 1e6 + 0.5).cast("long").as("r2_e6")))
+      prevRdds = stateRdds
       state = state.crossJoin(broadcast(nxt.select(col("cv"))))
         .withColumn("d", least(col("d"), dist2(col("v"), col("cv"))))
         .drop("cv")
+        .localCheckpoint(eager = false)
+      stateRdds = Graph.ckptRdds(state)
     }
+    // The last two state generations were never (or just) materialized
+    // and picks does not reference them — drop the block references.
+    (prevRdds ++ stateRdds).foreach(r =>
+      scala.util.Try(r.unpersist(blocking = false)))
     picks.select(col("pick"), col("center_id"), col("r2_e6"))
       .orderBy(col("pick"))
   }
