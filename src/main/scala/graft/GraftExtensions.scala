@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, LshBuckets, NearestCells, NearestCellsMilli}
+import graft.functions.{AmsSigns, Bigrams, BpeTokenCount, CmsPositions, DotProduct, LshBuckets, NTokens, NearestCells, NearestCellsMilli, PoissonWeights, PolyHash, RakePhrases, SpanHashes, Spans, Tokens, WinnowMins}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -50,6 +50,50 @@ object GraftExtensions {
         LshBuckets(children(0), children(1),
           intArg(children(2)), intArg(children(3)))
       }))
+    def strArg(e: org.apache.spark.sql.catalyst.expressions.Expression): String =
+      e.eval(null) match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case x => throw new IllegalArgumentException(
+          s"expected a foldable string argument, got $x")
+      }
+    def boolIntArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      intArg(e) != 0
+    // Text/dedup hot-path kernels (round 17 — see TextKernels.scala).
+    // Static shape args (widths, flags, prefixes) are consumed at
+    // registration from foldable literals, like graft_lsh_buckets.
+    def inject1(name: String, cls: Class[_],
+        mk: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression,
+        arity: Int): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          require(children.length == arity,
+            s"$name expects $arity arguments, got ${children.length}")
+          mk(children)
+        }))
+    inject1("graft_tokens", classOf[Tokens], c => Tokens(c(0)), 1)
+    inject1("graft_ntokens", classOf[NTokens],
+      c => NTokens(c(0), boolIntArg(c(1))), 2)
+    inject1("graft_spans", classOf[Spans],
+      c => Spans(c(0), intArg(c(1)), boolIntArg(c(2)), boolIntArg(c(3))), 4)
+    inject1("graft_span_hashes", classOf[SpanHashes],
+      c => SpanHashes(c(0), strArg(c(1)), intArg(c(2)), intArg(c(3))), 4)
+    inject1("graft_winnow_mins", classOf[WinnowMins],
+      c => WinnowMins(c(0), intArg(c(1)), intArg(c(2))), 3)
+    inject1("graft_bigrams", classOf[Bigrams], c => Bigrams(c(0)), 1)
+    inject1("graft_poly_hash", classOf[PolyHash], c => PolyHash(c(0)), 1)
+    inject1("graft_bpe_token_count", classOf[BpeTokenCount],
+      c => BpeTokenCount(c(0), c(1)), 2)
+    inject1("graft_rake_phrases", classOf[RakePhrases],
+      c => RakePhrases(c(0), c(1)), 2)
+    inject1("graft_ams_signs", classOf[AmsSigns],
+      c => AmsSigns(c(0), intArg(c(1))), 2)
+    inject1("graft_boot_weights", classOf[PoissonWeights],
+      c => PoissonWeights(c(0), c(1), intArg(c(2))), 3)
+    inject1("graft_cms_positions", classOf[CmsPositions],
+      c => CmsPositions(c(0), intArg(c(1)), intArg(c(2))), 3)
     ext.injectFunction((
       new FunctionIdentifier("graft_nearest_cells_milli"),
       new ExpressionInfo(classOf[NearestCellsMilli].getName,

@@ -20,24 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  // ─── shared: whitespace tokens, distinct word-3-shingles ───
-  private def toks(c: Column): Column = filter(split(c, " "), w => w =!= "")
-
-  /** Distinct 3-word shingles; empty when fewer than 3 tokens (guards
-    * sequence()'s descending-range behavior on negative spans). */
-  private def shingles(t: Column): Column =
-    when(size(t) >= 3,
-      array_distinct(transform(sequence(lit(0), size(t) - 3),
-        i => concat_ws(" ",
-          element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))))
-      .otherwise(array().cast("array<string>"))
-
-  /** Tokens are materialized in their own projection before the
-    * shingle lambda: higher-order functions re-evaluate every
-    * non-lambda subexpression of their body once PER ELEMENT, so
-    * tokenizing inline would re-split the text ~3×n_shingles times
-    * per document. Referencing the attribute keeps the lambda O(1)
-    * per element. */
+  // ─── shared: distinct word-3-shingles via the native span kernel ───
+  /** Distinct 3-word shingles in one native codegen pass
+    * (graft_spans — TextKernels.scala, round 17): the old
+    * filter(split) tokenizer + transform/concat_ws shingle lambda ran
+    * INTERPRETED (HOFs are CodegenFallback) and was the dedup
+    * family's dominant per-row cost at the sf10 decade. Contract
+    * pinned by TextKernelsSpec: identical tokens, spans, first-
+    * occurrence distinct order, and the empty array below 3 tokens
+    * that the old when(size≥3) guard produced. */
   private[operators] def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       // Hash-repartition on the downstream groupBy key straight off
@@ -47,8 +38,8 @@ object Dedup {
       // partition — hence the explicit, AQE-pinned count). The later
       // groupBy(doc_id) reuses this partitioning: no second exchange.
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), toks(col("text")).as("t"))
-      .select(col("doc_id"), shingles(col("t")).as("sh"))
+      .select(col("doc_id"),
+        call_function("graft_spans", col("text"), lit(3), lit(1), lit(1)).as("sh"))
       .withColumn("n_sh", size(col("sh")))
 
   /** DuckDB twin of docShingles (list comprehension over 1-based w). */
@@ -1101,20 +1092,22 @@ object Dedup {
   private val subW = 5
 
   def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    // Span fingerprints via the fused native kernel (graft_span_hashes,
+    // round 17): tokenize + W-token span + md5 + hex-prefix-to-long in
+    // ONE codegen pass per document, replacing the interpreted
+    // transform/concat_ws lambda + per-span conv(substring(md5)) chain
+    // (~22 CPU-s at sf0.1, 56 s at the sf10 decade). n_spans =
+    // size(hashes) ≡ greatest(tokens − W + 1, 0) — same value the old
+    // token-count arithmetic produced (TextKernelsSpec).
     val base = Tables(spark, dir).documents
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), toks(col("text")).as("t"))
-      .withColumn("n_spans",
-        greatest(size(col("t")) - (subW - 1), lit(0)).cast("long"))
+      .select(col("doc_id"),
+        call_function("graft_span_hashes",
+          col("text"), lit("sub:"), lit(subW), lit(13)).as("hs"))
+      .withColumn("n_spans", size(col("hs")).cast("long"))
     val spans = base
       .filter(col("n_spans") > 0)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("t")) - subW),
-          i => concat_ws(" ",
-            (0 until subW).map(o => element_at(col("t"), i + o + 1)): _*))))
-      .select(col("doc_id"), col("pos"),
-        conv(substring(md5(concat(lit("sub:"), col("col"))), 1, 13), 16, 10)
-          .cast("long").as("h"))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
     val dupset = spans.select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select(col("h"))
@@ -1126,7 +1119,14 @@ object Dedup {
       .agg(count(lit(1)).as("rl"))
     val agg = runs.groupBy(col("doc_id"))
       .agg(sum(col("rl")).as("dup_spans"), max(col("rl")).as("dup_run"))
-    base.select(col("doc_id"), col("n_spans"))
+    // The report side needs only n_spans — count tokens natively
+    // (graft_ntokens) instead of re-deriving the hash array; same
+    // value (n_spans = max(tokens − W + 1, 0)), a fraction of the cost.
+    Tables(spark, dir).documents
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        greatest(call_function("graft_ntokens", col("text"), lit(1))
+          - (subW - 1), lit(0L)).as("n_spans"))
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_spans"),
         coalesce(col("dup_spans"), lit(0L)).as("n_dup_spans"),

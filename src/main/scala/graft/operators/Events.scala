@@ -3259,16 +3259,30 @@ object Events {
         floor(epochS(col("ts")) / 3600L).as("hour"))
       .agg(cents(sum(col("value"))).as("hc"))
       .localCheckpoint(eager = false)
+    // Round 17 (guide §2.5/§2.6): the pair join used to key on
+    // event_type ALONE — ≤ 5 distinct keys, so the join ran ≤ 5 tasks
+    // wide at ANY scale (the round-17 watch item from the r16 plan
+    // audit). Composite key (event_type, lag-block): a keeps its
+    // hour's block (h1 div maxLag); b replicates into the ≤ 2 blocks
+    // its partners can live in (h2 div maxLag and the one below).
+    // Every (h1 < h2, h2−h1 ≤ maxLag) pair has h1's block in exactly
+    // one of the two replicas, so the joined pair set — and therefore
+    // every slope — is IDENTICAL, while the key space scales with the
+    // series span. The b-side ×2 replication is hourly METADATA.
+    val blkOf = (h: String) => expr(s"$h div $theilSenMaxLagH")
     val a = hourly.select(col("event_type").as("et"), col("hour").as("h1"),
       col("hc").as("c1"))
+      .withColumn("blk", blkOf("h1"))
     val b = hourly.select(col("event_type").as("et2"), col("hour").as("h2"),
       col("hc").as("c2"))
+      .withColumn("blk2", explode(array(blkOf("h2"), blkOf("h2") - 1)))
     // h1 < h2 lives in the JOIN condition, and the divisor is still
     // nullif-guarded: codegen can fuse the projection with the join's
     // residual filter and ANSI mode then throws on the equal-hour
     // pairs the filter is about to drop — nullif makes those evaluate
     // to NULL instead, and no surviving row has h1 = h2.
-    val slopes = a.join(b, col("et") === col("et2") && col("h1") < col("h2")
+    val slopes = a.join(b, col("et") === col("et2")
+        && col("blk") === col("blk2") && col("h1") < col("h2")
         && col("h2") - col("h1") <= lit(theilSenMaxLagH))
       .select(col("et").as("event_type"),
         expr("(c2 - c1) * 10000 div nullif(h2 - h1, 0)").as("slope"),

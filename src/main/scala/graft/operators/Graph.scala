@@ -1057,8 +1057,15 @@ object Graph {
     val docs = graft.Tables(spark, dir).documents
       .select(col("doc_id").as("node"), col("source"))
     val edges = Dedup.pairEdges(spark, dir)
+    // Round 17: fin is read TWICE downstream (nodes, ecnt) and picked
+    // THREE times (comm, intra's src and dst sides); as a single DAG
+    // each reference re-executed the two label-prop rounds / the whole
+    // gain table. Lazy localCheckpoints make each compute once — the
+    // established Graph.iterate / HITS materialization discipline;
+    // results are unchanged (all-deterministic integer plan).
     val fin = propRound(edges,
       propRound(edges, docs.select(col("node"), col("source").as("label"))))
+      .localCheckpoint(eager = false)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
     val nodes = fin.join(deg, Seq("node"), "left")
@@ -1099,6 +1106,7 @@ object Graph {
           1, 15), 16, 10).cast("long") % 2 === 0)
       .select(col("node"), col("a"),
         when(col("active"), col("cand")).otherwise(col("a")).as("label"))
+      .localCheckpoint(eager = false)
     // post-round community table (the graph_modularity block on the
     // new labels) + move-in counts
     val comm = picked

@@ -149,11 +149,14 @@ object Pipeline {
   private def docTokens(spark: SparkSession, dir: String,
       tc: TokenCounter, filtered: Boolean): DataFrame = tc match {
     case TokenCounter.Whitespace =>
-      val pieces = split(col("text"), " ")
-      val n = if (filtered) size(filter(pieces, w => w =!= "")) else size(pieces)
+      // graft_ntokens (round 17): token COUNT in one native scan —
+      // the filtered variant's filter() HOF ran interpreted, and both
+      // variants materialized the token array just to take size().
+      val n = call_function("graft_ntokens", col("text"),
+        lit(if (filtered) 1 else 0))
       Tables(spark, dir).documents
         .select(col("doc_id"), col("lang"), col("source"),
-          n.cast("long").as("n_tokens"))
+          n.as("n_tokens"))
     case TokenCounter.Bpe =>
       // bpeTokenCounts carries lang/source off its own documents scan,
       // so the real counter needs no join back to the table (round-15
@@ -1440,12 +1443,17 @@ object Pipeline {
     val base = Tables(spark, dir).parallelized("events")
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), Relational.cents(col("value")).as("c"))
-    val h = conv(substring(md5(concat(lit("boot:"), col("b").cast("string"),
-      lit(":"), col("event_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    // Round 17: all B per-row draws from one native kernel
+    // (graft_boot_weights) — the old ×B explode built the salted
+    // string, md5-hex'd, substring'd, conv-parsed and CASE-chained
+    // once PER (row, replicate); the kernel walks the digest bytes
+    // and the CDF directly (same md5 inputs — TextKernelsSpec).
+    // posexplode's pos IS the replicate id.
     base
-      .withColumn("b", explode(sequence(lit(0L), lit(bootB - 1L))))
-      .withColumn("w", poissonW(h))
-      .groupBy(col("b").as("replicate"))
+      .select(col("c"), posexplode(call_function("graft_boot_weights",
+        col("event_id").cast("string"),
+        array(bootCdf.map(lit): _*), lit(bootB))).as(Seq("b", "w")))
+      .groupBy(col("b").cast("long").as("replicate"))
       .agg(sum(col("w")).as("n_draws"),
         sum(col("w") * col("c")).as("s_wc"))
       .select(col("replicate"), col("n_draws"),

@@ -1085,10 +1085,16 @@ object ScaleOps {
 
   def sketchCms(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).parallelized("events").select(col("user_id"))
+    // Round 17: all depth row positions from one native pass
+    // (graft_cms_positions — the old per-cell cmsPos built the salted
+    // string, rendered the full hex digest and conv-parsed it, ×4 per
+    // row); posexplode's 0-based pos + 1 is the 1-based row index j.
+    // Same md5 inputs, same positions (TextKernelsSpec).
     def cells(base: DataFrame, keep: Seq[Column]): DataFrame =
-      base.select(keep :+ explode(array((1 to cmsDepth).map(j =>
-        struct(lit(j).as("j"), cmsPos(j, col("user_id")).as("pos"))): _*)).as("jp"): _*)
-        .select(keep :+ col("jp.j").as("j") :+ col("jp.pos").as("pos"): _*)
+      base.select(keep :+ posexplode(call_function("graft_cms_positions",
+          col("user_id").cast("string"), lit(cmsDepth), lit(cmsWidth)))
+          .as(Seq("jm1", "pos")): _*)
+        .select(keep :+ (col("jm1") + 1).as("j") :+ col("pos"): _*)
     val counters = cells(ev, Seq(col("user_id"))).drop("user_id")
       .groupBy(col("j"), col("pos")).agg(count(lit(1)).as("c"))
     val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
@@ -1720,18 +1726,25 @@ object ScaleOps {
       .select(col("event_type"), col("user_id"))
     // ONE md5 per row: its 32 hex nibbles' low bits are 32 independent
     // sign hashes (a first cut hashed 32 separate salted md5s per row
-    // — 32× the digest cost for the same estimator quality).
-    val z = ev
-      .withColumn("h", md5(concat(lit("ams:"), col("user_id").cast("string"))))
+    // — 32× the digest cost for the same estimator quality). Round 17:
+    // the ×S explode is gone too — graft_ams_signs derives all S signs
+    // from the digest bytes in one native pass (the old per-cell
+    // substring(h, i+1, 1) + conv parsed the hex STRING 32 times per
+    // row), and the S counter sums ride one hash-aggregate row per
+    // event_type instead of S. F2 = mean of squared sums, computed
+    // from the same aggregated row — z_i and f2_est are bit-identical
+    // (TextKernelsSpec pins the sign parity).
+    val zCols = (0 until amsS).map(i =>
+      sum(element_at(col("sg"), i + 1)).as(s"z$i"))
+    val est = ev
       .select(col("event_type"),
-        explode(sequence(lit(0), lit(amsS - 1))).as("i"), col("h"))
-      .select(col("event_type"), col("i"),
-        (conv(expr("substring(h, i + 1, 1)"), 16, 10)
-          .cast("long") % 2L * 2L - 1L).as("sgn"))
-      .groupBy(col("event_type"), col("i"))
-      .agg(sum(col("sgn")).as("z"))
-    val est = z.groupBy(col("event_type"))
-      .agg(expr(s"sum(z * z) div $amsS").as("f2_est"))
+        call_function("graft_ams_signs",
+          concat(lit("ams:"), col("user_id").cast("string")), lit(amsS)).as("sg"))
+      .groupBy(col("event_type"))
+      .agg(zCols.head, zCols.tail: _*)
+      .select(col("event_type"),
+        expr((0 until amsS).map(i => s"z$i * z$i").mkString("(", " + ", s") div $amsS"))
+          .as("f2_est"))
     val exact = ev.groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("event_type"))

@@ -140,13 +140,14 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // ─── text_fingerprint: polynomial rolling hash over characters ───
-  // h = fold(chars, h*31 + code mod 1e9+7). A codegen'd fold over the
-  // char array; the oracle replays it with list_reduce.
+  // h = fold(chars, h*31 + code mod 1e9+7), as ONE native codegen
+  // expression (graft_poly_hash, round 17): the old aggregate() HOF
+  // fold ran interpreted per character. The oracle replays it with
+  // list_reduce; parity with the old fold pinned by TextKernelsSpec.
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"),
-        expr("aggregate(filter(split(text, ''), c -> c <> ''), 0L, " +
-          "(h, c) -> (h * 31 + ascii(c)) % 1000000007)").as("fp"))
+        call_function("graft_poly_hash", col("text")).as("fp"))
       .withColumn("fp_bucket", pmod(col("fp"), lit(1024)))
       .orderBy(col("doc_id"))
 
@@ -159,20 +160,15 @@ object TextAnalysis {
       |  FROM documents
       |) ORDER BY doc_id""".stripMargin
 
-  /** Adjacent-bigram array from a token array, HOF-inlining-safe.
-    * Built with zip_with(t, tail(t)) rather than
-    * transform(sequence(...), i => element_at(t, i)...): CollapseProject
-    * inlines t = filter(split(text)) into every use, and element_at
-    * inside a per-ELEMENT lambda re-tokenizes the document per bigram —
-    * O(tokens²) per doc (measured 6.4s → 0.1s on text_repetition at
-    * sf0.1). zip_with evaluates both array children once per row; the
-    * lambda touches only lambda variables. concat (not concat_ws) so
-    * the null-padded last pair stays null and is filtered out. */
-  private def bigramArr(t: Column): Column =
-    filter(
-      zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b)),
-      x => x.isNotNull)
+  /** Adjacent-bigram array straight from the text, as one native
+    * codegen pass (graft_bigrams, round 17). The previous zip_with
+    * construction was already safe against the HOF-inlining hazard
+    * but still evaluated INTERPRETED (zip_with/filter are
+    * CodegenFallback, per-element boxed); the kernel tokenizes and
+    * builds the n−1 bigram strings in a single JIT loop. Parity
+    * (including the <2-token empty case) pinned by TextKernelsSpec. */
+  private def bigramArr(text: Column): Column =
+    call_function("graft_bigrams", text)
 
   // ─── text_ngram_top: top bigrams per language by document frequency ───
   // Corpus-level n-gram statistics (contamination checks, boilerplate
@@ -186,12 +182,10 @@ object TextAnalysis {
 
   def textNgramTop(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = filter(split(col("text"), " "), w => w =!= "")
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("df").desc, col("bigram"))
     docs(spark, dir)
-      .select(col("lang"), toks.as("t"))
-      .select(col("lang"), array_distinct(bigramArr(col("t"))).as("bg"))
+      .select(col("lang"), array_distinct(bigramArr(col("text"))).as("bg"))
       .select(col("lang"), explode_outer(col("bg")).as("bigram"))
       .filter(col("bigram").isNotNull)
       .groupBy(col("lang"), col("bigram"))
@@ -296,17 +290,16 @@ object TextAnalysis {
   // partitioned by doc_id off the same pre-repartitioned scan, then a
   // co-partitioned left join (docs with <2 words have no bigrams).
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(col("text"), " "), w => w =!= "")
-    val base = docs(spark, dir).select(col("doc_id"), toks.as("t"))
-    val words = base.select(col("doc_id"), explode(col("t")).as("w"))
+    val base = docs(spark, dir)
+    val words = base
+      .select(col("doc_id"),
+        explode(call_function("graft_tokens", col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_uniq"),
         max(col("c")).as("top_w"))
     val bigrams = base
-      .select(col("doc_id"), bigramArr(col("t")).as("bg")) // see bigramArr
-
-      .select(col("doc_id"), explode(col("bg")).as("b"))
+      .select(col("doc_id"), explode(bigramArr(col("text"))).as("b"))
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bi"), max(col("c")).as("top_bi"))
@@ -603,12 +596,11 @@ object TextAnalysis {
   private val collocMinCount = 5
 
   def textCollocation(spark: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(col("text"), " "), w => w =!= "")
-    val base = docs(spark, dir).select(col("doc_id"), toks.as("t"))
-    val uni = base.select(explode(col("t")).as("w"))
+    val base = docs(spark, dir)
+    val uni = base.select(explode(call_function("graft_tokens", col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val nTok = uni.agg(sum(col("c")).as("n_tok"))
-    val bi = base.select(explode(bigramArr(col("t"))).as("bigram"))
+    val bi = base.select(explode(bigramArr(col("text"))).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= collocMinCount)
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
@@ -809,23 +801,25 @@ object TextAnalysis {
     * aggregate, only the registered query needs the display sort. */
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame = {
     // struct(-n_pair, pair) sorts ascending = (count desc, pair asc):
-    // the array IS the merge list in mined-rank order.
+    // the array IS the merge list in mined-rank order. The merge
+    // APPLICATION is the native graft_bpe_token_count kernel (round
+    // 17): the old aggregate() fold — a per-char regexp_replace to
+    // build the wrapped representation plus one full string replace
+    // pass per merge rank, all interpreted — is simulated on a
+    // codepoint array in one JIT pass (slow-path literal replay when
+    // the input could alias the '(x)' delimiters; TextKernelsSpec
+    // pins both paths against the old fold).
     val merges = textBpePairs(spark, dir).limit(bpeEncodeRounds)
       .agg(sort_array(collect_list(
         struct((-col("n_pair")).as("neg_n"), col("pair").as("pair"))))
         .as("ms"))
+      // 1-row frame: this transform() runs once, not per document
+      .select(transform(col("ms"), m => m.getField("pair")).as("pairs"))
     docs(spark, dir).crossJoin(broadcast(merges))
-      .withColumn("enc", aggregate(col("ms"),
-        regexp_replace(col("text"), "(.)", "($1)"),
-        (acc, m) => call_function("replace", acc,
-          concat(lit("("), substring(m.getField("pair"), 1, 1),
-            lit(")("), substring(m.getField("pair"), 2, 1), lit(")")),
-          concat(lit("("), m.getField("pair"), lit(")")))))
       .select(col("doc_id"), col("lang"), col("source"),
         length(col("text")).cast("long").as("base_tokens"),
-        (length(col("enc")) -
-          length(call_function("replace", col("enc"), lit("("), lit(""))))
-          .cast("long").as("bpe_tokens"))
+        call_function("graft_bpe_token_count", col("text"), col("pairs"))
+          .as("bpe_tokens"))
   }
 
   def textBpeEncode(spark: SparkSession, dir: String): DataFrame =
@@ -905,11 +899,14 @@ object TextAnalysis {
   private val boilerMinDocs = 3
 
   def textBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    // Raw-token 5-word shingles via the native span kernel (round 17;
+    // raw mode reproduces the unfiltered split() semantics, where a
+    // span is a contiguous slice of the document — TextKernelsSpec).
+    // The old size(ws) >= 5 guard is subsumed by the kernel's empty
+    // array below w (explode of [] emits no rows).
     val sh = docs(spark, dir)
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 5)
-      .select(col("doc_id"), col("source"), explode(expr(
-        "transform(sequence(1, size(ws) - 4), i -> array_join(slice(ws, i, 5), ' '))"))
+      .select(col("doc_id"), col("source"), explode(
+        call_function("graft_spans", col("text"), lit(5), lit(0), lit(0)))
         .as("shingle"))
     val boiler = sh.groupBy(col("shingle"))
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -996,23 +993,22 @@ object TextAnalysis {
 
   def textRake(spark: SparkSession, dir: String): DataFrame = {
     val stopArr = array(stopwords.map(lit): _*)
-    val toksAll = filter(split(col("text"), " "), w => w =!= "")
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
     val byDocRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score_x100").desc, col("phrase"))
-    val tok = docs(spark, dir)
-      .select(col("doc_id"), posexplode(toksAll).as(Seq("pos", "w")))
-      .filter(!array_contains(stopArr, col("w")))
-      .withColumn("grp", col("pos") - row_number().over(byDoc))
-    // collect_list order is partition-dependent — sort (pos, w) structs
-    // so the phrase assembles in POSITION order deterministically
-    val phrases = tok.groupBy(col("doc_id"), col("grp"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
-          x => x.getField("w")), " ").as("phrase"),
-        count(lit(1)).as("plen"))
+    // Candidate phrases per document in ONE native pass
+    // (graft_rake_phrases, round 17): the old posexplode → stopword
+    // filter → per-doc row_number window → groupBy(grp) sorted-
+    // collect_list pipeline cost TWO corpus-wide exchanges just to
+    // reassemble runs that were adjacent in the row to begin with.
+    // posexplode's pos is the run index — the grp surrogate (same
+    // within-doc join key role); phrase strings and plen are
+    // identical (TextKernelsSpec pins the pipeline parity).
+    val phrases = docs(spark, dir)
+      .select(col("doc_id"),
+        posexplode(call_function("graft_rake_phrases", col("text"), stopArr))
+          .as(Seq("grp", "phrase")))
+      .withColumn("plen", size(split(col("phrase"), " ")).cast("long"))
     val member = phrases
       .select(col("doc_id"), col("grp"), col("plen"),
         explode(split(col("phrase"), " ")).as("w"))
@@ -1093,33 +1089,23 @@ object TextAnalysis {
   private val winPosBits = 23
 
   def textWinnowing(spark: SparkSession, dir: String): DataFrame = {
-    val base = docs(spark, dir)
+    // The whole per-document selection — span hashes, position-packed
+    // keys, sliding window minima, kept positions, per-doc distinct —
+    // runs inside TWO composed native kernels (graft_span_hashes →
+    // graft_winnow_mins, round 17). This DELETES the old plan's
+    // corpus×spans posexplode + per-doc window (one full Exchange of
+    // every span hash) and the post-window .distinct() exchange: the
+    // window was per-doc over positions already available per row.
+    // Selection parity (same wmin sets) pinned by TextKernelsSpec
+    // against the old posexplode/window pipeline verbatim.
+    val picked = docs(spark, dir)
       .select(col("doc_id"),
-        filter(split(col("text"), " "), w => w =!= "").as("t"))
-      .withColumn("n_spans",
-        greatest(size(col("t")) - (winK - 1), lit(0)).cast("long"))
-      .filter(col("n_spans") > 0)
-    val spans = base
-      .select(col("doc_id"), col("n_spans"),
-        posexplode(transform(sequence(lit(0), size(col("t")) - winK),
-          i => concat_ws(" ",
-            (0 until winK).map(o => element_at(col("t"), i + o + 1)): _*))))
-      .select(col("doc_id"), col("n_spans"), col("pos"),
-        conv(substring(md5(concat(lit("win:"), col("col"))), 1, 10), 16, 10)
-          .cast("long").as("h"))
-      .withColumn("key",
-        col("h") * (1L << winPosBits) +
-          (lit((1L << winPosBits) - 1) - col("pos")))
-    // min key over each full w-window; short docs (< w spans) fall
-    // back to the doc-global min (the only window there is)
-    val wFrame = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(0, winW - 1)
-    val picked = spans
-      .withColumn("wmin", min(col("key")).over(wFrame))
-      .filter(col("pos") <= col("n_spans") - winW || col("pos") === 0)
-      .select(col("doc_id"), col("n_spans"), col("wmin"))
-      .distinct()
+        call_function("graft_span_hashes",
+          col("text"), lit("win:"), lit(winK), lit(10)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"),
+        explode(call_function("graft_winnow_mins",
+          col("hs"), lit(winW), lit(winPosBits))).as("wmin"))
       .withColumn("h", expr(s"wmin div ${1L << winPosBits}"))
     val df = picked.select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("docf"))
@@ -1127,7 +1113,13 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_fp"),
         sum(when(col("docf") >= 2, 1L).otherwise(0L)).as("n_shared_fp"))
-    base.select(col("doc_id"), col("n_spans"))
+    // Report side: n_spans recomputed from the native token count
+    // (n_spans = max(tokens − k + 1, 0)) — cheaper than re-hashing.
+    docs(spark, dir)
+      .select(col("doc_id"),
+        greatest(call_function("graft_ntokens", col("text"), lit(1))
+          - (winK - 1), lit(0L)).as("n_spans"))
+      .filter(col("n_spans") > 0)
       .join(shared, Seq("doc_id"))
       .select(col("doc_id"), col("n_spans"), col("n_fp"),
         expr("n_fp * 10000 div n_spans").as("density_bp"),
@@ -1199,13 +1191,12 @@ object TextAnalysis {
   // model (c₁₂ ≥ 1); the +1 smoothing keeps the formula total for
   // held-out scoring too.
   def textLmScore(spark: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(col("text"), " "), w => w =!= "")
-    val base = docs(spark, dir).select(col("doc_id"), toks.as("t"))
+    val base = docs(spark, dir)
     val pairs = base
-      .select(col("doc_id"), explode(bigramArr(col("t"))).as("bigram"))
+      .select(col("doc_id"), explode(bigramArr(col("text"))).as("bigram"))
       .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("k"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
-    val uni = base.select(explode(col("t")).as("w"))
+    val uni = base.select(explode(call_function("graft_tokens", col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c_x"))
     val bi = pairs.groupBy(col("bigram")).agg(sum(col("k")).as("c_xy"))
     val vocab = uni.agg(count(lit(1)).as("v"))
