@@ -1057,15 +1057,17 @@ object Graph {
     val docs = graft.Tables(spark, dir).documents
       .select(col("doc_id").as("node"), col("source"))
     val edges = Dedup.pairEdges(spark, dir)
-    // Round 17: fin is read TWICE downstream (nodes, ecnt) and picked
-    // THREE times (comm, intra's src and dst sides); as a single DAG
-    // each reference re-executed the two label-prop rounds / the whole
-    // gain table. Lazy localCheckpoints make each compute once — the
-    // established Graph.iterate / HITS materialization discipline;
-    // results are unchanged (all-deterministic integer plan).
+    // Round 17 note: fin is read twice downstream and picked three
+    // times, so lazy localCheckpoints on both were TRIED (compute-once,
+    // the Graph.iterate discipline). Measured: sf0.1 4.07 → 3.47 s,
+    // but sf10 9.1 → 15.7 s wall / 47 → 58 CPU-s — checkpointing
+    // replaces the frames with LogicalRDDs whose sizes the planner no
+    // longer knows, and the comm/intra joins lose their broadcast
+    // shape at scale. REVERTED (same lesson as HITS' rawA/rawH
+    // experiment); round 18 could retry with explicit bcastIf gates
+    // on the checkpointed frames.
     val fin = propRound(edges,
       propRound(edges, docs.select(col("node"), col("source").as("label"))))
-      .localCheckpoint(eager = false)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
     val nodes = fin.join(deg, Seq("node"), "left")
@@ -1106,7 +1108,6 @@ object Graph {
           1, 15), 16, 10).cast("long") % 2 === 0)
       .select(col("node"), col("a"),
         when(col("active"), col("cand")).otherwise(col("a")).as("label"))
-      .localCheckpoint(eager = false)
     // post-round community table (the graph_modularity block on the
     // new labels) + move-in counts
     val comm = picked
