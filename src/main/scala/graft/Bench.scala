@@ -114,9 +114,24 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
 
+    // HOST-STEAL TELEMETRY (round-18, the r17 verdict's item 3): the
+    // sandbox host has CPU-steal waves (round-17 measured identical
+    // jobs swinging ×2–10 between adjacent runs), and the wall/cpu
+    // medians alone cannot prove which windows were contaminated.
+    // Sample /proc/stat's cumulative steal jiffies around each query's
+    // timed iterations and stamp the per-query delta (in seconds,
+    // USER_HZ = 100) into BENCH_FULL — a reviewer can now discount a
+    // contaminated window mechanically instead of by narrative.
+    def stealJiffies(): Long = scala.util.Try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().next().trim.split("\\s+").drop(1).lift(7)
+        .map(_.toLong).getOrElse(0L)
+      finally src.close()
+    }.getOrElse(0L)
+
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Option[(Double, Double, Double, Double, Double, Double, Double)])]
+      .empty[(String, Option[(Double, Double, Double, Double, Double, Double, Double, Double)])]
     // Fixture builds as their own line items (the round-13 attribution
     // fix): the session-scoped fixture getters record their build time
     // in Families' ledger when they actually build — in warm mode that
@@ -149,19 +164,22 @@ object Bench {
     // measurements), then finally without the flag.
     def fullLine(partial: Boolean): String = {
       val sorted = results.toSeq.sortBy(_._1)
-      val qs = sorted.collect { case (k, Some((m, _, _, _, _, _, _))) => "\"" + k + "\":" + m }
+      val qs = sorted.collect { case (k, Some((m, _, _, _, _, _, _, _))) => "\"" + k + "\":" + m }
         .mkString("{", ",", "}")
-      val spread = sorted.collect { case (k, Some((_, lo, hi, _, _, _, _))) =>
+      val spread = sorted.collect { case (k, Some((_, lo, hi, _, _, _, _, _))) =>
         "\"" + k + "\":[" + lo + "," + hi + "]"
       }.mkString("{", ",", "}")
-      val cpu = sorted.collect { case (k, Some((_, _, _, cm, _, _, _))) =>
+      val cpu = sorted.collect { case (k, Some((_, _, _, cm, _, _, _, _))) =>
         "\"" + k + "\":" + cm
       }.mkString("{", ",", "}")
-      val cpuSpread = sorted.collect { case (k, Some((_, _, _, _, clo, chi, _))) =>
+      val cpuSpread = sorted.collect { case (k, Some((_, _, _, _, clo, chi, _, _))) =>
         "\"" + k + "\":[" + clo + "," + chi + "]"
       }.mkString("{", ",", "}")
-      val load = sorted.collect { case (k, Some((_, _, _, _, _, _, la))) =>
+      val load = sorted.collect { case (k, Some((_, _, _, _, _, _, la, _))) =>
         "\"" + k + "\":" + la
+      }.mkString("{", ",", "}")
+      val steal = sorted.collect { case (k, Some((_, _, _, _, _, _, _, st))) =>
+        "\"" + k + "\":" + st
       }.mkString("{", ",", "}")
       val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = sorted.flatMap(_._2.map(_._1)).sum
@@ -172,7 +190,7 @@ object Bench {
         }.mkString("{", ",", "}")
       val fixtureSec = fixtureBuilds.map(_._2).sum
       val pflag = if (partial) "\"partial\":true," else ""
-      s"""{"metric":"total",$pflag"value":$total,"unit":"sec","queries":$qs,"spread":$spread,"cpu":$cpu,"cpu_spread":$cpuSpread,"load":$load,"failed":$fj,"fixtures":$fixturesJson,"fixture_sec":$fixtureSec,"mode":"$mode","iters":$iters,"chunks":${chunks.size},"heap_mb":$heapMb,"git":"$gitSha","sf":"$sfDir"}"""
+      s"""{"metric":"total",$pflag"value":$total,"unit":"sec","queries":$qs,"spread":$spread,"cpu":$cpu,"cpu_spread":$cpuSpread,"load":$load,"steal":$steal,"failed":$fj,"fixtures":$fixturesJson,"fixture_sec":$fixtureSec,"mode":"$mode","iters":$iters,"chunks":${chunks.size},"heap_mb":$heapMb,"git":"$gitSha","sf":"$sfDir"}"""
     }
 
     def writeArtifact(line: String): Unit =
@@ -205,6 +223,7 @@ object Bench {
         val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
         val cpuSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
         val loadAtStart = osBean.getSystemLoadAverage
+        val steal0 = stealJiffies()
         var broken = false
         (1 to iters).foreach { _ =>
           if (!broken) {
@@ -222,12 +241,16 @@ object Bench {
             }
           }
         }
+        // Host steal across this query's whole timed window (all
+        // iterations), in seconds of stolen CPU; > ~0.5 s on a
+        // sub-second query marks the window contaminated.
+        val stealSec = (stealJiffies() - steal0) / 100.0
         // timings and the failed list are mutually exclusive: a broken
         // query's pre-failure samples are not a timing for the query.
         results += (name -> (if (broken || samples.isEmpty) None
                              else Some((median(samples.toSeq), samples.min, samples.max,
                                         median(cpuSamples.toSeq), cpuSamples.min,
-                                        cpuSamples.max, loadAtStart))))
+                                        cpuSamples.max, loadAtStart, stealSec))))
       }
       // Retire the chunk's session: drop fixture references into the
       // dying context, stop it, and nudge the collector so the next
@@ -273,7 +296,7 @@ object Bench {
     val fixtureSec = fixtureBuilds.map(_._2).sum
     val total = sorted.flatMap(_._2.map(_._1)).sum
     val mode = if (cold) "cold" else "warm"
-    val medians = sorted.collect { case (k, Some((m, _, _, _, _, _, _))) => k -> m }.toMap
+    val medians = sorted.collect { case (k, Some((m, _, _, _, _, _, _, _))) => k -> m }.toMap
     val hq = headline.flatMap(k => medians.get(k).map(m => "\"" + k + "\":" + m))
       .mkString("{", ",", "}")
     val fshort = (failed.take(5).map("\"" + _ + "\"") ++

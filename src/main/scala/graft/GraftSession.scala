@@ -64,10 +64,28 @@ object GraftSession {
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
 
-  /** Shared test session (one JVM-wide session for all suites). */
-  lazy val test: SparkSession = {
-    val s = builder(4).getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
+  /** Shared test session (one JVM-wide session for all suites).
+    *
+    * NOT a `lazy val` (round-17 verdict item 2): a stopped
+    * SparkContext — an earlier suite's teardown, an executor fault,
+    * anything — would make a cached session a corpse that every later
+    * suite inherits ("SparkContext was stopped" cascades through the
+    * rest of the JVM's suites, as the round-17 driver run showed with
+    * StreamingOcsSpec). Rebuild whenever the cached context is gone so
+    * one fault can fail at most the suite that caused it. */
+  @volatile private var testSession: SparkSession = _
+  def test: SparkSession = synchronized {
+    if (testSession == null || testSession.sparkContext.isStopped) {
+      if (testSession != null) {
+        // Drop the corpse from Spark's registries or getOrCreate may
+        // hand the same stopped session back.
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+      val s = builder(4).getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      testSession = s
+    }
+    testSession
   }
 }

@@ -76,10 +76,14 @@ object AmsSigns {
 case class PoissonWeights(left: Expression, right: Expression, b: Int)
   extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (StringType, ArrayType(LongType, _)) if right.foldable && b >= 1 =>
+    // b ≤ 99: the salt renderer (HashKernel.updateInt) emits at most
+    // two DECIMAL digits; b = 100+ would feed garbled salt bytes
+    // (':' for digit 10) into md5 and silently diverge from the
+    // documented md5('boot:i:id') contract and the DuckDB twin.
+    case (StringType, ArrayType(LongType, _)) if right.foldable && b >= 1 && b <= 99 =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      "graft_boot_weights expects (string, foldable array<long>, b ≥ 1)")
+      "graft_boot_weights expects (string, foldable array<long>, 1 ≤ b ≤ 99)")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_boot_weights"

@@ -313,17 +313,28 @@ object WinnowMins {
     val posMask = scale - 1
     val lastP = math.max(0, n - winW)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    // Monotonic-deque sliding minimum (ADVICE r17): O(n) for any
+    // window width instead of the O(n·winW) per-position rescan —
+    // same keys, same window extents, same insertion order into
+    // `seen`, so the selected set is bit-identical.
+    val keys = new Array[Long](n)
+    var i0 = 0
+    while (i0 < n) { keys(i0) = arr(i0) * scale + (posMask - i0); i0 += 1 }
+    val dq = new Array[Int](n) // indices with increasing keys
+    var head = 0
+    var tail = 0 // live slice: dq[head, tail)
+    var q = 0
     var p = 0
     while (p <= lastP) {
       val hi = math.min(p + winW - 1, n - 1)
-      var mn = Long.MaxValue
-      var q = p
       while (q <= hi) {
-        val key = arr(q) * scale + (posMask - q)
-        if (key < mn) mn = key
+        while (tail > head && keys(dq(tail - 1)) >= keys(q)) tail -= 1
+        dq(tail) = q
+        tail += 1
         q += 1
       }
-      seen.add(mn)
+      while (dq(head) < p) head += 1
+      seen.add(keys(dq(head)))
       p += 1
     }
     val out = new Array[Long](seen.size)
@@ -454,17 +465,32 @@ object BpeTokenCount {
     var hasParen = str.indexOf('(') >= 0 || str.indexOf(')') >= 0
     val pa = new Array[Int](np)
     val pb = new Array[Int](np)
+    var nk = 0 // kept pairs
     var j = 0
     while (j < np) {
-      val p = pairs.getUTF8String(j).toString
-      val a = p.codePointAt(0)
-      val b = p.codePointAt(Character.charCount(a))
-      pa(j) = a
-      pb(j) = b
-      if (a == '(' || a == ')' || b == '(' || b == ')') hasParen = true
+      // A null element (the accepted ArrayType allows containsNull)
+      // or a pair string with fewer than 2 codepoints can never match
+      // an adjacent (a, b) run — the old replace-chain degraded such
+      // entries to a no-op merge; skip them instead of throwing
+      // (ADVICE r17: the registered SQL function is reachable with
+      // arbitrary arrays, not just textBpePairs' 2-codepoint mines).
+      val pu = pairs.getUTF8String(j)
+      if (pu != null) {
+        val p = pu.toString
+        if (p.codePointCount(0, p.length) >= 2) {
+          val a = p.codePointAt(0)
+          val b = p.codePointAt(Character.charCount(a))
+          pa(nk) = a
+          pb(nk) = b
+          if (a == '(' || a == ')' || b == '(' || b == ')') hasParen = true
+          nk += 1
+        }
+      }
       j += 1
     }
-    if (hasParen) return slowCount(str, pa, pb)
+    if (hasParen)
+      return slowCount(str, java.util.Arrays.copyOf(pa, nk),
+        java.util.Arrays.copyOf(pb, nk))
 
     // codepoint array; -2 = line terminator (unwrapped, blocks
     // adjacency, not a token), -1 = merged token
@@ -478,7 +504,7 @@ object BpeTokenCount {
       i += Character.charCount(cp)
     }
     j = 0
-    while (j < np) {
+    while (j < nk) {
       val a = pa(j)
       val b = pb(j)
       var r = 0

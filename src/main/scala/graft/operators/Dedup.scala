@@ -91,21 +91,37 @@ object Dedup {
     // collision — ~n²/2⁶¹, vanishing at any real shingle count —
     // would merge the same postings lists on both sides and still
     // hash-match.
+    // Round 18 (guide §2.3 — shuffle keys, not payloads): the
+    // inverted-index self-join used to carry n_a/n_b THROUGH the pair
+    // exchange and the groupBy key — Σdf² pair rows × 4 longs where 2
+    // suffice ((doc_a, doc_b) determines n_a/n_b). The per-doc totals
+    // are re-attached AFTER the shared ≥ 3 filter, to the
+    // duplicate-density-bounded survivor set, via one narrow
+    // aggregate over the checkpointed fixture — the pair exchange and
+    // its hash-agg keys are half the bytes at any scale. Same groups
+    // (n_* are functionally dependent on the ids), same survivors,
+    // same arithmetic — output identical.
     val ex = shingleRows(spark, dir)
-      .select(col("doc_id"), col("n_sh"), col("h60"))
+      .select(col("doc_id"), col("h60"))
     val keep = ex.groupBy(col("h60")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
     val f = ex.join(keep.select("h60"), Seq("h60"))
     // Alias self-join (not two renamed projections): both sides
     // canonicalize to the same subplan, so ReuseExchange computes the
     // shuffle over `f` once.
-    f.as("a").join(f.as("b"),
+    val shared = f.as("a").join(f.as("b"),
         col("a.h60") === col("b.h60") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+    val totals = shingleRows(spark, dir)
+      .groupBy(col("doc_id")).agg(max(col("n_sh")).as("n_sh"))
+    shared
+      .join(totals.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        Seq("doc_a"))
+      .join(totals.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        Seq("doc_b"))
       .withColumn("jaccard_bp",
         floor(col("shared") * 10000.0 / (col("n_a") + col("n_b") - col("shared")) + 0.5)
           .cast("long"))
@@ -994,19 +1010,28 @@ object Dedup {
   // pairs where either direction crosses 80%.
   private val contBp = 8000L
   def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
-    // h60-keyed like dedupNgramJaccard — see the note there.
+    // h60-keyed like dedupNgramJaccard — see the note there; the pair
+    // exchange is likewise narrowed to (doc_a, doc_b) with the per-doc
+    // totals re-attached to the shared ≥ 3 survivors (round 18, guide
+    // §2.3 — same argument, same output).
     val ex = shingleRows(spark, dir)
-      .select(col("doc_id"), col("n_sh"), col("h60"))
+      .select(col("doc_id"), col("h60"))
     val keep = ex.groupBy(col("h60")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
     val f = ex.join(keep.select("h60"), Seq("h60"))
-    f.as("a").join(f.as("b"),
+    val shared = f.as("a").join(f.as("b"),
         col("a.h60") === col("b.h60") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+    val totals = shingleRows(spark, dir)
+      .groupBy(col("doc_id")).agg(max(col("n_sh")).as("n_sh"))
+    shared
+      .join(totals.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        Seq("doc_a"))
+      .join(totals.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        Seq("doc_b"))
       .withColumn("cont_a_bp", expr("shared * 10000 div n_a"))
       .withColumn("cont_b_bp", expr("shared * 10000 div n_b"))
       .withColumn("one_sided",

@@ -149,6 +149,15 @@ object Events {
   // day's carry added — the textbook scan-primitive decomposition.
   def evConcurrency(spark: SparkSession, dir: String): DataFrame = {
     val sess = evSessionize(spark, dir)
+    // Round 18 (guide §1.2): `deltas` is consumed TWICE (the day-carry
+    // rollup and the per-day cumulation), and without a
+    // materialization Spark re-ran the whole sessionize → explode →
+    // groupBy chain per consumer. Lazy localCheckpoint makes both
+    // branches read one computation. The checkpoint hides the frame's
+    // size from the planner (the graph_louvain lesson), so the
+    // days-sized carry frame gets an EXPLICIT broadcast hint — sound
+    // unconditionally: dayCarry has one row per calendar day, bounded
+    // by the time horizon, never by event volume.
     val deltas = sess.select(explode(array(
         struct(col("session_start_epoch").as("epoch"), lit(1L).as("d")),
         struct((col("session_end_epoch") + 1).as("epoch"), lit(-1L).as("d"))))
@@ -156,6 +165,7 @@ object Events {
       .select(col("b.epoch").as("epoch"), col("b.d").as("d"))
       .groupBy(col("epoch")).agg(sum(col("d")).as("delta"))
       .withColumn("day", expr("epoch div 86400"))
+      .localCheckpoint(eager = false)
     val dayCarry = deltas.groupBy(col("day"))
       .agg(sum(col("delta")).as("day_delta"))
       .withColumn("carry", coalesce(
@@ -166,7 +176,7 @@ object Events {
       .withColumn("cum", sum(col("delta")).over(
         Window.partitionBy(col("day")).orderBy(col("epoch"))
           .rowsBetween(Window.unboundedPreceding, 0)))
-      .join(dayCarry, Seq("day"))
+      .join(broadcast(dayCarry), Seq("day"))
       .select(col("epoch"), col("delta"), (col("carry") + col("cum")).as("active"))
       .orderBy(col("epoch"))
   }
@@ -812,13 +822,20 @@ object Events {
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type").as("cur_type"), col("event_type"))
       .agg(count(lit(1)).as("c"))
+    // Round 18: the per-cur-type total used to ride a Window over the
+    // counts frame before the groupBy; with n_c = sum(c) constant per
+    // group, Σ c·(len(bin(n_c)) − len(bin(c))) = len(bin(Σc))·Σc −
+    // Σ c·len(bin(c)) — all exact integer arithmetic — so one
+    // aggregate computes the same h_milli and the WindowExec (plus
+    // its sort) disappears from the plan.
     val perCur = counts
-      .withColumn("n_c", sum(col("c")).over(Window.partitionBy(col("cur_type"))))
       .groupBy(col("cur_type"))
-      .agg(max(col("n_c")).as("n_out"),
+      .agg(sum(col("c")).as("n_out"),
         count(lit(1)).as("n_next_types"),
-        expr("sum(c * (length(bin(n_c)) - length(bin(c)))) * 1000 div max(n_c)")
-          .as("h_milli"))
+        expr("sum(c * length(bin(c)))").as("sclb"))
+      .withColumn("h_milli",
+        expr("(n_out * length(bin(n_out)) - sclb) * 1000 div n_out"))
+      .drop("sclb")
       .withColumn("h_max_milli",
         expr("cast((length(bin(n_next_types)) - 1) * 1000 AS BIGINT)"))
     val overall = perCur.agg(
@@ -3253,6 +3270,37 @@ object Events {
   // context.
   private val theilSenMaxLagH = 1080L
 
+  /** The lag-capped pair join + slope projection over the hourly
+    * frame, in both shapes the span gate below picks from. Factored
+    * out (round 18) so the spec can assert the two shapes produce the
+    * identical slope multiset on a multi-block synthetic series — the
+    * blocked shape is dead code at every bench SF by design. */
+  private[graft] def theilSenSlopes(
+      hourly: DataFrame, blocked: Boolean): DataFrame = {
+    val blkOf = (h: String) => expr(s"$h div $theilSenMaxLagH")
+    val a0 = hourly.select(col("event_type").as("et"), col("hour").as("h1"),
+      col("hc").as("c1"))
+    val b0 = hourly.select(col("event_type").as("et2"), col("hour").as("h2"),
+      col("hc").as("c2"))
+    // h1 < h2 lives in the JOIN condition, and the divisor is still
+    // nullif-guarded: codegen can fuse the projection with the join's
+    // residual filter and ANSI mode then throws on the equal-hour
+    // pairs the filter is about to drop — nullif makes those evaluate
+    // to NULL instead, and no surviving row has h1 = h2.
+    val pairCond = col("et") === col("et2") && col("h1") < col("h2") &&
+      col("h2") - col("h1") <= lit(theilSenMaxLagH)
+    val joined =
+      if (blocked) {
+        val a = a0.withColumn("blk", blkOf("h1"))
+        val b = b0.withColumn("blk2",
+          explode(array(blkOf("h2"), blkOf("h2") - 1)))
+        a.join(b, col("blk") === col("blk2") && pairCond)
+      } else a0.join(b0, pairCond)
+    joined.select(col("et").as("event_type"),
+      expr("(c2 - c1) * 10000 div nullif(h2 - h1, 0)").as("slope"),
+      col("h1"), col("h2"))
+  }
+
   def tsTheilSen(spark: SparkSession, dir: String): DataFrame = {
     val hourly = Tables(spark, dir).events
       .groupBy(col("event_type"),
@@ -3269,24 +3317,24 @@ object Events {
     // one of the two replicas, so the joined pair set — and therefore
     // every slope — is IDENTICAL, while the key space scales with the
     // series span. The b-side ×2 replication is hourly METADATA.
-    val blkOf = (h: String) => expr(s"$h div $theilSenMaxLagH")
-    val a = hourly.select(col("event_type").as("et"), col("hour").as("h1"),
-      col("hc").as("c1"))
-      .withColumn("blk", blkOf("h1"))
-    val b = hourly.select(col("event_type").as("et2"), col("hour").as("h2"),
-      col("hc").as("c2"))
-      .withColumn("blk2", explode(array(blkOf("h2"), blkOf("h2") - 1)))
-    // h1 < h2 lives in the JOIN condition, and the divisor is still
-    // nullif-guarded: codegen can fuse the projection with the join's
-    // residual filter and ANSI mode then throws on the equal-hour
-    // pairs the filter is about to drop — nullif makes those evaluate
-    // to NULL instead, and no surviving row has h1 = h2.
-    val slopes = a.join(b, col("et") === col("et2")
-        && col("blk") === col("blk2") && col("h1") < col("h2")
-        && col("h2") - col("h1") <= lit(theilSenMaxLagH))
-      .select(col("et").as("event_type"),
-        expr("(c2 - c1) * 10000 div nullif(h2 - h1, 0)").as("slope"),
-        col("h1"), col("h2"))
+    //
+    // Round 18 (verdict item 8): that replication DOUBLED the decade
+    // CPU (sf10: 14.5 → 31.1 CPU-s) for a parallelism lever that only
+    // pays on a multi-year span — every current SF fits a handful of
+    // 1080 h blocks. Gate it on the MEASURED span (the bcastIf
+    // discipline): below 4 blocks the composite key cannot buy
+    // meaningful width (≤ 4·|enum| keys) and the single-key join is
+    // replication-free; at a real multi-year span the blocked shape
+    // kicks in unchanged. The span probe is the ONE action that also
+    // materializes the hourly checkpoint, so the corpus pass still
+    // runs exactly once. Both shapes compute the identical pair set
+    // (the oracle replays the unblocked join).
+    val spanRow = hourly
+      .agg(min(col("hour")).as("mn"), max(col("hour")).as("mx")).head
+    val nBlocks =
+      if (spanRow.isNullAt(0)) 0L
+      else (spanRow.getLong(1) - spanRow.getLong(0)) / theilSenMaxLagH + 1
+    val slopes = theilSenSlopes(hourly, blocked = nBlocks >= 4)
     Ranks.groupedRank(slopes, Seq("event_type"),
         Seq(shiftright(col("slope"), 12)),
         Seq(col("slope"), col("h1"), col("h2")), "rk", "n_pairs")

@@ -141,25 +141,32 @@ object Graph {
       edges: DataFrame, opName: String, maxRounds: Int = 50): DataFrame = {
     val init = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
-    // Round-17 (guide §3.1): the label vector and its per-node min
-    // digest are |V|-rows; when the measured node count fits the
-    // broadcast cap every round's three joins become BroadcastHashJoins
-    // (edges cached by the caller — zero exchanges on it), leaving the
-    // groupBy(dst) exchange as the round's only shuffle. min/least on
-    // integer labels is order-insensitive, so the strategy switch
-    // cannot change any output bit. Above the cap: the SMJ shape,
-    // unchanged.
+    // Round-17 (guide §3.1) hinted broadcast on ALL THREE per-round
+    // joins; round-18 reverts two of them after the driver measured
+    // the cold sf0.1 run at 1.09 → 4.31 s (1.72 s at 8 cores): each
+    // bcastIf is a collect-and-rebuild cycle per round in a cold JVM,
+    // and only ONE of the three joins actually touches edge-scale
+    // data. The label vector keeps its hint — broadcasting |V| rows
+    // there is what keeps the CACHED edge frame exchange-free at any
+    // scale below the cap (pagerank/hits/coreness broadcast exactly
+    // one frame per round and show no cold penalty). The propagate
+    // and pointer-jump joins are |V|-vs-|V|: their inputs are
+    // shuffle outputs whose runtime size AQE already sees, so it
+    // converts them to BHJ for free when small — no driver-side
+    // broadcast build needed. min/least on integer labels is
+    // order-insensitive, so join strategy cannot change any output
+    // bit. Above the cap: SMJ everywhere, unchanged.
     val small = init.count() <= bcastRowCap
     iterate(init, maxRounds, opName) { labels =>
       val nbrMin = edges.join(bcastIf(labels, small),
           edges("src") === labels("node"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
-      val propagated = labels.join(bcastIf(nbrMin, small),
+      val propagated = labels.join(nbrMin,
           labels("node") === nbrMin("dst"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
       val m = propagated.select(col("node").as("k"), col("lbl").as("v"))
-      propagated.join(bcastIf(m, small), propagated("lbl") === m("k"), "left")
+      propagated.join(m, propagated("lbl") === m("k"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("v"), col("lbl"))).as("lbl"))
     } { df =>
@@ -1057,17 +1064,20 @@ object Graph {
     val docs = graft.Tables(spark, dir).documents
       .select(col("doc_id").as("node"), col("source"))
     val edges = Dedup.pairEdges(spark, dir)
-    // Round 17 note: fin is read twice downstream and picked three
-    // times, so lazy localCheckpoints on both were TRIED (compute-once,
-    // the Graph.iterate discipline). Measured: sf0.1 4.07 → 3.47 s,
-    // but sf10 9.1 → 15.7 s wall / 47 → 58 CPU-s — checkpointing
-    // replaces the frames with LogicalRDDs whose sizes the planner no
-    // longer knows, and the comm/intra joins lose their broadcast
-    // shape at scale. REVERTED (same lesson as HITS' rawA/rawH
-    // experiment); round 18 could retry with explicit bcastIf gates
-    // on the checkpointed frames.
+    // Round 17 tried lazy localCheckpoints on fin (read 2×) and picked
+    // (read 3×) WITHOUT hints: sf0.1 4.07 → 3.47 s but sf10 9.1 →
+    // 15.7 s — the checkpoint turns the frames into LogicalRDDs whose
+    // sizes the planner no longer knows, and the edge-scale joins
+    // (ecnt, intra) lost their broadcast shape. Round 18 retries WITH
+    // the measured-count bcastIf gates (the connectedComponents /
+    // pagerank discipline): the count that materializes each
+    // checkpoint also decides whether its |V|-row frame broadcasts
+    // into the edge-scale joins. Above the cap: SMJ, the 100 TB
+    // posture, but the frames are still computed once.
     val fin = propRound(edges,
       propRound(edges, docs.select(col("node"), col("source").as("label"))))
+      .localCheckpoint(eager = false)
+    val smallFin = fin.count() <= bcastRowCap
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
     val nodes = fin.join(deg, Seq("node"), "left")
@@ -1079,7 +1089,9 @@ object Graph {
       .agg(count(lit(1)).as("m"))
     // e_{i→c}: edges from each node into each neighboring community
     val ecnt = edges
-      .join(fin.select(col("node").as("dst"), col("label").as("cand")), Seq("dst"))
+      .join(bcastIf(
+        fin.select(col("node").as("dst"), col("label").as("cand")), smallFin),
+        Seq("dst"))
       .groupBy(col("src"), col("cand")).agg(count(lit(1)).as("e_ic"))
       .select(col("src").as("node"), col("cand"), col("e_ic"))
     // stay option: e_{i→a} (0 when no neighbor shares i's community)
@@ -1108,6 +1120,8 @@ object Graph {
           1, 15), 16, 10).cast("long") % 2 === 0)
       .select(col("node"), col("a"),
         when(col("active"), col("cand")).otherwise(col("a")).as("label"))
+      .localCheckpoint(eager = false)
+    val smallPicked = picked.count() <= bcastRowCap
     // post-round community table (the graph_modularity block on the
     // new labels) + move-in counts
     val comm = picked
@@ -1118,8 +1132,12 @@ object Graph {
         sum(coalesce(col("deg"), lit(0L))).as("d_sum"))
     val lab = picked.select(col("node"), col("label"))
     val intra = edges.filter(col("src") < col("dst"))
-      .join(lab.select(col("node").as("src"), col("label").as("la")), Seq("src"))
-      .join(lab.select(col("node").as("dst"), col("label").as("lb")), Seq("dst"))
+      .join(bcastIf(
+        lab.select(col("node").as("src"), col("label").as("la")), smallPicked),
+        Seq("src"))
+      .join(bcastIf(
+        lab.select(col("node").as("dst"), col("label").as("lb")), smallPicked),
+        Seq("dst"))
       .filter(col("la") === col("lb"))
       .groupBy(col("la")).agg(count(lit(1)).as("e_intra"))
       .select(col("la").as("label"), col("e_intra"))

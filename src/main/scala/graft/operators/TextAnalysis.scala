@@ -243,16 +243,32 @@ object TextAnalysis {
       when(col("doc_id") % 7 === 0,
         concat(lit(" 4111111111"), lpad(col("doc_id") % 1000000, 6, "0")))
         .otherwise(lit("")))
+    // Round-18 (guide §1.2, the r17 "not yet optimized" item 1): the
+    // card and phone patterns are FIXED-WIDTH (16 chars → '[CARD]' = 6,
+    // 12 chars → '[PHONE]' = 7), so their counts fall out of the
+    // replace passes' length deltas — 4 regex passes over the text
+    // instead of 6. Equivalence is exact, not approximate:
+    // regexp_count and regexp_replace run the same java.util.regex
+    // find() loop, so the replace pass rewrites exactly the spans the
+    // count pass counted; and the card replace cannot create or
+    // destroy a phone match because both patterns are \b-bounded digit
+    // spans — a card match can never abut a digit (the \b would fail),
+    // so every phone span and its boundary context is byte-identical
+    // before and after the card pass. The email count stays a
+    // regexp_count on raw (variable-width) and all three replaces are
+    // untouched, so redacted_md5 is bit-identical. The intermediates
+    // are each referenced more than once and regexp_replace is not
+    // "cheap", so CollapseProject keeps them single-evaluation
+    // (verified in plans/r18: 3 regexp_replace, 1 regexp_count).
     Tables(spark, dir).parallelized("documents")
       .select(col("doc_id"), planted.as("raw"))
+      .withColumn("c", regexp_replace(col("raw"), cardRe, "[CARD]"))
+      .withColumn("p", regexp_replace(col("c"), phoneRe, "[PHONE]"))
       .select(col("doc_id"),
         regexp_count(col("raw"), lit(emailRe)).cast("long").as("n_emails"),
-        regexp_count(col("raw"), lit(phoneRe)).cast("long").as("n_phones"),
-        regexp_count(col("raw"), lit(cardRe)).cast("long").as("n_cards"),
-        md5(regexp_replace(
-          regexp_replace(regexp_replace(col("raw"), cardRe, "[CARD]"),
-            phoneRe, "[PHONE]"),
-          emailRe, "[EMAIL]")).as("redacted_md5"))
+        expr("(length(c) - length(p)) div 5").as("n_phones"),
+        expr("(length(raw) - length(c)) div 10").as("n_cards"),
+        md5(regexp_replace(col("p"), emailRe, "[EMAIL]")).as("redacted_md5"))
       .orderBy(col("doc_id"))
   }
 
